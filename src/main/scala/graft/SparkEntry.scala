@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Clean, Ingest, Load, Synthetic}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the scale extensions: dedup,
+  * similarity, text analysis, multimodal, event windows) is registered in
+  * [[queries]]; each SQL-expressible one has a DuckDB oracle in
+  * [[oracleSql]] with IDENTICAL column names and deterministic ordering.
+  *
+  * Determinism conventions shared by query + oracle:
+  *   - money sums accumulate in DECIMAL(18,6), emitted as DOUBLE (Num)
+  *   - timestamps are emitted as epoch microseconds (unix_micros/epoch_us)
+  *   - every result carries a total ORDER BY with unique tie-break
+  *   - integer outputs are BIGINT on both sides
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference parity: sources / filters / sinks / serving ---
+    "s1_csv_file" -> ((s, d) => {
+      val f = Fixtures.csvFile(Tables.nation(s, d), "s1", d, "nation.csv")
+      Ingest.readCsvFile(s, f).orderBy("n_nationkey")
+    }),
+    "s2_csv_dir" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val dir = Fixtures.csvDir("s2", d, Seq(
+        "a.csv" -> r.filter(col("r_regionkey") < 2),
+        "b.csv" -> r.filter(col("r_regionkey") >= 2)))
+      Ingest.readCsvDir(s, dir).orderBy("r_regionkey")
+    }),
+    "s5_synthetic" -> ((s, _) => Synthetic.products(s).orderBy("id")),
+    "s6_list_files" -> ((s, d) => {
+      val dir = Fixtures.listingDir(d)
+      Ingest.listCsvFiles(s, dir).select("filename", "size_bytes", "size_mb")
+        .orderBy("filename")
+    }),
+    "f1_drop_nulls" -> ((s, d) => {
+      val withNulls = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("prio"))
+      Clean.dropAnyNull(withNulls)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")
+    }),
+    "u1_union_by_name" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.select(col("c_custkey"), col("c_name")).withColumn("src", lit("a"))
+      val b = c.select(col("c_custkey"), col("c_acctbal")).withColumn("src", lit("b"))
+      Ingest.unionByName(Seq(a, b)).orderBy("src", "c_custkey")
+    }),
+    "a1_stats" -> ((s, d) =>
+      graft.serve.Queries.statsDf(s, Tables.lineitem(s, d))),
+    "l1_preview" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey").limit(10)),
+    "k1_roundtrip" -> ((s, d) => {
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/k1_${Integer.toHexString(d.hashCode)}"
+      Load.replaceParquet(Synthetic.products(s), tmp)
+      s.read.parquet(tmp).groupBy("category")
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("total_price"))
+        .orderBy("category")
+    }),
+
+    // --- analytics: aggregation / joins / windows / grouping sets ---
+    "q1_pricing" -> (Analytics.q1PricingSummary(_, _)),
+    "q3_shipping" -> (Analytics.q3ShippingPriority(_, _)),
+    "q5_volume" -> (Analytics.q5LocalSupplierVolume(_, _)),
+    "w1_top_orders" -> (Analytics.topOrdersPerCustomer(_, _)),
+    "j1_semi_urgent" -> (Analytics.customersWithUrgentOrders(_, _)),
+    "j2_anti_no_orders" -> (Analytics.customersWithoutOrders(_, _)),
+    "r1_rollup" -> (Analytics.orderRollup(_, _)),
+    "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
+
+    // --- event-time windows (batch twins of graft.streaming) ---
+    "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
+    "e2_sessions" -> (EventWindows.userSessions(_, _)),
+    "e3_session_stats" -> (EventWindows.sessionStats(_, _)),
+
+    // --- text analysis ---
+    "t1_quality" -> ((s, d) =>
+      TextStats.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+                "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score")
+        .orderBy("doc_id")),
+    "t2_lang" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextStats.detectLang(col("text")).as("detected_lang"))
+        .orderBy("doc_id")),
+    "t3_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+    "t4_corpus_profile" -> (TextStats.corpusProfile(_, _)),
+    "t5_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"))
+      .orderBy("doc_id")),
+
+    // --- dedup ---
+    "x1_exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+    "x2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    "x3_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.documents(s, d), maxDist = 16)
+        .orderBy("doc_a", "doc_b")),
+    "x4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // --- similarity search ---
+    "v1_brute_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
+    "v2_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
+    "v3_emb_near_dup" -> ((s, d) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // --- multimodal plumbing ---
+    "m1_format_profile" -> (Multimodal.formatProfile(_, _)),
+    "m2_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id"))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def decSum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** DuckDB SQL mirroring TextStats.detectLang/langScore exactly. */
+  private def langSql: String = {
+    val langs = TextStats.langMarkers.keys.toSeq.sorted
+    def score(l: String) = TextStats.langMarkers(l)
+      .map(m => s"(length(pt) - length(replace(pt, '$m', ''))) / ${m.length}")
+      .mkString("(", " + ", ")")
+    val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(", ")
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt FROM documents),
+       |sc AS (SELECT doc_id, lang, $scoreCols FROM p),
+       |m AS (SELECT *, $mx AS mx FROM sc)
+       |SELECT doc_id, lang, CASE $cases END AS detected_lang FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    val punct = raw"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))"
+    val digit = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+    val upper = "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+    val stopPat = "(?i)\\b(the|a|an|and|or|of|to|in|is|on|for|with|at|by|from|as|it|that)\\b"
+    val nStop = s"CAST(len(regexp_extract_all(text, '$stopPat')) AS DOUBLE)"
+    def r4(e: String) = Num.sqlRoundTo(e, 4)
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  ${r4(s"CASE WHEN $nTok > 0 THEN ($nChars - ($nTok - 1)) / $nTok ELSE 0.0 END")} AS mean_token_len,
+       |  ${r4(s"$punct / greatest($nChars, 1.0)")} AS punct_ratio,
+       |  ${r4(s"$digit / greatest($nChars, 1.0)")} AS digit_ratio,
+       |  ${r4(s"$upper / greatest($nChars, 1.0)")} AS upper_ratio,
+       |  ${r4(s"$nStop / greatest($nTok, 1.0)")} AS stopword_ratio
+       |FROM documents)
+       |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
+       |  ${r4("""greatest(0.0, least(1.0,
+       |    0.25 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) +
+       |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
+       |    0.25 * (1.0 - least(digit_ratio * 5.0, 1.0)) +
+       |    0.25 * (1.0 - abs(stopword_ratio - 0.4))))""")} AS quality_score
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  private def sessionsCte: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m),
+      |g AS (SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
+      |      count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |      FROM s GROUP BY user_id, session_id)""".stripMargin
+
+  private def syntheticCte: String =
+    """WITH p AS (SELECT i AS id, 'Product ' || i AS name, round(10 + 0.5 * i, 2) AS price,
+      |  CASE WHEN i % 3 = 0 THEN 'Electronics' WHEN i % 3 = 1 THEN 'Books' ELSE 'Clothing' END AS category,
+      |  (i % 2 = 0) AS in_stock FROM range(1, 101) t(i))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_csv_file" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "s2_csv_dir" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "s5_synthetic" -> s"$syntheticCte SELECT * FROM p ORDER BY id",
+    "s6_list_files" ->
+      """SELECT * FROM (VALUES ('a.csv', CAST(100 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        | ('b.csv', CAST(2048 AS BIGINT), CAST(0.0 AS DOUBLE))) t(filename, size_bytes, size_mb)
+        | ORDER BY filename""".stripMargin,
+    "f1_drop_nulls" ->
+      """SELECT o_orderstatus, count(*) AS n_rows FROM orders
+        | WHERE nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT c_custkey, c_name, 'a' AS src, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer
+        | UNION ALL
+        | SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, 'b' AS src, c_acctbal FROM customer
+        | ORDER BY src, c_custkey""".stripMargin,
+    "a1_stats" ->
+      "SELECT count(*) AS total_records, CAST(11 AS BIGINT) AS columns_count FROM lineitem",
+    "l1_preview" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, o_orderpriority
+        | FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "k1_roundtrip" ->
+      s"""$syntheticCte SELECT category, count(*) AS n, sum(price) AS total_price
+         | FROM p GROUP BY category ORDER BY category""".stripMargin,
+
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | sum(l_quantity) AS sum_qty,
+         | ${decSum("l_extendedprice")} AS sum_base_price,
+         | ${decSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         | ${decSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         | sum(l_quantity) / count(*) AS avg_qty,
+         | ${decSum("l_extendedprice")} / count(*) AS avg_price,
+         | ${decSum("l_discount")} / count(*) AS avg_disc,
+         | count(*) AS count_order
+         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, o_orderpriority,
+         | ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | WHERE c_mktsegment = 'BUILDING'
+         |   AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |   AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         | GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_volume" ->
+      s"""SELECT n_name, ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | WHERE r_name = 'ASIA'
+         |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "w1_top_orders" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "j1_semi_urgent" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        | ORDER BY c_custkey""".stripMargin,
+    "j2_anti_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin,
+    "r1_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         | ${decSum("o_totalprice")} AS total_price
+         | FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "d1_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "e1_hourly" ->
+      s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us, event_type,
+         | count(*) AS n_events,
+         | ${decSum("value")} AS total_value,
+         | ${decSum("value")} / count(*) AS avg_value
+         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e2_sessions" ->
+      s"""$sessionsCte SELECT * FROM g ORDER BY user_id, session_id""",
+    "e3_session_stats" ->
+      s"""$sessionsCte
+         |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "t1_quality" -> qualitySql,
+    "t2_lang" -> langSql,
+    "t4_corpus_profile" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         | ${Num.sqlRoundTo("CAST(sum(length(text)) AS DOUBLE) / count(*)", 4)} AS avg_chars
+         | FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "t5_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        | GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "v1_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+        |      FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "m2_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(greatest(octet_length(encode(text)) // 128, 1) AS BIGINT) AS n_frames
+        | FROM documents ORDER BY media_id""".stripMargin
+  )
 }

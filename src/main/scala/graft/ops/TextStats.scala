@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table: token counting, quality
+  * scoring, language-ID, and document fingerprinting — the per-document
+  * feature extraction a training-data pipeline runs before filtering.
+  *
+  * All of it is narrow (per-row, no shuffle): built-in codegen'd string
+  * functions over the scanned column, so at 100 TB this is a single
+  * map-only pass fused into the scan. Aggregation shapes at the end reduce
+  * with map-side combine.
+  */
+object TextStats {
+
+  /** Whitespace token count: number of \S+ runs. */
+  def tokenCount(c: Column): Column = size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword proxy: word pieces + digits + punctuation as separate
+    * tokens (a deterministic regex stand-in for a real tokenizer's count).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "on", "for", "with", "at", "by", "from", "as", "it", "that")
+
+  /** Quality features: length, token count, mean token length, punctuation
+    * ratio, digit ratio, stopword ratio, uppercase ratio. Deterministic
+    * arithmetic only — oracle-expressible.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val nChars = length(c).cast("double")
+    val nTok = tokenCount(c).cast("double")
+    val nPunct = length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    val nDigit = length(c) - length(regexp_replace(c, "[0-9]", ""))
+    val nUpper = length(c) - length(regexp_replace(c, "[A-Z]", ""))
+    val stopPattern = "(?i)\\b(" + stopwords.mkString("|") + ")\\b"
+    val nStop = size(regexp_extract_all(c, lit(stopPattern), lit(0))).cast("double")
+    df.withColumn("n_chars_m", length(c).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len",
+        Num.roundTo(when(nTok > 0, (nChars - (nTok - 1)) / nTok).otherwise(0.0), 4))
+      .withColumn("punct_ratio", Num.roundTo(nPunct / greatest(nChars, lit(1.0)), 4))
+      .withColumn("digit_ratio", Num.roundTo(nDigit / greatest(nChars, lit(1.0)), 4))
+      .withColumn("upper_ratio", Num.roundTo(nUpper / greatest(nChars, lit(1.0)), 4))
+      .withColumn("stopword_ratio", Num.roundTo(nStop / greatest(nTok, lit(1.0)), 4))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation/digit noise and a sane stopword share. The exact weights
+    * are a documented heuristic, not learned.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    f.withColumn("quality_score", Num.roundTo(
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.25) * least(col("n_tokens").cast("double") / 20.0, lit(1.0)) +
+        lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) +
+        lit(0.25) * (lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) +
+        lit(0.25) * (lit(1.0) - abs(col("stopword_ratio") - 0.4)))), 4))
+  }
+
+  /** Language-ID: character/stopword n-gram heuristic over a small profile
+    * table per language. Scores each language by distinctive-marker hits
+    * per token and takes the argmax (ties broken alphabetically).
+    * At scale: pure map-side expression — the profiles are literals baked
+    * into codegen, no lookup join.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " that ", "ing "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " nicht ", "sch"),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est ", " que "),
+    "es" -> Seq(" el ", " la ", " y ", " los ", " de ", " es ", " una "),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Non-overlapping occurrence count of marker `m`, replace-based:
+    * (len(c) - len(replace(c, m, ''))) / len(m) — the same arithmetic the
+    * DuckDB oracle runs, so scores match exactly. */
+  private def markerCount(c: Column, m: String): Column =
+    (length(c) - length(replace(c, lit(m), lit("")))) / m.length
+
+  def langScore(c: Column, lang: String): Column =
+    langMarkers(lang).map(markerCount(c, _)).reduce(_ + _).cast("double")
+
+  def detectLang(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    // argmax with alphabetical tie-break: fold over languages in sorted
+    // order, replace the running best only on strictly greater score.
+    val scored = langMarkers.keys.toSeq.sorted.map { l =>
+      struct(langScore(padded, l).as("score"), lit(l).as("lang"))
+    }
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  /** Per-document analysis frame used by the registered queries. */
+  def analyze(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    qualityScore(docs)
+      .withColumn("detected_lang", detectLang(col("text")))
+      .withColumn("fingerprint", fingerprint(col("text")))
+  }
+
+  /** Document fingerprint: 64-bit FNV-1a over the raw text bytes via a
+    * deterministic expression (xxhash64 — Spark built-in, codegen'd).
+    */
+  def fingerprint(c: Column): Column = xxhash64(c)
+
+  /** Corpus-level language/source profile: aggregation shape. */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text"))).cast("long").as("total_chars"),
+           Num.roundTo(sum(length(col("text"))).cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy("lang", "source")
+}

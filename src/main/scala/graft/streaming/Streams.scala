@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface — the streaming upgrades of the batch
+  * operators (SURVEY §2.9: streaming is an extension; the reference's only
+  * "real-time" element is dashboard polling, `/root/reference/api.py:575`).
+  *
+  *   - [[csvDirStream]]: streaming version of the CSV directory ingest
+  *     (S2) — new files appearing in the directory become micro-batches.
+  *   - [[hourlyByType]]: watermarked tumbling-window aggregation, the
+  *     streaming twin of [[graft.ops.EventWindows.hourlyByType]].
+  *   - [[userSessions]]: `session_window` sessionization, twin of
+  *     [[graft.ops.EventWindows.userSessions]] (whose gaps-and-islands
+  *     formulation is the batch oracle; session end here is
+  *     last-event + gap by session_window's definition).
+  *   - [[runningUserCounts]]: custom state via flatMapGroupsWithState —
+  *     the escape hatch for semantics windows can't express.
+  *
+  * Scale notes: all aggregations are keyed-state operators backed by the
+  * state store — state is partitioned by grouping key across executors and
+  * bounded by the watermark (late data beyond it is dropped and state
+  * evicted). File sources at 100 TB need `maxFilesPerTrigger` to bound
+  * micro-batch size; both knobs are exposed.
+  */
+object Streams {
+
+  /** Streaming CSV directory source (S2's streaming upgrade). Streams
+    * require an explicit schema — inference would race file arrival. */
+  def csvDirStream(spark: SparkSession, dir: String, schema: StructType,
+                   maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
+  /** Streaming parquet directory source (for the testdata tables). */
+  def parquetDirStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling 1-hour windows per event_type with a watermark. Output shape
+    * matches the batch twin (window start as epoch micros). In append mode
+    * a window emits once the watermark passes its end — exactly-once per
+    * window; in complete mode (tests) all windows re-emit per batch.
+    */
+  def hourlyByType(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.ops.Num.exactSum(col("value")).as("total_value"),
+           graft.ops.Num.exactAvg(col("value")).as("avg_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("total_value"), col("avg_value"))
+
+  /** Sessionization with `session_window`: per-user sessions closed after
+    * `gap` of inactivity. `session_end_us` here is (last event + gap) — the
+    * session_window definition; the batch twin reports last-event time.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.ops.Num.exactSum(col("value")).as("session_value"))
+      .select(col("user_id"),
+              unix_micros(col("w.start")).as("session_start_us"),
+              unix_micros(col("w.end")).as("session_end_us"),
+              col("n_events"), col("session_value"))
+
+  final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * counts emitted on every update — the template for semantics that
+    * windows can't express (per-key ML features, custom eviction, CDC).
+    * State is one long per user, partitioned across executors.
+    */
+  def runningUserCounts(events: Dataset[EventRow]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(UserCount(userId, n))
+      }
+  }
+
+  /** Drive any streaming frame to a named in-memory table until all
+    * currently-available input is processed (test/dev harness; production
+    * sinks would be kafka/parquet/delta with checkpointing).
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

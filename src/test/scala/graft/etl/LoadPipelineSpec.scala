@@ -1,0 +1,59 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** K1–K3 sinks + C1/C2 pipeline composition
+  * (reference: /root/reference/src/load.py, flows/pipeline.py). */
+class LoadPipelineSpec extends SparkSpec {
+
+  test("K1: parquet replace is idempotent and replaces prior content") {
+    val out = tmpDir("k1").resolve("t").toString
+    Load.replaceParquet(Synthetic.products(spark, 50), out)
+    Load.replaceParquet(Synthetic.products(spark, 20), out)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
+  test("K3: single-file CSV write has a header") {
+    val out = tmpDir("k3").resolve("csv").toString
+    Load.writeCsv(Synthetic.products(spark, 5), out, singleFile = true)
+    val part = Files.list(java.nio.file.Paths.get(out)).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (part.hasNext) files += part.next()
+    val csv = files.find(_.toString.endsWith(".csv")).get
+    assert(Files.readString(csv).startsWith("id,name,price,category,in_stock"))
+  }
+
+  test("S5: synthetic products match the reference generator rules") {
+    val rows = Synthetic.products(spark).orderBy("id").collect()
+    assert(rows.length == 100)
+    val r3 = rows(2) // id=3
+    assert(r3.getString(3) == "Electronics") // 3%3==0
+    assert(r3.getDouble(2) == 11.5)          // 10+0.5*3
+    assert(!r3.getBoolean(4))                // odd → not in stock
+    val r4 = rows(3) // id=4
+    assert(r4.getString(3) == "Books")       // 4%3==1
+    assert(r4.getBoolean(4))
+  }
+
+  test("C1: pipeline ingest→clean→load end-to-end with telemetry") {
+    val d = tmpDir("c1")
+    Files.writeString(d.resolve("in.csv"), "id,v\n1,a\n2,\n3,c\n")
+    val out = d.resolve("out").toString
+    val res = Pipeline.run(spark, Pipeline.PipelineConfig(
+      csvPath = d.resolve("in.csv").toString, outputPath = out))
+    assert(res.rowsIngested == 3)
+    assert(res.rowsCleaned == 2) // empty v cell is null → dropped
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("C1 quirk: all-null column ends with 0 rows (shipped-data parity)") {
+    val d = tmpDir("c1q")
+    Files.writeString(d.resolve("in.csv"), "id,msg\n1,\n2,\n")
+    val out = d.resolve("out").toString
+    val res = Pipeline.run(spark, Pipeline.PipelineConfig(
+      csvPath = d.resolve("in.csv").toString, outputPath = out))
+    assert(res.rowsCleaned == 0)
+    assert(spark.read.parquet(out).count() == 0)
+  }
+}

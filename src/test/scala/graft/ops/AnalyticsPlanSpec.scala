@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the properties that matter at 100 TB — dim joins
+  * broadcast (no lineitem shuffle for them), filters reach the parquet
+  * scan, aggregates keep partial (map-side) phases. Checked against the
+  * optimized physical plan text.
+  */
+class AnalyticsPlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: customer dim joins as broadcast, orderdate/shipdate filters push down") {
+    val p = plan(Analytics.q3ShippingPriority(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushed filters in:\n$p")
+  }
+
+  test("q5: the whole dim chain broadcasts — at most one shuffle join") {
+    val p = plan(Analytics.q5LocalSupplierVolume(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    val shuffles = "SortMergeJoin".r.findAllIn(p).length +
+                   "ShuffledHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+    assert(shuffles <= 1, s"expected <=1 shuffled join, got $shuffles:\n$p")
+  }
+
+  test("q1: aggregation has a partial (map-side) phase before the shuffle") {
+    val p = plan(Analytics.q1PricingSummary(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("l1 preview limit compiles to CollectLimit — no full-scan sort") {
+    val p = plan(graft.serve.Queries.preview(spark, {
+      Tables.orders(spark, sfDir).createOrReplaceTempView("orders_plan_v")
+      "orders_plan_v"
+    }))
+    assert(p.contains("CollectLimit"), p)
+  }
+
+  test("semi/anti joins stay key-only (no payload columns shuffled)") {
+    val semi = plan(Analytics.customersWithUrgentOrders(spark, sfDir))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = plan(Analytics.customersWithoutOrders(spark, sfDir))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("analytics results sanity at sf0.001") {
+    assert(Analytics.q1PricingSummary(spark, sfDir).count() == 6)
+    assert(Analytics.orderRollup(spark, sfDir).count() == 19)
+    assert(Analytics.topOrdersPerCustomer(spark, sfDir).count() > 0)
+  }
+}

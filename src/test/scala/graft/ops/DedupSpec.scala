@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val docB = "the quick brown fox jumps over the lazy dog and runs far away tonight" // near-dup of A
+  private val docC = "completely unrelated text about database engines and query optimizers here"
+
+  private def docs = Seq(
+    (1L, docA), (2L, docB), (3L, docC), (4L, docA) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical text, keeps min id") {
+    val out = Dedup.exact(docs).select("doc_id", "n_copies").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("exactRows keeps one full representative row per text") {
+    val out = Dedup.exactRows(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("shingles produce distinct w-grams; short docs degrade to one") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("s"))
+      .filter(col("s").isNotNull).select(size(col("s")).as("n")).collect()
+    assert(sh.forall(_.getInt(0) >= 1))
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).collect().head.getSeq[String](0)
+    assert(short == Seq("two words"))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: est_jaccard = 1
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("simhash: identical docs distance 0; near dups close; unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sh(1L), sh(2L)) < dist(sh(1L), sh(3L)))
+  }
+
+  test("simhashNearDup blocks on 16-bit chunks and returns dup pairs") {
+    val pairs = Dedup.simhashNearDup(docs, maxDist = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0; hot-shingle guard drops stop-grams") {
+    val out = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out.keySet.forall { case (a, b) => a != 3L && b != 3L })
+    // hot-key guard: with maxDocFreq=0 every shingle is "hot" → no pairs
+    assert(Dedup.ngramJaccard(docs, threshold = 0.0, maxDocFreq = 0).count() == 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text analysis: token counting, quality features, language-ID,
+  * fingerprinting. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("ws"),
+      TextStats.bpeishTokenCount(col("text")).as("bpe")).collect().head
+    assert(r.getInt(0) == 4) // Hello, | world! | 42 | times
+    // Hello , world ! 4 2 times → 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("quality features on a known string") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextStats.qualityFeatures(df).collect().head
+    assert(r.getAs[Long]("n_tokens") == 6)
+    // 22 chars, 6 tokens → (22-5)/6 = 2.8333
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 2.8333) < 1e-9)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+    // stopwords: the, on, the → 3/6 = 0.5
+    assert(r.getAs[Double]("stopword_ratio") == 0.5)
+  }
+
+  test("quality score is in [0,1] and favors clean prose over noise") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it runs to the hills at dawn with a smile"),
+      (2L, "@@@@ #### $$$$ 12345 67890 !!!! ???? %%%% ^^^^ &&&&")).toDF("doc_id", "text")
+    val out = TextStats.qualityScore(df).orderBy("doc_id").collect()
+    val clean = out(0).getAs[Double]("quality_score")
+    val noise = out(1).getAs[Double]("quality_score")
+    assert(clean >= 0.0 && clean <= 1.0 && noise >= 0.0 && noise <= 1.0)
+    assert(clean > noise)
+  }
+
+  test("detectLang identifies obvious languages with alphabetic tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog is in the house that is big"),
+      (2L, "der Hund und die Katze ist nicht in das Haus"),
+      (3L, "le chat et le chien est dans les maisons que nous avons"),
+      (4L, "el perro y el gato es de los grandes en una casa"),
+      (5L, "我是一个学生，我的朋友是不在的，有和没有")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.detectLang(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "de", "fr", "es", "zh"))
+  }
+
+  test("fingerprint is deterministic and collision-free on distinct docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val fp = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("f"))
+    val n = fp.select("f").distinct().count()
+    val nTexts = docs.select("text").distinct().count()
+    assert(n == nTexts) // xxhash64 collision on 500 docs: effectively impossible
+    // deterministic across runs
+    val a = fp.orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val b = fp.orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(a == b)
+  }
+}

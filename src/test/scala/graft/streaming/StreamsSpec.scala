@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{EventWindows, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming twins vs their batch oracles (SURVEY §7.4 risk 7:
+  * batch-equivalence first). Streams read the events table from a parquet
+  * dir via AvailableNow and land in a memory sink.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private lazy val eventsDir: String = {
+    // stage events as a plain-timestamp parquet dir (stream sources need a
+    // static schema; the raw testdata nano-long ts is normalized by Tables)
+    val d = tmpDir("stream_events").resolve("events").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming hourly tumbling agg == batch hourlyByType") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = Streams.parquetDirStream(spark, eventsDir, schema)
+    Streams.runToMemory(Streams.hourlyByType(stream), "hourly_stream")
+    val streamed = spark.table("hourly_stream")
+      .orderBy("window_start_us", "event_type").collect()
+    val batch = EventWindows.hourlyByType(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(s.getDouble(3) == b.getDouble(3))
+    }
+  }
+
+  test("streaming session_window sessions == batch gaps-and-islands sessions") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = Streams.parquetDirStream(spark, eventsDir, schema)
+    Streams.runToMemory(Streams.userSessions(stream), "sessions_stream")
+    val streamed = spark.table("sessions_stream")
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = EventWindows.userSessions(spark, sfDir)
+      .orderBy("user_id", "session_start_us").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))                      // user_id
+      assert(s.getLong(1) == b.getAs[Long]("session_start_us")) // same start
+      // session_window end = last event + gap; batch end = last event
+      assert(s.getLong(2) == b.getAs[Long]("session_end_us") + 30L * 60 * 1000000)
+      assert(s.getLong(3) == b.getAs[Long]("n_events"))
+    }
+  }
+
+  test("flatMapGroupsWithState running counts reach the per-user totals") {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = Streams.parquetDirStream(spark, eventsDir, schema)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Streams.EventRow]
+    Streams.runToMemory(Streams.runningUserCounts(stream).toDF(),
+      "running_counts", OutputMode.Update())
+    // last update per user == total events for that user
+    val finalCounts = spark.table("running_counts")
+      .groupBy("user_id").agg(max("n_events").as("n")).orderBy("user_id").collect()
+    val expected = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().orderBy("user_id").collect()
+    assert(finalCounts.length == expected.length)
+    finalCounts.zip(expected).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+    }
+  }
+
+  test("csv dir stream ingests files appearing in a directory") {
+    import spark.implicits._
+    val d = tmpDir("csvstream")
+    java.nio.file.Files.writeString(d.resolve("a.csv"), "id,v\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(d.resolve("b.csv"), "id,v\n3,z\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val stream = Streams.csvDirStream(spark, d.toString, schema)
+    Streams.runToMemory(stream.groupBy().count(), "csv_stream_count")
+    assert(spark.table("csv_stream_count").collect().head.getLong(0) == 3L)
+  }
+}
