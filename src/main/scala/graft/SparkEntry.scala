@@ -83,8 +83,16 @@ object SparkEntry {
     "w1_top_orders" -> (Analytics.topOrdersPerCustomer(_, _)),
     "j1_semi_urgent" -> (Analytics.customersWithUrgentOrders(_, _)),
     "j2_anti_no_orders" -> (Analytics.customersWithoutOrders(_, _)),
+    "j3_anti_no_urgent" -> (Analytics.customersWithoutUrgentOrders(_, _)),
     "r1_rollup" -> (Analytics.orderRollup(_, _)),
     "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
+
+    // --- profiling ---
+    "p1_column_profile" -> ((s, d) =>
+      Profiling.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))),
+    "p2_quantiles" -> ((s, d) =>
+      Profiling.quantilesByGroup(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -106,6 +114,7 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
     "t4_corpus_profile" -> (TextStats.corpusProfile(_, _)),
+    "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
     "t5_tokens" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -142,6 +151,11 @@ object SparkEntry {
     "v3_emb_near_dup" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.35)
         .orderBy("id_a", "id_b")),
+    "v4_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
 
     // --- multimodal plumbing ---
     "m1_format_profile" -> (Multimodal.formatProfile(_, _)),
@@ -170,7 +184,7 @@ object SparkEntry {
        |SELECT doc_id, lang, CASE $cases END AS detected_lang FROM m ORDER BY doc_id""".stripMargin
   }
 
-  private def qualitySql: String = {
+  private def qualityCte: String = {
     val nChars = "CAST(length(text) AS DOUBLE)"
     val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
     val punct = raw"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))"
@@ -186,15 +200,31 @@ object SparkEntry {
        |  ${r4(s"$digit / greatest($nChars, 1.0)")} AS digit_ratio,
        |  ${r4(s"$upper / greatest($nChars, 1.0)")} AS upper_ratio,
        |  ${r4(s"$nStop / greatest($nTok, 1.0)")} AS stopword_ratio
-       |FROM documents)
-       |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
+       |FROM documents),
+       |qs AS (SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
        |  ${r4("""greatest(0.0, least(1.0,
        |    0.25 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) +
        |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
        |    0.25 * (1.0 - least(digit_ratio * 5.0, 1.0)) +
        |    0.25 * (1.0 - abs(stopword_ratio - 0.4))))""")} AS quality_score
-       |FROM f ORDER BY doc_id""".stripMargin
+       |FROM f)""".stripMargin
   }
+
+  private def qualitySql: String =
+    s"""$qualityCte
+       |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio, quality_score
+       |FROM qs ORDER BY doc_id""".stripMargin
+
+  private def cleanCorpusSql: String =
+    s"""$qualityCte,
+       |g AS (SELECT d.doc_id, d.text, d.source, qs.quality_score
+       |      FROM documents d JOIN qs USING(doc_id)
+       |      WHERE qs.quality_score >= 0.5 AND d.lang = 'en'),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text)
+       |SELECT source, count(*) AS n_docs,
+       |  ${Num.sqlRoundTo(Num.sqlExactAvg("quality_score"), 4)} AS avg_quality
+       |FROM g JOIN keep USING(doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   private def sessionsCte: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
@@ -282,6 +312,25 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         | ORDER BY c_custkey""".stripMargin,
+    "j3_anti_no_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        | ORDER BY c_custkey""".stripMargin,
+    "p1_column_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    "p2_quantiles" ->
+      s"""SELECT l_returnflag,
+         | ${Num.sqlRoundTo("quantile_cont(l_extendedprice, 0.25)", 6)} AS p25,
+         | ${Num.sqlRoundTo("quantile_cont(l_extendedprice, 0.5)", 6)} AS p50,
+         | ${Num.sqlRoundTo("quantile_cont(l_extendedprice, 0.75)", 6)} AS p75,
+         | min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "r1_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          | ${decSum("o_totalprice")} AS total_price
@@ -306,6 +355,7 @@ object SparkEntry {
 
     "t1_quality" -> qualitySql,
     "t2_lang" -> langSql,
+    "c1_clean_corpus" -> cleanCorpusSql,
     "t4_corpus_profile" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          | CAST(sum(length(text)) AS BIGINT) AS total_chars,

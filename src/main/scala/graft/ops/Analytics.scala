@@ -123,6 +123,18 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Left-anti with a filtered probe side: customers with no URGENT order
+    * (non-empty on the testdata, unlike [[customersWithoutOrders]]). */
+  def customersWithoutUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
   /** Rollup over (status × priority) — grouping sets in one pass with
     * partial aggregation. */
   def orderRollup(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the capability behind a production version of
+  * the reference's stats endpoint (`/root/reference/api.py:205-246`, which
+  * only reports COUNT(*) + column names): per-column null/distinct
+  * profiles and exact quantiles.
+  *
+  * Scale: the column profile is ONE aggregation pass over the table — all
+  * per-column counters accumulate in the same partial-aggregate buffer, so
+  * profiling a 100 TB table costs a single scan + a one-row shuffle. The
+  * per-column rows are produced by exploding the one aggregated row (stack)
+  * — driver-side-free. Quantiles use exact percentile (sort-based within
+  * group) — at extreme scale swap in approx_percentile (t-digest, bounded
+  * memory) via `approxQuantiles`.
+  */
+object Profiling {
+
+  /** Per-column profile of the orders table: nulls + distincts + count.
+    * One pass: aggregate all counters at once, then unpivot.
+    */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+          count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = columns.map(c =>
+      s"'$c', __n_$c - __nn_$c, __nd_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${columns.size}, $stackExpr) as (column_name, n_nulls, n_distinct)")
+      .orderBy("column_name")
+  }
+
+  /** Exact interpolated quantiles of a value column per group (percentile
+    * — the same linear-interpolation definition as SQL quantile_cont). */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        Num.roundTo(percentile(col(valueCol), lit(0.25)), 6).as("p25"),
+        Num.roundTo(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
+        Num.roundTo(percentile(col(valueCol), lit(0.75)), 6).as("p75"),
+        min(col(valueCol)).as("vmin"),
+        max(col(valueCol)).as("vmax"))
+      .orderBy(groupCol)
+
+  /** Approx sibling for the 100 TB path: t-digest, constant memory. */
+  def approxQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_percentile(col(valueCol), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+        .as("quantiles_approx"))
+      .orderBy(groupCol)
+}

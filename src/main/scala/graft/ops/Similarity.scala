@@ -87,6 +87,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Train-free IVF-style coarse quantizer: centroid id = index of the
+    * dominant (largest-|x|) dimension. Each vector lives in exactly one of
+    * `dim` cells; queries probe their own cell only. Against a trained
+    * k-means codebook this trades recall for zero training — the partition
+    * layout (corpus written clustered by cell) is identical.
+    */
+  def ivfCell(vecCol: Column): Column =
+    aggregate(
+      zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+        (x, i) => struct(abs(x.cast("double")).as("a"), i.as("i"))),
+      struct(lit(-1.0).as("a"), lit(-1).as("i")),
+      (best, cur) => when(cur.getField("a") > best.getField("a"), cur).otherwise(best))
+      .getField("i")
+
+  /** IVF-bucketed ANN: single-probe top-k within the query's cell. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      ivfCell(col(vecCol)).as("cell"))
+      .withColumn("cn", norm(col("cv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      ivfCell(col(vecCol)).as("cell"))
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among collisions
     * in ANY of `tables` independent LSH tables (multi-table LSH — the
     * standard recall amplification: P[miss] = (1 - p^nbits)^tables).

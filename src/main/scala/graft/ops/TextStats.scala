@@ -110,6 +110,27 @@ object TextStats {
     */
   def fingerprint(c: Column): Column = xxhash64(c)
 
+  /** Composite training-data cleaning pipeline: quality gate → language
+    * gate → exact dedup (keep min doc_id) → per-source yield stats. The
+    * canonical "raw crawl → training corpus" reduction, end to end in one
+    * lazy plan: the quality/lang gates are map-side filters fused into the
+    * scan; dedup is the only shuffle (on text hash); the final per-source
+    * rollup rides map-side partial aggregation.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String,
+                  minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gated = qualityScore(docs)
+      .filter(col("quality_score") >= minQuality && col("lang") === lang)
+    val keep = gated.groupBy(xxhash64(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    gated.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           Num.roundTo(Num.exactAvg(col("quality_score")), 4).as("avg_quality"))
+      .orderBy("source")
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -18,16 +18,16 @@ object Probe {
     }
 
     time("docs.count")(docs.count())
-    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-    time("shingles")(sh.select(explode(col("sh"))).count())
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("shingle", xxhash64(col("shingle")))
-    time("exploded+hash")(exploded.count())
-    val df = exploded.groupBy("shingle").count()
-    time("df groupBy")(df.count())
-    time("x4 full")(Dedup.ngramJaccard(docs).count())
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    time("shingle_hashes")(sh.select(explode(col("sh"))).count())
+    time("x4 full (t=0.5)")(Dedup.ngramJaccard(docs, threshold = 0.5).count())
     time("x2 full")(Dedup.minhashLsh(docs).count())
     time("x3 full")(Dedup.simhashNearDup(docs, maxDist = 16).count())
+    val x4 = Dedup.ngramJaccard(docs, threshold = 0.5)
+    val plan = x4.queryExecution.executedPlan.toString
+    println("PROBE x4 ReusedExchange: " + "ReusedExchange".r.findAllIn(plan).length +
+      "  Exchanges: " + "Exchange".r.findAllIn(plan).length +
+      "  Generates: " + "Generate".r.findAllIn(plan).length)
     spark.stop()
   }
 }

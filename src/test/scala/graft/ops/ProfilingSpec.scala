@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Profiling operators + the new composite/ANN additions. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("columnProfile: one row per column with null/distinct counts") {
+    val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "v")
+    val out = Profiling.columnProfile(df, Seq("id", "v")).collect()
+    val byCol = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byCol("id") == (0L, 3L))
+    assert(byCol("v") == (1L, 1L))
+  }
+
+  test("columnProfile runs as a single aggregation pass (no per-column jobs)") {
+    val df = Tables.orders(spark, sfDir)
+    val plan = Profiling.columnProfile(df,
+      Seq("o_orderkey", "o_orderstatus")).queryExecution.executedPlan.toString
+    // one scan of orders, not one per column
+    assert("FileScan parquet".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("quantilesByGroup: interpolated quartiles on a known distribution") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0))
+      .toDF("g", "v")
+    val r = Profiling.quantilesByGroup(df, "g", "v").collect().head
+    assert(r.getDouble(1) == 2.0) // p25 of 1..5
+    assert(r.getDouble(2) == 3.0) // p50
+    assert(r.getDouble(3) == 4.0) // p75
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0)
+  }
+
+  test("cleanCorpus yields a non-empty per-source summary with avg quality in [0,1]") {
+    val out = TextStats.cleanCorpus(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) > 0))
+    assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("ivfTopK: cells partition the corpus; hits are valid ranks/sims") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = emb.select(Similarity.ivfCell(col("embedding")).as("c"))
+      .distinct().count()
+    assert(cells > 1) // quantizer actually partitions
+    val out = Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 100)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= 1L && math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("j3: customers without urgent orders is non-empty and disjoint from j1") {
+    val j1 = Analytics.customersWithUrgentOrders(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val j3 = Analytics.customersWithoutUrgentOrders(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(j3.nonEmpty)
+    assert(j1.intersect(j3).isEmpty)
+    val total = Tables.customer(spark, sfDir).count()
+    assert(j1.size + j3.size == total)
+  }
+}
