@@ -98,6 +98,20 @@ object SparkEntry {
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
     "e2_sessions" -> (EventWindows.userSessions(_, _)),
     "e3_session_stats" -> (EventWindows.sessionStats(_, _)),
+    "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
+
+    // --- structured streaming in the correctness gate: the streaming
+    //     hourly aggregation must equal e1_hourly's oracle ---
+    "st1_stream_hourly" -> ((s, d) => {
+      val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/st1_${Integer.toHexString(d.hashCode)}"
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st1_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.hourlyByType(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      s.table(mem).orderBy("window_start_us", "event_type")
+    }),
 
     // --- text analysis ---
     "t1_quality" -> ((s, d) =>
@@ -226,6 +240,14 @@ object SparkEntry {
        |FROM g JOIN keep USING(doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Shared by e1 (batch) and st1 (structured streaming twin). */
+  private def hourlySql: String =
+    s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us, event_type,
+       | count(*) AS n_events,
+       | ${decSum("value")} AS total_value,
+       | ${decSum("value")} / count(*) AS avg_value
+       | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def sessionsCte: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
       |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
@@ -340,14 +362,18 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "e1_hourly" ->
-      s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us, event_type,
-         | count(*) AS n_events,
-         | ${decSum("value")} AS total_value,
-         | ${decSum("value")} / count(*) AS avg_value
-         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e1_hourly" -> hourlySql,
+    "st1_stream_hourly" -> hourlySql,
     "e2_sessions" ->
       s"""$sessionsCte SELECT * FROM g ORDER BY user_id, session_id""",
+    "z1_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
+        |             FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+        |       ord.last_order_key AS asof_last_order_key
+        |FROM events e ASOF LEFT JOIN ord
+        |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "e3_session_stats" ->
       s"""$sessionsCte
          |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
@@ -370,6 +396,24 @@ object SparkEntry {
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         | GROUP BY text ORDER BY doc_id""".stripMargin,
+    "x4_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |       ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 64),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM f a JOIN f b USING (s) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
+         |      FROM pairs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "v1_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),

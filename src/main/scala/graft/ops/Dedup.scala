@@ -176,7 +176,7 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") /
+        Num.roundTo(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -92,6 +92,19 @@ object Multimodal {
       })
   }
 
+  /** Resize stage: re-target media dimensions (STUB — a real impl would
+    * run the codec's scaler over the payload; the fake rewrites the typed
+    * metadata deterministically, preserving the pipeline shape: typed
+    * Dataset in, typed Dataset out, per-partition execution).
+    */
+  def resize(meta: Dataset[MediaMeta], width: Int, height: Int): Dataset[MediaMeta] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.mapPartitions(_.map(m =>
+      m.copy(width = width, height = height,
+             checksum = 31L * (31L * m.checksum + width) + height)))
+  }
+
   /** Frame-sample stage: take every `stride`-th fixed-size window of the
     * blob as a "frame" (byte-slice stand-in for video frame extraction),
     * exploded to one row per frame — the fan-out shape (and partition-size

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join: union + carry-forward formulation. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof picks the latest right row at-or-before the left time, per key") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 7L, ts("2024-01-01 09:00:00")), // before any right row
+      (4L, 8L, ts("2024-01-01 12:00:00"))  // key with single right row
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 100L),
+      (7L, ts("2024-01-01 10:00:00"), 200L), // equal time: inclusive match
+      (7L, ts("2024-01-01 11:00:00"), 300L),
+      (8L, ts("2024-01-01 00:00:00"), 900L)
+    ).toDF("rk", "rt", "payload")
+    val out = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", "payload")
+      .orderBy("event_id").collect()
+    val got = out.map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (1L, Some(200L)), // 10:00 matches the 10:00 right row (inclusive)
+      (2L, Some(300L)), // latest before 12:00
+      (3L, None),       // nothing at or before 09:00
+      (4L, Some(900L))))
+  }
+
+  test("eventsWithLastOrder covers every event exactly once") {
+    val out = AsOf.eventsWithLastOrder(spark, sfDir)
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    assert(out.select("event_id").distinct().count() == out.count())
+  }
+
+  test("multimodal resize rewrites dimensions, keeps ids") {
+    val meta = Multimodal.decodeMeta(Multimodal.mediaTable(spark, sfDir))
+    val resized = Multimodal.resize(meta, 224, 224)
+    val rows = resized.collect()
+    assert(rows.forall(m => m.width == 224 && m.height == 224))
+    assert(rows.map(_.media_id).sorted.toSeq ==
+      meta.collect().map(_.media_id).sorted.toSeq)
+  }
+}
