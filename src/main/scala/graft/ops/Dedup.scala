@@ -149,30 +149,41 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard near-dup via shared-shingle join: explode distinct
-    * hashed shingles, self-join on shingle hash, |A∩B| = shared count,
-    * Jaccard = shared/(|A|+|B|-shared). The hot-key guard drops shingles
-    * appearing in more than `maxDocFreq` docs (stopword shingles would
-    * otherwise create quadratic bucket blowup at scale — same reasoning as
-    * prefix filtering). The df filter is a windowed count over the SAME
-    * shingle partitioning the pair join needs, so the exploded table is
-    * shuffled once and the exchange is reused by both join branches.
+  /** Exact n-gram Jaccard near-dup via shared-shingle grouping: explode
+    * distinct hashed shingles, group BY shingle collecting the (bounded)
+    * doc list, generate ordered pairs in-group, then count shared shingles
+    * per pair. Jaccard = shared/(|A|+|B|-shared).
+    *
+    * Scale shape: exactly TWO shuffles — (1) group by shingle (values are
+    * (doc_id, n_sh) structs, 16 bytes), (2) group by pair. The df guard is
+    * the size filter on the collected list: shingles in more than
+    * `maxDocFreq` docs are dropped (stopword shingles would otherwise
+    * create quadratic bucket blowup — same reasoning as prefix filtering),
+    * which also caps both the collect_list buffer and the in-group pair
+    * fan-out at maxDocFreq²/2. A self-join formulation would instead
+    * recompute the shingle pipeline per branch and move every (shingle,
+    * doc) row through three shuffles.
     */
   def ngramJaccard(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    w: Int = 3, threshold: Double = 0.6,
                    maxDocFreq: Long = 64): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol), w).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
-    val exploded = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
-    val a = filtered.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
-    val b = filtered.select(col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val grouped = sh
+      .select(explode(col("sh")).as("shingle"),
+              struct(col("doc_id"), col("n_sh")).as("doc"))
+      .groupBy("shingle").agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDocFreq)
+      // sort by doc_id so generated pairs are (low, high) — deterministic
+      .select(array_sort(col("docs")).as("docs"))
+    val pairs = grouped.select(explode(flatten(
+      transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          b => struct(a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
+                      b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb"))))))
+      .as("p"))
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+    pairs
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
