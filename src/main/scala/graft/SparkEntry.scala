@@ -86,6 +86,7 @@ object SparkEntry {
     "j3_anti_no_urgent" -> (Analytics.customersWithoutUrgentOrders(_, _)),
     "r1_rollup" -> (Analytics.orderRollup(_, _)),
     "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
+    "g1_pivot" -> (Analytics.orderStatusPivot(_, _)),
 
     // --- profiling ---
     "p1_column_profile" -> ((s, d) =>
@@ -111,6 +112,16 @@ object SparkEntry {
         graft.streaming.Streams.hourlyByType(
           graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
       s.table(mem).orderBy("window_start_us", "event_type")
+    }),
+    "st2_stream_sessions" -> ((s, d) => {
+      val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/st2_${Integer.toHexString(d.hashCode)}"
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st2_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.userSessions(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      s.table(mem).orderBy("user_id", "session_start_us")
     }),
 
     // --- text analysis ---
@@ -361,6 +372,17 @@ object SparkEntry {
     "d1_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "g1_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (o_orderstatus = 'P') AS n_p
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "st2_stream_sessions" ->
+      s"""$sessionsCte
+         |SELECT user_id, session_start_us, session_end_us + 1800000000 AS session_end_us,
+         |       n_events, session_value
+         |FROM g ORDER BY user_id, session_start_us""".stripMargin,
 
     "e1_hourly" -> hourlySql,
     "st1_stream_hourly" -> hourlySql,

@@ -154,6 +154,20 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Pivot: order counts by priority (rows) × status (columns). Values are
+    * enumerated explicitly — at scale an un-enumerated pivot needs a
+    * distinct-scan first; listing the (small, known) domain keeps it one
+    * pass with map-side partial aggregation.
+    */
+  def orderStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
