@@ -62,6 +62,37 @@ object SparkEntry {
     }),
     "a1_stats" -> ((s, d) =>
       graft.serve.Queries.statsDf(s, Tables.lineitem(s, d))),
+    // semi-structured: JSON payload extraction (events.props = {"k": int})
+    "e4_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+    // scalar function library sampler: string/date/math over one pass
+    "s7_functions" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        lower(col("o_orderpriority")).as("prio_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        Num.roundTo(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        Num.roundTo(ln(col("o_totalprice") + 1.0), 6).as("log_price"))
+      .orderBy("o_orderkey").limit(500)),
+    "u2_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+    "u3_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")),
     "l1_preview" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -292,6 +323,30 @@ object SparkEntry {
         | ORDER BY src, c_custkey""".stripMargin,
     "a1_stats" ->
       "SELECT count(*) AS total_records, CAST(11 AS BIGINT) AS columns_count FROM lineitem",
+    "e4_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s7_functions" ->
+      s"""SELECT o_orderkey,
+         | lower(o_orderpriority) AS prio_lower,
+         | substring(o_orderpriority, 1, 1) AS prio_code,
+         | CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+         | o_orderstatus || '|' || o_orderpriority AS status_prio,
+         | CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS order_year,
+         | CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS order_month,
+         | ${Num.sqlRoundTo("sqrt(o_totalprice)", 6)} AS sqrt_price,
+         | ${Num.sqlRoundTo("ln(o_totalprice + 1.0)", 6)} AS log_price
+         | FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        | INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "u3_except" ->
+      """SELECT c_custkey AS k FROM customer
+        | EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        | ORDER BY k""".stripMargin,
     "l1_preview" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, o_orderpriority
