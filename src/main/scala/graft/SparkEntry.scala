@@ -135,8 +135,7 @@ object SparkEntry {
     // --- structured streaming in the correctness gate: the streaming
     //     hourly aggregation must equal e1_hourly's oracle ---
     "st1_stream_hourly" -> ((s, d) => {
-      val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/st1_${Integer.toHexString(d.hashCode)}"
-      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val stage = stagedEvents(s, d)
       val schema = s.read.parquet(stage).schema
       val mem = s"st1_mem_${Integer.toHexString(d.hashCode)}"
       graft.streaming.Streams.runToMemory(
@@ -145,8 +144,7 @@ object SparkEntry {
       s.table(mem).orderBy("window_start_us", "event_type")
     }),
     "st2_stream_sessions" -> ((s, d) => {
-      val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/st2_${Integer.toHexString(d.hashCode)}"
-      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val stage = stagedEvents(s, d)
       val schema = s.read.parquet(stage).schema
       val mem = s"st2_mem_${Integer.toHexString(d.hashCode)}"
       graft.streaming.Streams.runToMemory(
@@ -220,6 +218,18 @@ object SparkEntry {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id"))
   )
+
+  /** Stage the events table as plain-timestamp parquet for the streaming
+    * sources (streams need a static schema) — once per (sfDir, JVM temp).
+    * Shared by st1/st2; skipped when the _SUCCESS marker already exists
+    * (testdata is immutable).
+    */
+  private def stagedEvents(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/events_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
 
   // ------------------------------------------------------------- oracle SQL
 

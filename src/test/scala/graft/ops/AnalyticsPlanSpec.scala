@@ -48,6 +48,18 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti)
   }
 
+  test("column pruning reaches the parquet scan") {
+    // q1 projects 7 of 11 lineitem columns — ReadSchema must not carry the rest
+    val q1 = plan(Analytics.q1PricingSummary(spark, sfDir))
+    assert(!q1.contains("l_partkey") && !q1.contains("l_suppkey"),
+      s"unpruned lineitem columns in:\n$q1")
+    // t1 needs only doc_id + text from documents
+    val t1 = plan(TextStats.qualityScore(Tables.documents(spark, sfDir))
+      .select("doc_id", "quality_score"))
+    assert(!t1.contains("n_chars") && !t1.contains("source"),
+      s"unpruned documents columns in:\n$t1")
+  }
+
   test("analytics results sanity at sf0.001") {
     assert(Analytics.q1PricingSummary(spark, sfDir).count() == 6)
     assert(Analytics.orderRollup(spark, sfDir).count() == 19)
