@@ -210,6 +210,11 @@ object SparkEntry {
       Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))
         .orderBy("query_id", "rank")
     }),
+    "v5_topk_agg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKAgg(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
 
     // --- multimodal plumbing ---
     "m1_format_profile" -> (Multimodal.formatProfile(_, _)),
@@ -291,6 +296,19 @@ object SparkEntry {
        |  ${Num.sqlRoundTo(Num.sqlExactAvg("quality_score"), 4)} AS avg_quality
        |FROM g JOIN keep USING(doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Shared by v1 (window+row_number) and v5 (bounded-heap aggregate) —
+    * two physical plans, one semantic contract. */
+  private def bruteTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+       |      FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by e1 (batch) and st1 (structured streaming twin). */
   private def hourlySql: String =
@@ -502,16 +520,9 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "v1_brute_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
-        |      FROM q, c WHERE query_id <> neighbor_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "v1_brute_topk" -> bruteTopKSql,
+    // identical semantics, different physical plan (bounded-heap aggregate)
+    "v5_topk_agg" -> bruteTopKSql,
 
     "m2_frames" ->
       """SELECT doc_id AS media_id,

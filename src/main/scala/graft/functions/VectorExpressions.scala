@@ -260,6 +260,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => SigAgree(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes", classOf[ShingleHashes]),
       (args: Seq[Expression]) => ShingleHashes(args(0), litInt(args(1)))))
+    ext.injectFunction((FunctionIdentifier("topk_by_score"), info("topk_by_score", classOf[TopKByScore]),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1), litInt(args(2)))))
   }
 }
 

@@ -57,6 +57,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Brute-force top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]) instead of window+row_number: the
+    * partial (map-side) aggregation reduces every partition to ≤k
+    * candidates per query BEFORE the shuffle, so shuffle volume is
+    * O(queries·k·partitions) instead of O(all scored pairs) — the plan
+    * that survives a 100 TB corpus. Result (incl. tie-break) is identical
+    * to [[bruteForceTopK]]; both share one oracle.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score", col("sim"), col("neighbor_id"), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
+  }
+
   /** Random-hyperplane sign-sketch bucket id (packed sign bits) — codegen'd
     * native expression; hyperplane weights derive from (seed, bit, dim). */
   def lshBucket(vecCol: Column, nbits: Int = 12, seed: Long = 42L): Column =

@@ -49,6 +49,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("topk_by_score aggregate == window formulation, row for row") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.querySet(emb, "vec_id", 50)
+    val win = Similarity.bruteForceTopK(emb, q, k = 7)
+      .orderBy("query_id", "rank").collect()
+    val agg = Similarity.bruteForceTopKAgg(emb, q, k = 7)
+      .orderBy("query_id", "rank").collect()
+    assert(win.length == agg.length && win.nonEmpty)
+    win.zip(agg).foreach { case (w, a) =>
+      assert(w.getLong(0) == a.getLong(0) && w.getLong(1) == a.getLong(1)
+        && w.getLong(2) == a.getLong(2) && w.getDouble(3) == a.getDouble(3))
+    }
+    // the aggregate plan must keep a partial (map-side) phase — that is
+    // the point: <=k candidates per query leave each partition
+    val plan = Similarity.bruteForceTopKAgg(emb, q).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topkbyscore")
+      || plan.toLowerCase.contains("partial"), plan)
+  }
+
   test("lshTopK recall on real embeddings: hits are true neighbors") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = Similarity.querySet(emb, "vec_id", 100)
