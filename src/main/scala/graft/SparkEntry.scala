@@ -178,8 +178,10 @@ object SparkEntry {
 
     // --- dedup ---
     "x1_exact_dedup" -> ((s, d) =>
-      Tables.documents(s, d).groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      // Dedup.exact: shuffle key is xxhash64(text) (8 bytes), not the
+      // document body — same result as grouping by text modulo 64-bit
+      // collisions (none at any realistic corpus size)
+      Dedup.exact(Tables.documents(s, d))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
     "x2_minhash_lsh" -> ((s, d) =>
