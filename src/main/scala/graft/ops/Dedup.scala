@@ -169,23 +169,30 @@ object Dedup {
                    maxDocFreq: Long = 64): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol), w).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
+    // Pair generation carries ONLY doc ids (8 bytes) — set sizes join back
+    // after the pair aggregation, when candidates have collapsed to the
+    // distinct-pair set. The size lookup is left un-hinted: AQE broadcasts
+    // it at test scale; at corpus scale (one row per doc, too big to
+    // broadcast) it becomes a shuffle join keyed by doc id — correct
+    // either way.
     val grouped = sh
-      .select(explode(col("sh")).as("shingle"),
-              struct(col("doc_id"), col("n_sh")).as("doc"))
-      .groupBy("shingle").agg(collect_list(col("doc")).as("docs"))
+      .select(explode(col("sh")).as("shingle"), col("doc_id"))
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDocFreq)
-      // sort by doc_id so generated pairs are (low, high) — deterministic
+      // sort ids so generated pairs are (low, high) — deterministic
       .select(array_sort(col("docs")).as("docs"))
     val pairs = grouped.select(explode(flatten(
       transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
-                      b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb"))))))
+          b => struct(a.as("doc_a"), b.as("doc_b"))))))
       .as("p"))
-      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val sizes = sh.select(col("doc_id"), col("n_sh"))
     pairs
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         Num.roundTo(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
