@@ -118,6 +118,10 @@ object SparkEntry {
     "r1_rollup" -> (Analytics.orderRollup(_, _)),
     "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
     "g1_pivot" -> (Analytics.orderStatusPivot(_, _)),
+    "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
+    "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
+    // HLL++ sketch — engine-specific estimates, rows-only check (no oracle)
+    "d2_approx_distinct" -> (Analytics.approxDistinct(_, _)),
 
     // --- profiling ---
     "p1_column_profile" -> ((s, d) =>
@@ -457,6 +461,19 @@ object SparkEntry {
     "d1_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT ${decSum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |   AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin,
+    "w2_running_total" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+        | o_totalprice,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        | FROM orders ORDER BY o_custkey, o_orderdate_us, o_orderkey""".stripMargin,
     "g1_pivot" ->
       """SELECT o_orderpriority,
         | count(*) FILTER (o_orderstatus = 'F') AS n_f,

@@ -154,6 +154,35 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Forecast-revenue filter-aggregation (TPC-H Q6 shape): every predicate
+    * pushes to the parquet scan; the aggregate is a single map-side-partial
+    * global sum — the cheapest possible full-scan query at any scale.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+              col("l_quantity") < 24)
+      .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  /** Running total per customer — the cumulative-frame window shape (vs
+    * w1's ranking shape). One shuffle on o_custkey; the running sum
+    * accumulates in DECIMAL so every prefix is engine-exact.
+    */
+  def runningCustomerTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate_us"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"), col("o_totalprice"))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .orderBy("o_custkey", "o_orderdate_us", "o_orderkey")
+  }
+
   /** Pivot: order counts by priority (rows) × status (columns). Values are
     * enumerated explicitly — at scale an un-enumerated pivot needs a
     * distinct-scan first; listing the (small, known) domain keeps it one
