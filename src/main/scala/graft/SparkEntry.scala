@@ -116,6 +116,12 @@ object SparkEntry {
     "j2_anti_no_orders" -> (Analytics.customersWithoutOrders(_, _)),
     "j3_anti_no_urgent" -> (Analytics.customersWithoutUrgentOrders(_, _)),
     "r1_rollup" -> (Analytics.orderRollup(_, _)),
+    "r2_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
     "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
     "g1_pivot" -> (Analytics.orderStatusPivot(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
@@ -173,6 +179,12 @@ object SparkEntry {
         .orderBy("doc_id")),
     "t4_corpus_profile" -> (TextStats.corpusProfile(_, _)),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
+    "t6_top_terms" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(50)),
     "t5_tokens" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -503,6 +515,16 @@ object SparkEntry {
          |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "t6_top_terms" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n FROM terms GROUP BY term
+        |ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "r2_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "t1_quality" -> qualitySql,
     "t2_lang" -> langSql,
     "c1_clean_corpus" -> cleanCorpusSql,
