@@ -25,6 +25,21 @@ object Load {
   def replaceParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed replace-load: pre-shuffles the table into `buckets` hash
+    * buckets on `keys` so subsequent equi-joins/aggregations on those keys
+    * read co-located data with NO shuffle — the write-once-join-many
+    * layout for 100 TB fact tables. (Bucketing requires a managed table;
+    * plain parquet paths cannot carry the bucket spec.)
+    */
+  def replaceTableBucketed(df: DataFrame, table: String,
+                           buckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty && buckets > 0)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(quote(table))
+  }
+
   /** K2: the API variant auto-creates parent dirs (api.py:62) — Spark
     * writers already do; alias kept for contract clarity. */
   def replaceParquetWithDirs(df: DataFrame, path: String): Unit =

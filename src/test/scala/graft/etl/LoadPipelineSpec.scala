@@ -36,6 +36,20 @@ class LoadPipelineSpec extends SparkSpec {
     assert(r4.getBoolean(4))
   }
 
+  test("K1 bucketed: bucket spec lands in the catalog, join plan has no shuffle on the bucket key") {
+    import org.apache.spark.sql.functions._
+    Load.replaceTableBucketed(Synthetic.products(spark, 100), "products_bkt", 4, Seq("id"))
+    try {
+      val t = spark.table("products_bkt")
+      assert(t.count() == 100)
+      // joining two scans of the bucketed table on the bucket key must not
+      // add an Exchange below the join (bucketing provides the partitioning)
+      val joined = t.join(t.select(col("id"), col("price").as("p2")), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(id"), plan)
+    } finally spark.sql("DROP TABLE IF EXISTS products_bkt")
+  }
+
   test("C1: pipeline ingest→clean→load end-to-end with telemetry") {
     val d = tmpDir("c1")
     Files.writeString(d.resolve("in.csv"), "id,v\n1,a\n2,\n3,c\n")
