@@ -25,6 +25,19 @@ object Load {
   def replaceParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Partitioned replace-load: directory-partitioned parquet so filters on
+    * the partition columns prune whole directories at planning time —
+    * `WHERE event_type = 'click'` reads 1/n of a 100 TB table without
+    * touching the rest (shows as PartitionFilters in the scan).
+    */
+  def replaceParquetPartitioned(df: DataFrame, path: String,
+                                partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Bucketed replace-load: pre-shuffles the table into `buckets` hash
     * buckets on `keys` so subsequent equi-joins/aggregations on those keys
     * read co-located data with NO shuffle — the write-once-join-many

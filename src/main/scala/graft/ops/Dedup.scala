@@ -83,6 +83,11 @@ object Dedup {
                  threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // NOTE (corpus scale): this single-DAG formulation recomputes `sigs`
+    // for the banding pass and each verification join (text scanned 3×).
+    // Lineage recompute is the right local trade; at 100 TB materialize
+    // the signatures once (write to a bucketed table keyed by doc_id, or
+    // persist) and feed that table here — the pipeline shape is unchanged.
     val sigs = df.select(col(idCol).as("doc_id"),
         minhashSignature(shingleHashes(col(textCol), w), k).as("sig"))
     // Candidate generation moves ONLY (band, bkey, doc_id) through the

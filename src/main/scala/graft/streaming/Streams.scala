@@ -74,6 +74,25 @@ object Streams {
               unix_micros(col("w.end")).as("session_end_us"),
               col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop records whose `idCols` were already seen,
+    * with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    * [[graft.ops.Dedup.exact]]. State per key is just the key; eviction
+    * follows the watermark, so memory is bounded by the duplicate horizon,
+    * not the stream length.
+    */
+  def dedupExact(events: DataFrame, idCols: Seq[String], tsCol: String = "ts",
+                 watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-static join: enrich a stream against a batch dimension table.
+    * The static side behaves like a broadcast lookup re-resolved per
+    * micro-batch — no state store involved.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserCount(user_id: Long, n_events: Long)
 

@@ -72,6 +72,48 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    import spark.implicits._
+    val d = tmpDir("dedup_stream").resolve("in").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0), // dup id
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 3.0)
+    ).toDF("event_id", "ts", "value").write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val stream = Streams.parquetDirStream(spark, d, schema)
+    Streams.runToMemory(Streams.dedupExact(stream, Seq("event_id")),
+      "dedup_stream_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(spark.table("dedup_stream_mem").select("event_id").distinct().count() == 2)
+    assert(spark.table("dedup_stream_mem").count() == 2)
+  }
+
+  test("stream-static enrichment joins each micro-batch to the dim table") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = Streams.parquetDirStream(spark, eventsDir, schema)
+      .select("event_id", "user_id")
+    val dim = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), col("user_id") % 3))
+    Streams.runToMemory(Streams.enrich(stream, dim, "user_id"), "enriched_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val out = spark.table("enriched_mem")
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    assert(out.filter(col("segment").isNull).count() == 0)
+  }
+
+  test("partitioned write prunes partitions at the scan") {
+    val d = tmpDir("part").resolve("events_part").toString
+    graft.etl.Load.replaceParquetPartitioned(
+      Tables.events(spark, sfDir), d, Seq("event_type"))
+    val filtered = spark.read.parquet(d).filter(col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(filtered.count() == expected)
+  }
+
   test("csv dir stream ingests files appearing in a directory") {
     import spark.implicits._
     val d = tmpDir("csvstream")
