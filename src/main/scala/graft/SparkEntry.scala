@@ -179,6 +179,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "t4_corpus_profile" -> (TextStats.corpusProfile(_, _)),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
+    "c2_chunks" -> ((s, d) =>
+      TextStats.chunk(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")),
     "t6_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -528,6 +530,16 @@ object SparkEntry {
     "t1_quality" -> qualitySql,
     "t2_lang" -> langSql,
     "c1_clean_corpus" -> cleanCorpusSql,
+    "c2_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |k AS (SELECT doc_id, t,
+        |  greatest(1, CAST(ceil((len(t) - 16) / 48.0) AS INT)) AS n_chunks FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(t[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text,
+        |  CAST(len(t[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_chunk_tokens
+        |FROM k, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) ix
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "t4_corpus_profile" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          | CAST(sum(length(text)) AS BIGINT) AS total_chars,

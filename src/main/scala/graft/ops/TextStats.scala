@@ -131,6 +131,30 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Token-window document chunking — the pre-embedding/pre-training
+    * splitter: overlapping windows of `chunkSize` tokens every `stride`
+    * tokens. Pure per-row expression (no shuffle): chunk count
+    * k = max(1, ceil((n − overlap)/stride)), chunk i covers tokens
+    * [i·stride, i·stride + chunkSize). Fan-out is the only cost — at
+    * 100 TB the output is repartitioned by size before writing.
+    */
+  def chunk(df: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need chunkSize >= stride > 0")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val overlap = chunkSize - stride
+    val k = greatest(lit(1),
+      ceil((n.cast("double") - overlap) / stride).cast("int"))
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), k - 1), i => struct(
+          array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ").as("txt"),
+          size(slice(toks, i * stride + 1, lit(chunkSize))).cast("long").as("ntk"))))
+      .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.txt").as("chunk_text"), col("c.ntk").as("n_chunk_tokens"))
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -52,6 +52,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Seq("en", "de", "fr", "es", "zh"))
   }
 
+  test("chunking: overlapping token windows cover the doc, short docs get one chunk") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 2 chunks
+      (2L, "just a few tokens")                        // 4 tokens → 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunk(df).orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 2) // ceil((100-16)/48) = 2
+    assert(d1(0).getAs[Long]("n_chunk_tokens") == 64) // tokens 1..64
+    assert(d1(1).getAs[Long]("n_chunk_tokens") == 52) // tokens 49..100
+    assert(d1(0).getAs[String]("chunk_text").startsWith("t1 t2 "))
+    assert(d1(1).getAs[String]("chunk_text").startsWith("t49 t50 "))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Long]("n_chunk_tokens") == 4)
+  }
+
   test("fingerprint is deterministic and collision-free on distinct docs") {
     val docs = Tables.documents(spark, sfDir)
     val fp = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("f"))
