@@ -41,6 +41,13 @@ object SparkEntry {
       Ingest.readCsvDir(s, dir).orderBy("r_regionkey")
     }),
     "s5_synthetic" -> ((s, _) => Synthetic.products(s).orderBy("id")),
+    // JSON source path: parquet → json lines → schema'd read-back
+    "s8_json_roundtrip" -> ((s, d) => {
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s8_${Integer.toHexString(d.hashCode)}"
+      val nation = Tables.nation(s, d)
+      nation.write.mode("overwrite").json(tmp)
+      s.read.schema(nation.schema).json(tmp).orderBy("n_nationkey")
+    }),
     "s6_list_files" -> ((s, d) => {
       val dir = Fixtures.listingDir(d)
       Ingest.listCsvFiles(s, dir).select("filename", "size_bytes", "size_mb")
@@ -356,6 +363,7 @@ object SparkEntry {
     "s1_csv_file" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "s2_csv_dir" -> "SELECT * FROM region ORDER BY r_regionkey",
     "s5_synthetic" -> s"$syntheticCte SELECT * FROM p ORDER BY id",
+    "s8_json_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "s6_list_files" ->
       """SELECT * FROM (VALUES ('a.csv', CAST(100 AS BIGINT), CAST(0.0 AS DOUBLE)),
         | ('b.csv', CAST(2048 AS BIGINT), CAST(0.0 AS DOUBLE))) t(filename, size_bytes, size_mb)
