@@ -13,6 +13,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Remove any previous run's output FIRST: a failed query must leave
+      // no parquet behind, or the oracle compare would silently certify
+      // stale results from an earlier (passing) run.
+      val out = Paths.get(outDir, name)
+      if (Files.exists(out)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(out).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

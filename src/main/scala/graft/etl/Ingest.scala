@@ -67,9 +67,18 @@ object Ingest {
     * skip hidden files, warn+skip unreadable files, error when none read.
     * `strict=true` = API variant (api.py:41-51): hidden files included,
     * first bad file aborts.
+    *
+    * Validation depth: by default each file is checked eagerly via header/
+    * schema inference plus a one-row sample parse — a malformed row DEEPER
+    * in a file surfaces at action time and fails the whole job, unlike the
+    * reference's eager pandas parse which skips exactly that file. Pass
+    * `fullValidation=true` for faithful per-file skip semantics (full
+    * FAILFAST parse per file up front — one extra scan per file, the same
+    * work pandas does anyway).
     */
   def readCsvDir(spark: SparkSession, dir: String, strict: Boolean = false,
-                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+                 schema: Option[org.apache.spark.sql.types.StructType] = None,
+                 fullValidation: Boolean = false): DataFrame = {
     val p = Paths.get(dir)
     val entries = Files.list(p).iterator().asScala.toSeq
       .filter(Files.isRegularFile(_))
@@ -87,7 +96,10 @@ object Ingest {
       Try {
         val df = readOne(spark, full, schema)
         df.schema // forces header/inference read
-        if (schema.isEmpty) df.limit(1).collect() // bounded sanity parse
+        // full FAILFAST parse: foreach materializes every column — a bare
+        // count() would let column pruning skip parsing entirely
+        if (fullValidation) df.foreach(_ => ())
+        else if (schema.isEmpty) df.limit(1).collect() // bounded sanity parse
         df
       } match {
         case Success(df) => Some(df)

@@ -39,8 +39,9 @@ object Pipeline {
       val nClean = cleaned.count()
       log.info(s"Cleaned data: $nClean records remain")
       Load.replaceParquet(cleaned, config.outputPath)
-      // rowsIngested derived without a second input scan only when no
-      // subset is configured; otherwise count the raw frame.
+      // The raw count is a second input scan — the price of the
+      // reference's per-stage row telemetry (api.py:79-91); callers that
+      // don't need it use runNoCount (single pass).
       val nRaw = raw.count()
       log.info(s"Loaded $nRaw records from ${config.csvPath}")
       PipelineResult(nRaw, nClean, nClean)

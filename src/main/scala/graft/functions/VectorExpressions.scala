@@ -318,20 +318,28 @@ object ShingleUtil {
     h
   }
 
-  /** Distinct hashes of the w-grams of whitespace tokens (lowercased).
+  /** ASCII `\s` — the same class Java regex `\s` (no UNICODE flag) and
+    * the DuckDB oracle's RE2 `\s` match, so tokenization agrees with the
+    * `split(text, "\\s+")` formulations on both engines. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Distinct hashes of the w-grams of whitespace tokens (lowercased,
+    * Locale.ROOT — locale-sensitive lowering would diverge from Spark's
+    * lower() and the oracle on e.g. tr-TR JVMs).
     * Shingle identity = order-sensitive splitmix combine of its token
     * hashes; docs with < w tokens get one all-token shingle — mirroring
     * the string formulation in graft.ops.Dedup.shingles.
     */
   def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, w: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     // tokenize: split on runs of whitespace
     val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0; val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isWs(s.charAt(i))) i += 1
       if (i > start) tokHashes += fnv1a(s, start, i)
     }
     val m = tokHashes.length

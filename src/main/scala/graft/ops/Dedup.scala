@@ -44,7 +44,9 @@ object Dedup {
     * compiled pass (bench: the HOF chain here cost ~35 µs/doc interpreted).
     */
   def shingles(c: Column, w: Int = 3): Column = {
-    val toks = split(lower(c), "\\s+")
+    // filter the empty tokens split() emits for leading/trailing
+    // whitespace — keeps this form set-equivalent to shingleHashes
+    val toks = filter(split(lower(c), "\\s+"), t => t =!= "")
     val n = size(toks)
     array_distinct(
       when(n >= w,
@@ -122,9 +124,13 @@ object Dedup {
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup: block on the four 16-bit chunks (any doc pair within
-    * Hamming distance<=3 of each other shares at least one exact chunk when
-    * split 4 ways — pigeonhole), verify Hamming <= maxDist.
+  /** SimHash near-dup: block on the four 16-bit chunks, verify Hamming <=
+    * maxDist. Recall contract: pigeonhole guarantees every pair with
+    * distance <= 3 shares a chunk; with maxDist > 3 the result is
+    * candidates-within-blocking only (pairs at distance 4..maxDist whose
+    * differing bits spread across all four chunks are not generated).
+    * Raise recall for larger maxDist by blocking on more/larger chunk
+    * combinations, at quadratic candidate cost.
     */
   def simhashNearDup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                      maxDist: Int = 3, maxBucket: Long = 256): DataFrame = {
@@ -180,10 +186,17 @@ object Dedup {
     // it at test scale; at corpus scale (one row per doc, too big to
     // broadcast) it becomes a shuffle join keyed by doc id — correct
     // either way.
-    val grouped = sh
-      .select(explode(col("sh")).as("shingle"), col("doc_id"))
+    // df guard FIRST (count aggregate — constant-size buffer per shingle),
+    // THEN collect_list on the surviving rare shingles only: a boilerplate
+    // shingle in 10^8 docs never materializes a 10^8-element list buffer.
+    // Both aggregations and the semi join hash-partition on `shingle`, so
+    // the exchange is shared/reused.
+    val exploded = sh.select(explode(col("sh")).as("shingle"), col("doc_id"))
+    val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("shingle")
+    val grouped = exploded.join(rare, Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDocFreq)
       // sort ids so generated pairs are (low, high) — deterministic
       .select(array_sort(col("docs")).as("docs"))
     val pairs = grouped.select(explode(flatten(

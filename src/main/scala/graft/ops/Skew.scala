@@ -20,10 +20,18 @@ object Skew {
     * RESULT is independent of the salt assignment (every salt value meets
     * a replica of the small side), so the salt only needs to spread rows —
     * it is derived from a per-row unique id, no rand() in the plan.
+    *
+    * Only big-side-preserving join types are legal: a right/full outer
+    * join would emit one row PER SALT REPLICA for unmatched small-side
+    * keys (factor× duplicates) — rejected up front.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(normalized),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor)).cast("int"))
     val replicated = small

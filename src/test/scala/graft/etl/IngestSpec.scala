@@ -53,6 +53,15 @@ class IngestSpec extends SparkSpec {
     intercept[Ingest.IngestException] { Ingest.readCsvDir(spark, d.toString) }
   }
 
+  test("S2 fullValidation: a deep malformed row skips that file, keeps the rest") {
+    val d = tmpDir("s2deep")
+    write(d, "good.csv", "x,y\n1,a\n2,b\n")
+    // row 2 has extra columns — parses fine at row 1, fails deeper (FAILFAST)
+    write(d, "bad.csv", "x,y\n1,a\n2,b,EXTRA,COLS\n3,c\n")
+    val df = Ingest.readCsvDir(spark, d.toString, fullValidation = true)
+    assert(df.count() == 2) // only good.csv survived
+  }
+
   test("U1: union-by-name aligns heterogeneous schemas with null fill") {
     val d = tmpDir("u1")
     write(d, "a.csv", "id,name\n1,x\n")
