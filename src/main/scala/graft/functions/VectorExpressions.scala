@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -262,6 +263,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => ShingleHashes(args(0), litInt(args(1)))))
     ext.injectFunction((FunctionIdentifier("topk_by_score"), info("topk_by_score", classOf[TopKByScore]),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1), litInt(args(2)))))
+    ext.injectFunction((FunctionIdentifier("pair_longs"), info("pair_longs", classOf[PairLongs]),
+      (args: Seq[Expression]) => PairLongs(args(0))))
   }
 }
 
@@ -388,5 +391,53 @@ case class ShingleHashes(child: Expression, w: Int)
       s"${ev.value} = graft.functions.ShingleUtil.shingleHashes($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Pair-generation helper for [[PairLongs]]. */
+object PairUtil {
+  /** All ordered pairs (a[i], a[j]) with i < j from a pre-sorted long
+    * array, as array<struct<doc_a,doc_b>> — one compiled pass instead of
+    * an interpreted transform/slice/flatten chain.
+    */
+  def pairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0; var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = InternalRow(a, arr.getLong(j))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All i<j pairs of a sorted long array — the bounded in-group pair
+  * fan-out for shared-key candidate generation (n <= maxDocFreq upstream,
+  * so the output is at most maxDocFreq²/2 structs).
+  */
+case class PairLongs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("doc_a", LongType, nullable = false),
+                   StructField("doc_b", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pair_longs expects array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PairUtil.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PairUtil.pairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PairLongs =
     copy(child = newChild)
 }

@@ -199,11 +199,8 @@ object Dedup {
       .groupBy("shingle").agg(collect_list(col("doc_id")).as("docs"))
       // sort ids so generated pairs are (low, high) — deterministic
       .select(array_sort(col("docs")).as("docs"))
-    val pairs = grouped.select(explode(flatten(
-      transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(a.as("doc_a"), b.as("doc_b"))))))
-      .as("p"))
+    val pairs = grouped
+      .select(explode(call_function("pair_longs", col("docs"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val sizes = sh.select(col("doc_id"), col("n_sh"))
     pairs
