@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpreted-vs-codegen parity for every custom expression: each has two
+  * implementations (nullSafeEval and doGenCode) — this pins them to
+  * identical results by re-running the same query with whole-stage codegen
+  * and expression codegen forced off.
+  */
+class ExpressionParitySpec extends SparkSpec {
+
+  private def withCodegenOff[T](body: => T): T = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val factory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", factory)
+    }
+  }
+
+  private def assertSameResults(df: => DataFrame): Unit = {
+    val withCodegen = df.collect()
+    val interpreted = withCodegenOff(df.collect())
+    assert(withCodegen.length == interpreted.length)
+    withCodegen.zip(interpreted).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("vec_dot / lsh_bucket: codegen == interpreted on real embeddings") {
+    assertSameResults(
+      Tables.embeddings(spark, sfDir).select(
+        col("vec_id"),
+        call_function("vec_dot", col("embedding"), col("embedding")).as("d"),
+        call_function("lsh_bucket", col("embedding"), lit(8), lit(42L)).as("b"))
+      .orderBy("vec_id"))
+  }
+
+  test("shingle_hashes / minhash_sig / simhash64 / sig_agree: codegen == interpreted") {
+    assertSameResults(
+      Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(3)).as("sh"),
+        call_function("minhash_sig",
+          call_function("shingle_hashes", col("text"), lit(3)), lit(32), lit(42L)).as("sig"),
+        call_function("simhash64",
+          call_function("shingle_hashes", col("text"), lit(3))).as("sim"))
+      .withColumn("agree", call_function("sig_agree", col("sig"), col("sig")))
+      .orderBy("doc_id"))
+  }
+
+  test("pair_longs: codegen == interpreted") {
+    import spark.implicits._
+    assertSameResults(
+      Seq((1L, Seq(1L, 5L, 9L, 12L)), (2L, Seq(3L)), (3L, Seq.empty[Long]))
+        .toDF("id", "xs")
+        .select(col("id"), call_function("pair_longs", col("xs")).as("p"))
+        .orderBy("id"))
+  }
+}
