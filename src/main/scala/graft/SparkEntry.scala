@@ -42,10 +42,12 @@ object SparkEntry {
     }),
     "s5_synthetic" -> ((s, _) => Synthetic.products(s).orderBy("id")),
     // JSON source path: parquet → json lines → schema'd read-back
+    // (fixture written once per sfDir — testdata is immutable)
     "s8_json_roundtrip" -> ((s, d) => {
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s8_${Integer.toHexString(d.hashCode)}"
       val nation = Tables.nation(s, d)
-      nation.write.mode("overwrite").json(tmp)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS")))
+        nation.write.mode("overwrite").json(tmp)
       s.read.schema(nation.schema).json(tmp).orderBy("n_nationkey")
     }),
     "s6_list_files" -> ((s, d) => {
@@ -284,15 +286,15 @@ object SparkEntry {
 
   private def qualityCte: String = {
     val nChars = "CAST(length(text) AS DOUBLE)"
-    val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
-    val punct = raw"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))"
+    val nTok = "CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE)"
+    val punct = raw"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))"
     val digit = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
     val upper = "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
     val stopPat = "(?i)\\b(the|a|an|and|or|of|to|in|is|on|for|with|at|by|from|as|it|that)\\b"
     val nStop = s"CAST(len(regexp_extract_all(text, '$stopPat')) AS DOUBLE)"
     def r4(e: String) = Num.sqlRoundTo(e, 4)
     s"""WITH f AS (SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
        |  ${r4(s"CASE WHEN $nTok > 0 THEN ($nChars - ($nTok - 1)) / $nTok ELSE 0.0 END")} AS mean_token_len,
        |  ${r4(s"$punct / greatest($nChars, 1.0)")} AS punct_ratio,
        |  ${r4(s"$digit / greatest($nChars, 1.0)")} AS digit_ratio,
@@ -527,7 +529,7 @@ object SparkEntry {
 
     "t6_top_terms" ->
       """WITH terms AS (
-        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term
         |  FROM documents)
         |SELECT term, count(*) AS n FROM terms GROUP BY term
         |ORDER BY n DESC, term LIMIT 50""".stripMargin,
@@ -540,7 +542,7 @@ object SparkEntry {
     "c1_clean_corpus" -> cleanCorpusSql,
     "c2_chunks" ->
       """WITH toks AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |  list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t FROM documents),
         |k AS (SELECT doc_id, t,
         |  greatest(1, CAST(ceil((len(t) - 16) / 48.0) AS INT)) AS n_chunks FROM toks)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
@@ -555,8 +557,8 @@ object SparkEntry {
          | FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t5_tokens" ->
       """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
+        | CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "x1_exact_dedup" ->
@@ -564,7 +566,7 @@ object SparkEntry {
         | GROUP BY text ORDER BY doc_id""".stripMargin,
     "x4_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id,
          |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
          |       ELSE array_to_string(t, ' ') END AS s

@@ -19,7 +19,9 @@ object Verify {
       val out = Paths.get(outDir, name)
       if (Files.exists(out)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(out).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        val walk = Files.walk(out)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -402,18 +402,28 @@ object PairUtil {
     */
   def pairs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue,
+      s"pair_longs: $n elements would produce $m pairs — cap the group size upstream")
+    // null elements are skipped (candidate generation has no meaning for
+    // null ids); the builder below sizes for the worst case and trims
+    val out = new Array[Any](m.toInt)
     var idx = 0; var i = 0
     while (i < n) {
-      val a = arr.getLong(i)
-      var j = i + 1
-      while (j < n) {
-        out(idx) = InternalRow(a, arr.getLong(j))
-        idx += 1; j += 1
+      if (!arr.isNullAt(i)) {
+        val a = arr.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          if (!arr.isNullAt(j)) {
+            out(idx) = InternalRow(a, arr.getLong(j))
+            idx += 1
+          }
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (idx == out.length) out else out.take(idx))
   }
 }
 

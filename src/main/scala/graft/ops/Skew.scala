@@ -29,8 +29,8 @@ object Skew {
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
     val normalized = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
-      .contains(normalized),
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti", "cross").contains(normalized),
       s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor)).cast("int"))

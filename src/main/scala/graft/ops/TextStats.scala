@@ -149,7 +149,9 @@ object TextStats {
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), k - 1), i => struct(
           array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ").as("txt"),
-          size(slice(toks, i * stride + 1, lit(chunkSize))).cast("long").as("ntk"))))
+          // = size of the slice, without materializing it a second time
+          greatest(least(lit(chunkSize), n - i * stride), lit(0))
+            .cast("long").as("ntk"))))
       .as(Seq("chunk_id", "c")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         col("c.txt").as("chunk_text"), col("c.ntk").as("n_chunk_tokens"))
