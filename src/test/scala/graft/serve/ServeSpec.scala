@@ -56,6 +56,27 @@ class ServeSpec extends SparkSpec {
     assert(reg.list().head.runId == rec.runId)
   }
 
+  test("C3: concurrent runs all complete independently") {
+    val d = tmpDir("runs_conc")
+    val reg = new Runs.Registry(spark)
+    val recs = (1 to 3).map { i =>
+      Files.writeString(d.resolve(s"in$i.csv"), s"id,v\n$i,a\n${i + 10},b\n")
+      reg.start(Pipeline.PipelineConfig(
+        csvPath = d.resolve(s"in$i.csv").toString,
+        outputPath = d.resolve(s"out$i").toString))
+    }
+    val deadline = System.currentTimeMillis() + 180000
+    def done() = recs.forall(r =>
+      Set("completed", "failed").contains(reg.get(r.runId).get.status))
+    while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    recs.foreach { r =>
+      val cur = reg.get(r.runId).get
+      assert(cur.status == "completed", s"run ${r.runId} ended as $cur")
+      assert(cur.recordsProcessed.contains(2L))
+    }
+    assert(reg.list().size == 3)
+  }
+
   test("C3: missing csv path rejected up front (400 shape)") {
     val reg = new Runs.Registry(spark)
     intercept[IllegalArgumentException] {
