@@ -134,6 +134,7 @@ object SparkEntry {
     "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
     "g1_pivot" -> (Analytics.orderStatusPivot(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
+    "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
     // HLL++ sketch — engine-specific estimates, rows-only check (no oracle)
     "d2_approx_distinct" -> (Analytics.approxDistinct(_, _)),
@@ -491,6 +492,11 @@ object SparkEntry {
          | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |   AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin,
+    "q9_brand_revenue" ->
+      s"""SELECT p_brand, ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_lineitems
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "w2_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
         | o_totalprice,

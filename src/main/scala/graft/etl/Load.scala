@@ -58,13 +58,29 @@ object Load {
   def replaceParquetWithDirs(df: DataFrame, path: String): Unit =
     replaceParquet(df, path)
 
-  /** K3: header CSV write, single-file shape like `to_csv(index=False)`
-    * (api.py:606). coalesce(1) only for the small synthetic output; large
-    * frames should keep their partitioning (omit singleFile).
+  /** K3: header CSV write. `singleFile=true` produces ONE plain `.csv`
+    * FILE at `path` like `to_csv(index=False)` (api.py:606) — Spark's csv
+    * writer always emits a directory of part files, so the single part is
+    * staged and moved; only for small outputs. Large frames keep their
+    * partitioning (omit singleFile → directory of parts).
     */
   def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    if (!singleFile) {
+      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    } else {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      val stage = Paths.get(path + "__stage")
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".csv"))
+        .getOrElse(sys.error(s"no csv part written under $stage"))
+      Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+      val walk = Files.walk(stage)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   /** JDBC replace-load for environments with a driver on the classpath. */

@@ -154,6 +154,20 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Revenue by part brand: the lineitem ⋈ part fact-dim join. Part is a
+    * dimension (scales with catalog size, not event volume) — broadcast,
+    * so lineitem never shuffles for it; aggregation is map-side partial.
+    */
+  def q9BrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("p_brand")
+
   /** Forecast-revenue filter-aggregation (TPC-H Q6 shape): every predicate
     * pushes to the parquet scan; the aggregate is a single map-side-partial
     * global sum — the cheapest possible full-scan query at any scale.

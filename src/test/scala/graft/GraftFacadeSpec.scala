@@ -1,0 +1,40 @@
+package graft
+
+import graft.etl.Pipeline
+import java.nio.file.Files
+
+/** The Graft facade: the reference's full user journey through the single
+  * public entry point (README quick-start verbatim).
+  */
+class GraftFacadeSpec extends SparkSpec {
+
+  test("quick-start journey: sample data → pipeline → preview/stats/files") {
+    val d = tmpDir("facade")
+    val csv = d.resolve("products.csv").toString
+
+    Graft.ensureSampleData(spark, csv)
+    assert(Files.exists(java.nio.file.Paths.get(csv)))
+
+    val res = Graft.runPipeline(spark, Pipeline.PipelineConfig(
+      csvPath = csv, outputPath = d.resolve("out").toString))
+    assert(res.rowsIngested == 100 && res.recordsProcessed == 100)
+
+    spark.read.parquet(d.resolve("out").toString)
+      .createOrReplaceTempView("facade_products")
+    try {
+      assert(Graft.preview(spark, "facade_products").count() == 10)
+      val st = Graft.stats(spark, "facade_products")
+      assert(st.totalRecords == 100 && st.columnsCount == 5)
+      val files = Graft.listFiles(spark, d.toString).collect()
+      assert(files.map(_.getString(0)).contains("products.csv"))
+    } finally spark.catalog.dropTempView("facade_products")
+  }
+
+  test("composable stages: ingest → clean → load as one lazy chain") {
+    val d = tmpDir("facade2")
+    Files.writeString(d.resolve("in.csv"), "id,v\n1,a\n2,\n")
+    val cleaned = Graft.clean(Graft.ingest(spark, d.resolve("in.csv").toString))
+    Graft.load(cleaned, d.resolve("out").toString)
+    assert(spark.read.parquet(d.resolve("out").toString).count() == 1)
+  }
+}

@@ -14,14 +14,12 @@ class LoadPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 20)
   }
 
-  test("K3: single-file CSV write has a header") {
-    val out = tmpDir("k3").resolve("csv").toString
+  test("K3: single-file CSV write produces one plain file with a header") {
+    val out = tmpDir("k3").resolve("products.csv").toString
     Load.writeCsv(Synthetic.products(spark, 5), out, singleFile = true)
-    val part = Files.list(java.nio.file.Paths.get(out)).iterator()
-    val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
-    while (part.hasNext) files += part.next()
-    val csv = files.find(_.toString.endsWith(".csv")).get
-    assert(Files.readString(csv).startsWith("id,name,price,category,in_stock"))
+    val p = java.nio.file.Paths.get(out)
+    assert(Files.isRegularFile(p), s"$out is not a plain file")
+    assert(Files.readString(p).startsWith("id,name,price,category,in_stock"))
   }
 
   test("S5: synthetic products match the reference generator rules") {
