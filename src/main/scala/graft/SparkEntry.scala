@@ -384,7 +384,7 @@ object SparkEntry {
       "SELECT count(*) AS total_records, CAST(11 AS BIGINT) AS columns_count FROM lineitem",
     "e4_json_props" ->
       """SELECT event_type, count(*) AS n_events,
-        | sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -530,7 +530,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "e3_session_stats" ->
       s"""$sessionsCte
-         |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t6_top_terms" ->

@@ -13,6 +13,7 @@ import json, math, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -29,6 +30,68 @@ def canon(v):
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
+
+
+def typesig(t):
+    """Canonical numeric-strict signature for an Arrow type.
+
+    The driver's hash gate is sensitive to the physical numeric type the
+    oracle materializes (e.g. DuckDB sum(BIGINT) widens to HUGEINT =
+    decimal128(38,0)), while to_pylist() collapses both to Python int —
+    round 1 shipped two hash failures that local value-compare missed.
+    Numerics compare at class+width; everything else at class level
+    (timestamp/string unit or nullability differences don't hash-diverge).
+    """
+    if pa.types.is_integer(t):
+        return ("int", t.bit_width, pa.types.is_signed_integer(t))
+    if pa.types.is_floating(t):
+        return ("float", t.bit_width)
+    if pa.types.is_decimal(t):
+        return ("decimal", t.precision, t.scale)
+    if pa.types.is_boolean(t):
+        return ("bool",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("string",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("binary",)
+    if pa.types.is_timestamp(t):
+        return ("timestamp",)
+    if pa.types.is_date(t):
+        return ("date",)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list",) + typesig(t.value_type)
+    if pa.types.is_struct(t):
+        return ("struct",) + tuple(
+            (f.name,) + typesig(f.type) for f in t)
+    return (str(t),)
+
+
+def type_mismatches(stbl, otbl):
+    """Columns whose Arrow types diverge, split (fail, warn).
+
+    Calibrated against the round-1 driver run: int64 vs HUGEINT
+    (decimal128(38,0)) FAILED the driver hash (e3/e4), while double vs
+    DECIMAL(p,s) PASSED (k1/s5). So integer-class divergence is fatal;
+    float-vs-decimal is only a warning.
+    """
+    def kind(sig):
+        return sig[0]
+    ot = {f.name: f.type for f in otbl.schema}
+    fail, warn = [], []
+    for f in stbl.schema:
+        o = ot.get(f.name)
+        if o is None:
+            continue
+        ss, os_ = typesig(f.type), typesig(o)
+        if ss == os_:
+            continue
+        rec = (f.name, str(f.type), str(o))
+        both_fractional = {kind(ss), kind(os_)} <= {"float", "decimal"}
+        if both_fractional:
+            warn.append(rec)
+        else:
+            fail.append(rec)
+    return fail, warn
 
 
 def load_rows(tbl):
@@ -65,6 +128,16 @@ def main(sf_dir, out_dir):
         scols, srows = load_rows(stbl)
         if ocols != scols:
             print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
+            n_bad += 1
+            continue
+        tfail, twarn = type_mismatches(stbl, otbl)
+        for cname, st, ot_ in twarn:
+            print(f"warn {name}: {cname} spark={st} oracle={ot_} "
+                  "(float/decimal — driver hash tolerated this in r1)")
+        if tfail:
+            print(f"FAIL {name}: column types diverge (driver hash would differ):")
+            for cname, st, ot_ in tfail:
+                print(f"  {cname}: spark={st} oracle={ot_}")
             n_bad += 1
             continue
         if len(orows) != len(srows):
