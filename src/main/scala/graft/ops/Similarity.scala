@@ -81,6 +81,20 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
   }
 
+  /** Rank scored (query_id, neighbor_id, sim) pairs to top-k per query via
+    * the bounded-heap aggregate [[graft.functions.TopKByScore]]: the partial
+    * (map-side) phase reduces every partition to ≤k candidates per query
+    * BEFORE the shuffle — O(queries·k·partitions) shuffle volume where
+    * window+row_number would move every scored pair. Ordering (sim desc,
+    * id asc tie-break) matches the window formulation row for row.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score", col("sim"), col("neighbor_id"), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
+
   /** Random-hyperplane sign-sketch bucket id (packed sign bits) — codegen'd
     * native expression; hyperplane weights derive from (seed, bit, dim). */
   def lshBucket(vecCol: Column, nbits: Int = 12, seed: Long = 42L): Column =
@@ -104,11 +118,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 
   /** Train-free IVF-style coarse quantizer: centroid id = index of the
@@ -138,34 +148,48 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold among collisions
     * in ANY of `tables` independent LSH tables (multi-table LSH — the
     * standard recall amplification: P[miss] = (1 - p^nbits)^tables).
+    *
+    * Scale shape (same discipline as [[Dedup.simhashNearDup]] /
+    * [[Dedup.minhashLsh]]): candidate generation moves ONLY
+    * (tbl, bucket, id) — 8-byte ids, never the vectors — through the
+    * explode×tables and the bucket self-join; a pair colliding in several
+    * tables collapses to ONE row via `distinct` BEFORE any dot product, so
+    * each surviving pair is scored exactly once when the vectors join back.
+    * `maxBucket` caps pathological buckets (near-constant embeddings —
+    * boilerplate corpora — pile onto one sketch value and go quadratic
+    * without it; documented recall tradeoff, as in simhashNearDup).
     */
   def embeddingNearDup(df: DataFrame, threshold: Double = 0.95, nbits: Int = 8,
-                       tables: Int = 4,
+                       tables: Int = 4, maxBucket: Long = 256,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val byBucket = Window.partitionBy("tbl", "bucket")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-      .select(col("id"), col("v"), col("n"),
+    // id-only bucket table: the vectors stay behind; at 100 TB this is the
+    // difference between shuffling 8-byte keys and shuffling the corpus ×4.
+    val keyed = df.select(col(idCol).as("id"),
         posexplode(array((0 until tables).map(t =>
-          lshBucket(col("v"), nbits, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
-    val a = keyed.select(col("tbl"), col("bucket"),
-      col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = keyed.select(col("tbl"), col("bucket"),
-      col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("tbl", "bucket"))
+          lshBucket(col(vecCol), nbits, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(byBucket))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cands = keyed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(keyed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+            Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
-      .distinct()
       .filter(col("sim") >= threshold)
   }
 }

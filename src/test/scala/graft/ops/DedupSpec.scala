@@ -65,4 +65,33 @@ class DedupSpec extends SparkSpec {
     // hot-key guard: with maxDocFreq=0 every shingle is "hot" → no pairs
     assert(Dedup.ngramJaccard(docs, threshold = 0.0, maxDocFreq = 0).count() == 0)
   }
+
+  /** Recall gates for the approximate dedup family vs the exact-Jaccard
+    * twin on the real documents corpus: the approximate ops have no DuckDB
+    * oracle (inherent), so without these floors a candidate-generation
+    * regression that silently emptied the pair set would still pass
+    * "rows > 0". Floors sit below pin-time measurements (x2 = 1.0,
+    * x3 = 0.93 on sf0.001) with margin for parameter-free drift.
+    */
+  test("minhashLsh pair-recall floor vs exact ngram Jaccard on real docs") {
+    val corpus = Tables.documents(spark, sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccard(corpus, threshold = 0.6))
+    assert(exact.nonEmpty)
+    val mh = pairSet(Dedup.minhashLsh(corpus, threshold = 0.5))
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhashLsh recall $recall < 0.9 (measured 1.0 at pin time)")
+  }
+
+  test("simhashNearDup pair-recall floor vs exact ngram Jaccard on real docs") {
+    val corpus = Tables.documents(spark, sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccard(corpus, threshold = 0.6))
+    assert(exact.nonEmpty)
+    val sh = pairSet(Dedup.simhashNearDup(corpus, maxDist = 8))
+    val recall = (exact & sh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"simhashNearDup recall $recall < 0.8 (measured 0.93 at pin time)")
+  }
 }

@@ -49,6 +49,97 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("embeddingNearDup == vector-carrying reference formulation on real embeddings") {
+    // Reference = the naive multi-table LSH that carries full vectors
+    // through the bucket self-join and dedups AFTER scoring (the r1/r2
+    // formulation). The shipped id-only version must produce the identical
+    // pair set — it only reorders distinct-then-score vs score-then-distinct.
+    val emb = Tables.embeddings(spark, sfDir)
+    def norm(c: org.apache.spark.sql.Column) = Similarity.norm(c)
+    val keyed = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(array((0 until 4).map(t =>
+          Similarity.lshBucket(col("v"), 8, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
+    val a = keyed.select(col("tbl"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = keyed.select(col("tbl"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val ref = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Num.roundTo(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .distinct()
+      .filter(col("sim") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.embeddingNearDup(emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("embeddingNearDup plan: no vector payload below the bucket self-join") {
+    // The candidate join on (tbl, bucket) must move ids only — at 100 TB
+    // carrying the embeddings through the explode×tables and the self-join
+    // is the difference between shuffling 8-byte keys and the corpus ×4.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    val plan = Similarity.embeddingNearDup(Tables.embeddings(spark, sfDir))
+      .queryExecution.optimizedPlan
+    val bucketJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bucket")) => j
+    }
+    assert(bucketJoins.nonEmpty, "expected a self-join keyed on `bucket`")
+    bucketJoins.foreach { j =>
+      val arrays = j.children.flatMap(_.output).filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"vector/array columns ride the bucket self-join: ${arrays.map(_.name)}")
+    }
+  }
+
+  /** Planted near-duplicate clusters: 50 bases × 5 noisy copies (σ=0.05 on
+    * unit-scale gaussians, dim 64). The synthetic `embeddings` table is
+    * uniform-random — no neighbor structure, so recall there measures
+    * nothing; planted clusters make recall a real regression gate (a broken
+    * bucket function or candidate join drops it to ~0).
+    */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 5).map { i =>
+        ((c * 5 + i).toLong, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("lshTopK recall floor on planted clusters (gate vs exact top-k)") {
+    val q = Similarity.querySet(planted, "vec_id", 5) // one query per cluster
+    val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val lsh = pairSet(Similarity.lshTopK(planted, q, k = 4, nbits = 8), "query_id", "neighbor_id")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"lshTopK recall $recall < 0.6 (measured 0.74 at pin time)")
+  }
+
+  test("ivfTopK recall floor on planted clusters (gate vs exact top-k)") {
+    val q = Similarity.querySet(planted, "vec_id", 5)
+    val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val ivf = pairSet(Similarity.ivfTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ivfTopK recall $recall < 0.7 (measured 0.875 at pin time)")
+  }
+
+  test("embeddingNearDup on planted clusters: exactly the true intra-cluster pairs") {
+    val found = pairSet(Similarity.embeddingNearDup(planted, threshold = 0.99), "id_a", "id_b")
+    val truePairs = (0 until 50).flatMap { c =>
+      val ids = (0 until 5).map(i => (c * 5 + i).toLong)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    assert(found == truePairs, s"|found|=${found.size} |true|=${truePairs.size}")
+  }
+
   test("topk_by_score aggregate == window formulation, row for row") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = Similarity.querySet(emb, "vec_id", 50)
@@ -68,14 +159,53 @@ class SimilaritySpec extends SparkSpec {
       || plan.toLowerCase.contains("partial"), plan)
   }
 
-  test("lshTopK recall on real embeddings: hits are true neighbors") {
+  /** Window+row_number reference ranking — what lshTopK/ivfTopK used before
+    * switching to the bounded-heap aggregate; results must be identical. */
+  private def windowRank(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  test("lshTopK/ivfTopK: topk_by_score ranking == window formulation, plan keeps partial agg") {
     val emb = Tables.embeddings(spark, sfDir)
-    val q = Similarity.querySet(emb, "vec_id", 100)
-    val lsh = Similarity.lshTopK(emb, q, k = 5)
-    // every returned neighbor must score >= the brute-force 5th-best * 0 —
-    // sanity: sims are within [-1,1] and ranks are 1..5 per query
-    val rows = lsh.collect()
-    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
-    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    val q = Similarity.querySet(emb, "vec_id", 25)
+    for (topk <- Seq(Similarity.lshTopK(emb, q, k = 5), Similarity.ivfTopK(emb, q, k = 5))) {
+      // reconstruct the same scored set from the output's own pairs is not
+      // possible (bucketed candidates) — instead re-rank the op's full
+      // candidate scoring by window over a k large enough to keep all rows
+      val all = topk // k=5 result from the aggregate path
+        .orderBy("query_id", "rank").collect()
+      assert(all.nonEmpty)
+      // ranks are dense 1..n per query, sims sorted desc with id tie-break
+      all.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(2))
+        assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+        val resorted = sorted.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+        assert(resorted.map(_.getLong(1)).toSeq == sorted.map(_.getLong(1)).toSeq)
+      }
+      // the partial (map-side) bounded-heap phase must sit below the
+      // exchange — that is the shuffle-volume win over window+row_number
+      val plan = topk.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("partial_topkbyscore")
+        || plan.toLowerCase.contains("partial"), plan)
+      assert(!plan.contains("RunningWindowFunction") && !plan.toLowerCase.contains("window"),
+        "window ranking still present")
+    }
+    // row-for-row equality vs the window formulation on the brute-force
+    // scorer (shared scored set — the ranking is what is under test)
+    val win = windowRank(
+      Similarity.bruteForceTopK(emb, q, k = 500) // un-truncated scored set
+        .select("query_id", "neighbor_id", "sim"), 5)
+      .orderBy("query_id", "rank").collect()
+    val agg = Similarity.bruteForceTopKAgg(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(win.length == agg.length && win.nonEmpty)
+    win.zip(agg).foreach { case (w, a) =>
+      assert(w.getLong(0) == a.getLong(0) && w.getLong(1) == a.getLong(1)
+        && w.getLong(2) == a.getLong(2) && w.getDouble(3) == a.getDouble(3))
+    }
   }
 }
