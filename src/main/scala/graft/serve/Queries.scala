@@ -20,6 +20,14 @@ object Queries {
     spark.table(table)
   }
 
+  /** Parameter validation mirroring the reference's preview contract
+    * (api.py:170: `limit: int = 10` — FastAPI 400s on bad values):
+    * non-positive limits are rejected before any Spark work.
+    * HttpApi maps the IllegalArgumentException to HTTP 400.
+    */
+  def requireValidLimit(limit: Int): Unit =
+    require(limit >= 1, s"limit must be >= 1, got $limit")
+
   /** L1: SELECT * FROM t LIMIT n (api.py:189-198), default 10. */
   def preview(spark: SparkSession, table: String, limit: Int = 10): DataFrame =
     resolve(spark, table).limit(limit)
