@@ -94,9 +94,15 @@ case class TopKByScore(
   * the betterness order, worst element at the root for O(log k) eviction.
   */
 final class TopKBuffer(k: Int) {
-  // (score, id); `better(a, b)` ⇔ a ranks above b
-  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // (score, id); `better(a, b)` ⇔ a ranks above b. Double.compare gives a
+  // total order with NaN above every real — matching Spark's `desc`
+  // ordering (NaN greatest), so degenerate zero-norm sims (0/0 = NaN)
+  // rank identically to the window+row_number formulation instead of
+  // making the comparator inconsistent (x > y and y > x both false).
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   // worst-first priority queue
   private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](

@@ -134,18 +134,22 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                      maxDist: Int = 3, maxBucket: Long = 256): DataFrame = {
-    val byBucket = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
     val sh = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
     // Candidates move only (chunk, ckey, doc_id); sketches join back per
-    // DISTINCT pair. `maxBucket` caps pathological buckets (boilerplate
-    // corpora collapse many docs onto one chunk value — quadratic without
-    // the cap; documented recall tradeoff, same spirit as prefix filtering).
-    val chunked = sh.select(col("doc_id"),
+    // DISTINCT pair. Over-cap buckets (boilerplate corpora collapse many
+    // docs onto one chunk value — quadratic without a cap) are sampled
+    // down to ≈maxBucket docs by a deterministic hash coin rather than
+    // dropped wholesale; sizes via groupBy + equi-join (reuses the
+    // (chunk, ckey) exchange), not a window, which would funnel the id
+    // table through 4·2^16 single-task partitions.
+    val exploded = sh.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sh"), i * 16).bitwiseAND(0xFFFFL)))
         .as(Seq("chunk", "ckey")))
-      .withColumn("bsz", count(lit(1)).over(byBucket))
-      .filter(col("bsz") <= maxBucket)
+    val sizes = exploded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bsz"))
+    val chunked = exploded.join(sizes, Seq("chunk", "ckey"))
+      .filter(col("bsz") <= maxBucket ||
+        pmod(xxhash64(col("doc_id"), col("chunk"), col("ckey")), col("bsz")) < maxBucket)
       .drop("bsz")
     val cands = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"))
       .join(chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b")),

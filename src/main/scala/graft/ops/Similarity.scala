@@ -151,6 +151,17 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
+    * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
+    * scale bug — 2^8 bucket values saturate beyond ~65k rows and every
+    * bucket blows past any sane cap; the keyspace must grow with the
+    * corpus. For parquet sources the count is a metadata-only job.
+    */
+  def autoNbits(n: Long, targetBucket: Long = 64L): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(20, math.max(8, raw))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among collisions
     * in ANY of `tables` independent LSH tables (multi-table LSH — the
     * standard recall amplification: P[miss] = (1 - p^nbits)^tables).
@@ -161,23 +172,35 @@ object Similarity {
     * explode×tables and the bucket self-join; a pair colliding in several
     * tables collapses to ONE row via `distinct` BEFORE any dot product, so
     * each surviving pair is scored exactly once when the vectors join back.
-    * `maxBucket` caps pathological buckets (near-constant embeddings —
-    * boilerplate corpora — pile onto one sketch value and go quadratic
-    * without it; documented recall tradeoff, as in simhashNearDup).
+    *
+    * Over-cap buckets (near-constant embeddings — boilerplate corpora —
+    * pile onto one sketch value and go quadratic) are SAMPLED down to
+    * ≈`maxBucket` ids by a deterministic hash coin, never dropped
+    * wholesale: a hot bucket still contributes O(maxBucket²) candidate
+    * pairs instead of silently vanishing. Bucket sizes come from a
+    * groupBy + equi-join (reuses the (tbl, bucket) exchange), not a
+    * window — a window here funnels the whole id table through
+    * tables·2^nbits single-task partitions.
+    *
+    * `nbits <= 0` (the default) auto-sizes the sketch via [[autoNbits]]
+    * so the bucket keyspace tracks the corpus: 8 bits at fixture scale,
+    * 20 bits at 100 TB. Pass an explicit width to pin behavior.
     */
-  def embeddingNearDup(df: DataFrame, threshold: Double = 0.95, nbits: Int = 8,
+  def embeddingNearDup(df: DataFrame, threshold: Double = 0.95, nbits: Int = 0,
                        tables: Int = 4, maxBucket: Long = 256,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val byBucket = Window.partitionBy("tbl", "bucket")
+    val bits = if (nbits > 0) nbits else autoNbits(df.count())
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
     // id-only bucket table: the vectors stay behind; at 100 TB this is the
     // difference between shuffling 8-byte keys and shuffling the corpus ×4.
-    val keyed = df.select(col(idCol).as("id"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(vecCol), nbits, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
-      .withColumn("bsz", count(lit(1)).over(byBucket))
-      .filter(col("bsz") <= maxBucket)
+    val bucketed = df.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), bits, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
+    val sizes = bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+    val keyed = bucketed.join(sizes, Seq("tbl", "bucket"))
+      .filter(col("bsz") <= maxBucket ||
+        pmod(xxhash64(col("id"), col("tbl"), col("bucket")), col("bsz")) < maxBucket)
       .drop("bsz")
     val cands = keyed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(keyed.select(col("tbl"), col("bucket"), col("id").as("id_b")),

@@ -72,9 +72,73 @@ class SimilaritySpec extends SparkSpec {
       .distinct()
       .filter(col("sim") >= 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = Similarity.embeddingNearDup(emb, threshold = 0.35)
+    // nbits/tables pinned to the inline reference's sketch; the cap is
+    // lifted explicitly so equality never silently depends on fixture
+    // bucket sizes staying under it (cap behavior has its own tests below)
+    val got = Similarity.embeddingNearDup(emb, threshold = 0.35, nbits = 8,
+        tables = 4, maxBucket = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == ref && got.nonEmpty)
+  }
+
+  test("autoNbits tracks corpus size: 8 bits at fixture scale, 20 at 100 TB") {
+    assert(Similarity.autoNbits(0L) == 8)
+    assert(Similarity.autoNbits(500L) == 8)
+    assert(Similarity.autoNbits(65536L) == 10)   // 2^16/64 = 2^10
+    assert(Similarity.autoNbits(100_000_000L) == 20) // ceil(log2) = 21, clamped
+    assert(Similarity.autoNbits(Long.MaxValue / 2) == 20)
+  }
+
+  test("topk_by_score == window formulation on NaN scores") {
+    import spark.implicits._
+    // Spark's desc ordering treats NaN as greater than any double; the
+    // bounded-heap comparator must impose the same total order
+    // (Double.compare) — the old `s1 > s2` returned false both ways for
+    // NaN, so an under-full heap never evicted it and sortWith saw an
+    // inconsistent comparator. (The similarity ops themselves never emit
+    // NaN — roundTo's floor coerces it — but topk_by_score is a
+    // registered function; any caller can feed raw scores.)
+    val scored = Seq(
+      (10L, 1L, 0.9), (10L, 2L, Double.NaN), (10L, 3L, 0.95),
+      (10L, 4L, Double.NaN), (10L, 5L, 0.1), (11L, 6L, Double.NaN),
+      (11L, 7L, 1.0)
+    ).toDF("query_id", "neighbor_id", "sim")
+    val win = windowRank(scored, 3).orderBy("query_id", "rank").collect()
+    val agg = scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score", col("sim"), col("neighbor_id"), lit(3)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
+      .orderBy("query_id", "rank").collect()
+    assert(win.length == agg.length && win.nonEmpty)
+    win.zip(agg).foreach { case (w, a) =>
+      assert(w.getLong(0) == a.getLong(0) && w.getLong(1) == a.getLong(1)
+        && w.getLong(2) == a.getLong(2))
+      assert(java.lang.Double.compare(w.getDouble(3), a.getDouble(3)) == 0) // NaN == NaN
+    }
+    // NaN-first under desc, id tie-break between the two NaNs
+    assert(win.take(3).map(_.getLong(1)).toSeq == Seq(2L, 4L, 3L))
+  }
+
+  test("embeddingNearDup maxBucket=0 drops every bucket: zero pairs") {
+    assert(Similarity.embeddingNearDup(vecs, threshold = 0.0, maxBucket = 0).count() == 0)
+  }
+
+  test("embeddingNearDup samples over-cap buckets instead of dropping them wholesale") {
+    import spark.implicits._
+    // 300 identical vectors: one hot bucket per table, far over the cap.
+    // The old wholesale drop returned ZERO pairs here; sampling must keep
+    // ≈maxBucket ids per (tbl, bucket) and still surface dup pairs.
+    val hot = (0L until 300L).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(hot, threshold = 0.99, nbits = 8,
+        tables = 4, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "over-cap bucket was dropped wholesale")
+    // bounded: each table contributes ≤ ~2·maxBucket sampled ids →
+    // candidate pairs stay far below the uncapped C(300,2) = 44850
+    assert(pairs.length < 10000, s"cap not applied: ${pairs.length} pairs")
+    assert(pairs.forall { case (a, b) => a < b })
   }
 
   test("embeddingNearDup plan: no vector payload below the bucket self-join") {
