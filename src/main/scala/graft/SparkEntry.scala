@@ -232,9 +232,14 @@ object SparkEntry {
       Similarity.lshTopK(emb, Similarity.querySet(emb, "vec_id", 20))
         .orderBy("query_id", "rank")
     }),
-    "v3_emb_near_dup" -> ((s, d) =>
-      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("id_a", "id_b")),
+    "v3_emb_near_dup" -> ((s, d) => {
+      // corpusCount pins the autoNbits sketch width to the exact corpus
+      // size (one metadata-cheap parquet count, the caller's explicit
+      // choice) — the library default stays lazy via plan-stats estimate.
+      val emb = Tables.embeddings(s, d)
+      Similarity.embeddingNearDup(emb, threshold = 0.35, corpusCount = Some(emb.count()))
+        .orderBy("id_a", "id_b")
+    }),
     "v4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))

@@ -94,13 +94,16 @@ case class TopKByScore(
   * the betterness order, worst element at the root for O(log k) eviction.
   */
 final class TopKBuffer(k: Int) {
-  // (score, id); `better(a, b)` ⇔ a ranks above b. Double.compare gives a
-  // total order with NaN above every real — matching Spark's `desc`
-  // ordering (NaN greatest), so degenerate zero-norm sims (0/0 = NaN)
-  // rank identically to the window+row_number formulation instead of
-  // making the comparator inconsistent (x > y and y > x both false).
+  // (score, id); `better(a, b)` ⇔ a ranks above b. Mirrors Spark's double
+  // ordering (SQLOrderingUtil.compareDoubles): the `==` check first makes
+  // ±0.0 a TIE (raw Double.compare orders 0.0 above -0.0) that falls to
+  // the id tie-break, exactly like the window+row_number formulation;
+  // otherwise Double.compare gives a total order with NaN above every
+  // real — matching Spark's `desc` (NaN greatest), so degenerate
+  // zero-norm sims (0/0 = NaN) rank identically too, and a NaN-vs-NaN
+  // pair (compare == 0) also falls to the id tie-break.
   private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
+    val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
     c > 0 || (c == 0 && i1 < i2)
   }
 

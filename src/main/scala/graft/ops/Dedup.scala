@@ -131,6 +131,13 @@ object Dedup {
     * differing bits spread across all four chunks are not generated).
     * Raise recall for larger maxDist by blocking on more/larger chunk
     * combinations, at quadratic candidate cost.
+    *
+    * Cap caveat: for chunk buckets larger than `maxBucket` the pigeonhole
+    * guarantee becomes probabilistic — over-cap buckets are hash-coin
+    * SAMPLED down to ≈maxBucket docs (never dropped wholesale), so a pair
+    * whose only shared chunk lands in a hot bucket survives only if BOTH
+    * docs pass the coin (≈(maxBucket/bsz)² per chunk). Same contract as
+    * [[graft.ops.Similarity.embeddingNearDup]].
     */
   def simhashNearDup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                      maxDist: Int = 3, maxBucket: Long = 256): DataFrame = {

@@ -162,6 +162,21 @@ object Similarity {
     math.min(20, math.max(8, raw))
   }
 
+  /** Driver-side row-count estimate from Catalyst plan statistics — runs
+    * NO Spark job (file sizes come from the already-materialized
+    * FileIndex). Exact `rowCount` when CBO stats exist; otherwise
+    * `sizeInBytes / schema.defaultSize`, which undercounts by roughly the
+    * parquet compression ratio — fine for log₂-scale sketch sizing, do
+    * not use where exact cardinality matters.
+    */
+  def estimatedRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.longValue).getOrElse {
+      val rowBytes = math.max(1, df.schema.defaultSize)
+      math.max(1L, (stats.sizeInBytes / rowBytes).longValue)
+    }
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among collisions
     * in ANY of `tables` independent LSH tables (multi-table LSH — the
     * standard recall amplification: P[miss] = (1 - p^nbits)^tables).
@@ -184,12 +199,22 @@ object Similarity {
     *
     * `nbits <= 0` (the default) auto-sizes the sketch via [[autoNbits]]
     * so the bucket keyspace tracks the corpus: 8 bits at fixture scale,
-    * 20 bits at 100 TB. Pass an explicit width to pin behavior.
+    * 20 bits at 100 TB. Pass an explicit width to pin behavior, or supply
+    * `corpusCount` when the caller already knows |corpus|. The default
+    * path stays LAZY — no Spark job runs at DataFrame construction: when
+    * neither is given, n comes from [[estimatedRows]] (driver-side
+    * Catalyst plan statistics). That estimate can be off by the parquet
+    * compression ratio, but autoNbits is log₂-scale — a 4× row-count
+    * error moves the width by 2 bits — and the maxBucket sampling cap
+    * bounds the damage of an undersized sketch either way.
     */
   def embeddingNearDup(df: DataFrame, threshold: Double = 0.95, nbits: Int = 0,
                        tables: Int = 4, maxBucket: Long = 256,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bits = if (nbits > 0) nbits else autoNbits(df.count())
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       corpusCount: Option[Long] = None): DataFrame = {
+    val bits =
+      if (nbits > 0) nbits
+      else autoNbits(corpusCount.getOrElse(estimatedRows(df)))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
     // id-only bucket table: the vectors stay behind; at 100 TB this is the

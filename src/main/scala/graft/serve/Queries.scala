@@ -20,10 +20,13 @@ object Queries {
     spark.table(table)
   }
 
-  /** Parameter validation mirroring the reference's preview contract
-    * (api.py:170: `limit: int = 10` — FastAPI 400s on bad values):
-    * non-positive limits are rejected before any Spark work.
-    * HttpApi maps the IllegalArgumentException to HTTP 400.
+  /** Parameter validation for the preview contract — deliberate HARDENING
+    * over the reference, not parity: api.py:170's plain `limit: int = 10`
+    * has no ge=1 constraint, so the reference returns 200/empty for
+    * limit=0, ALL rows for negative limits (SQLite `LIMIT -1`), and 422
+    * for non-integers. Unbounded negative limits are arguably a reference
+    * bug; here non-positive limits are rejected (→ HTTP 400 via HttpApi)
+    * before any Spark work.
     */
   def requireValidLimit(limit: Int): Unit =
     require(limit >= 1, s"limit must be >= 1, got $limit")

@@ -120,6 +120,63 @@ class SimilaritySpec extends SparkSpec {
     assert(win.take(3).map(_.getLong(1)).toSeq == Seq(2L, 4L, 3L))
   }
 
+  test("embeddingNearDup default path is lazy: no Spark job at DataFrame construction") {
+    import spark.implicits._
+    // Canary input: ANY job that executes this plan throws. r5's default
+    // path ran df.count() inside embeddingNearDup at construction time —
+    // this fixture would have detected it; the plan-stats estimate must
+    // not trigger execution.
+    val boom = spark.range(8).map { _ =>
+      throw new RuntimeException("eager: a Spark job ran at DataFrame construction")
+      (0L, Array(0.0f)): (Long, Array[Float]) // unreachable; fixes the encoder type
+    }.toDF("vec_id", "embedding")
+    val nd = Similarity.embeddingNearDup(boom) // must not throw: construction is lazy
+    // prove the canary works: actually running the plan does throw
+    val ex = intercept[Exception](nd.count())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.startsWith("eager:")))
+  }
+
+  test("estimatedRows: exact when row count known, size-based fallback never zero") {
+    import spark.implicits._
+    // LocalRelation carries an exact rowCount in plan stats
+    val local = (0L until 100L).map(i => (i, Array(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.estimatedRows(local) == 100L)
+    // parquet scan: no CBO stats → sizeInBytes/defaultSize fallback, ≥ 1
+    val est = Similarity.estimatedRows(Tables.embeddings(spark, sfDir))
+    assert(est >= 1L)
+  }
+
+  test("topk_by_score == window formulation on ±0.0 ties") {
+    import spark.implicits._
+    // Spark's double ordering (SQLOrderingUtil.compareDoubles) checks
+    // x == y FIRST, so -0.0 and 0.0 tie and fall to the id tie-break; raw
+    // Double.compare instead orders 0.0 above -0.0. id 1 carries -0.0 and
+    // id 2 carries 0.0 so the raw-compare bug would emit (2, 1) here.
+    val scored = Seq(
+      (10L, 1L, -0.0), (10L, 2L, 0.0), (10L, 3L, 0.5), (10L, 4L, -0.5),
+      (11L, 5L, 0.0), (11L, 6L, -0.0)
+    ).toDF("query_id", "neighbor_id", "sim")
+    val win = windowRank(scored, 3).orderBy("query_id", "rank").collect()
+    val agg = scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score", col("sim"), col("neighbor_id"), lit(3)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
+      .orderBy("query_id", "rank").collect()
+    assert(win.length == agg.length && win.nonEmpty)
+    win.zip(agg).foreach { case (w, a) =>
+      assert(w.getLong(0) == a.getLong(0) && w.getLong(1) == a.getLong(1)
+        && w.getLong(2) == a.getLong(2))
+      assert(w.getDouble(3) == a.getDouble(3)) // ±0.0 compare equal under ==
+    }
+    // the ±0.0 tie breaks by id: 1 before 2 (query 10), 5 before 6 (query 11)
+    assert(win.filter(_.getLong(0) == 10L).map(_.getLong(1)).toSeq == Seq(3L, 1L, 2L))
+    assert(win.filter(_.getLong(0) == 11L).map(_.getLong(1)).toSeq == Seq(5L, 6L))
+  }
+
   test("embeddingNearDup maxBucket=0 drops every bucket: zero pairs") {
     assert(Similarity.embeddingNearDup(vecs, threshold = 0.0, maxBucket = 0).count() == 0)
   }
