@@ -571,6 +571,25 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
+    // FNV-1a 64 replayed as arithmetic: fold (h ^ cp) * 0x100000001B3
+    // mod 2^64 over code points. h rides as signed BIGINT (= Spark's
+    // long); each step widens to HUGEINT for the multiply, reduces
+    // mod 2^64 to [0, 2^64), then re-centers to signed. -3750763034362895579
+    // is 0xCBF29CE484222325 (the FNV offset basis) as a signed 64-bit int.
+    "t3_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |     list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |                    c -> CAST(unicode(c) AS BIGINT))),
+        |   (h, cp) -> CAST(
+        |     ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
+        |       + 18446744073709551616) % 18446744073709551616
+        |     - CASE WHEN ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
+        |       + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
+        |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        | ) AS fingerprint
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents

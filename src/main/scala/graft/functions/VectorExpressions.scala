@@ -265,6 +265,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => TopKByScore(args(0), args(1), litInt(args(2)))))
     ext.injectFunction((FunctionIdentifier("pair_longs"), info("pair_longs", classOf[PairLongs]),
       (args: Seq[Expression]) => PairLongs(args(0))))
+    ext.injectFunction((FunctionIdentifier("fnv1a64"), info("fnv1a64", classOf[Fnv1a64]),
+      (args: Seq[Expression]) => Fnv1a64(args(0))))
   }
 }
 
@@ -391,6 +393,52 @@ case class ShingleHashes(child: Expression, w: Int)
       s"${ev.value} = graft.functions.ShingleUtil.shingleHashes($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Helper for [[Fnv1a64]] as a compiled static (called from generated
+  * code, same pattern as [[ShingleUtil]]).
+  */
+object TextHashUtil {
+  /** 64-bit FNV-1a folded over Unicode CODE POINTS (not UTF-8 bytes or
+    * UTF-16 units): h ^= cp; h *= 0x100000001B3 per code point, wrapping
+    * mod 2^64 (Java long arithmetic). Code points are the one string
+    * decomposition both engines iterate identically — the DuckDB oracle
+    * replays the same fold with string_split(s,'') → unicode(c) and
+    * HUGEINT mod-2^64 arithmetic, so the gated query compares exactly.
+    */
+  def fnv1a64CodePoints(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h ^= cp
+      h *= 0x100000001B3L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** FNV-1a 64-bit document fingerprint over Unicode code points —
+  * oracle-expressible (unlike xxhash64, which DuckDB lacks), codegen'd.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fnv1a64 expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.fnv1a64CodePoints(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.fnv1a64CodePoints($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)
 }
 

@@ -105,10 +105,13 @@ object TextStats {
       .withColumn("fingerprint", fingerprint(col("text")))
   }
 
-  /** Document fingerprint: 64-bit FNV-1a over the raw text bytes via a
-    * deterministic expression (xxhash64 — Spark built-in, codegen'd).
+  /** Document fingerprint: 64-bit FNV-1a over the text's Unicode code
+    * points — the codegen'd [[graft.functions.Fnv1a64]]. FNV-1a (not
+    * xxhash64) because the fold is plain mod-2^64 arithmetic the DuckDB
+    * oracle can replay exactly, so the fingerprint query is gated by a
+    * value-level oracle compare rather than a rows-only check.
     */
-  def fingerprint(c: Column): Column = xxhash64(c)
+  def fingerprint(c: Column): Column = call_function("fnv1a64", c)
 
   /** Composite training-data cleaning pipeline: quality gate → language
     * gate → exact dedup (keep min doc_id) → per-source yield stats. The

@@ -53,6 +53,34 @@ class ExpressionParitySpec extends SparkSpec {
       .orderBy("doc_id"))
   }
 
+  test("fnv1a64: codegen == interpreted on real documents") {
+    assertSameResults(
+      Tables.documents(spark, sfDir).select(
+        col("doc_id"), call_function("fnv1a64", col("text")).as("fp"))
+      .orderBy("doc_id"))
+  }
+
+  test("fnv1a64: golden values pinned against an independent reference") {
+    import spark.implicits._
+    // Computed with a from-scratch FNV-1a 64 fold over code points
+    // (h ^= ord(c); h = h * 0x100000001B3 mod 2^64, offset basis
+    // 0xCBF29CE484222325) — NOT with this expression, so a transcription
+    // bug in Fnv1a64 cannot self-verify. Covers empty text, non-ASCII
+    // (multi-byte UTF-8), and an astral-plane code point (surrogate pair
+    // in UTF-16 — must hash as ONE code point, not two units).
+    val cases = Seq(
+      ("hello", -6615550055289275125L),
+      ("", -3750763034362895579L), // offset basis: empty fold
+      ("héllo 世界", 2178768425331062039L),
+      ("abc 123", -9157355961603870497L),
+      ("𝄞clef", -701900599802646587L)
+    )
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text"), call_function("fnv1a64", col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"fnv1a64('$s')") }
+  }
+
   test("pair_longs: codegen == interpreted") {
     import spark.implicits._
     assertSameResults(
