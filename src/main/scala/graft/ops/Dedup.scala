@@ -82,21 +82,53 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  w: Int = 3, k: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5): DataFrame =
+    // NOTE (corpus scale): this single-DAG formulation recomputes the
+    // signatures for the banding pass and each verification join (text
+    // scanned 3×). Lineage recompute is the right local trade; at 100 TB
+    // materialize the signatures ONCE via [[materializeSignatures]] and
+    // feed the table to [[minhashLshFromSigs]] — identical results
+    // (spec'd), and the bucketed-by-doc_id layout lets the verification
+    // joins read the signature table without re-shuffling it.
+    minhashLshFromSigs(minhashSignatures(df, textCol, idCol, w, k), k, bands, threshold)
+
+  /** The (doc_id, sig) signature table for [[minhashLshFromSigs]] —
+    * split out so callers can compute signatures once and reuse them
+    * across the banding pass and both verification joins.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        w: Int = 3, k: Int = 128, seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      minhashSignature(shingleHashes(col(textCol), w), k, seed).as("sig"))
+
+  /** Write a signature table bucketed by doc_id and return it re-read from
+    * the catalog. Bucketing is the 100 TB lever: [[minhashLshFromSigs]]
+    * joins this table by doc id twice (verification of doc_a and doc_b
+    * sides) — a bucketed scan satisfies that join's distribution from the
+    * file layout, so the big signature relation never re-shuffles; only
+    * the (small) distinct candidate-pair side moves.
+    */
+  def materializeSignatures(sigs: DataFrame, table: String,
+                            buckets: Int = 32): DataFrame = {
+    sigs.write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+    sigs.sparkSession.table(table)
+  }
+
+  /** MinHash+LSH over a precomputed (doc_id, sig: array<bigint> of length
+    * `k`) table — the corpus-scale form of [[minhashLsh]], which is
+    * spec'd equal to it. Candidate generation moves ONLY
+    * (band, bkey, doc_id) through the shuffle — 8-byte keys, never the
+    * 128-long signatures. Signatures are joined back once per DISTINCT
+    * candidate pair for verification; at corpus scale that is orders of
+    * magnitude less signature traffic than carrying sig through every
+    * band bucket.
+    */
+  def minhashLshFromSigs(sigs: DataFrame, k: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // NOTE (corpus scale): this single-DAG formulation recomputes `sigs`
-    // for the banding pass and each verification join (text scanned 3×).
-    // Lineage recompute is the right local trade; at 100 TB materialize
-    // the signatures once (write to a bucketed table keyed by doc_id, or
-    // persist) and feed that table here — the pipeline shape is unchanged.
-    val sigs = df.select(col(idCol).as("doc_id"),
-        minhashSignature(shingleHashes(col(textCol), w), k).as("sig"))
-    // Candidate generation moves ONLY (band, bkey, doc_id) through the
-    // shuffle — 8-byte keys, never the 128-long signatures. Signatures are
-    // joined back once per DISTINCT candidate pair for verification; at
-    // corpus scale that is orders of magnitude less signature traffic than
-    // carrying sig through every band bucket.
     val banded = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
     val cands = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))

@@ -43,6 +43,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("minhashLshFromSigs over a materialized bucketed sig table == single-DAG minhashLsh") {
+    // The 100 TB form: signatures computed ONCE, written bucketed by
+    // doc_id, then banding + verification run off the table. Must be
+    // row-for-row equal to the single-DAG form (which recomputes sigs 3×
+    // from lineage) on real documents.
+    val corpus = Tables.documents(spark, sfDir)
+    val single = Dedup.minhashLsh(corpus, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val table = "sigs_bucketed_spec"
+    try {
+      val sigs = Dedup.materializeSignatures(
+        Dedup.minhashSignatures(corpus), table)
+      val fromSigs = Dedup.minhashLshFromSigs(sigs, threshold = 0.5)
+        .orderBy("doc_a", "doc_b").collect()
+      assert(single.nonEmpty && single.length == fromSigs.length)
+      single.zip(fromSigs).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)
+          && a.getDouble(2) == b.getDouble(2))
+      }
+      // the scan of the signature table must be bucket-aware — that is
+      // the point of materializing: the verification joins can consume
+      // the file layout instead of re-shuffling the signature relation
+      val planStr = Dedup.minhashLshFromSigs(sigs, threshold = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(planStr.contains("SelectedBucketsCount"), planStr.take(2000))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("simhash: identical docs distance 0; near dups close; unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -261,6 +261,44 @@ class SimilaritySpec extends SparkSpec {
     assert(found == truePairs, s"|found|=${found.size} |true|=${truePairs.size}")
   }
 
+  test("autoNbits end-to-end at cap-stressing scale: 100k vectors, auto-sized sketch, recall holds") {
+    import spark.implicits._
+    // 100k corpus = 1000 planted clusters × 5 near-identical members +
+    // 95k uniform singletons. autoNbits(100000) = 11 — past the 8-bit
+    // saturation point the r5 fix addressed — so this drives the AUTO
+    // path (previously unit-tested on the arithmetic only) through the
+    // full pipeline at a scale where fixture-pinned nbits=8 would
+    // overflow every bucket. Deterministic per-id generation, no
+    // driver-side 100k-row local relation.
+    val n = 100000L
+    val corpus = spark.range(n).map { id =>
+      if (id < 5000L) {
+        val c = id / 5 // cluster id: 5 members each
+        val rc = new scala.util.Random(c)
+        val base = Array.fill(64)(rc.nextGaussian().toFloat)
+        val rn = new scala.util.Random(1000000L + id)
+        (id, base.map(x => x + 0.01f * rn.nextGaussian().toFloat))
+      } else {
+        val r = new scala.util.Random(2000000L + id)
+        (id, Array.fill(64)(r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.autoNbits(n) == 11)
+    val found = pairSet(
+      Similarity.embeddingNearDup(corpus, threshold = 0.995, corpusCount = Some(n)),
+      "id_a", "id_b")
+    val planted = (0 until 1000).flatMap { c =>
+      val ids = (0 until 5).map(i => (c * 5 + i).toLong)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    val recall = (found & planted).size.toDouble / planted.size
+    assert(recall >= 0.95, s"planted recall $recall < 0.95 with auto-sized bits")
+    // no false accepts at this threshold: every surviving pair passed the
+    // exact cosine verification, so non-planted hits would mean the
+    // verification join is broken, not the sketch
+    assert((found -- planted).isEmpty, s"${(found -- planted).size} non-planted pairs")
+  }
+
   test("topk_by_score aggregate == window formulation, row for row") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = Similarity.querySet(emb, "vec_id", 50)
