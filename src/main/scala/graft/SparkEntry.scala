@@ -220,6 +220,11 @@ object SparkEntry {
     "x4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+    "x5_dup_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.resolveDuplicates(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
 
     // --- similarity search ---
     "v1_brute_topk" -> ((s, d) => {
@@ -612,6 +617,36 @@ object SparkEntry {
          |      FROM pairs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x5 = x4's pair pipeline + transitive closure (recursive CTE) +
+    // min-id per component — the oracle for resolveDuplicates' iterative
+    // min-label propagation.
+    "x5_dup_resolve" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |       ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 64),
+         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM f a JOIN f b USING (s) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
+         |      FROM prs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
+         |edges0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS v, doc_b AS w FROM edges0 UNION SELECT doc_b, doc_a FROM edges0),
+         |rec AS (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
+         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
+         |)
+         |SELECT v AS doc_id, component, CAST(v = component AS BOOLEAN) AS keep
+         |FROM rec ORDER BY doc_id""".stripMargin,
 
     "v1_brute_topk" -> bruteTopKSql,
     // identical semantics, different physical plan (bounded-heap aggregate)

@@ -203,6 +203,72 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * min-label propagation with pointer jumping. Returns (v, comp) where
+    * comp = the smallest doc id reachable from v; docs in the same dup
+    * cluster (transitively) share a component.
+    *
+    * NOT a lazy builder: iterative graph algorithms run Spark jobs (one
+    * convergence probe per round) — call it like an action. Per round:
+    * (1) neighbor-min — join labels to edges, groupBy v (one shuffle on
+    * the edge list, which for dedup graphs is orders of magnitude
+    * smaller than the corpus); (2) pointer jump comp := comp(comp) — a
+    * self-join that halves label-tree depth, so convergence is
+    * O(log diameter) rounds, not O(diameter); LSH/blocking pair graphs
+    * are locally dense (bucket near-cliques), so 3-5 rounds in practice.
+    * Each round ends in localCheckpoint: without it the plan DAG doubles
+    * per iteration and the job would replan from raw edges every round
+    * (on a cluster, use a checkpoint dir / persist with eviction).
+    * For adversarially long chains at extreme scale, the alternating
+    * large-star/small-star formulation bounds round count further; the
+    * label-prop+jump form is preferred here for its simple correctness
+    * argument (comp is monotone non-increasing and bounded by the true
+    * component min).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
+      .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("v")).distinct()
+      .withColumn("comp", col("v"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = labels.isEmpty
+    while (!done && iter < maxIter) {
+      val nbrMin = edges.join(labels.select(col("v").as("w"), col("comp")), "w")
+        .groupBy("v").agg(min("comp").as("nc"))
+      val tentative = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      val jumped = tentative
+        .join(tentative.select(col("v").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+        .select(col("v"), coalesce(col("cc"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "v")
+        .filter(col("comp") =!= col("old")).limit(1)
+      done = changed.isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster resolution — the step after pair generation that a
+    * training pipeline actually wants: every doc mapped to its dup
+    * cluster's canonical representative (the min doc id, transitively
+    * closed over the pair graph), `keep` marking the survivor. Docs in no
+    * pair are their own component. Output is one row per input doc.
+    */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(comps.withColumnRenamed("v", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Exact n-gram Jaccard near-dup via shared-shingle grouping: explode
     * distinct hashed shingles, group BY shingle collecting the (bounded)
     * doc list, generate ordered pairs in-group, then count shared shingles

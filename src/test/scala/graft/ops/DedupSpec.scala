@@ -71,6 +71,37 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("connectedComponents: chain, clique, and disjoint pairs resolve to min-id components") {
+    // 64-node chain 100-101-...-163: diameter 63 — converges only
+    // because of the pointer jump (plain min-propagation would need 63
+    // rounds, over the maxIter=25 cap); plus a 4-clique and a lone pair.
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val lone = Seq((900L, 901L))
+    val pairs = (chain ++ clique ++ lone).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 163L).foreach(v => assert(comp(v) == 100L, s"chain node $v"))
+    (0L to 3L).foreach(v => assert(comp(v) == 0L))
+    assert(comp(900L) == 900L && comp(901L) == 900L)
+    assert(comp.size == 64 + 4 + 2)
+  }
+
+  test("resolveDuplicates: every doc mapped, min-id survivor kept, singletons keep themselves") {
+    val out = Dedup.resolveDuplicates(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // docs: 1≈2 near-dup, 4 exact dup of 1 → {1,2,4} one cluster; 3 alone
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 1L, false)))
+  }
+
+  test("resolveDuplicates with no pairs: all docs are their own component") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.resolveDuplicates(docs, empty).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_.getBoolean(2)))
+  }
+
   test("simhash: identical docs distance 0; near dups close; unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
