@@ -227,15 +227,35 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
+    val edgesAll = pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
       .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
       .distinct()
       .localCheckpoint(true)
+    // Size the per-round shuffles to the GRAPH, not the session default:
+    // the dup-pair graph is orders of magnitude smaller than the corpus,
+    // and an iterative loop pays partition-scheduling overhead every
+    // round (at fixture scale, 32-partition shuffles over a few hundred
+    // edges made the loop ~5× slower than the data justifies). The
+    // checkpoint above already ran, so the count is free metadata.
+    val parts = math.max(1, math.min(
+      edgesAll.sparkSession.sparkContext.defaultParallelism,
+      (edgesAll.count() / 100000L).toInt))
+    val edges = edgesAll.repartition(parts, col("w")).localCheckpoint(true)
     var labels = edges.select(col("v")).distinct()
       .withColumn("comp", col("v"))
       .localCheckpoint(true)
+    // Convergence probe: comp is pointwise non-increasing (min over a set
+    // containing itself, then jump to comp(comp) <= comp), so the labels
+    // changed this round IFF sum(comp) strictly decreased — one scalar
+    // one-stage aggregate per round instead of a join+filter probe
+    // (decimal sum: 10^12 docs × 10^12 max id overflows a long).
+    def compSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s")).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = compSum(labels)
     var iter = 0
-    var done = labels.isEmpty
+    var done = prevSum.signum() == 0 && labels.isEmpty
     while (!done && iter < maxIter) {
       val nbrMin = edges.join(labels.select(col("v").as("w"), col("comp")), "w")
         .groupBy("v").agg(min("comp").as("nc"))
@@ -244,10 +264,11 @@ object Dedup {
       val jumped = tentative
         .join(tentative.select(col("v").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
         .select(col("v"), coalesce(col("cc"), col("comp")).as("comp"))
+        .repartition(parts, col("v"))
         .localCheckpoint(true)
-      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "v")
-        .filter(col("comp") =!= col("old")).limit(1)
-      done = changed.isEmpty
+      val s = compSum(jumped)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = jumped
       iter += 1
     }
