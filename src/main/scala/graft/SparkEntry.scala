@@ -188,7 +188,15 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
     "t4_corpus_profile" -> (TextStats.corpusProfile(_, _)),
+    "t7_split" -> ((s, d) =>
+      TextStats.assignSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
+    "c3_scrub" -> ((s, d) =>
+      TextStats.scrubPii(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed"))
+        .orderBy("doc_id")),
     "c2_chunks" -> ((s, d) =>
       TextStats.chunk(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")),
     "t6_top_terms" -> ((s, d) =>
@@ -371,6 +379,30 @@ object SparkEntry {
     """WITH p AS (SELECT i AS id, 'Product ' || i AS name, round(10 + 0.5 * i, 2) AS price,
       |  CASE WHEN i % 3 = 0 THEN 'Electronics' WHEN i % 3 = 1 THEN 'Books' ELSE 'Clothing' END AS category,
       |  (i % 2 = 0) AS in_stock FROM range(1, 101) t(i))""".stripMargin
+
+  /** FNV-1a 64 over code points as DuckDB arithmetic — the oracle twin of
+    * [[graft.functions.Fnv1a64]]: fold (h ^ cp) * 0x100000001B3 mod 2^64.
+    * h rides as signed BIGINT (= Spark's long); each step widens to
+    * HUGEINT for the multiply, reduces mod 2^64 to [0, 2^64), then
+    * re-centers to signed. -3750763034362895579 is 0xCBF29CE484222325
+    * (the FNV offset basis) as a signed 64-bit int. Shared by the
+    * t3_fingerprint and t7_split oracles.
+    */
+  private def fnv1a64Sql(c: String): String =
+    s"""list_reduce(
+       |   list_prepend(CAST(-3750763034362895579 AS BIGINT),
+       |     list_transform(list_filter(string_split($c, ''), ch -> ch != ''),
+       |                    ch -> CAST(unicode(ch) AS BIGINT))),
+       |   (h, cp) -> CAST(
+       |     ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
+       |       + 18446744073709551616) % 18446744073709551616
+       |     - CASE WHEN ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
+       |       + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
+       |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+       | )""".stripMargin
+
+  private val EmailPattern = graft.ops.TextStats.emailPattern
+  private val PhonePattern = graft.ops.TextStats.phonePattern
 
   def oracleSql: Map[String, String] = Map(
     "s1_csv_file" -> "SELECT * FROM nation ORDER BY n_nationkey",
@@ -576,25 +608,28 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
-    // FNV-1a 64 replayed as arithmetic: fold (h ^ cp) * 0x100000001B3
-    // mod 2^64 over code points. h rides as signed BIGINT (= Spark's
-    // long); each step widens to HUGEINT for the multiply, reduces
-    // mod 2^64 to [0, 2^64), then re-centers to signed. -3750763034362895579
-    // is 0xCBF29CE484222325 (the FNV offset basis) as a signed 64-bit int.
     "t3_fingerprint" ->
-      """SELECT doc_id,
-        | list_reduce(
-        |   list_prepend(CAST(-3750763034362895579 AS BIGINT),
-        |     list_transform(list_filter(string_split(text, ''), c -> c != ''),
-        |                    c -> CAST(unicode(c) AS BIGINT))),
-        |   (h, cp) -> CAST(
-        |     ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
-        |       + 18446744073709551616) % 18446744073709551616
-        |     - CASE WHEN ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
-        |       + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
-        |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
-        | ) AS fingerprint
-        | FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, ${fnv1a64Sql("text")} AS fingerprint
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    // content-hash split: same FNV fold, bucketed mod 100 (non-negative
+    // residue to match Spark's pmod)
+    "t7_split" ->
+      s"""WITH fp AS (SELECT doc_id, ${fnv1a64Sql("text")} AS h FROM documents),
+         |b AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket FROM fp)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // 'g' flag: DuckDB regexp_replace is first-match-only by default,
+    // Spark's replaces all
+    "c3_scrub" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS n_phones,
+         | regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+         |                '$PhonePattern', '<PHONE>', 'g') AS scrubbed
+         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents

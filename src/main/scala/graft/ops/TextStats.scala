@@ -113,6 +113,50 @@ object TextStats {
     */
   def fingerprint(c: Column): Column = call_function("fnv1a64", c)
 
+  /** Deterministic train/val/test assignment by CONTENT hash — the
+    * standard split discipline for training corpora: keyed on the text
+    * (not the row id or position), so it is stable under re-sharding,
+    * re-ingestion order, and partial re-crawls, and exact duplicates
+    * always land in the same split (no train/test leakage through dups).
+    * bucket = fnv1a64(text) mod 100; [0,train) → "train",
+    * [train,train+val) → "val", rest → "test". Map-only, fused into the
+    * scan; oracle-replayable because the FNV fold is plain arithmetic.
+    */
+  def assignSplit(df: DataFrame, textCol: String = "text",
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100, "bad split percentages")
+    val bucket = pmod(call_function("fnv1a64", col(textCol)), lit(100L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Conservative patterns shared (verbatim) by the Spark queries and the
+    * DuckDB oracle — kept to syntax both Java regex and RE2 read
+    * identically: char classes, +, explicit {m,n}, no backrefs, no
+    * lookaround, no \b (word-boundary semantics differ across engines).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrub — the redaction pass a pipeline runs before training:
+    * emails and phone-shaped numbers replaced with placeholder tokens,
+    * with per-doc match counts for audit. Map-only (regexp_replace +
+    * regexp_extract_all inside the scan projection, no shuffle).
+    */
+  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(c, lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+                       phonePattern, "<PHONE>"))
+  }
+
   /** Composite training-data cleaning pipeline: quality gate → language
     * gate → exact dedup (keep min doc_id) → per-source yield stats. The
     * canonical "raw crawl → training corpus" reduction, end to end in one

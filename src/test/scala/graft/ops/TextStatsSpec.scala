@@ -18,6 +18,41 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getInt(1) == 7)
   }
 
+  test("assignSplit: exact partition, content-keyed, dup-safe, roughly proportional") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.assignSplit(docs).select("doc_id", "bucket", "split").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val b = r.getLong(1); val s = r.getString(2)
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // hash-uniformity sanity on ~500 docs: train well clear of val+test
+    val byS = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byS.getOrElse("train", 0) > out.length / 2, byS.toString)
+    // content-keyed: identical text always lands in the same split, so
+    // exact dups can never straddle train/test
+    val dup = Seq((1L, "same text here"), (2L, "same text here")).toDF("doc_id", "text")
+    val splits = TextStats.assignSplit(dup).select("split").collect().map(_.getString(0))
+    assert(splits(0) == splits(1))
+  }
+
+  test("scrubPii: emails and phones replaced, counts exact, clean text untouched") {
+    val df = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or call 555-123-4567 now"),
+      (2L, "two mails a@b.io c@d.org and 800.555.1212"),
+      (3L, "no pii here, just 12345 and version 2.0")
+    ).toDF("doc_id", "text")
+    val out = TextStats.scrubPii(df).orderBy("doc_id")
+      .select("n_emails", "n_phones", "scrubbed").collect()
+    assert(out(0).getLong(0) == 1 && out(0).getLong(1) == 1)
+    assert(out(0).getString(2) == "contact <EMAIL> or call <PHONE> now")
+    assert(out(1).getLong(0) == 2 && out(1).getLong(1) == 1)
+    assert(out(1).getString(2) == "two mails <EMAIL> <EMAIL> and <PHONE>")
+    assert(out(2).getLong(0) == 0 && out(2).getLong(1) == 0)
+    assert(out(2).getString(2) == "no pii here, just 12345 and version 2.0")
+  }
+
   test("quality features on a known string") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextStats.qualityFeatures(df).collect().head
