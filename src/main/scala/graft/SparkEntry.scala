@@ -197,6 +197,10 @@ object SparkEntry {
       TextStats.scrubPii(Tables.documents(s, d))
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed"))
         .orderBy("doc_id")),
+    "c4_pack" -> ((s, d) =>
+      TextStats.packChunks(TextStats.chunk(Tables.documents(s, d)))
+        .select(col("doc_id"), col("chunk_id"), col("token_start"), col("seq_id"))
+        .orderBy("doc_id", "chunk_id")),
     "c2_chunks" -> ((s, d) =>
       TextStats.chunk(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")),
     "t6_top_terms" -> ((s, d) =>
@@ -621,6 +625,23 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // concat-and-chop packing: global token tape ordered by
+    // (doc_id, chunk_id); DuckDB replays the distributed prefix sum as
+    // one window cumsum
+    "c4_pack" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t FROM documents),
+        |k AS (SELECT doc_id, t,
+        |  greatest(1, CAST(ceil((len(t) - 16) / 48.0) AS INT)) AS n_chunks FROM toks),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(len(t[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_chunk_tokens
+        |  FROM k, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) ix),
+        |s AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+        |  sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+        |    - n_chunk_tokens AS token_start FROM c)
+        |SELECT doc_id, chunk_id, CAST(token_start AS BIGINT) AS token_start,
+        |  CAST(token_start // 512 AS BIGINT) AS seq_id
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // 'g' flag: DuckDB regexp_replace is first-match-only by default,
     // Spark's replaces all
     "c3_scrub" ->

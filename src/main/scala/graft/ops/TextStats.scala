@@ -204,6 +204,43 @@ object TextStats {
         col("c.txt").as("chunk_text"), col("c.ntk").as("n_chunk_tokens"))
   }
 
+  /** Token-budget sequence packing — concat-and-chop, the standard
+    * pre-training step after chunking: lay every chunk's tokens on one
+    * global tape (ordered by (doc_id, chunk_id)) and cut a sequence
+    * every `budget` tokens. Emits each chunk's absolute `token_start`
+    * and the `seq_id` of the sequence its first token lands in.
+    *
+    * Scale shape — a distributed prefix sum, because a global
+    * `Window.orderBy` with no partition key is a single-task scan:
+    * (1) range-repartition by (doc_id, chunk_id) so partition p holds a
+    * contiguous key range; (2) per-partition token totals → an
+    * OFFSETS table with one row per partition — the only global window
+    * runs over THAT (bounded by cluster width, never by data); (3)
+    * broadcast the offsets back and add a within-partition running sum.
+    * Every value is independent of where the range boundaries fall, so
+    * the result is deterministic under any partitioning. (A
+    * mapPartitions variant could skip the hash(pid) exchange the
+    * within-partition window inserts; kept declarative deliberately.)
+    */
+  def packChunks(chunks: DataFrame, budget: Int = 512,
+                 docCol: String = "doc_id", chunkCol: String = "chunk_id",
+                 tokCol: String = "n_chunk_tokens"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sorted = chunks.repartitionByRange(col(docCol), col(chunkCol))
+      .withColumn("pid", spark_partition_id())
+    val offsets = sorted.groupBy("pid").agg(sum(col(tokCol)).as("ptot"))
+      .withColumn("poff", coalesce(
+        sum("ptot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "poff")
+    val within = Window.partitionBy("pid").orderBy(col(docCol), col(chunkCol))
+    sorted.join(broadcast(offsets), "pid")
+      .withColumn("token_start", col("poff") + sum(col(tokCol)).over(within) - col(tokCol))
+      .withColumn("seq_id", floor(col("token_start") / budget).cast("long"))
+      .drop("pid", "poff")
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

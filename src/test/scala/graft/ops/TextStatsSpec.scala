@@ -53,6 +53,36 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2).getString(2) == "no pii here, just 12345 and version 2.0")
   }
 
+  test("packChunks: concat-and-chop token tape with exact global offsets") {
+    val chunks = Seq(
+      (1L, 0L, 300L), (1L, 1L, 300L), // doc 1: 600 tokens
+      (2L, 0L, 100L),                 // doc 2: 100
+      (3L, 0L, 500L), (3L, 1L, 24L)   // doc 3: 524
+    ).toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val out = TextStats.packChunks(chunks, budget = 512)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "token_start", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L),     // tape [0,300)   → seq 0
+      (1L, 1L, 300L, 0L),   // [300,600)      → starts in seq 0 (straddles)
+      (2L, 0L, 600L, 1L),   // [600,700)      → seq 1
+      (3L, 0L, 700L, 1L),   // [700,1200)     → seq 1
+      (3L, 1L, 1200L, 2L))) // [1200,1224)    → seq 2
+  }
+
+  test("packChunks: offsets independent of input partitioning") {
+    val base = (1L to 200L).map(i => (i, 0L, 10L + i % 7))
+    for (np <- Seq(1, 3, 13)) {
+      val chunks = base.toDF("doc_id", "chunk_id", "n_chunk_tokens").repartition(np)
+      val out = TextStats.packChunks(chunks, budget = 64)
+        .orderBy("doc_id").select("token_start").collect().map(_.getLong(0))
+      // exact prefix sums of the token counts in doc order, any layout
+      val want = base.map(_._3).scanLeft(0L)(_ + _).init
+      assert(out.toSeq == want, s"np=$np")
+    }
+  }
+
   test("quality features on a known string") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextStats.qualityFeatures(df).collect().head
