@@ -201,6 +201,24 @@ object SparkEntry {
       TextStats.packChunks(TextStats.chunk(Tables.documents(s, d)))
         .select(col("doc_id"), col("chunk_id"), col("token_start"), col("seq_id"))
         .orderBy("doc_id", "chunk_id")),
+    "t8_mix" -> ((s, d) =>
+      TextStats.mixCorpus(Tables.documents(s, d),
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+    // near-dup contamination across splits: the leakage a content-hash
+    // split canNOT prevent (exact dups always co-locate; near-dups hash
+    // independently) — composition of x4 pairs with t7 split assignment
+    "t9_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val splits = TextStats.assignSplit(docs).select(col("doc_id"), col("split"))
+      Dedup.ngramJaccard(docs, threshold = 0.5)
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("split_a"), col("split_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
     "c2_chunks" -> ((s, d) =>
       TextStats.chunk(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")),
     "t6_top_terms" -> ((s, d) =>
@@ -642,6 +660,44 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(token_start AS BIGINT) AS token_start,
         |  CAST(token_start // 512 AS BIGINT) AS seq_id
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // weighted mix: same FNV fold, thresholds in basis points (exact
+    // integers on both engines)
+    "t8_mix" ->
+      s"""WITH fp AS (SELECT doc_id, lang, source,
+         |  ((${fnv1a64Sql("text")} % 10000) + 10000) % 10000 AS b FROM documents)
+         |SELECT doc_id, lang, source FROM fp
+         |WHERE b < CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+         |               WHEN 'es' THEN 2500 WHEN 'fr' THEN 5000
+         |               WHEN 'zh' THEN 2500 ELSE 10000 END
+         |ORDER BY doc_id""".stripMargin,
+    // x4's pair pipeline joined to t7's split assignment: near-dup pairs
+    // straddling train/val/test
+    "t9_leakage" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |       ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 64),
+         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM f a JOIN f b USING (s) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
+         |      FROM prs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
+         |edges0 AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+         |fp AS (SELECT doc_id, ${fnv1a64Sql("text")} AS h FROM documents),
+         |bk AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket FROM fp),
+         |sp AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+         |                           WHEN bucket < 90 THEN 'val'
+         |                           ELSE 'test' END AS split FROM bk)
+         |SELECT doc_a, doc_b, jaccard, sa.split AS split_a, sb.split AS split_b
+         |FROM edges0 JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
+         |WHERE sa.split != sb.split
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // 'g' flag: DuckDB regexp_replace is first-match-only by default,
     // Spark's replaces all
     "c3_scrub" ->

@@ -133,6 +133,26 @@ object TextStats {
           .otherwise("test"))
   }
 
+  /** Weighted corpus mixing — deterministic downsampling per group (lang,
+    * source, …), the knob for rebalancing a training mix: keep a row iff
+    * fnv1a64(text) mod 10000 < weight·10000. Content-keyed like
+    * [[assignSplit]], so the kept subset is stable under re-sharding and
+    * identical texts are kept or dropped together. Weights are snapped
+    * to basis points (integer thresholds) so the oracle compares exact
+    * integers, never floats. Map-only filter, fused into the scan.
+    */
+  def mixCorpus(df: DataFrame, weights: Map[String, Double],
+                keyCol: String = "lang", textCol: String = "text",
+                defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be in [0, 1]")
+    def bps(w: Double): Int = math.round(w * 10000).toInt
+    val thr = weights.toSeq.sortBy(_._1).foldLeft(lit(bps(defaultWeight)): Column) {
+      case (acc, (k, w)) => when(col(keyCol) === k, bps(w)).otherwise(acc)
+    }
+    df.filter(pmod(call_function("fnv1a64", col(textCol)), lit(10000L)) < thr)
+  }
+
   /** Conservative patterns shared (verbatim) by the Spark queries and the
     * DuckDB oracle — kept to syntax both Java regex and RE2 read
     * identically: char classes, +, explicit {m,n}, no backrefs, no

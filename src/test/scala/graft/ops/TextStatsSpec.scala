@@ -53,6 +53,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2).getString(2) == "no pii here, just 12345 and version 2.0")
   }
 
+  test("mixCorpus: weight 0 drops the group, 1 keeps it, subset is deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val zero = TextStats.mixCorpus(docs, Map("en" -> 0.0))
+    assert(zero.filter(col("lang") === "en").count() == 0)
+    assert(zero.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count()) // default weight 1 untouched
+    assert(TextStats.mixCorpus(docs, Map.empty).count() == docs.count())
+    val half = TextStats.mixCorpus(docs, Map("en" -> 0.5))
+    val nEn = docs.filter(col("lang") === "en").count()
+    val kept = half.filter(col("lang") === "en").count()
+    assert(kept > 0 && kept < nEn, s"$kept of $nEn")
+    // content-keyed: rerun yields the identical doc set, not a resample
+    val ids1 = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextStats.mixCorpus(docs, Map("en" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("packChunks: concat-and-chop token tape with exact global offsets") {
     val chunks = Seq(
       (1L, 0L, 300L), (1L, 1L, 300L), // doc 1: 600 tokens
