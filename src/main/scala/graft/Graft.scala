@@ -57,4 +57,47 @@ object Graft {
     * if absent. */
   def ensureSampleData(spark: SparkSession, path: String): Unit =
     Synthetic.ensureProductsCsv(spark, path)
+
+  // ---- Training-data pipeline (north-star extensions) ----
+  // One-line delegates so the whole corpus workflow reads off this
+  // object; the full parameter surface lives on graft.ops.*.
+
+  /** Near-dup pairs by MinHash+LSH ([[ops.Dedup.minhashLsh]]). */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    ops.Dedup.minhashLsh(docs, threshold = threshold)
+
+  /** Canonical survivor per transitive dup cluster
+    * ([[ops.Dedup.resolveDuplicates]]; runs jobs — iterative). */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame =
+    ops.Dedup.resolveDuplicates(docs, pairs)
+
+  /** Content-hash train/val/test assignment ([[ops.TextStats.assignSplit]]). */
+  def assignSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    ops.TextStats.assignSplit(docs, trainPct = trainPct, valPct = valPct)
+
+  /** Deterministic weighted downsampling per group ([[ops.TextStats.mixCorpus]]). */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+                keyCol: String = "lang"): DataFrame =
+    ops.TextStats.mixCorpus(docs, weights, keyCol = keyCol)
+
+  /** Email/phone redaction with audit counts ([[ops.TextStats.scrubPii]]). */
+  def scrubPii(docs: DataFrame): DataFrame = ops.TextStats.scrubPii(docs)
+
+  /** Token-window chunking ([[ops.TextStats.chunk]]). */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    ops.TextStats.chunk(docs, chunkSize, stride)
+
+  /** Concat-and-chop sequence packing ([[ops.TextStats.packChunks]]). */
+  def packChunks(chunks: DataFrame, budget: Int = 512): DataFrame =
+    ops.TextStats.packChunks(chunks, budget)
+
+  /** Exact cosine top-k with map-side bounded heaps
+    * ([[ops.Similarity.bruteForceTopKAgg]]). */
+  def similarTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    ops.Similarity.bruteForceTopKAgg(corpus, queries, k)
+
+  /** Embedding near-dup pairs via multi-table LSH
+    * ([[ops.Similarity.embeddingNearDup]]). */
+  def nearDupEmbeddings(vectors: DataFrame, threshold: Double = 0.95): DataFrame =
+    ops.Similarity.embeddingNearDup(vectors, threshold)
 }

@@ -30,6 +30,23 @@ class GraftFacadeSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("facade_products")
   }
 
+  test("training-data journey through the facade: dedup → resolve → split → mix → scrub → pack") {
+    val docs = ops.Tables.documents(spark, sfDir)
+    val pairs = Graft.nearDupPairs(docs)
+    val resolved = Graft.resolveDuplicates(docs, pairs)
+    assert(resolved.count() == docs.count())
+    val split = Graft.assignSplit(docs)
+    assert(split.select("split").distinct().count() <= 3)
+    assert(Graft.mixCorpus(docs, Map("en" -> 0.0)).filter(
+      org.apache.spark.sql.functions.col("lang") === "en").count() == 0)
+    assert(Graft.scrubPii(docs).columns.contains("scrubbed"))
+    val packed = Graft.packChunks(Graft.chunk(docs))
+    assert(packed.columns.contains("seq_id") && packed.count() > 0)
+    val topk = Graft.similarTopK(ops.Tables.embeddings(spark, sfDir),
+      ops.Similarity.querySet(ops.Tables.embeddings(spark, sfDir), "vec_id", 50), k = 3)
+    assert(topk.count() > 0)
+  }
+
   test("composable stages: ingest → clean → load as one lazy chain") {
     val d = tmpDir("facade2")
     Files.writeString(d.resolve("in.csv"), "id,v\n1,a\n2,\n")
