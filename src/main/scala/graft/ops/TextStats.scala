@@ -241,6 +241,14 @@ object TextStats {
     * the result is deterministic under any partitioning. (A
     * mapPartitions variant could skip the hash(pid) exchange the
     * within-partition window inserts; kept declarative deliberately.)
+    *
+    * Lineage note (same trade as [[Dedup.minhashLsh]]): the offsets
+    * branch recomputes the chunk pipeline rather than reusing the main
+    * branch's exchange — column pruning gives it a THINNER scan (ids +
+    * token counts only, no chunk text), which is why Catalyst cannot
+    * dedupe the two subtrees. The second pass moves ~24-byte rows, so it
+    * costs a fraction of the main pass; to scan once at corpus scale,
+    * persist/materialize the chunks input before calling.
     */
   def packChunks(chunks: DataFrame, budget: Int = 512,
                  docCol: String = "doc_id", chunkCol: String = "chunk_id",
