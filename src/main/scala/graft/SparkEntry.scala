@@ -172,6 +172,17 @@ object SparkEntry {
           graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
       s.table(mem).orderBy("user_id", "session_start_us")
     }),
+    // streaming exact dedup shares x1's oracle: the aggregate's survivor
+    // (min doc_id per text) is arrival-order independent
+    "st3_stream_dedup" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st3_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.dedupExactAgg(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      s.table(mem).orderBy("doc_id")
+    }),
 
     // --- text analysis ---
     "t1_quality" -> ((s, d) =>
@@ -303,6 +314,13 @@ object SparkEntry {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/events_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  private def stagedDocuments(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/documents_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Tables.documents(s, d).write.mode("overwrite").parquet(stage)
     stage
   }
 
@@ -709,6 +727,10 @@ object SparkEntry {
          | FROM documents ORDER BY doc_id""".stripMargin,
 
     "x1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        | GROUP BY text ORDER BY doc_id""".stripMargin,
+    // identical semantics, streaming execution (stateful aggregate)
+    "st3_stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         | GROUP BY text ORDER BY doc_id""".stripMargin,
     "x4_ngram_jaccard" ->

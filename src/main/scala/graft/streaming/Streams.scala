@@ -86,6 +86,23 @@ object Streams {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming exact-dedup as an AGGREGATION — the oracle-checkable twin
+    * of [[graft.ops.Dedup.exact]]: deterministic survivor (min id) and
+    * copy count per distinct text, independent of arrival order —
+    * [[dedupExact]] keeps first-arrival, which races across partitions;
+    * an aggregate converges to the same answer however the stream is
+    * partitioned or ordered. State per distinct text is one
+    * (hash, min, count) row keyed by the 8-byte xxhash64 — the body never
+    * enters the state store. The dedup horizon is deliberately unbounded
+    * (state grows with DISTINCT texts, not stream length); when the
+    * horizon can be finite, prefer [[dedupExact]]'s watermark eviction.
+    */
+  def dedupExactAgg(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
   /** Stream-static join: enrich a stream against a batch dimension table.
     * The static side behaves like a broadcast lookup re-resolved per
     * micro-batch — no state store involved.

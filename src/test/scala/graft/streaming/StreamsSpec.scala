@@ -53,6 +53,23 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-dedup aggregate == batch Dedup.exact, arrival-order independent") {
+    val d = tmpDir("stream_docs").resolve("docs").toString
+    // write documents SHUFFLED so the stream's arrival order differs from
+    // doc order — the aggregate's (min id, count) must not care
+    Tables.documents(spark, sfDir).orderBy(rand(7)).repartition(5)
+      .write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    Streams.runToMemory(
+      Streams.dedupExactAgg(Streams.parquetDirStream(spark, d, schema)), "dedup_stream")
+    val streamed = spark.table("dedup_stream").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.ops.Dedup.exact(Tables.documents(spark, sfDir))
+      .select("doc_id", "n_copies").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState running counts reach the per-user totals") {
     import spark.implicits._
     val schema = spark.read.parquet(eventsDir).schema
