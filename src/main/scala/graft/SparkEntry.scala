@@ -212,6 +212,10 @@ object SparkEntry {
       TextStats.packChunks(TextStats.chunk(Tables.documents(s, d)))
         .select(col("doc_id"), col("chunk_id"), col("token_start"), col("seq_id"))
         .orderBy("doc_id", "chunk_id")),
+    "t10_repetition" -> ((s, d) =>
+      TextStats.repetitionSignals(Tables.documents(s, d))
+        .select(col("doc_id"), col("dup_token_frac"), col("dup_2gram_frac"))
+        .orderBy("doc_id")),
     "t8_mix" -> ((s, d) =>
       TextStats.mixCorpus(Tables.documents(s, d),
           Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
@@ -678,6 +682,20 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(token_start AS BIGINT) AS token_start,
         |  CAST(token_start // 512 AS BIGINT) AS seq_id
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "t10_repetition" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+         |b AS (SELECT doc_id, t,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |       ELSE CAST([] AS VARCHAR[]) END AS bg FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN len(t) > 0
+         |    THEN ${Num.sqlRoundTo("1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE)", 6)}
+         |    ELSE 0.0 END AS dup_token_frac,
+         |  CASE WHEN len(bg) > 0
+         |    THEN ${Num.sqlRoundTo("1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)", 6)}
+         |    ELSE 0.0 END AS dup_2gram_frac
+         |FROM b ORDER BY doc_id""".stripMargin,
     // weighted mix: same FNV fold, thresholds in basis points (exact
     // integers on both engines)
     "t8_mix" ->

@@ -226,7 +226,12 @@ object Dedup {
     * component min).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 64): DataFrame = {
+    // maxIter is a runaway safety cap, not a budget — the loop exits at
+    // convergence (typically 3-5 rounds). 64 covers the adversarial
+    // worst case: an all-one-path graph of 2^64 nodes needs ~log2(diam)
+    // rounds with pointer jumping. Hitting the cap would return labels
+    // mid-merge; at 64 that cannot happen for any physical graph.
     val edgesAll = pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
       .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
       .distinct()

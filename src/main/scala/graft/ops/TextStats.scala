@@ -133,6 +133,28 @@ object TextStats {
           .otherwise("test"))
   }
 
+  /** Intra-document repetition signals — the published Gopher/RefinedWeb
+    * quality-rule family: heavily repetitious text (boilerplate, spam,
+    * scraper loops) shows up as a high fraction of duplicate tokens and
+    * duplicate word 2-grams. Pure per-row array expressions (no
+    * shuffle), fused into the scan like [[qualityFeatures]].
+    */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(0), n - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nb = size(bigrams)
+    df.withColumn("dup_token_frac", Num.roundTo(
+        when(n > 0, lit(1.0) - size(array_distinct(toks)) / n.cast("double"))
+          .otherwise(0.0), 6))
+      .withColumn("dup_2gram_frac", Num.roundTo(
+        when(nb > 0, lit(1.0) - size(array_distinct(bigrams)) / nb.cast("double"))
+          .otherwise(0.0), 6))
+  }
+
   /** Weighted corpus mixing — deterministic downsampling per group (lang,
     * source, …), the knob for rebalancing a training mix: keep a row iff
     * fnv1a64(text) mod 10000 < weight·10000. Content-keyed like

@@ -53,6 +53,21 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2).getString(2) == "no pii here, just 12345 and version 2.0")
   }
 
+  test("repetitionSignals: known fractions, degenerate docs get 0") {
+    val df = Seq(
+      (1L, "a a a a"),          // 1 distinct of 4 tokens; bigrams: "a a"×3 → 1 of 3
+      (2L, "w x y z"),          // no repetition
+      (3L, "one"),              // single token: no bigrams
+      (4L, "")                  // no tokens at all
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(df).orderBy("doc_id")
+      .select("dup_token_frac", "dup_2gram_frac").collect()
+    assert(out(0).getDouble(0) == 0.75 && math.abs(out(0).getDouble(1) - 0.666667) < 1e-9)
+    assert(out(1).getDouble(0) == 0.0 && out(1).getDouble(1) == 0.0)
+    assert(out(2).getDouble(0) == 0.0 && out(2).getDouble(1) == 0.0)
+    assert(out(3).getDouble(0) == 0.0 && out(3).getDouble(1) == 0.0)
+  }
+
   test("mixCorpus: weight 0 drops the group, 1 keeps it, subset is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val zero = TextStats.mixCorpus(docs, Map("en" -> 0.0))
