@@ -265,6 +265,15 @@ object SparkEntry {
     "x4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+    // incremental dedup: odd doc_ids play the "new batch", even the
+    // existing corpus — cross pairs only, never old×old
+    "x6_cross_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardCross(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), threshold = 0.5)
+        .orderBy("doc_old", "doc_new")
+    }),
     "x5_dup_resolve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.resolveDuplicates(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
@@ -769,6 +778,28 @@ object SparkEntry {
          |      FROM pairs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-corpus pairs: per-side df caps, shingle must appear on BOTH
+    // sides — mirrors ngramJaccardCross exactly (different guard than x4)
+    "x6_cross_dedup" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |       ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |a AS (SELECT doc_id AS doc_old, s FROM sh WHERE doc_id % 2 = 0),
+         |b AS (SELECT doc_id AS doc_new, s FROM sh WHERE doc_id % 2 = 1),
+         |ka AS (SELECT s FROM a GROUP BY s HAVING count(*) <= 64),
+         |kb AS (SELECT s FROM b GROUP BY s HAVING count(*) <= 64),
+         |k AS (SELECT s FROM ka JOIN kb USING (s)),
+         |pr AS (SELECT doc_old, doc_new, count(*) AS shared
+         |       FROM a JOIN k USING (s) JOIN b USING (s) GROUP BY doc_old, doc_new),
+         |j AS (SELECT doc_old, doc_new,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
+         |      FROM pr JOIN sz za ON za.doc_id = doc_old JOIN sz zb ON zb.doc_id = doc_new)
+         |SELECT doc_old, doc_new, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_old, doc_new""".stripMargin,
     // x5 = x4's pair pipeline + transitive closure (recursive CTE) +
     // min-id per component — the oracle for resolveDuplicates' iterative
     // min-label propagation.

@@ -203,6 +203,59 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Cross-corpus exact n-gram Jaccard — the INCREMENTAL dedup shape: a
+    * new batch checked against the existing corpus without ever
+    * generating old×old (or new×new) pairs, which at corpus scale is
+    * almost all of the full pipeline's work. Blocking joins the two
+    * exploded shingle tables on the shingle hash; the doc-frequency
+    * guard is PER SIDE (a shingle survives only if it appears on both
+    * sides, each under `maxDocFreq`), bounding the per-shingle join
+    * fan-out at maxDocFreq². Output: (doc_old, doc_new, jaccard).
+    */
+  def ngramJaccardCross(oldDocs: DataFrame, newDocs: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        w: Int = 3, threshold: Double = 0.6,
+                        maxDocFreq: Long = 64): DataFrame = {
+    def side(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), shingleHashes(col(textCol), w).as("sh"))
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+    val a = side(oldDocs, "doc_old"); val b = side(newDocs, "doc_new")
+    val ea = a.select(explode(col("sh")).as("shingle"), col("doc_old"))
+    val eb = b.select(explode(col("sh")).as("shingle"), col("doc_new"))
+    val keep = ea.groupBy("shingle").agg(count(lit(1)).as("dfa"))
+      .filter(col("dfa") <= maxDocFreq).select("shingle")
+      .join(eb.groupBy("shingle").agg(count(lit(1)).as("dfb"))
+        .filter(col("dfb") <= maxDocFreq).select("shingle"), Seq("shingle"))
+    val shared = ea.join(keep, Seq("shingle"), "left_semi")
+      .join(eb.join(keep, Seq("shingle"), "left_semi"), Seq("shingle"))
+      .groupBy("doc_old", "doc_new").agg(count(lit(1)).as("shared"))
+    shared
+      .join(a.select(col("doc_old"), col("n_sh").as("na")), Seq("doc_old"))
+      .join(b.select(col("doc_new"), col("n_sh").as("nb")), Seq("doc_new"))
+      .select(col("doc_old"), col("doc_new"),
+        Num.roundTo(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental-batch survivors: new docs that duplicate the existing
+    * corpus neither exactly (same text, via the 8-byte hash anti-join)
+    * nor nearly ([[ngramJaccardCross]] above `threshold`). The daily
+    * "crawl → keep what's genuinely new" reduction.
+    */
+  def incrementalSurvivors(oldDocs: DataFrame, newDocs: DataFrame,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           threshold: Double = 0.6): DataFrame = {
+    val exactHit = newDocs.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .join(oldDocs.select(xxhash64(col(textCol)).as("__h")), Seq("__h"), "left_semi")
+      .select(idCol)
+    val nearHit = ngramJaccardCross(oldDocs, newDocs, textCol, idCol,
+        threshold = threshold)
+      .select(col("doc_new").as(idCol)).distinct()
+    newDocs.join(exactHit, Seq(idCol), "left_anti")
+      .join(nearHit, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * min-label propagation with pointer jumping. Returns (v, comp) where
     * comp = the smallest doc id reachable from v; docs in the same dup

@@ -71,6 +71,20 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("ngramJaccardCross + incrementalSurvivors: new batch vs existing corpus") {
+    // old = even ids {2, 4}, new = odd ids {1, 3}; 1≈2 near-dup, 4
+    // exact-dup of 1, 3 unrelated
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val pairs = Dedup.ngramJaccardCross(old, fresh, threshold = 0.5)
+      .select("doc_old", "doc_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L), (4L, 1L)), pairs.toString)
+    val surv = Dedup.incrementalSurvivors(old, fresh, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(surv == Seq(3L)) // 1 dropped (exact dup of 4, near-dup of 2)
+  }
+
   test("connectedComponents: chain, clique, and disjoint pairs resolve to min-id components") {
     // 64-node chain 100-101-...-163: diameter 63 — converges only
     // because of the pointer jump (plain min-propagation would need 63
