@@ -299,6 +299,9 @@ object SparkEntry {
       Similarity.embeddingNearDup(emb, threshold = 0.35, corpusCount = Some(emb.count()))
         .orderBy("id_a", "id_b")
     }),
+    "v6_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .orderBy("label", "dim")),
     "v4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))
@@ -832,6 +835,16 @@ object SparkEntry {
          |FROM rec ORDER BY doc_id""".stripMargin,
 
     "v1_brute_topk" -> bruteTopKSql,
+    // class centroids: element-wise mean per (label, dim); decimal-exact
+    // numerator matches Num.exactAvg
+    "v6_centroids" ->
+      s"""WITH e AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         |  CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) ix)
+         |SELECT label, dim,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("x"), 6)} AS mean_x,
+         |  count(*) AS n_vectors
+         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // identical semantics, different physical plan (bounded-heap aggregate)
     "v5_topk_agg" -> bruteTopKSql,
 

@@ -151,6 +151,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-label element-wise mean embedding — class centroids, the
+    * embedding-space summary an ML-data pipeline extracts per
+    * class/cluster (seed centroids for IVF training, drift monitoring,
+    * per-class similarity baselines). Explode fans each vector into
+    * (label, dim, x) rows, but the aggregate is partial (map-side
+    * combine), so shuffle volume is O(labels·dim) — independent of the
+    * corpus row count. Decimal-exact numerator keeps the mean
+    * bit-identical across engines.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(Num.roundTo(Num.exactAvg(col("x").cast("double")), 6).as("mean_x"),
+           count(lit(1)).as("n_vectors"))
+
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
     * scale bug — 2^8 bucket values saturate beyond ~65k rows and every

@@ -81,6 +81,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("labelCentroids: exact element-wise means per label") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 4.0f)), // label 1: mean (2, 3)
+      (2, Array(10.0f, 0.0f))                         // label 2: mean (10, 0)
+    ).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df).orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 0L, 2.0, 2L), (1, 1L, 3.0, 2L),
+                            (2, 0L, 10.0, 1L), (2, 1L, 0.0, 1L)))
+  }
+
   test("autoNbits tracks corpus size: 8 bits at fixture scale, 20 at 100 TB") {
     assert(Similarity.autoNbits(0L) == 8)
     assert(Similarity.autoNbits(500L) == 8)
