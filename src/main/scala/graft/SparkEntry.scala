@@ -302,6 +302,9 @@ object SparkEntry {
     "v6_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy("label", "dim")),
+    "v7_knn_eval" -> ((s, d) =>
+      Similarity.knnLabelAccuracy(Tables.embeddings(s, d))
+        .orderBy("label")),
     "v4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))
@@ -835,6 +838,27 @@ object SparkEntry {
          |FROM rec ORDER BY doc_id""".stripMargin,
 
     "v1_brute_topk" -> bruteTopKSql,
+    // leave-one-out kNN label eval: same sim/rank formulation as
+    // bruteTopKSql (9dp rounding, id tie-break), majority vote with
+    // smallest-label tie-break, per-label accuracy
+    "v7_knn_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, qlabel, nlabel,
+         |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+         |      FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, qlabel, nlabel,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |      FROM s),
+         |v AS (SELECT query_id, qlabel, nlabel, count(*) AS votes
+         |      FROM r WHERE rank <= 5 GROUP BY query_id, qlabel, nlabel),
+         |p AS (SELECT query_id, qlabel, nlabel AS predicted,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS pr
+         |      FROM v)
+         |SELECT qlabel AS label, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
+         |FROM p WHERE pr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
     // class centroids: element-wise mean per (label, dim); decimal-exact
     // numerator matches Num.exactAvg
     "v6_centroids" ->

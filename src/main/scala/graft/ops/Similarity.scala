@@ -167,6 +167,34 @@ object Similarity {
       .agg(Num.roundTo(Num.exactAvg(col("x").cast("double")), 6).as("mean_x"),
            count(lit(1)).as("n_vectors"))
 
+  /** Leave-one-out kNN label accuracy — the standard intrinsic eval of
+    * embedding quality: each vector queries the rest of the corpus, the
+    * majority label of its k nearest neighbors is the prediction
+    * (ties → smallest label), reported as per-label accuracy. Built on
+    * [[bruteForceTopKAgg]], so the scoring pass keeps the map-side
+    * bounded-heap shape; the vote argmax is a `max(struct(votes,
+    * -label))` aggregate — deterministic, no window, no extra shuffle
+    * beyond the vote groupBy.
+    */
+  def knnLabelAccuracy(df: DataFrame, k: Int = 5, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val labels = df.select(col(idCol).as("query_id"), col(labelCol).as("qlabel"))
+    val votes = bruteForceTopKAgg(df, df, k, idCol, vecCol)
+      .join(df.select(col(idCol).as("neighbor_id"), col(labelCol).as("nb_label")),
+            Seq("neighbor_id"))
+      .groupBy("query_id", "nb_label").agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("nb_label")).as("ng"))).as("m"))
+      .select(col("query_id"), (-col("m.ng")).as("predicted"))
+    labels.join(pred, Seq("query_id"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+           sum(when(col("qlabel") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        Num.roundTo(col("n_correct").cast("double") / col("n_queries"), 6))
+  }
+
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
     * scale bug — 2^8 bucket values saturate beyond ~65k rows and every

@@ -81,6 +81,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("knnLabelAccuracy: planted clusters with cluster-consistent labels score 1.0") {
+    import spark.implicits._
+    // planted 50 clusters × 5 members: label = cluster id → every
+    // vector's 4 nearest neighbors are its cluster mates → accuracy 1.0
+    val labeled = planted.withColumn("label", (col("vec_id") / 5).cast("int"))
+    val out = Similarity.knnLabelAccuracy(labeled, k = 4)
+      .orderBy("label").collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L && r.getDouble(3) == 1.0)
+    }
+    // shuffled labels destroy it: assign label = vec_id % 2 with
+    // clusters of 5 — neighbors split 2/2 or 3/1, accuracy < 1
+    val adversarial = planted.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val acc = Similarity.knnLabelAccuracy(adversarial, k = 4)
+      .agg(sum("n_correct").cast("double") / sum("n_queries")).collect().head.getDouble(0)
+    assert(acc < 0.9, s"adversarial labels scored $acc")
+  }
+
   test("labelCentroids: exact element-wise means per label") {
     import spark.implicits._
     val df = Seq(
