@@ -183,6 +183,18 @@ object SparkEntry {
           graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
       s.table(mem).orderBy("doc_id")
     }),
+    // streaming ANN serving: query stream (every 20th vector) against the
+    // static corpus; shares v1's oracle (identical sim/rank formulation)
+    "st4_stream_topk" -> ((s, d) => {
+      val stage = stagedEmbeddings(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st4_mem_${Integer.toHexString(d.hashCode)}"
+      val qStream = graft.streaming.Streams.parquetDirStream(s, stage, schema)
+        .filter(col("vec_id") % 20 === 0)
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamTopK(qStream, Tables.embeddings(s, d)), mem)
+      s.table(mem).orderBy("query_id", "rank")
+    }),
 
     // --- text analysis ---
     "t1_quality" -> ((s, d) =>
@@ -340,6 +352,13 @@ object SparkEntry {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/documents_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Tables.documents(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  private def stagedEmbeddings(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/embeddings_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Tables.embeddings(s, d).write.mode("overwrite").parquet(stage)
     stage
   }
 
@@ -871,6 +890,9 @@ object SparkEntry {
          |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // identical semantics, different physical plan (bounded-heap aggregate)
     "v5_topk_agg" -> bruteTopKSql,
+    // identical semantics, streaming execution (stream-static join +
+    // stateful bounded-heap aggregate)
+    "st4_stream_topk" -> bruteTopKSql,
 
     "m2_frames" ->
       """SELECT doc_id AS media_id,

@@ -110,6 +110,35 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(dim, Seq(key), "left")
 
+  /** Streaming similarity serving: a stream of query vectors scored
+    * against a STATIC corpus — the online ANN-serving path. Each
+    * micro-batch stream-static joins the queries to the corpus (corpus
+    * broadcast per batch; at real scale, pre-bucket the corpus by LSH
+    * key and join on the bucket instead of the open condition), scores
+    * with the codegen'd vec_dot, and ranks with the bounded-heap
+    * `topk_by_score` aggregate — a TypedImperativeAggregate, so the
+    * streaming state per query is the ≤k heap, not the scored
+    * candidates. Identical formulation (9dp rounding, id tie-break) to
+    * [[graft.ops.Similarity.bruteForceTopKAgg]], so it shares v1's
+    * batch oracle.
+    */
+  def streamTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.{Num, Similarity}
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score", col("sim"), col("neighbor_id"), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
+  }
+
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserCount(user_id: Long, n_events: Long)
 

@@ -70,6 +70,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming top-k serving == batch bruteForceTopKAgg, row for row") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val d = tmpDir("stream_emb").resolve("emb").toString
+    emb.write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val qStream = Streams.parquetDirStream(spark, d, schema)
+      .filter(col("vec_id") % 10 === 0)
+    Streams.runToMemory(Streams.streamTopK(qStream, emb, k = 5), "topk_stream")
+    val streamed = spark.table("topk_stream")
+      .orderBy("query_id", "rank").collect()
+    val batch = graft.ops.Similarity.bruteForceTopKAgg(
+        emb, graft.ops.Similarity.querySet(emb, "vec_id", 10), k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1)
+        && s.getLong(2) == b.getLong(2) && s.getDouble(3) == b.getDouble(3))
+    }
+  }
+
   test("flatMapGroupsWithState running counts reach the per-user totals") {
     import spark.implicits._
     val schema = spark.read.parquet(eventsDir).schema
