@@ -27,6 +27,47 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffled join, got $shuffles:\n$p")
   }
 
+  test("c4_pack: no global window over data — unpartitioned windows only above aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = TextStats.packChunks(TextStats.chunk(Tables.documents(spark, sfDir)))
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the only single-task window allowed is the one over the
+      // one-row-per-partition offsets table — its input must already be
+      // aggregated, never the raw chunk relation
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        s"global window over un-aggregated data:\n$w")
+    }
+  }
+
+  test("x6 cross dedup: no text strings ride the shingle join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.StringType
+    val docs = Tables.documents(spark, sfDir)
+    val lp = Dedup.ngramJaccardCross(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        threshold = 0.5)
+      .queryExecution.optimizedPlan
+    val shingleJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "shingle")) => j
+    }
+    assert(shingleJoins.nonEmpty, "expected a join keyed on `shingle`")
+    shingleJoins.foreach { j =>
+      val strings = j.children.flatMap(_.output).filter(_.dataType == StringType)
+      assert(strings.isEmpty,
+        s"string columns ride the shingle join: ${strings.map(_.name)}")
+    }
+  }
+
+  test("v7 knn eval: scoring keeps the partial (map-side) bounded-heap phase") {
+    val p = plan(Similarity.knnLabelAccuracy(Tables.embeddings(spark, sfDir), k = 3))
+    assert(p.toLowerCase.contains("partial_topkbyscore")
+      || p.toLowerCase.contains("partial_"), s"no partial top-k phase in:\n$p")
+  }
+
   test("q1: aggregation has a partial (map-side) phase before the shuffle") {
     val p = plan(Analytics.q1PricingSummary(spark, sfDir))
     assert(p.contains("HashAggregate"), p)
