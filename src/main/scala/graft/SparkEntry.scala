@@ -317,6 +317,9 @@ object SparkEntry {
     "v7_knn_eval" -> ((s, d) =>
       Similarity.knnLabelAccuracy(Tables.embeddings(s, d))
         .orderBy("label")),
+    "v8_quantize_err" -> ((s, d) =>
+      Similarity.quantizationError(Tables.embeddings(s, d))
+        .orderBy("label")),
     "v4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))
@@ -878,6 +881,22 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
          |FROM p WHERE pr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
+    // int8 quantization error: scale = max|x|/127, q = floor(x/s + 0.5);
+    // the err fold is a sequential list_reduce to match Spark's
+    // index-order aggregate exactly
+    "v8_quantize_err" ->
+      s"""WITH q AS (SELECT label, embedding,
+         |  list_max(list_transform(embedding, v -> abs(v))) / 127.0 AS s FROM embeddings),
+         |e AS (SELECT label,
+         |  CASE WHEN s > 0 THEN
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(embedding,
+         |        v -> abs(CAST(v AS DOUBLE) - floor(v / s + 0.5) * s))),
+         |      (a, b) -> a + b) / len(embedding)
+         |  ELSE 0.0 END AS err FROM q)
+         |SELECT label, ${Num.sqlRoundTo(Num.sqlExactAvg("err"), 6)} AS mean_abs_err,
+         |  count(*) AS n_vectors
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // class centroids: element-wise mean per (label, dim); decimal-exact
     // numerator matches Num.exactAvg
     "v6_centroids" ->

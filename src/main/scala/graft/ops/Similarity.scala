@@ -195,6 +195,38 @@ object Similarity {
         Num.roundTo(col("n_correct").cast("double") / col("n_queries"), 6))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage lever for an
+    * embedding corpus (float32 → int8 is 4× smaller on disk and in
+    * shuffle): scale = max|x|/127 per vector, q = floor(x/scale + 0.5)
+    * (the same floor-based rounding [[Num.roundTo]] uses, so the oracle
+    * replays it exactly; zero vectors quantize to zeros with scale 0).
+    * Pure per-row expression. [[quantizationError]] reports per-label
+    * mean reconstruction error — the go/no-go stat before switching an
+    * ANN pipeline to quantized vectors.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val scale = aggregate(x, lit(0.0f), (m, v) => greatest(m, abs(v))) / 127.0
+    df.withColumn("q_scale", scale)
+      .withColumn("q_vec", when(col("q_scale") > 0,
+          transform(x, v => floor(v / col("q_scale") + 0.5).cast("int")))
+        .otherwise(transform(x, _ => lit(0))))
+  }
+
+  /** Mean absolute reconstruction error of [[quantizeInt8]], per label. */
+  def quantizationError(df: DataFrame, vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val q = quantizeInt8(df, vecCol)
+    val err = aggregate(
+      zip_with(col(vecCol), col("q_vec"),
+        (v, qi) => abs(v - qi * col("q_scale"))),
+      lit(0.0), (acc, e) => acc + e) / size(col(vecCol))
+    q.select(col(labelCol), err.as("err"))
+      .groupBy(labelCol)
+      .agg(Num.roundTo(Num.exactAvg(col("err")), 6).as("mean_abs_err"),
+           count(lit(1)).as("n_vectors"))
+  }
+
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
     * scale bug — 2^8 bucket values saturate beyond ~65k rows and every

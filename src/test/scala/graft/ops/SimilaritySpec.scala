@@ -100,6 +100,26 @@ class SimilaritySpec extends SparkSpec {
     assert(acc < 0.9, s"adversarial labels scored $acc")
   }
 
+  test("quantizeInt8: q in [-127,127], zero vector safe, error bounded by scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(1.0f, -0.5f, 0.25f)),
+      (1, Array(0.0f, 0.0f, 0.0f)), // zero vector: scale 0, q all zeros
+      (2, Array(100.0f, -100.0f, 3.0f))
+    ).toDF("label", "embedding")
+    val q = Similarity.quantizeInt8(df).collect()
+    q.foreach { r =>
+      val qs = r.getSeq[Int](r.fieldIndex("q_vec"))
+      assert(qs.forall(v => v >= -127 && v <= 127), qs.toString)
+    }
+    val zero = q.find(r => r.getSeq[Float](r.fieldIndex("embedding")).forall(_ == 0.0f)).get
+    assert(zero.getSeq[Int](zero.fieldIndex("q_vec")).forall(_ == 0))
+    // per-element error of symmetric quantization is <= scale/2 + eps
+    val err = Similarity.quantizationError(df).orderBy("label").collect()
+    assert(err.length == 2)
+    err.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 0.5))
+  }
+
   test("labelCentroids: exact element-wise means per label") {
     import spark.implicits._
     val df = Seq(
