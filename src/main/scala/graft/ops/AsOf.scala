@@ -41,7 +41,7 @@ object AsOf {
     val rAligned = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(
         l.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
     // right rows (tag 0) sort before left rows (tag 1) at equal time →
     // inclusive `<=` semantics
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
@@ -49,7 +49,7 @@ object AsOf {
     l.unionByName(rAligned)
       .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(lcols.map(col) :+ col("__carried").as(s"asof_$payloadCol"): _*)
+      .select(lcols.toIndexedSeq.map(col) :+ col("__carried").as(s"asof_$payloadCol"): _*)
   }
 
   /** Registered query shape: each event joined to the user's latest order
