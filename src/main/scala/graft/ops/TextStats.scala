@@ -264,21 +264,31 @@ object TextStats {
     * mapPartitions variant could skip the hash(pid) exchange the
     * within-partition window inserts; kept declarative deliberately.)
     *
-    * Lineage note (same trade as [[Dedup.minhashLsh]]): the offsets
-    * branch recomputes the chunk pipeline rather than reusing the main
-    * branch's exchange — column pruning gives it a THINNER scan (ids +
-    * token counts only, no chunk text), which is why Catalyst cannot
-    * dedupe the two subtrees. The second pass moves ~24-byte rows, so it
-    * costs a fraction of the main pass; to scan once at corpus scale,
-    * persist/materialize the chunks input before calling.
+    * Partition-pinning note: the offsets branch and the main branch BOTH
+    * read `sorted`, and the inner join on `pid` is only correct if the
+    * two reads see the SAME partition assignment. Left as two lazy plan
+    * subtrees they would not be guaranteed to: column pruning gives the
+    * offsets branch a thinner scan (so Catalyst cannot dedupe the
+    * subtrees), RangePartitioner's reservoir-sample seed differs per
+    * exchange instance, and AQE may coalesce the thin exchange to a
+    * different partition count than the wide one. So the range exchange
+    * is materialized ONCE — an eager `localCheckpoint` right after
+    * stamping `pid` — and both branches read that single incarnation.
+    * Cost: one materialization of the chunk set (memory+disk blocks,
+    * lineage truncated → executor loss means task-level retry of the
+    * checkpointed blocks rather than lineage replay); this is the price
+    * of a deterministic global tape, paid once per pack.
     */
   def packChunks(chunks: DataFrame, budget: Int = 512,
                  docCol: String = "doc_id", chunkCol: String = "chunk_id",
                  tokCol: String = "n_chunk_tokens"): DataFrame = {
     require(budget > 0, "budget must be positive")
     import org.apache.spark.sql.expressions.Window
+    // One physical incarnation of the range exchange: pid→row assignment
+    // is frozen here, so the offsets join below cannot disagree with it.
     val sorted = chunks.repartitionByRange(col(docCol), col(chunkCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = sorted.groupBy("pid").agg(sum(col(tokCol)).as("ptot"))
       .withColumn("poff", coalesce(
         sum("ptot").over(Window.orderBy("pid")

@@ -86,9 +86,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents: chain, clique, and disjoint pairs resolve to min-id components") {
-    // 64-node chain 100-101-...-163: diameter 63 — converges only
-    // because of the pointer jump (plain min-propagation would need 63
-    // rounds, over the maxIter=25 cap); plus a 4-clique and a lone pair.
+    // 64-node chain 100-101-...-163: diameter 63 — the pointer jump
+    // resolves it in ~log2(63) rounds where plain min-propagation would
+    // need all 63 (within maxIter=64, but two orders slower); plus a
+    // 4-clique and a lone pair.
     val chain = (100L until 163L).map(i => (i, i + 1))
     val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
     val lone = Seq((900L, 901L))

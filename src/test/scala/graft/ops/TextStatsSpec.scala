@@ -116,6 +116,34 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("packChunks: pid join reads one pinned exchange — no range shuffle in the lazy plan") {
+    // The determinism fix: the range exchange runs ONCE (eager
+    // localCheckpoint) before the offsets/main branches fork. If a
+    // RangePartitioning exchange reappears in the *returned* plan, the two
+    // branches are back to racing independent partitioners.
+    val chunks = (1L to 50L).map(i => (i, 0L, 10L)).toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val p = TextStats.packChunks(chunks, budget = 64)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("rangepartitioning"), s"unpinned range exchange in:\n$p")
+    assert(p.contains("scan existingrdd"), s"expected checkpointed leaf in:\n$p")
+  }
+
+  test("packChunks: no dropped rows when shuffle partitions exceed rows (AQE coalesce)") {
+    // Failure mode of the unpinned version: AQE coalesces the thin offsets
+    // exchange differently from the wide one → inner join on pid silently
+    // drops rows. Force the sparse-partition regime and assert survival.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val base = (1L to 40L).map(i => (i, 0L, 5L + i % 3))
+      val out = TextStats.packChunks(
+        base.toDF("doc_id", "chunk_id", "n_chunk_tokens").repartition(7), budget = 32)
+      assert(out.count() == 40L)
+      val starts = out.orderBy("doc_id").select("token_start").collect().map(_.getLong(0))
+      assert(starts.toSeq == base.map(_._3).scanLeft(0L)(_ + _).init)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("quality features on a known string") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextStats.qualityFeatures(df).collect().head
