@@ -92,9 +92,30 @@ object Graft {
     ops.TextStats.packChunks(chunks, budget)
 
   /** Exact cosine top-k with map-side bounded heaps
-    * ([[ops.Similarity.bruteForceTopKAgg]]). */
+    * ([[ops.Similarity.bruteForceTopKAgg]]) — THE top-k to use: partial
+    * aggregation reduces every partition to ≤k candidates per query
+    * before the shuffle. */
   def similarTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     ops.Similarity.bruteForceTopKAgg(corpus, queries, k)
+
+  /** Window+row_number formulation of the same contract
+    * ([[ops.Similarity.bruteForceTopK]]) — kept for oracle/debug work
+    * only: it shuffles every scored pair, where [[similarTopK]] shuffles
+    * O(queries·k·partitions). Same rows out, including tie-breaks. */
+  def similarTopKExact(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    ops.Similarity.bruteForceTopK(corpus, queries, k)
+
+  /** Embedding-quality eval: sampled leave-one-out kNN label accuracy
+    * ([[ops.Similarity.knnLabelAccuracySampled]]) — the production
+    * default; scoring work is n²/stride, not n². */
+  def knnEval(vectors: DataFrame, stride: Int = 10, k: Int = 5): DataFrame =
+    ops.Similarity.knnLabelAccuracySampled(vectors, stride, k)
+
+  /** FULL leave-one-out kNN eval ([[ops.Similarity.knnLabelAccuracy]]) —
+    * every vector queries the whole corpus (n² dot products). Oracle
+    * baseline; use [[knnEval]] at corpus scale. */
+  def knnEvalFull(vectors: DataFrame, k: Int = 5): DataFrame =
+    ops.Similarity.knnLabelAccuracy(vectors, k)
 
   /** Embedding near-dup pairs via multi-table LSH
     * ([[ops.Similarity.embeddingNearDup]]). */

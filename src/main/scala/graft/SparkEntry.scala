@@ -317,6 +317,11 @@ object SparkEntry {
     "v7_knn_eval" -> ((s, d) =>
       Similarity.knnLabelAccuracy(Tables.embeddings(s, d))
         .orderBy("label")),
+    // production form of v7: every 10th vector queries the full corpus —
+    // n²/stride scoring instead of n²
+    "v9_knn_sampled" -> ((s, d) =>
+      Similarity.knnLabelAccuracySampled(Tables.embeddings(s, d), stride = 10)
+        .orderBy("label")),
     "v8_quantize_err" -> ((s, d) =>
       Similarity.quantizationError(Tables.embeddings(s, d))
         .orderBy("label")),
@@ -438,6 +443,29 @@ object SparkEntry {
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |      FROM s)
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by v7 (full leave-one-out, empty filter) and v9 (sampled query
+    * set) — one prediction rule, parameterized only by which vectors get
+    * to be queries. Neighbors always come from the full corpus.
+    */
+  private def knnEvalSql(queryWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel FROM embeddings$queryWhere),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, qlabel, nlabel,
+       |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+       |      FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, qlabel, nlabel,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM s),
+       |v AS (SELECT query_id, qlabel, nlabel, count(*) AS votes
+       |      FROM r WHERE rank <= 5 GROUP BY query_id, qlabel, nlabel),
+       |p AS (SELECT query_id, qlabel, nlabel AS predicted,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS pr
+       |      FROM v)
+       |SELECT qlabel AS label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
+       |FROM p WHERE pr = 1 GROUP BY qlabel ORDER BY label""".stripMargin
 
   /** Shared by e1 (batch) and st1 (structured streaming twin). */
   private def hourlySql: String =
@@ -863,24 +891,11 @@ object SparkEntry {
     // leave-one-out kNN label eval: same sim/rank formulation as
     // bruteTopKSql (9dp rounding, id tie-break), majority vote with
     // smallest-label tie-break, per-label accuracy
-    "v7_knn_eval" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel FROM embeddings),
-         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, qlabel, nlabel,
-         |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
-         |      FROM q, c WHERE query_id <> neighbor_id),
-         |r AS (SELECT query_id, qlabel, nlabel,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         |      FROM s),
-         |v AS (SELECT query_id, qlabel, nlabel, count(*) AS votes
-         |      FROM r WHERE rank <= 5 GROUP BY query_id, qlabel, nlabel),
-         |p AS (SELECT query_id, qlabel, nlabel AS predicted,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS pr
-         |      FROM v)
-         |SELECT qlabel AS label, count(*) AS n_queries,
-         |  CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
-         |FROM p WHERE pr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
+    "v7_knn_eval" -> knnEvalSql(""),
+    // sampled eval: identical prediction rule, query side restricted to
+    // every 10th vector (matches Similarity.querySet's deterministic
+    // stride); neighbors still come from the full corpus
+    "v9_knn_sampled" -> knnEvalSql(" WHERE vec_id % 10 = 0"),
     // int8 quantization error: scale = max|x|/127, q = floor(x/s + 0.5);
     // the err fold is a sequential list_reduce to match Spark's
     // index-order aggregate exactly

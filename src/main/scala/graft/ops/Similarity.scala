@@ -66,9 +66,22 @@ object Similarity {
     * to [[bruteForceTopK]]; both share one oracle.
     */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", norm(col("qv"))))
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKAggInternal(corpus, queries, k, idCol, vecCol, hintBroadcast = true)
+
+  /** [[bruteForceTopKAgg]] body with the broadcast hint optional: hinted
+    * for real query sets (small side → broadcast NL join is the right
+    * plan); unhinted for the leave-one-out eval, where queries==corpus and
+    * forcing a broadcast of the whole corpus would hit the driver/8 GB
+    * broadcast ceiling long before the scoring itself became infeasible —
+    * unhinted, Spark picks BNLJ/cartesian from its own size estimates.
+    */
+  private def topKAggInternal(corpus: DataFrame, queries: DataFrame, k: Int,
+                              idCol: String, vecCol: String,
+                              hintBroadcast: Boolean): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val q = if (hintBroadcast) broadcast(q0) else q0
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
@@ -171,17 +184,51 @@ object Similarity {
     * embedding quality: each vector queries the rest of the corpus, the
     * majority label of its k nearest neighbors is the prediction
     * (ties → smallest label), reported as per-label accuracy. Built on
-    * [[bruteForceTopKAgg]], so the scoring pass keeps the map-side
-    * bounded-heap shape; the vote argmax is a `max(struct(votes,
-    * -label))` aggregate — deterministic, no window, no extra shuffle
-    * beyond the vote groupBy.
+    * the bounded-heap top-k, so the scoring pass keeps the map-side
+    * shape; the vote argmax is a `max(struct(votes, -label))` aggregate —
+    * deterministic, no window, no extra shuffle beyond the vote groupBy.
+    *
+    * SCALE WARNING — this is the FULL eval: every vector queries the
+    * whole corpus, n² dot products. It exists as the exact oracle
+    * baseline; a production pipeline evaluates on a sampled query set —
+    * use [[knnLabelAccuracySampled]], which keeps the identical
+    * prediction rule but shrinks the query side to n/stride vectors
+    * before any scoring. (The scoring join here deliberately carries NO
+    * broadcast hint: queries==corpus, and broadcasting the corpus would
+    * hit the driver/8 GB broadcast ceiling first.)
     */
   def knnLabelAccuracy(df: DataFrame, k: Int = 5, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       labelCol: String = "label"): DataFrame = {
-    val labels = df.select(col(idCol).as("query_id"), col(labelCol).as("qlabel"))
-    val votes = bruteForceTopKAgg(df, df, k, idCol, vecCol)
-      .join(df.select(col(idCol).as("neighbor_id"), col(labelCol).as("nb_label")),
+                       labelCol: String = "label"): DataFrame =
+    knnEval(df, df, k, idCol, vecCol, labelCol, hintBroadcast = false)
+
+  /** Sampled kNN label eval — the production form of [[knnLabelAccuracy]]:
+    * only every `stride`-th vector (deterministic [[querySet]], so two
+    * runs and the oracle agree on the sample) queries the corpus, cutting
+    * the scoring work from n² to n²/stride while every query still sees
+    * the FULL corpus as neighbor candidates (true leave-one-out per
+    * sampled query — self is excluded by id, never by sampling).
+    * Accuracy is reported over the sampled queries only.
+    */
+  def knnLabelAccuracySampled(df: DataFrame, stride: Int = 10, k: Int = 5,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              labelCol: String = "label"): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    knnEval(df, querySet(df, idCol, stride), k, idCol, vecCol, labelCol,
+      hintBroadcast = true)
+  }
+
+  /** Shared eval core: top-k neighbors of `queries` within `corpus`,
+    * majority-label vote (ties → smallest label), per-label accuracy
+    * over the query set.
+    */
+  private def knnEval(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String, vecCol: String, labelCol: String,
+                      hintBroadcast: Boolean): DataFrame = {
+    val labels = queries.select(col(idCol).as("query_id"), col(labelCol).as("qlabel"))
+    val votes = topKAggInternal(corpus, queries, k, idCol, vecCol, hintBroadcast)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nb_label")),
             Seq("neighbor_id"))
       .groupBy("query_id", "nb_label").agg(count(lit(1)).as("votes"))
     val pred = votes.groupBy("query_id")

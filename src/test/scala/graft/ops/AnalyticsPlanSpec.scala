@@ -68,6 +68,19 @@ class AnalyticsPlanSpec extends SparkSpec {
       || p.toLowerCase.contains("partial_"), s"no partial top-k phase in:\n$p")
   }
 
+  test("v9 knn sampled: stride filter sits below the scoring join — query side shrinks first") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val lp = Similarity.knnLabelAccuracySampled(Tables.embeddings(spark, sfDir), stride = 10)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: LJoin => j }
+    assert(joins.nonEmpty)
+    // the n²→n²/stride claim: some join input is already stride-filtered,
+    // i.e. the sample is taken BEFORE any scoring/voting join runs
+    val strideBelowJoin = joins.exists(_.children.exists(side =>
+      side.collect { case f: LFilter if f.condition.toString.contains("% 10") => f }.nonEmpty))
+    assert(strideBelowJoin, s"no stride filter below any join:\n$lp")
+  }
+
   test("q1: aggregation has a partial (map-side) phase before the shuffle") {
     val p = plan(Analytics.q1PricingSummary(spark, sfDir))
     assert(p.contains("HashAggregate"), p)

@@ -100,6 +100,24 @@ class SimilaritySpec extends SparkSpec {
     assert(acc < 0.9, s"adversarial labels scored $acc")
   }
 
+  test("knnLabelAccuracySampled: stride=1 == full eval; stride>1 counts only sampled queries") {
+    import spark.implicits._
+    val labeled = planted.withColumn("label", (col("vec_id") / 5).cast("int"))
+    // stride=1 samples everything → must equal the full LOO row for row
+    // (different join paths: unhinted vs broadcast — same semantics)
+    val full = Similarity.knnLabelAccuracy(labeled, k = 4)
+      .orderBy("label").collect().toSeq
+    val all = Similarity.knnLabelAccuracySampled(labeled, stride = 1, k = 4)
+      .orderBy("label").collect().toSeq
+    assert(all == full)
+    // stride=5 → one query per cluster (ids 0,5,10,…); every sampled
+    // query still sees its 4 cluster mates in the FULL corpus → 1.0
+    val sampled = Similarity.knnLabelAccuracySampled(labeled, stride = 5, k = 4)
+      .orderBy("label").collect()
+    assert(sampled.map(_.getLong(1)).sum == 50L, "one query per cluster")
+    sampled.foreach(r => assert(r.getDouble(3) == 1.0))
+  }
+
   test("quantizeInt8: q in [-127,127], zero vector safe, error bounded by scale/2") {
     import spark.implicits._
     val df = Seq(
