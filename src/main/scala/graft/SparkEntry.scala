@@ -337,7 +337,11 @@ object SparkEntry {
     }),
 
     // --- multimodal plumbing ---
-    "m1_format_profile" -> (Multimodal.formatProfile(_, _)),
+    // real decode gate: Spark decodes genuine PNG/JPEG/WAV headers; the
+    // oracle replays the fixture's arithmetic rules. total_bytes dropped
+    // (compressed sizes are encoder-dependent).
+    "m1_format_profile" -> ((s, d) =>
+      Multimodal.formatProfile(Multimodal.imageTable(s, d)).drop("total_bytes")),
     "m2_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
@@ -931,6 +935,21 @@ object SparkEntry {
     "m2_frames" ->
       """SELECT doc_id AS media_id,
         | CAST(greatest(octet_length(encode(text)) // 128, 1) AS BIGINT) AS n_frames
-        | FROM documents ORDER BY media_id""".stripMargin
+        | FROM documents ORDER BY media_id""".stripMargin,
+
+    // replay of ImageCodec.synthPayload's metadata rules — Spark must
+    // recover these values by actually decoding the PNG/JPEG/WAV bytes
+    "m1_format_profile" ->
+      s"""WITH m AS (SELECT
+         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+         |  CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000
+         |       ELSE 8 + doc_id % 24 END AS width,
+         |  CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+         |       ELSE 8 + (doc_id // 24) % 24 END AS height
+         |FROM documents)
+         |SELECT format, count(*) AS n_media,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("width"), 4)} AS avg_width,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("height"), 4)} AS avg_height
+         |FROM m GROUP BY format ORDER BY format""".stripMargin
   )
 }

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The Spark-side plumbing is real — schema, batching, partition sizing,
-  * typed Dataset boundaries — while the codec itself is STUBBED with a
-  * deterministic fake (no image/audio libraries ship in this container).
-  * Swap [[FakeCodec]] for a real decoder (javacv / TwelveMonkeys / a
-  * vectorized Arrow UDF) without touching the pipeline shape.
+  * Metadata decode is REAL: [[ImageCodec.decode]] reads PNG/JPEG/GIF
+  * headers through `javax.imageio` (in the JDK — no new dependency) and
+  * parses WAV RIFF headers directly; payloads it cannot identify come
+  * back as `unknown` with the honest byte stats. Only feature extraction
+  * ([[FakeCodec.features]]) remains a deterministic stand-in — a real
+  * embedding model doesn't ship in this container.
   *
   * Scale notes: binary payloads dominate row size, so ops repartition by
   * target partition BYTES not row count; metadata extraction projects the
@@ -24,24 +25,133 @@ object Multimodal {
                              width: Int, height: Int, checksum: Long)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** Deterministic stand-in for a real decoder: all values derived from the
-    * payload bytes only, so tests are stable across runs/partitionings.
+  /** Real media codec over JDK facilities only.
+    *
+    * Decode: `ImageIO`'s header path (`ImageReader.getWidth/getHeight`
+    * on a stream — dimensions come from the IHDR/SOF0/descriptor, pixels
+    * are never decoded, so a 100 MB image costs a few header bytes), then
+    * a little-endian RIFF/WAVE `fmt ` parse for audio. Encode side exists
+    * to build deterministic fixtures: tiny real PNG/JPEG images (pixel
+    * content seeded per id) and 16-bit PCM WAVs.
+    *
+    * Fixture value rules (shared verbatim with the m1 DuckDB oracle —
+    * the oracle replays the RULES in SQL while Spark decodes the BYTES,
+    * so a wrong decode breaks the gate):
+    * id % 3 == 0 → png,  width = 8 + id%24, height = 8 + (id/24)%24
+    * id % 3 == 1 → jpeg, same dimension rule
+    * id % 3 == 2 → wav,  rate = 8000 + (id%8)·1000, channels = 1 + id%2
+    * (for audio, width/height carry rate/channels).
+    */
+  object ImageCodec {
+    // BufferedImage/ImageIO never need a display, but make it explicit
+    // before any AWT class loads on an executor.
+    System.setProperty("java.awt.headless", "true")
+
+    def kind(id: Long): Int = math.floorMod(id, 3L).toInt
+    def imgWidth(id: Long): Int = 8 + math.floorMod(id, 24L).toInt
+    def imgHeight(id: Long): Int = 8 + math.floorMod(id / 24, 24L).toInt
+    def wavRate(id: Long): Int = 8000 + math.floorMod(id, 8L).toInt * 1000
+    def wavChannels(id: Long): Int = 1 + math.floorMod(id, 2L).toInt
+
+    /** Deterministic real payload for a fixture id (rules above). */
+    def synthPayload(id: Long): Array[Byte] = kind(id) match {
+      case 0 => encodeImage(imgWidth(id), imgHeight(id), id, "png")
+      case 1 => encodeImage(imgWidth(id), imgHeight(id), id, "jpg")
+      case _ => encodeWav(wavRate(id), wavChannels(id), nSamples = 64, seed = id)
+    }
+
+    def encodeImage(w: Int, h: Int, seed: Long, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+
+    def encodeWav(sampleRate: Int, channels: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * channels * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples * channels) {
+        bb.putShort(((seed * 31 + i * 997) % 32768).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Header-only image identification: format + dimensions, no pixel
+      * decode. Empty for anything ImageIO has no reader for. */
+    def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val fmt = r.getFormatName.toLowerCase match {
+              case "jpg" => "jpeg"
+              case f => f
+            }
+            Some((fmt, r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+
+    /** RIFF/WAVE header parse: (sampleRate, channels). */
+    def wavMeta(bytes: Array[Byte]): Option[(Int, Int)] =
+      if (bytes.length >= 44 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' &&
+          bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't' && bytes(15) == ' ') {
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Some((bb.getInt(24), bb.getShort(22).toInt))
+      } else None
+
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val cs = FakeCodec.checksum(bytes)
+      imageMeta(bytes) match {
+        case Some((fmt, w, h)) => MediaMeta(id, bytes.length.toLong, fmt, w, h, cs)
+        case None => wavMeta(bytes) match {
+          case Some((rate, ch)) => MediaMeta(id, bytes.length.toLong, "wav", rate, ch, cs)
+          case None => MediaMeta(id, bytes.length.toLong, "unknown", 0, 0, cs)
+        }
+      }
+    }
+  }
+
+  /** Deterministic stand-in for the one stage a real model would own:
+    * feature extraction. All values derive from the payload bytes only,
+    * so tests are stable across runs/partitionings.
     */
   object FakeCodec {
-    private val formats = Array("jpeg", "png", "webp", "wav")
     def checksum(bytes: Array[Byte]): Long = {
       var h = 1125899906842597L // FNV-ish rolling hash over the blob
       var i = 0
       while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
       h
     }
-    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
-      val cs = checksum(bytes)
-      MediaMeta(id, bytes.length.toLong, formats(math.floorMod(cs, 4).toInt),
-        64 + math.floorMod(cs >> 8, 1024).toInt, 64 + math.floorMod(cs >> 18, 1024).toInt, cs)
-    }
-    /** ??? in spirit: a real impl would run the codec; the fake projects
-      * `dim` floats from the bytes deterministically. */
+    /** ??? in spirit: a real impl would run an embedding model; the fake
+      * projects `dim` floats from the bytes deterministically. */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       var i = 0
@@ -64,9 +174,25 @@ object Multimodal {
       col("source"),
       length(col("text")).cast("long").as("payload_len"))
 
+  /** Real-bytes media fixture: one deterministic PNG/JPEG/WAV payload per
+    * document id ([[ImageCodec.synthPayload]]'s rules). The payloads are
+    * genuine encoded media — [[decodeMeta]] gets no shortcut — while the
+    * metadata they decode to follows arithmetic rules the DuckDB oracle
+    * replays in SQL. Generation is map-only (one tiny encode per row).
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, ImageCodec.synthPayload(id))))
+      .toDF("media_id", "payload")
+  }
+
   /** Decode stage: binary → typed metadata via mapPartitions (one codec
-    * init per partition, the shape a real decoder needs). Blob column is
-    * dropped on output — downstream reads only small typed columns.
+    * init per partition, the shape a real decoder needs). Real header
+    * decode — PNG/JPEG/GIF via `javax.imageio`, WAV via RIFF parse;
+    * unidentifiable payloads report `unknown` with honest byte stats.
+    * Blob column is dropped on output — downstream reads only small
+    * typed columns.
     */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -74,8 +200,8 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codecs would initialize native state here, once per partition
-        it.map { case (id, bytes) => FakeCodec.decode(id, bytes) }
+        // a native codec would initialize per-partition state here, once
+        it.map { case (id, bytes) => ImageCodec.decode(id, bytes) }
       }
   }
 
@@ -119,14 +245,18 @@ object Multimodal {
           .as(Seq("frame_no", "frame")))
       .withColumn("frame_len", length(col("frame")).cast("long"))
 
-  /** Metadata aggregate registered as a query: per-format size stats. */
-  def formatProfile(spark: SparkSession, dir: String): DataFrame = {
-    val meta = decodeMeta(mediaTable(spark, dir))
-    meta.toDF()
+  /** Metadata aggregate registered as a query: per-format media profile.
+    * Averages use the exact-numerator form so the DuckDB oracle matches
+    * bit for bit; byte totals stay available for ops dashboards but the
+    * oracle-gated m1 query drops them (compressed sizes are
+    * encoder-dependent, not SQL-predictable).
+    */
+  def formatProfile(media: DataFrame): DataFrame =
+    decodeMeta(media).toDF()
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_media"),
            sum(col("byte_len")).as("total_bytes"),
-           round(avg(col("width")), 4).as("avg_width"))
+           Num.roundTo(Num.exactAvg(col("width").cast("double")), 4).as("avg_width"),
+           Num.roundTo(Num.exactAvg(col("height").cast("double")), 4).as("avg_height"))
       .orderBy("format")
-  }
 }

@@ -11,13 +11,49 @@ class MultimodalSpec extends SparkSpec {
     assert(m.filter(length(col("payload")) =!= col("payload_len")).count() == 0)
   }
 
-  test("decodeMeta is deterministic and schema-typed") {
+  test("decodeMeta is deterministic; opaque text blobs decode honestly as unknown") {
     val meta = Multimodal.decodeMeta(Multimodal.mediaTable(spark, sfDir))
     val a = meta.orderBy("media_id").collect()
     val b = meta.orderBy("media_id").collect()
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(m => m.width >= 64 && m.height >= 64))
-    assert(a.forall(m => Set("jpeg", "png", "webp", "wav").contains(m.format)))
+    assert(a.forall(m => m.format == "unknown" && m.width == 0 && m.height == 0))
+    assert(a.forall(m => m.byte_len > 0))
+  }
+
+  test("decodeMeta recovers real PNG/JPEG/WAV metadata from encoded bytes") {
+    import Multimodal.ImageCodec
+    val meta = Multimodal.decodeMeta(Multimodal.imageTable(spark, sfDir))
+      .collect()
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      ImageCodec.kind(m.media_id) match {
+        case 0 =>
+          assert(m.format == "png", m.toString)
+          assert(m.width == ImageCodec.imgWidth(m.media_id), m.toString)
+          assert(m.height == ImageCodec.imgHeight(m.media_id), m.toString)
+        case 1 =>
+          assert(m.format == "jpeg", m.toString)
+          assert(m.width == ImageCodec.imgWidth(m.media_id), m.toString)
+          assert(m.height == ImageCodec.imgHeight(m.media_id), m.toString)
+        case _ =>
+          assert(m.format == "wav", m.toString)
+          assert(m.width == ImageCodec.wavRate(m.media_id), m.toString)
+          assert(m.height == ImageCodec.wavChannels(m.media_id), m.toString)
+      }
+    }
+  }
+
+  test("ImageCodec: header decode never touches pixel data (dims from a prefix)") {
+    import Multimodal.ImageCodec
+    // PNG dimensions live in the IHDR chunk (first 33 bytes); truncate the
+    // payload to the header and the dimension read must still succeed —
+    // the property that makes header profiling cheap on 100 MB media
+    val full = ImageCodec.encodeImage(640, 480, seed = 7L, fmt = "png")
+    val hdr = full.take(33)
+    assert(ImageCodec.imageMeta(hdr).contains(("png", 640, 480)))
+    // WAV: the fmt chunk sits in the 44-byte canonical header
+    val wav = ImageCodec.encodeWav(44100, 2, nSamples = 64, seed = 7L)
+    assert(ImageCodec.wavMeta(wav.take(44)).contains((44100, 2)))
   }
 
   test("extractFeatures yields fixed-dim float vectors") {
