@@ -325,10 +325,23 @@ object SparkEntry {
     "v8_quantize_err" -> ((s, d) =>
       Similarity.quantizationError(Tables.embeddings(s, d))
         .orderBy("label")),
+    // trained-codebook IVF (Lloyd's, deterministic lowest-id init) — the
+    // dominant-dimension train-free variant stays available as
+    // Similarity.ivfTopK; rows-only by design like every ANN query, the
+    // assignment step is oracle-gated separately as v10
     "v4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, Similarity.querySet(emb, "vec_id", 20))
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.ivfTopKTrained(emb, Similarity.querySet(emb, "vec_id", 20), codebook)
         .orderBy("query_id", "rank")
+    }),
+    // IVF assignment-given-centroids: centroids = the 16 lowest-id
+    // vectors (replayable in SQL), each vector → nearest by squared L2
+    "v10_ivf_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cv"))
+      Similarity.assignCells(emb, centroids).orderBy("vec_id")
     }),
     "v5_topk_agg" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -900,6 +913,19 @@ object SparkEntry {
     // every 10th vector (matches Similarity.querySet's deterministic
     // stride); neighbors still come from the full corpus
     "v9_knn_sampled" -> knnEvalSql(" WHERE vec_id % 10 = 0"),
+    // IVF assignment: argmin over squared L2 to the 16 lowest-id
+    // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding
+    // as Similarity.l2sq, cell-id tie-break
+    "v10_ivf_assign" ->
+      s"""WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, cell,
+         |        ${Num.sqlRoundTo("list_dot_product(v, v) + list_dot_product(cv, cv) - 2.0 * list_dot_product(v, cv)", 9)} AS dist
+         |      FROM v, c),
+         |r AS (SELECT vec_id, cell, dist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |      FROM s)
+         |SELECT vec_id, cell, dist FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // int8 quantization error: scale = max|x|/127, q = floor(x/s + 0.5);
     // the err fold is a sequential list_reduce to match Spark's
     // index-order aggregate exactly

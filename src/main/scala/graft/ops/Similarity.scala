@@ -148,6 +148,100 @@ object Similarity {
       (best, cur) => when(cur.getField("a") > best.getField("a"), cur).otherwise(best))
       .getField("i")
 
+  /** Squared L2 distance via three codegen'd dot products:
+    * |a−b|² = a·a + b·b − 2·a·b. Index-order double arithmetic, so the
+    * DuckDB oracle replays it exactly with list_dot_product.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+  /** Nearest-centroid assignment — the IVF building block, oracle-gated
+    * on its own: each vector gets the cell of its closest centroid
+    * (squared-L2, 9dp-rounded with cell-id tie-break so float noise can't
+    * flip the oracle compare). Centroids broadcast (a codebook is
+    * k·dim ≪ corpus); the n×k scored rows never shuffle — the argmin is
+    * a partial (map-side) min(struct) aggregate, so O(n) rows move.
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = broadcast(centroids.select(col("cell"), col("cv")))
+    vectors.select(col(idCol), col(vecCol).as("v"))
+      .crossJoin(c)
+      .select(col(idCol), col("cell"),
+        Num.roundTo(l2sq(col("v"), col("cv")), 9).as("dist"))
+      .groupBy(idCol)
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col(idCol), col("m.cell").as("cell"), col("m.dist").as("dist"))
+  }
+
+  /** Trained IVF codebook — Lloyd's iterations as a DataFrame loop (the
+    * same iterative discipline as [[Dedup.connectedComponents]]:
+    * localCheckpoint per round to cap lineage, shuffles sized to the
+    * state, never the corpus²).
+    *
+    * Deterministic end to end: init = the `cells` lowest-id vectors
+    * (replayable in SQL — no RNG), assignment tie-breaks on cell id, and
+    * the new means use the decimal-exact numerator ([[Num.exactAvg]]) so
+    * partial-aggregation order can't wiggle a centroid. Per iteration:
+    * one map-only scoring pass + an O(n) assignment shuffle + an
+    * O(cells·dim) mean shuffle. Cells that lose all members drop out
+    * (standard Lloyd's degeneracy; the codebook just shrinks).
+    *
+    * Returns (cell: long, cv: array<float>) — the input layout of
+    * [[assignCells]] / [[ivfTopKTrained]].
+    */
+  def trainIvfCodebook(df: DataFrame, cells: Int = 16, iters: Int = 5,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cells > 0 && iters >= 0, "need cells > 0, iters >= 0")
+    val vecs = df.select(col(idCol), col(vecCol))
+    var codebook = vecs.orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cv"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(vecs, codebook, idCol, vecCol)
+        .select(col(idCol), col("cell"))
+      val means = vecs.join(assigned, idCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(Num.exactAvg(col("x").cast("double")).as("mx"))
+      codebook = means.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx").cast("float")).as("cv"))
+        .localCheckpoint()
+      i += 1
+    }
+    codebook
+  }
+
+  /** IVF ANN over a trained codebook: corpus and queries each assign to
+    * their nearest centroid (map-side argmin against the broadcast
+    * codebook), then single-probe top-k within the cell — same physical
+    * shape as [[ivfTopK]], but the cells now follow the data's actual
+    * cluster structure instead of the dominant dimension, which is what
+    * buys the recall. At 100 TB the corpus is written partitioned by
+    * `cell` once and queries touch one partition each.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+                     k: Int = 10, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cAssign = assignCells(corpus, codebook, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cAssign, "neighbor_id")
+      .withColumn("cn", norm(col("cv")))
+    val qAssign = assignCells(queries, codebook, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qAssign, "query_id")
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** IVF-bucketed ANN: single-probe top-k within the query's cell. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

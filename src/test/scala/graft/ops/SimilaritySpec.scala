@@ -321,6 +321,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"ivfTopK recall $recall < 0.7 (measured 0.875 at pin time)")
   }
 
+  test("assignCells: nearest centroid by squared L2, cell-id tie-break") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "cv")
+    val vs = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)), // → cell 0
+      (11L, Array(0.1f, 0.9f, 0.0f)), // → cell 1
+      (12L, Array(0.0f, 0.0f, 1.0f))  // equidistant → smaller cell id
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.assignCells(vs, cents).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out == Seq(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("trainIvfCodebook: recovers planted clusters exactly, deterministic retrain") {
+    import spark.implicits._
+    // 4 well-separated clusters with ids INTERLEAVED (id % 4 = cluster) so
+    // the lowest-id init covers every cluster — isolates Lloyd's from
+    // init pathology, which the recall gate below covers instead
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val data = (0 until 40).map { i =>
+      (i.toLong, bases(i % 4).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainIvfCodebook(data, cells = 4, iters = 4)
+    val assigned = Similarity.assignCells(data, cb)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCluster = (0 until 4).map(c => (c until 40 by 4).map(i => assigned(i.toLong)).toSet)
+    assert(perCluster.forall(_.size == 1), s"some cluster split across cells: $perCluster")
+    assert(perCluster.flatten.toSet.size == 4, s"clusters merged: $perCluster")
+    // retraining is bit-identical (decimal-exact means, deterministic init)
+    val again = Similarity.trainIvfCodebook(data, cells = 4, iters = 4)
+    assert(cb.orderBy("cell").collect().map(_.toString).toSeq ==
+           again.orderBy("cell").collect().map(_.toString).toSeq)
+  }
+
+  test("ivfTopKTrained recall floor on planted clusters: beats the train-free cell") {
+    val q = Similarity.querySet(planted, "vec_id", 5)
+    val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val cb = Similarity.trainIvfCodebook(planted, cells = 16, iters = 3)
+    val trained = pairSet(Similarity.ivfTopKTrained(planted, q, cb, k = 4), "query_id", "neighbor_id")
+    val ivf = pairSet(Similarity.ivfTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val recallTrained = (exact & trained).size.toDouble / exact.size
+    val recallFree = (exact & ivf).size.toDouble / exact.size
+    info(s"recall trained=$recallTrained train-free=$recallFree")
+    assert(recallTrained >= recallFree,
+      s"trained codebook recall $recallTrained below train-free $recallFree")
+    assert(recallTrained >= 0.9, s"trained recall $recallTrained < 0.9")
+  }
+
   test("embeddingNearDup on planted clusters: exactly the true intra-cluster pairs") {
     val found = pairSet(Similarity.embeddingNearDup(planted, threshold = 0.99), "id_a", "id_b")
     val truePairs = (0 until 50).flatMap { c =>
