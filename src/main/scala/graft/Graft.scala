@@ -71,6 +71,13 @@ object Graft {
   def resolveDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame =
     ops.Dedup.resolveDuplicates(docs, pairs)
 
+  /** Cross-split near-dup leakage report over a MATERIALIZED pair table
+    * ([[ops.TextStats.leakageReport]]) — persist/checkpoint the pairs
+    * once and feed every consumer (resolve, incremental dedup, this)
+    * from the same table; the pair pipeline is the expensive pass. */
+  def leakageReport(docs: DataFrame, pairs: DataFrame): DataFrame =
+    ops.TextStats.leakageReport(docs, pairs)
+
   /** Content-hash train/val/test assignment ([[ops.TextStats.assignSplit]]). */
   def assignSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     ops.TextStats.assignSplit(docs, trainPct = trainPct, valPct = valPct)

@@ -238,12 +238,7 @@ object SparkEntry {
     // independently) — composition of x4 pairs with t7 split assignment
     "t9_leakage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val splits = TextStats.assignSplit(docs).select(col("doc_id"), col("split"))
-      Dedup.ngramJaccard(docs, threshold = 0.5)
-        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
-        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
-        .filter(col("split_a") =!= col("split_b"))
-        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("split_a"), col("split_b"))
+      TextStats.leakageReport(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
         .orderBy("doc_a", "doc_b")
     }),
     "c2_chunks" -> ((s, d) =>

@@ -301,6 +301,31 @@ object TextStats {
       .drop("pid", "poff")
   }
 
+  /** Cross-split near-dup contamination report — the leakage a
+    * content-hash split canNOT prevent (exact dups co-locate by
+    * construction; near-dups hash independently): near-dup pairs whose
+    * endpoints landed in different splits.
+    *
+    * Takes the pair table as an ARGUMENT rather than recomputing it:
+    * pair generation (the x4 shingle pipeline) is the expensive pass
+    * over a corpus, and AQE cannot reuse its exchanges across
+    * differently-pruned scans — so the caller materializes pairs ONCE
+    * (persist / checkpoint / a parquet round-trip) and feeds every
+    * consumer (dup resolution, incremental dedup, this report) from the
+    * same table. `pairs` needs (doc_a, doc_b, jaccard); the report adds
+    * two map-only split joins and a filter — nothing corpus-sized.
+    */
+  def leakageReport(docs: DataFrame, pairs: DataFrame,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val splits = assignSplit(docs, trainPct = trainPct, valPct = valPct)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("split_a"), col("split_b"))
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

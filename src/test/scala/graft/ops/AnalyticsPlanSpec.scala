@@ -81,6 +81,17 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(strideBelowJoin, s"no stride filter below any join:\n$lp")
   }
 
+  test("t9 over materialized pairs: zero shingle explodes — the x4 pipeline runs once per corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val docs = Tables.documents(spark, sfDir)
+    // the combined x4+t9 flow: pairs materialized once, report reads them
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5).localCheckpoint()
+    val lp = TextStats.leakageReport(docs, pairs).queryExecution.optimizedPlan
+    val generates = lp.collect { case g: Generate => g }
+    assert(generates.isEmpty,
+      s"report re-runs shingle generation (${generates.size} Generate nodes):\n$lp")
+  }
+
   test("q1: aggregation has a partial (map-side) phase before the shuffle") {
     val p = plan(Analytics.q1PricingSummary(spark, sfDir))
     assert(p.contains("HashAggregate"), p)
