@@ -39,9 +39,15 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
 
-  /** Streaming parquet directory source (for the testdata tables). */
-  def parquetDirStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** Streaming parquet directory source (for the testdata tables).
+    * `maxFilesPerTrigger > 0` bounds micro-batch size — at 100 TB an
+    * unbounded first batch is an OOM, not a convenience. */
+  def parquetDirStream(spark: SparkSession, dir: String, schema: StructType,
+                       maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
+  }
 
   /** Tumbling 1-hour windows per event_type with a watermark. Output shape
     * matches the batch twin (window start as epoch micros). In append mode
@@ -162,7 +168,7 @@ object Streams {
 
   /** Drive any streaming frame to a named in-memory table until all
     * currently-available input is processed (test/dev harness; production
-    * sinks would be kafka/parquet/delta with checkpointing).
+    * sinks go through [[runToParquet]] with checkpointing).
     */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Complete()): StreamingQuery = {
@@ -170,6 +176,29 @@ object Streams {
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The DURABLE path: drive a streaming frame to a parquet file sink
+    * with a checkpoint, processing everything available now, then
+    * terminate. Restarting with the same (outDir, checkpointDir) resumes
+    * from the recorded offsets with recovered operator state: committed
+    * micro-batches are never re-emitted (the file sink's transaction log
+    * makes uncommitted files invisible to readers), new input picks up
+    * exactly where the last run stopped — kill-and-resume yields
+    * exactly-once output. File sinks are append-mode: stateful
+    * aggregations emit a window only once the watermark passes it, which
+    * is precisely the contract that makes re-emission impossible.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -125,6 +125,77 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("dedup_stream_mem").count() == 2)
   }
 
+  test("durable dedup: checkpoint restart recovers state — overlap across runs emits exactly once") {
+    import spark.implicits._
+    val base = tmpDir("durable_dedup")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i * 1.0))
+      .toDF("event_id", "ts", "value")
+    // run 1: ids 1..60
+    rows(1 to 60).coalesce(2).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def dedupStream = Streams.dedupExact(
+      Streams.parquetDirStream(spark, in, schema), Seq("event_id"))
+    Streams.runToParquet(dedupStream, out, ckpt)
+    val afterRun1 = spark.read.parquet(out).count()
+    assert(afterRun1 == 60L)
+    // run 2 (the "resume"): ids 41..100 arrive — 41..60 are dups the
+    // RESTARTED query can only drop if the state store came back from
+    // the checkpoint; 1..60's sink output must not re-emit
+    rows(41 to 100).coalesce(2).write.mode("append").parquet(in)
+    Streams.runToParquet(dedupStream, out, ckpt)
+    val finalIds = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalIds == (1L to 100L), s"got ${finalIds.size} rows")
+  }
+
+  test("durable hourly agg: kill/resume over a file sink still equals the batch oracle") {
+    import spark.implicits._
+    val base = tmpDir("durable_hourly")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val events = Tables.events(spark, sfDir)
+    val (minTs, maxTs) = {
+      val r = events.agg(min("ts"), max("ts")).collect().head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    val mid = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+    // session 1: the first half of event time only — the watermark stops
+    // short of every window that straddles or follows `mid`
+    events.filter(col("ts") < lit(mid)).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def hourlyStream = Streams.hourlyByType(
+      Streams.parquetDirStream(spark, in, schema), watermarkDelay = "0 seconds")
+    Streams.runToParquet(hourlyStream, out, ckpt)
+    val emitted1 = spark.read.parquet(out).count()
+    // session 2: the rest, plus a sentinel far past the last real window
+    // so the final watermark flushes every real window from state
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)
+    events.filter(col("ts") >= lit(mid))
+      .unionByName(events.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", lit(sentinel))
+        .withColumn("event_type", lit("__sentinel__")))
+      .write.mode("append").parquet(in)
+    Streams.runToParquet(hourlyStream, out, ckpt)
+    val streamed = spark.read.parquet(out)
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy("window_start_us", "event_type").collect()
+    val batch = EventWindows.hourlyByType(spark, sfDir).collect()
+    assert(emitted1 > 0 && emitted1 < batch.length,
+      s"session 1 should emit a strict prefix, emitted $emitted1 of ${batch.length}")
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} windows vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getString(1) == b.getString(1)
+        && s.getLong(2) == b.getLong(2) && s.getDouble(3) == b.getDouble(3))
+    }
+  }
+
   test("stream-static enrichment joins each micro-batch to the dim table") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = Streams.parquetDirStream(spark, eventsDir, schema)
