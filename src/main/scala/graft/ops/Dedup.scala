@@ -279,7 +279,17 @@ object Dedup {
     * component min).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 64): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 64): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** Instrumented form of [[connectedComponents]]: also returns how many
+    * label-update rounds ran (including the final no-change round that
+    * detects convergence) — the empirical handle for the O(log diameter)
+    * bound the graph-shape specs assert on chains/stars/cliques.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 64): (DataFrame, Int) = {
     // maxIter is a runaway safety cap, not a budget — the loop exits at
     // convergence (typically 3-5 rounds). 64 covers the adversarial
     // worst case: an all-one-path graph of 2^64 nodes needs ~log2(diam)
@@ -330,7 +340,7 @@ object Dedup {
       labels = jumped
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** Duplicate-cluster resolution — the step after pair generation that a

@@ -85,6 +85,65 @@ class DedupSpec extends SparkSpec {
     assert(surv == Seq(3L)) // 1 dropped (exact dup of 4, near-dup of 2)
   }
 
+  test("pointer jump round bound: 10k-node path converges in O(log diameter) rounds") {
+    // the adversarial shape for label propagation: a single path of
+    // diameter 9999 — plain min-propagation needs 9999 rounds; the jump
+    // roughly doubles the propagation distance per round, so ~log2
+    val n = 10000
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    assert(labels.count() == n)
+    assert(labels.filter(col("comp") =!= 0L).count() == 0, "all nodes must reach label 0")
+    val bound = 2 * (math.log(n - 1.0) / math.log(2.0)).ceil.toInt + 4
+    assert(rounds <= bound, s"$rounds rounds > empirical log bound $bound")
+    info(s"10k-node path: $rounds rounds (bound $bound, plain propagation would need ${n - 1})")
+  }
+
+  test("star and clique collapse in a constant number of rounds") {
+    val star = (1 to 5000).map(i => (0L, i.toLong)).toDF("doc_a", "doc_b")
+    val (sl, sr) = Dedup.connectedComponentsWithRounds(star)
+    assert(sl.count() == 5001 && sl.filter(col("comp") =!= 0L).count() == 0)
+    assert(sr <= 3, s"star took $sr rounds")
+    val clique = (for (a <- 0 until 40; b <- 0 until 40 if a < b)
+      yield (a.toLong, b.toLong)).toDF("doc_a", "doc_b")
+    val (cl, cr) = Dedup.connectedComponentsWithRounds(clique)
+    assert(cl.count() == 40 && cl.filter(col("comp") =!= 0L).count() == 0)
+    assert(cr <= 3, s"clique took $cr rounds")
+  }
+
+  test("random graphs: components == driver-side union-find reference (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+    }
+    val edgeList: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 50)
+      m <- Gen.choose(1, 80)
+      raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield raw.map { case (a, b) =>
+      (a.toLong, (if (a == b) (b + 1) % n else b).toLong) // no self-loops
+    }
+    val prop = Prop.forAll(edgeList) { edges =>
+      val spark2 = spark; import spark2.implicits._
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == ufComponents(edges)
+    }
+    // few samples — every sample runs an iterative Spark job; the shapes
+    // above cover the adversarial cases deterministically
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connectedComponents: chain, clique, and disjoint pairs resolve to min-id components") {
     // 64-node chain 100-101-...-163: diameter 63 — the pointer jump
     // resolves it in ~log2(63) rounds where plain min-propagation would
