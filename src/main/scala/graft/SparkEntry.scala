@@ -298,6 +298,15 @@ object SparkEntry {
       Similarity.lshTopK(emb, Similarity.querySet(emb, "vec_id", 20))
         .orderBy("query_id", "rank")
     }),
+    // multi-probe LSH: query's bucket + all Hamming-distance-1 buckets —
+    // ~6× single-probe recall, corpus-side cost unchanged; rows-only by
+    // design like the other ANN queries (recall gated by ScaleRecallSpec
+    // and the planted-cluster specs)
+    "v11_lsh_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
     "v3_emb_near_dup" -> ((s, d) => {
       // corpusCount pins the autoNbits sketch width to the exact corpus
       // size (one metadata-cheap parquet count, the caller's explicit

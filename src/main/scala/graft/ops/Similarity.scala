@@ -148,6 +148,41 @@ object Similarity {
       (best, cur) => when(cur.getField("a") > best.getField("a"), cur).otherwise(best))
       .getField("i")
 
+  /** Multi-probe LSH ANN: each query probes its OWN bucket plus every
+    * bucket at Hamming distance 1 in sketch space — nbits+1 probes per
+    * query. For sign sketches a distance-1 bucket is one flipped
+    * hyperplane decision, the most likely place a true neighbor landed
+    * when it just missed the query's bucket: candidate probability rises
+    * from p^nbits to p^nbits + nbits·p^(nbits−1)(1−p) (≈6× at the
+    * fixture's neighbor angles) while corpus-side cost is UNCHANGED —
+    * the corpus still hashes once and shuffles nothing; only the
+    * broadcast query table fans out ×(nbits+1). A (query, neighbor)
+    * pair can match at most one probe (probe buckets are distinct join
+    * keys and a corpus row has one bucket), so nothing is scored twice
+    * and no dedup pass is needed. The single-probe form is [[lshTopK]].
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                        nbits: Int = 8, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nbits, seed).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
+    val probeBuckets = (0 to nbits).map { i =>
+      if (i == 0) col("b0") else col("b0").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), nbits, seed).as("b0"))
+      .select(col("query_id"), col("qv"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Squared L2 distance via three codegen'd dot products:
     * |a−b|² = a·a + b·b − 2·a·b. Index-order double arithmetic, so the
     * DuckDB oracle replays it exactly with list_dot_product.

@@ -39,6 +39,20 @@ class ScaleRecallSpec extends SparkSpec {
     assert(recall >= 0.01, s"lshTopK sf0.1 recall $recall — candidate generation broken")
   }
 
+  test("sf0.1: multi-probe LSH recall@10 — the designed ~6x lift over single-probe") {
+    val nbits = Similarity.autoNbits(emb.count())
+    val single = pairSet(Similarity.lshTopK(emb, queries, k = 10, nbits = nbits),
+      "query_id", "neighbor_id")
+    val multi = pairSet(Similarity.lshTopKMultiProbe(emb, queries, k = 10, nbits = nbits),
+      "query_id", "neighbor_id")
+    val rSingle = (exactTopK & single).size.toDouble / exactTopK.size
+    val rMulti = (exactTopK & multi).size.toDouble / exactTopK.size
+    info(s"lsh recall@10 multi=$rMulti single=$rSingle (nbits=$nbits)")
+    assert(rMulti >= rSingle, "multi-probe can never lose to single-probe")
+    assert(rMulti >= 3 * rSingle,
+      s"expected the multi-probe lift (theory ~6x at these angles): $rMulti vs $rSingle")
+  }
+
   test("sf0.1: trained IVF recall@10 floor, and it beats the train-free cell") {
     val cb = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
     val trained = pairSet(Similarity.ivfTopKTrained(emb, queries, cb, k = 10),

@@ -313,6 +313,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"lshTopK recall $recall < 0.6 (measured 0.74 at pin time)")
   }
 
+  test("multi-probe LSH dominates single-probe on planted clusters") {
+    val q = Similarity.querySet(planted, "vec_id", 5)
+    val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val single = pairSet(Similarity.lshTopK(planted, q, k = 4, nbits = 8), "query_id", "neighbor_id")
+    val multi = pairSet(Similarity.lshTopKMultiProbe(planted, q, k = 4, nbits = 8), "query_id", "neighbor_id")
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    info(s"recall multi=$rMulti single=$rSingle")
+    // candidate sets are supersets probe by probe, and the shared
+    // tie-break makes per-query recall monotone in the candidate set —
+    // multi-probe can never lose to single-probe
+    assert(rMulti >= rSingle, s"multi $rMulti < single $rSingle")
+    assert(rMulti >= 0.85, s"multi-probe recall $rMulti < 0.85")
+  }
+
   test("ivfTopK recall floor on planted clusters (gate vs exact top-k)") {
     val q = Similarity.querySet(planted, "vec_id", 5)
     val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
