@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Metadata decode is REAL: [[ImageCodec.decode]] reads PNG/JPEG/GIF
-  * headers through `javax.imageio` (in the JDK — no new dependency) and
-  * parses WAV RIFF headers directly; payloads it cannot identify come
-  * back as `unknown` with the honest byte stats. Only feature extraction
-  * ([[FakeCodec.features]]) remains a deterministic stand-in — a real
-  * embedding model doesn't ship in this container.
+  * Decode and feature extraction are REAL for decodable media:
+  * [[ImageCodec.decode]] reads PNG/JPEG/GIF headers through
+  * `javax.imageio` (in the JDK — no new dependency) and parses WAV RIFF
+  * headers directly; [[ImageCodec.features]] computes grid-RGB color
+  * layout from full pixel decode and windowed PCM RMS energy for wav.
+  * Payloads the codecs cannot identify come back as `unknown` /
+  * fall to [[FakeCodec.features]]'s deterministic projection — the only
+  * remaining stand-in, marking where a learned embedding model would
+  * slot in.
   *
   * Scale notes: binary payloads dominate row size, so ops repartition by
   * target partition BYTES not row count; metadata extraction projects the
@@ -137,6 +140,87 @@ object Multimodal {
         }
       }
     }
+
+    /** Real image features: FULL pixel decode (ImageIO), then per-cell
+      * RGB means over a g×g grid (3g² ≥ dim), each in [0,1] — the
+      * classic color-layout descriptor. Lossless formats give
+      * bit-identical features everywhere; JPEG decode is deterministic
+      * per JVM. None when no reader claims the bytes.
+      */
+    def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val g = math.max(1, math.ceil(math.sqrt(dim / 3.0)).toInt)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](dim)
+        var idx = 0
+        var gy = 0
+        while (gy < g && idx < dim) {
+          var gx = 0
+          while (gx < g && idx < dim) {
+            val (x0, y0) = (gx * w / g, gy * h / g)
+            val (x1, y1) = (math.max(x0 + 1, (gx + 1) * w / g), math.max(y0 + 1, (gy + 1) * h / g))
+            var (r, gr, b, n) = (0L, 0L, 0L, 0L)
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xFF; gr += (p >> 8) & 0xFF; b += p & 0xFF; n += 1
+                x += 1
+              }
+              y += 1
+            }
+            if (n > 0) {
+              if (idx < dim) { out(idx) = (r.toFloat / n) / 255f; idx += 1 }
+              if (idx < dim) { out(idx) = (gr.toFloat / n) / 255f; idx += 1 }
+              if (idx < dim) { out(idx) = (b.toFloat / n) / 255f; idx += 1 }
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(out)
+      }
+    }
+
+    /** Real audio features for canonical (44-byte-header) WAVs: RMS
+      * energy of the 16-bit LE PCM samples over `dim` equal windows,
+      * each in [0,1]. */
+    def wavFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      wavMeta(bytes).map { _ =>
+        val nSamples = (bytes.length - 44) / 2
+        val out = new Array[Float](dim)
+        if (nSamples > 0) {
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var w = 0
+          while (w < dim) {
+            val s0 = w.toLong * nSamples / dim
+            val s1 = math.max(s0 + 1, (w + 1).toLong * nSamples / dim)
+            var acc = 0.0
+            var i = s0
+            while (i < s1 && i < nSamples) {
+              val v = bb.getShort(44 + 2 * i.toInt) / 32768.0
+              acc += v * v
+              i += 1
+            }
+            out(w) = math.sqrt(acc / (s1 - s0)).toFloat
+            w += 1
+          }
+        }
+        out
+      }
+
+    /** Feature dispatch: real pixel/PCM features for media the codec can
+      * decode; the deterministic [[FakeCodec]] projection only for
+      * unidentifiable blobs. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      imageFeatures(bytes, dim)
+        .orElse(wavFeatures(bytes, dim))
+        .getOrElse(FakeCodec.features(bytes, dim))
   }
 
   /** Deterministic stand-in for the one stage a real model would own:
@@ -205,16 +289,20 @@ object Multimodal {
       }
   }
 
-  /** Feature-extraction stage: binary → Array[Float] embedding (stubbed),
-    * output shaped exactly like the `embeddings` table for downstream
-    * similarity ops. */
+  /** Feature-extraction stage: binary → Array[Float], output shaped
+    * exactly like the `embeddings` table for downstream similarity ops.
+    * Real for decodable media ([[ImageCodec.features]]: grid-RGB color
+    * layout for images, windowed PCM RMS for wav); the deterministic
+    * fake projection only for unidentifiable blobs. A learned embedding
+    * model would slot in here — same signature, same partition shape.
+    */
   def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        MediaFeature(id, FakeCodec.features(bytes, dim))
+        MediaFeature(id, ImageCodec.features(bytes, dim))
       })
   }
 

@@ -63,6 +63,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.feature.forall(v => v >= -1.0f && v <= 1.0f)))
   }
 
+  test("image features are REAL pixel statistics: solid-color PNG → exact RGB means") {
+    import Multimodal.ImageCodec
+    val img = new java.awt.image.BufferedImage(20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (120 << 16) | (60 << 8) | 30
+    for (y <- 0 until 12; x <- 0 until 20) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val feats = ImageCodec.imageFeatures(out.toByteArray, dim = 12).get
+    // every grid cell of a solid image averages to exactly the fill color
+    feats.grouped(3).foreach { cell =>
+      assert(cell(0) == 120 / 255f && cell(1) == 60 / 255f && cell(2) == 30 / 255f,
+        cell.toSeq.toString)
+    }
+  }
+
+  test("feature dispatch engages the real codecs, not the fake, for real media") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.synthPayload(0L)  // png by the id rule
+    val wav = ImageCodec.synthPayload(2L)  // wav
+    assert(!ImageCodec.features(png, 16).sameElements(Multimodal.FakeCodec.features(png, 16)))
+    assert(!ImageCodec.features(wav, 16).sameElements(Multimodal.FakeCodec.features(wav, 16)))
+    // wav RMS windows are true energies in [0,1]
+    assert(ImageCodec.wavFeatures(wav, 8).get.forall(v => v >= 0f && v <= 1f))
+    // opaque text blob → the deterministic fallback, unchanged
+    val blob = "just some text".getBytes("UTF-8")
+    assert(ImageCodec.features(blob, 16).sameElements(Multimodal.FakeCodec.features(blob, 16)))
+  }
+
   test("sampleFrames: frame count follows the stride formula") {
     val m = Multimodal.mediaTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(m, frameBytes = 32, stride = 4)

@@ -68,6 +68,23 @@ class ScaleRecallSpec extends SparkSpec {
     assert(rTrained >= 0.15, s"trained IVF sf0.1 recall $rTrained")
   }
 
+  test("IVF at rest: corpus written partitioned by cell, a probe prunes to its partition") {
+    // the 100 TB layout claim made concrete: assign once, write
+    // partitioned by cell, and a single-cell probe must hit the
+    // partition filter — reading 1/cells of the corpus, not all of it
+    val cb = Similarity.trainIvfCodebook(emb, cells = 8, iters = 1)
+    val assigned = emb.join(
+      Similarity.assignCells(emb, cb).select(col("vec_id"), col("cell")), "vec_id")
+    val dir = tmpDir("ivf_at_rest").resolve("emb_by_cell").toString
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val probe = spark.read.parquet(dir).filter(col("cell") === 3L)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter not pushed to partition pruning:\n$plan")
+    assert(probe.count() ==
+      assigned.filter(col("cell") === 3L).count())
+  }
+
   test("sf0.1: embeddingNearDup finds the true >=threshold pairs (recall vs brute force)") {
     val n = emb.count()
     val found = pairSet(
