@@ -243,6 +243,10 @@ object SparkEntry {
     }),
     "c2_chunks" -> ((s, d) =>
       TextStats.chunk(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")),
+    // bigram-LM quality scoring: add-k smoothed self-trained LM,
+    // cross-entropy per doc (CCNet-style fluency signal)
+    "t11_bigram_lm" -> ((s, d) =>
+      TextStats.bigramCrossEntropy(Tables.documents(s, d)).orderBy("doc_id")),
     "t6_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -792,6 +796,24 @@ object SparkEntry {
          |               WHEN 'es' THEN 2500 WHEN 'fr' THEN 5000
          |               WHEN 'zh' THEN 2500 ELSE 10000 END
          |ORDER BY doc_id""".stripMargin,
+    // bigram LM replay: same tokenization as x4/t9, add-k smoothing with
+    // k=0.5, ln pre-rounded to 6dp, decimal-exact per-doc mean
+    "t11_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+         |tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |       FROM tt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix),
+         |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tt) u),
+         |lp AS (SELECT doc_id,
+         |        ${Num.sqlRoundTo("ln((c12 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
+         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${Num.sqlRoundTo("-(" + Num.sqlExactAvg("lp") + ")", 4)} AS cross_entropy
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // x4's pair pipeline joined to t7's split assignment: near-dup pairs
     // straddling train/val/test
     "t9_leakage" ->

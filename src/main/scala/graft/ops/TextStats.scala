@@ -301,6 +301,51 @@ object TextStats {
       .drop("pid", "poff")
   }
 
+  /** Bigram language-model cross-entropy per document — the CCNet-style
+    * quality signal: train an add-k-smoothed bigram LM on the corpus and
+    * score each doc by the mean negative log-probability of its bigrams
+    * (low = fluent/common constructions, high = gibberish, boilerplate
+    * soup, wrong-language residue). Self-trained here; the two-corpus
+    * variant (train on reference, score the crawl) is the same plan with
+    * `train` swapped in.
+    *
+    * P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V), score = −mean ln P.
+    *
+    * Scale shape: the count tables are partial-aggregated (map-side
+    * combine) shuffles keyed on the bigram/unigram — O(distinct bigrams),
+    * the compressible side of the join; scoring joins the doc bigrams
+    * back on the same keys. Vocabulary size rides a broadcast one-row
+    * aggregate (no driver collect). The token pipeline feeds three
+    * consumers (c2, c1, scoring), so at corpus scale persist the bigram
+    * table first — same lineage trade as [[Dedup.minhashLsh]].
+    * Determinism for the oracle: ln values are pre-rounded to 6dp, the
+    * per-doc mean uses the decimal-exact numerator, and the final score
+    * rounds to 4dp — both engines replay the identical IEEE expressions.
+    * Docs with fewer than two tokens have no bigrams and are excluded.
+    */
+  def bigramCrossEntropy(docs: DataFrame, k: Double = 0.5,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = docs.select(col(idCol), toks.as("t")).filter(size(col("t")) >= 2)
+    val bg = base.select(col(idCol),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = base.select(explode(col("t")).as("w")).agg(countDistinct("w").as("v"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        Num.roundTo(log((col("c12") + k) / (col("c1") + lit(k) * col("v"))), 6).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           Num.roundTo(-Num.exactAvg(col("lp")), 4).as("cross_entropy"))
+  }
+
   /** Cross-split near-dup contamination report — the leakage a
     * content-hash split canNOT prevent (exact dups co-locate by
     * construction; near-dups hash independently): near-dup pairs whose

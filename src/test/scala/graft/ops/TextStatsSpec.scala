@@ -144,6 +144,26 @@ class TextStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("bigramCrossEntropy: hand-computed smoothed LM on a tiny corpus") {
+    // corpus: "a b a b" / "a b" / "x y" → C(a,b)=3, C(b,a)=1, C(x,y)=1,
+    // C1: a=3, b=1, x=1; V=4; k=0.5:
+    // P(b|a)=(3.5/5)=0.7, P(a|b)=1.5/3=0.5, P(y|x)=1.5/3=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramCrossEntropy(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 4 has one token → no bigrams → excluded
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSeq == Seq(3L, 1L, 1L))
+    // doc1: -(2·ln0.7 + ln0.5)/3 = 0.4688; doc2: -ln0.7 = 0.3567
+    // (its one bigram is the corpus-dominant (a,b)); doc3: -ln0.5
+    assert(out(0)._3 == 0.4688, out(0).toString)
+    assert(out(1)._3 == 0.3567 && out(2)._3 == 0.6931, out.mkString(","))
+    // fluency ordering: the pure-dominant-bigram doc is most predictable,
+    // the one-off construction least
+    assert(out(1)._3 < out(0)._3 && out(0)._3 < out(2)._3)
+  }
+
   test("quality features on a known string") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextStats.qualityFeatures(df).collect().head
