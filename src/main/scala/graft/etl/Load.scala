@@ -53,6 +53,30 @@ object Load {
       .saveAsTable(quote(table))
   }
 
+  /** Size-targeted compaction write — the small-files killer: a pipeline
+    * stage that ends in thousands of KB-scale parquet parts poisons every
+    * downstream scan (one task + one footer read per file). Sizes the
+    * output file count from Catalyst plan statistics (driver-side, no
+    * job: `sizeInBytes` of the optimized plan ≈ uncompressed bytes),
+    * targets `targetBytes` of INPUT data per file, and repartitions —
+    * round-robin when no keys are given (even files), hash on `keys`
+    * when downstream reads filter/join on them. Returns the file count
+    * chosen. Parquet compression means actual files land under the
+    * target; the knob controls task granularity, which is what matters.
+    */
+  def compactTo(df: DataFrame, path: String,
+                targetBytes: Long = 128L << 20,
+                keys: Seq[String] = Seq.empty): Int = {
+    require(targetBytes > 0)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = ((bytes + targetBytes - 1) / BigInt(targetBytes)).toInt.max(1)
+    val shaped =
+      if (keys.isEmpty) df.repartition(files)
+      else df.repartition(files, keys.map(org.apache.spark.sql.functions.col): _*)
+    shaped.write.mode(SaveMode.Overwrite).parquet(path)
+    files
+  }
+
   /** K2: the API variant auto-creates parent dirs (api.py:62) — Spark
     * writers already do; alias kept for contract clarity. */
   def replaceParquetWithDirs(df: DataFrame, path: String): Unit =

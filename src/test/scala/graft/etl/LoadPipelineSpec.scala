@@ -48,6 +48,32 @@ class LoadPipelineSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS products_bkt")
   }
 
+  test("compactTo: file count follows the size target; content survives; keys co-locate") {
+    import org.apache.spark.sql.functions.col
+    // 1000 rows scattered across 64 tiny partitions — the small-files input
+    val df = spark.range(1000).toDF("id").repartition(64)
+    val out = tmpDir("compact").resolve("t").toString
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // target a quarter of the data per file → expect ceil(bytes/target) files
+    val target = (bytes / 4).toLong + 1
+    val n = Load.compactTo(df, out, targetBytes = target)
+    assert(n == 4, s"expected 4 planned files, got $n")
+    val parts = Files.list(java.nio.file.Paths.get(out)).iterator()
+    val partFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(partFiles == 4, s"$partFiles part files on disk")
+    assert(spark.read.parquet(out).count() == 1000)
+    // keyed compaction: same key never straddles two files
+    val keyed = spark.range(1000).toDF("id")
+      .withColumn("k", col("id") % 8).repartition(64)
+    val out2 = tmpDir("compact").resolve("t2").toString
+    Load.compactTo(keyed, out2, targetBytes = target, keys = Seq("k"))
+    val fileOfKey = spark.read.parquet(out2)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("k").agg(org.apache.spark.sql.functions.countDistinct("f").as("nf"))
+    assert(fileOfKey.filter(col("nf") > 1).count() == 0, "a key straddles files")
+  }
+
   test("C1: pipeline ingest→clean→load end-to-end with telemetry") {
     val d = tmpDir("c1")
     Files.writeString(d.resolve("in.csv"), "id,v\n1,a\n2,\n3,c\n")
