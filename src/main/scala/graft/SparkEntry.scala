@@ -290,6 +290,17 @@ object SparkEntry {
       Dedup.resolveDuplicates(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // x6 through a CorpusBloom fingerprint of the old side: bloom
+    // prefiltering is exact (one-sided error), so this shares x6's
+    // oracle verbatim — the gate proves prefiltered == unfiltered
+    "x7_bloom_cross_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 2 === 0)
+      val bloom = Dedup.corpusBloom(old, maxDocFreq = 64)
+      Dedup.ngramJaccardCrossPrefiltered(old,
+        docs.filter(col("doc_id") % 2 === 1), bloom, threshold = 0.5)
+        .orderBy("doc_old", "doc_new")
+    }),
 
     // --- similarity search ---
     "v1_brute_topk" -> ((s, d) => {
@@ -508,6 +519,32 @@ object SparkEntry {
       |g AS (SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
       |      count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |      FROM s GROUP BY user_id, session_id)""".stripMargin
+
+  /** Cross-corpus pairs: per-side df caps, shingle must appear on BOTH
+    * sides — mirrors ngramJaccardCross exactly (different guard than x4).
+    * Shared by x6 and x7 (the bloom prefilter is exact, so both forms
+    * must produce this result).
+    */
+  private def crossDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |       ELSE array_to_string(t, ' ') END AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |a AS (SELECT doc_id AS doc_old, s FROM sh WHERE doc_id % 2 = 0),
+       |b AS (SELECT doc_id AS doc_new, s FROM sh WHERE doc_id % 2 = 1),
+       |ka AS (SELECT s FROM a GROUP BY s HAVING count(*) <= 64),
+       |kb AS (SELECT s FROM b GROUP BY s HAVING count(*) <= 64),
+       |k AS (SELECT s FROM ka JOIN kb USING (s)),
+       |pr AS (SELECT doc_old, doc_new, count(*) AS shared
+       |       FROM a JOIN k USING (s) JOIN b USING (s) GROUP BY doc_old, doc_new),
+       |j AS (SELECT doc_old, doc_new,
+       |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
+       |      FROM pr JOIN sz za ON za.doc_id = doc_old JOIN sz zb ON zb.doc_id = doc_new)
+       |SELECT doc_old, doc_new, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY doc_old, doc_new""".stripMargin
 
   private def syntheticCte: String =
     """WITH p AS (SELECT i AS id, 'Product ' || i AS name, round(10 + 0.5 * i, 2) AS price,
@@ -879,26 +916,9 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // cross-corpus pairs: per-side df caps, shingle must appear on BOTH
     // sides — mirrors ngramJaccardCross exactly (different guard than x4)
-    "x6_cross_dedup" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |       ELSE array_to_string(t, ' ') END AS s
-         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |a AS (SELECT doc_id AS doc_old, s FROM sh WHERE doc_id % 2 = 0),
-         |b AS (SELECT doc_id AS doc_new, s FROM sh WHERE doc_id % 2 = 1),
-         |ka AS (SELECT s FROM a GROUP BY s HAVING count(*) <= 64),
-         |kb AS (SELECT s FROM b GROUP BY s HAVING count(*) <= 64),
-         |k AS (SELECT s FROM ka JOIN kb USING (s)),
-         |pr AS (SELECT doc_old, doc_new, count(*) AS shared
-         |       FROM a JOIN k USING (s) JOIN b USING (s) GROUP BY doc_old, doc_new),
-         |j AS (SELECT doc_old, doc_new,
-         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
-         |      FROM pr JOIN sz za ON za.doc_id = doc_old JOIN sz zb ON zb.doc_id = doc_new)
-         |SELECT doc_old, doc_new, jaccard FROM j WHERE jaccard >= 0.5
-         |ORDER BY doc_old, doc_new""".stripMargin,
+    "x6_cross_dedup" -> crossDedupSql,
+    // bloom prefilter is exact → same oracle as x6
+    "x7_bloom_cross_dedup" -> crossDedupSql,
     // x5 = x4's pair pipeline + transitive closure (recursive CTE) +
     // min-id per component — the oracle for resolveDuplicates' iterative
     // min-label propagation.

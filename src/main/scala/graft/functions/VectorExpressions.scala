@@ -267,6 +267,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => PairLongs(args(0))))
     ext.injectFunction((FunctionIdentifier("fnv1a64"), info("fnv1a64", classOf[Fnv1a64]),
       (args: Seq[Expression]) => Fnv1a64(args(0))))
+    // Spark's own runtime-filter bloom expressions (public but not in the
+    // default registry): bloom_agg(col, estNumItems, numBits) builds a
+    // serialized filter; might_contain(bloomBytes, col) probes it with
+    // codegen. Both back [[graft.ops.Dedup.corpusBloom]]'s incremental
+    // prefilter. NOTE: the aggregate silently caps estNumItems/numBits at
+    // spark.sql.optimizer.runtime.bloomFilter.max{NumItems,NumBits} —
+    // raise those confs when fingerprinting beyond ~4M distinct keys.
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", classOf[aggregate.BloomFilterAggregate]),
+      (args: Seq[Expression]) => new aggregate.BloomFilterAggregate(args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain", classOf[BloomFilterMightContain]),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
   }
 }
 

@@ -215,13 +215,28 @@ object Dedup {
   def ngramJaccardCross(oldDocs: DataFrame, newDocs: DataFrame,
                         textCol: String = "text", idCol: String = "doc_id",
                         w: Int = 3, threshold: Double = 0.6,
-                        maxDocFreq: Long = 64): DataFrame = {
+                        maxDocFreq: Long = 64): DataFrame =
+    ngramJaccardCrossImpl(oldDocs, newDocs, textCol, idCol, w, threshold,
+      maxDocFreq, shingleBloom = None)
+
+  private def ngramJaccardCrossImpl(oldDocs: DataFrame, newDocs: DataFrame,
+                        textCol: String, idCol: String,
+                        w: Int, threshold: Double,
+                        maxDocFreq: Long,
+                        shingleBloom: Option[Array[Byte]]): DataFrame = {
     def side(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), shingleHashes(col(textCol), w).as("sh"))
         .withColumn("n_sh", size(col("sh")).cast("long"))
     val a = side(oldDocs, "doc_old"); val b = side(newDocs, "doc_new")
     val ea = a.select(explode(col("sh")).as("shingle"), col("doc_old"))
-    val eb = b.select(explode(col("sh")).as("shingle"), col("doc_new"))
+    // Bloom prefilter (incremental path): drop new-side shingles the old
+    // corpus provably lacks BEFORE the df-count and join shuffles. Exact
+    // by construction — might_contain is per shingle VALUE, so a value's
+    // rows all pass or all drop; dropped values can't be in `keep` (they
+    // aren't in ka), and dfb counts of surviving values are unchanged.
+    val ebAll = b.select(explode(col("sh")).as("shingle"), col("doc_new"))
+    val eb = shingleBloom.fold(ebAll)(bytes =>
+      ebAll.filter(call_function("might_contain", lit(bytes), col("shingle"))))
     val keep = ea.groupBy("shingle").agg(count(lit(1)).as("dfa"))
       .filter(col("dfa") <= maxDocFreq).select("shingle")
       .join(eb.groupBy("shingle").agg(count(lit(1)).as("dfb"))
@@ -251,6 +266,73 @@ object Dedup {
       .select(idCol)
     val nearHit = ngramJaccardCross(oldDocs, newDocs, textCol, idCol,
         threshold = threshold)
+      .select(col("doc_new").as(idCol)).distinct()
+    newDocs.join(exactHit, Seq(idCol), "left_anti")
+      .join(nearHit, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus fingerprint for incremental dedup: bloom filters over the old
+    * corpus's exact-text hashes and its df-guarded shingle hashes. Built
+    * distributed (Spark's BloomFilterAggregate — bit-OR merge, so the
+    * result is order-independent and deterministic), a few KB per million
+    * keys at 1% fpp. The 100 TB shape: build ONCE per corpus snapshot,
+    * [[CorpusBloom.save]] it, and every daily batch prefilters against
+    * the loaded bytes without rescanning the old corpus — the old side is
+    * touched only by the final verification joins, and only for shingles
+    * the bloom admits. One-sided error: false positives cost extra join
+    * work that downstream equality removes; false negatives cannot occur,
+    * so prefiltered results are EXACTLY the unfiltered results (spec'd).
+    * Note [[graft.functions.GraftFunctions]] on the aggregate's silent
+    * ~4M-item conf cap — raise the runtime.bloomFilter confs per scale.
+    */
+  def corpusBloom(oldDocs: DataFrame, textCol: String = "text",
+                  w: Int = 3, maxDocFreq: Long = 64,
+                  fpp: Double = 0.01): CorpusBloom = {
+    def build(keys: DataFrame, c: String): Array[Byte] = {
+      val n = math.max(1L, keys.count())
+      val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+      val row = keys.agg(
+        call_function("bloom_agg", col(c), lit(n), lit(bits)).as("bf")).head()
+      if (row.isNullAt(0)) CorpusBloom.emptyBloom(fpp) else row.getAs[Array[Byte]](0)
+    }
+    val texts = oldDocs.select(xxhash64(col(textCol)).as("h")).distinct()
+    // guarded shingles only: anything above maxDocFreq is excluded from
+    // the cross join's keep-set regardless, so leaving boilerplate
+    // shingles OUT of the bloom turns the guard into free new-side pruning
+    val rare = oldDocs.select(explode(shingleHashes(col(textCol), w)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("shingle")
+    CorpusBloom(build(texts, "h"), build(rare, "shingle"), w, maxDocFreq, fpp)
+  }
+
+  /** [[ngramJaccardCross]] with the new side prefiltered through a
+    * [[CorpusBloom]] — identical output (see the fingerprint's contract),
+    * but new-side shingles that miss the old corpus never reach a shuffle.
+    * For a daily crawl batch that is mostly-new (the common case), that is
+    * most of the batch's shingle volume.
+    */
+  def ngramJaccardCrossPrefiltered(oldDocs: DataFrame, newDocs: DataFrame,
+                                   bloom: CorpusBloom,
+                                   textCol: String = "text", idCol: String = "doc_id",
+                                   threshold: Double = 0.6): DataFrame =
+    ngramJaccardCrossImpl(oldDocs, newDocs, textCol, idCol, bloom.w, threshold,
+      bloom.maxDocFreq, Some(bloom.shingleBloom))
+
+  /** [[incrementalSurvivors]] with both checks bloom-prefiltered: the
+    * exact anti-join probes only new docs whose text hash the bloom
+    * admits, the near-dup join only shingles it admits. Same output.
+    */
+  def incrementalSurvivorsPrefiltered(oldDocs: DataFrame, newDocs: DataFrame,
+                                      bloom: CorpusBloom,
+                                      textCol: String = "text", idCol: String = "doc_id",
+                                      threshold: Double = 0.6): DataFrame = {
+    val exactHit = newDocs
+      .select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .filter(call_function("might_contain", lit(bloom.textBloom), col("__h")))
+      .join(oldDocs.select(xxhash64(col(textCol)).as("__h")), Seq("__h"), "left_semi")
+      .select(idCol)
+    val nearHit = ngramJaccardCrossPrefiltered(oldDocs, newDocs, bloom,
+        textCol, idCol, threshold)
       .select(col("doc_new").as(idCol)).distinct()
     newDocs.join(exactHit, Seq(idCol), "left_anti")
       .join(nearHit, Seq(idCol), "left_anti")
@@ -410,5 +492,49 @@ object Dedup {
         Num.roundTo(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+}
+
+/** Serialized corpus fingerprint for incremental dedup — see
+  * [[Dedup.corpusBloom]]. `textBloom` holds xxhash64(text) of every old
+  * doc; `shingleBloom` holds the old corpus's df-guarded shingle hashes
+  * for the (w, maxDocFreq) the fingerprint was built with.
+  */
+case class CorpusBloom(textBloom: Array[Byte], shingleBloom: Array[Byte],
+                       w: Int, maxDocFreq: Long, fpp: Double) {
+  /** Persist to a local/DFS-mounted path — a few KB/MB artifact meant to
+    * outlive the job and serve every future incremental batch. */
+  def save(path: java.nio.file.Path): Unit = {
+    val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(path))
+    try {
+      out.writeInt(CorpusBloom.Magic); out.writeInt(1)
+      out.writeInt(w); out.writeLong(maxDocFreq); out.writeDouble(fpp)
+      out.writeInt(textBloom.length); out.write(textBloom)
+      out.writeInt(shingleBloom.length); out.write(shingleBloom)
+    } finally out.close()
+  }
+}
+
+object CorpusBloom {
+  private[ops] val Magic = 0x47424C4D // "GBLM"
+
+  def load(path: java.nio.file.Path): CorpusBloom = {
+    val in = new java.io.DataInputStream(java.nio.file.Files.newInputStream(path))
+    try {
+      require(in.readInt() == Magic, s"$path is not a CorpusBloom file")
+      require(in.readInt() == 1, "unsupported CorpusBloom version")
+      val w = in.readInt(); val mdf = in.readLong(); val fpp = in.readDouble()
+      def bytes() = { val b = new Array[Byte](in.readInt()); in.readFully(b); b }
+      CorpusBloom(bytes(), bytes(), w, mdf, fpp)
+    } finally in.close()
+  }
+
+  /** Zero-row corpora still need valid bloom bytes (the aggregate yields
+    * null on empty input): a 1-slot filter that admits nothing inserted. */
+  private[ops] def emptyBloom(fpp: Double): Array[Byte] = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 }
