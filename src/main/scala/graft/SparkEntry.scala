@@ -215,6 +215,14 @@ object SparkEntry {
       TextStats.assignSplit(Tables.documents(s, d))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+    // contamination-safe split: near-dup clusters (x4 pairs, transitively
+    // closed) share one split — the fix for what t9 measures
+    "t12_leakproof_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextStats.assignSplitByComponent(docs,
+          Dedup.ngramJaccard(docs, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
     "c3_scrub" -> ((s, d) =>
       TextStats.scrubPii(Tables.documents(s, d))
@@ -519,6 +527,37 @@ object SparkEntry {
       |g AS (SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
       |      count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |      FROM s GROUP BY user_id, session_id)""".stripMargin
+
+  /** x4's pair pipeline + transitive closure (recursive CTE) + min-id per
+    * component — the oracle core for resolveDuplicates' iterative
+    * min-label propagation, ending in CTE `rec(v, component)` over every
+    * doc (singletons map to themselves). Shared by x5 and t12.
+    */
+  private def dupComponentsCte: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |       ELSE array_to_string(t, ' ') END AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 64),
+       |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |          FROM f a JOIN f b USING (s) WHERE a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
+       |      FROM prs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
+       |edges0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS v, doc_b AS w FROM edges0 UNION SELECT doc_b, doc_a FROM edges0),
+       |rec AS (
+       |  WITH RECURSIVE reach(v, r) AS (
+       |    SELECT doc_id, doc_id FROM documents
+       |    UNION
+       |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
+       |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
+       |)""".stripMargin
 
   /** Cross-corpus pairs: per-side df caps, shingle must appear on BOTH
     * sides — mirrors ngramJaccardCross exactly (different guard than x4).
@@ -923,32 +962,22 @@ object SparkEntry {
     // min-id per component — the oracle for resolveDuplicates' iterative
     // min-label propagation.
     "x5_dup_resolve" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |       ELSE array_to_string(t, ' ') END AS s
-         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-         |f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 64),
-         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |          FROM f a JOIN f b USING (s) WHERE a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id),
-         |j AS (SELECT doc_a, doc_b,
-         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
-         |      FROM prs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
-         |edges0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS v, doc_b AS w FROM edges0 UNION SELECT doc_b, doc_a FROM edges0),
-         |rec AS (
-         |  WITH RECURSIVE reach(v, r) AS (
-         |    SELECT doc_id, doc_id FROM documents
-         |    UNION
-         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
-         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
-         |)
+      s"""$dupComponentsCte
          |SELECT v AS doc_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY doc_id""".stripMargin,
+    // t12 = x5's components + t7's FNV bucket, keyed on the CANONICAL
+    // doc's text — the whole point is split(doc) = split(component rep)
+    "t12_leakproof_split" ->
+      s"""$dupComponentsCte,
+         |canon AS (SELECT doc_id, ${fnv1a64Sql("text")} AS h FROM documents),
+         |asg AS (SELECT rec.v AS doc_id, rec.component,
+         |          ((c.h % 100) + 100) % 100 AS bucket
+         |        FROM rec JOIN canon c ON c.doc_id = rec.component)
+         |SELECT doc_id, component, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin,
 
     "v1_brute_topk" -> bruteTopKSql,
     // leave-one-out kNN label eval: same sim/rank formulation as

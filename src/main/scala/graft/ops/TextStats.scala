@@ -133,6 +133,37 @@ object TextStats {
           .otherwise("test"))
   }
 
+  /** Leakage-PROOF split: [[assignSplit]]'s content-hash buckets, but
+    * keyed on each doc's dup-cluster CANONICAL text — the component
+    * representative from [[Dedup.resolveDuplicates]] over the given
+    * near-dup `pairs` — so exact and near duplicates land in the SAME
+    * split by construction, closing the contamination channel
+    * [[leakageReport]] measures (a per-doc hash split cannot: near-dups
+    * hash independently). Docs in no pair are their own component and get
+    * exactly their [[assignSplit]] assignment.
+    *
+    * Scale shape: the pair graph is corpus-scale-small (candidates only),
+    * so the extra cost over t7 is connected components on that graph plus
+    * one hash join from docs to their component's bucket — both sized to
+    * the graph, not the corpus.
+    */
+  def assignSplitByComponent(docs: DataFrame, pairs: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100, "bad split percentages")
+    val resolved = Dedup.resolveDuplicates(docs, pairs, idCol)
+    // bucket of the CANONICAL doc's text; components are doc ids, so this
+    // is a doc_id-keyed lookup — computed map-side, joined once
+    val canon = docs.select(col(idCol).as("component"),
+      pmod(call_function("fnv1a64", col(textCol)), lit(100L)).as("bucket"))
+    resolved.select(col(idCol), col("component"))
+      .join(canon, Seq("component"))
+      .select(col(idCol), col("component"), col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Intra-document repetition signals — the published Gopher/RefinedWeb
     * quality-rule family: heavily repetitious text (boilerplate, spam,
     * scraper loops) shows up as a high fraction of duplicate tokens and

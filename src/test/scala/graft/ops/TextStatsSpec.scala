@@ -37,6 +37,34 @@ class TextStatsSpec extends SparkSpec {
     assert(splits(0) == splits(1))
   }
 
+  test("assignSplitByComponent: near-dup clusters co-locate; singletons match assignSplit") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — test is vacuous")
+    val asg = TextStats.assignSplitByComponent(docs, pairs)
+    assert(asg.count() == docs.count())
+    // the property t7 cannot give: both ends of every near-dup pair (and
+    // transitively, every component) get one split
+    val straddlers = pairs
+      .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddlers == 0L, s"$straddlers near-dup pairs straddle splits")
+    val compSplits = asg.groupBy("component")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(compSplits == 0L, "a component spans multiple splits")
+    // docs in no pair keep their own-content t7 assignment exactly
+    val inPair = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val lone = asg.join(inPair, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("bucket").as("cb"), col("split").as("cs"))
+    val mismatches = TextStats.assignSplit(docs)
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .join(lone, Seq("doc_id"))
+      .filter(col("bucket") =!= col("cb") || col("split") =!= col("cs")).count()
+    assert(mismatches == 0L, "a singleton's split differs from assignSplit")
+  }
+
   test("scrubPii: emails and phones replaced, counts exact, clean text untouched") {
     val df = Seq(
       (1L, "contact alice.smith+spam@example.co.uk or call 555-123-4567 now"),
