@@ -183,6 +183,22 @@ object SparkEntry {
           graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
       s.table(mem).orderBy("doc_id")
     }),
+    // streaming incremental dedup: odd docs stream in against the even
+    // half as the static corpus, bloom-prefiltered; stateless append
+    "st5_stream_increment" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage).filter(col("doc_id") % 2 === 0)
+      val bloom = Dedup.textBloom(corpus)
+      val mem = s"st5_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamSurvivors(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("doc_id") % 2 === 1), corpus, bloom)
+          .select(col("doc_id"), col("lang"), col("source")),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_id")
+    }),
     // streaming ANN serving: query stream (every 20th vector) against the
     // static corpus; shares v1's oracle (identical sim/rank formulation)
     "st4_stream_topk" -> ((s, d) => {
@@ -935,6 +951,13 @@ object SparkEntry {
     "st3_stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         | GROUP BY text ORDER BY doc_id""".stripMargin,
+    // streaming incremental exact survivors: odd docs whose text the even
+    // (corpus) half lacks — the bloom split must be invisible in results
+    "st5_stream_increment" ->
+      """SELECT doc_id, lang, source FROM documents
+        | WHERE doc_id % 2 = 1
+        |   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+        | ORDER BY doc_id""".stripMargin,
     "x4_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),

@@ -285,16 +285,29 @@ object Dedup {
     * Note [[graft.functions.GraftFunctions]] on the aggregate's silent
     * ~4M-item conf cap — raise the runtime.bloomFilter confs per scale.
     */
+  /** Distributed bloom build over a long key column: sizes the filter
+    * from an exact count, aggregates with `bloom_agg`. Exposed for
+    * callers that need a single filter (e.g. the streaming incremental
+    * path wants only the text bloom, not a full [[CorpusBloom]]).
+    */
+  def buildBloom(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
+    val n = math.max(1L, keys.count())
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val row = keys.agg(
+      call_function("bloom_agg", col(keyCol), lit(n), lit(bits)).as("bf")).head()
+    if (row.isNullAt(0)) CorpusBloom.emptyBloom(fpp) else row.getAs[Array[Byte]](0)
+  }
+
+  /** Bloom over a corpus's exact-text hashes — the fingerprint half the
+    * exact-dedup paths need. */
+  def textBloom(docs: DataFrame, textCol: String = "text",
+                fpp: Double = 0.01): Array[Byte] =
+    buildBloom(docs.select(xxhash64(col(textCol)).as("h")).distinct(), "h", fpp)
+
   def corpusBloom(oldDocs: DataFrame, textCol: String = "text",
                   w: Int = 3, maxDocFreq: Long = 64,
                   fpp: Double = 0.01): CorpusBloom = {
-    def build(keys: DataFrame, c: String): Array[Byte] = {
-      val n = math.max(1L, keys.count())
-      val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
-      val row = keys.agg(
-        call_function("bloom_agg", col(c), lit(n), lit(bits)).as("bf")).head()
-      if (row.isNullAt(0)) CorpusBloom.emptyBloom(fpp) else row.getAs[Array[Byte]](0)
-    }
+    def build(keys: DataFrame, c: String): Array[Byte] = buildBloom(keys, c, fpp)
     val texts = oldDocs.select(xxhash64(col(textCol)).as("h")).distinct()
     // guarded shingles only: anything above maxDocFreq is excluded from
     // the cross join's keep-set regardless, so leaving boilerplate

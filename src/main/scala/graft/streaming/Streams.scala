@@ -116,6 +116,30 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(dim, Seq(key), "left")
 
+  /** Streaming incremental exact dedup against a STATIC corpus — the
+    * "daily crawl" reduction as a stream: emit only docs whose text does
+    * not already exist in the corpus. The broadcast bloom (build with
+    * [[graft.ops.Dedup.textBloom]] once per corpus snapshot) splits each
+    * micro-batch: bloom-NEGATIVE docs — the vast majority of a
+    * mostly-new crawl — pass through without touching the corpus at
+    * all; only bloom-positives probe the stream-static anti-join that
+    * removes the ~fpp false positives. One-sided bloom error keeps the
+    * union exactly equal to a plain anti-join of the whole stream
+    * (shares the batch oracle). Stateless — no state store; the corpus
+    * side re-resolves per micro-batch, so a corpus refresh plus a new
+    * bloom takes effect without restarting the query.
+    */
+  def streamSurvivors(newDocs: DataFrame, corpus: DataFrame,
+                      textBloom: Array[Byte],
+                      textCol: String = "text"): DataFrame = {
+    val hit = call_function("might_contain", lit(textBloom), xxhash64(col(textCol)))
+    val fresh = newDocs.filter(!hit)
+    val maybe = newDocs.filter(hit)
+      .join(corpus.select(xxhash64(col(textCol)).as("__corpus_h")),
+        xxhash64(col(textCol)) === col("__corpus_h"), "left_anti")
+    fresh.unionByName(maybe)
+  }
+
   /** Streaming similarity serving: a stream of query vectors scored
     * against a STATIC corpus — the online ANN-serving path. Each
     * micro-batch stream-static joins the queries to the corpus (corpus

@@ -70,6 +70,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming bloom-prefiltered survivors == batch anti-join, bloom invisible in results") {
+    val d = tmpDir("stream_inc").resolve("docs").toString
+    // sf0.001 has no odd-duplicates-even text collisions — inject some:
+    // 5 new ODD-id docs copying EVEN docs' texts, so the dup path runs
+    val base = Tables.documents(spark, sfDir)
+    val maxId = base.agg(max("doc_id")).head().getLong(0)
+    val injected = base.filter(col("doc_id") % 2 === 0).limit(5)
+      .withColumn("doc_id", (lit(maxId) + col("doc_id") + 1) * 2 + 1)
+    base.unionByName(injected).write.mode("overwrite").parquet(d)
+    val all = spark.read.parquet(d)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val bloom = graft.ops.Dedup.textBloom(corpus)
+    val schema = all.schema
+    Streams.runToMemory(
+      Streams.streamSurvivors(
+        Streams.parquetDirStream(spark, d, schema).filter(col("doc_id") % 2 === 1),
+        corpus, bloom).select("doc_id"),
+      "survivors_stream", OutputMode.Append())
+    val streamed = spark.table("survivors_stream").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val batch = all.filter(col("doc_id") % 2 === 1)
+      .join(corpus.select(xxhash64(col("text")).as("__h")),
+        xxhash64(col("text")) === col("__h"), "left_anti")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the fixture must actually exercise the dup path, or this is vacuous
+    assert(streamed.length < all.filter(col("doc_id") % 2 === 1).count(),
+      "no odd doc duplicated an even doc — survivors check is vacuous")
+  }
+
   test("streaming top-k serving == batch bruteForceTopKAgg, row for row") {
     val emb = Tables.embeddings(spark, sfDir)
     val d = tmpDir("stream_emb").resolve("emb").toString
