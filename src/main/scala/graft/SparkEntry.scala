@@ -151,6 +151,9 @@ object SparkEntry {
     "e2_sessions" -> (EventWindows.userSessions(_, _)),
     "e3_session_stats" -> (EventWindows.sessionStats(_, _)),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
+    // binned range join: interval containment as an equi-join on bins —
+    // no nested loop (plan spec-asserted in RangeJoinSpec)
+    "z2_range_join" -> (AsOf.urgentWeekShipVolume(_, _)),
 
     // --- structured streaming in the correctness gate: the streaming
     //     hourly aggregation must equal e1_hourly's oracle ---
@@ -796,6 +799,15 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord
         |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    // half-open [orderdate, orderdate+7) containment — DuckDB's IEJoin
+    // replays the binned equi-join's semantics directly
+    "z2_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        | AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE) + 7
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "e3_session_stats" ->
       s"""$sessionsCte
          |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events

@@ -52,6 +52,58 @@ object AsOf {
       .select(lcols.toIndexedSeq.map(col) :+ col("__carried").as(s"asof_$payloadCol"): _*)
   }
 
+  /** Binned range join — `facts.point ∈ [start, end)` — the other time
+    * join Spark has no native operator for: a bare inequality join plans
+    * as BroadcastNestedLoopJoin, O(|facts|·|intervals|) and
+    * non-broadcastable at scale. Binning turns it into an equi-join over
+    * a numeric domain (epoch days/seconds, prices, positions):
+    * intervals explode to every bin they overlap (ceil(span/binWidth)+1
+    * rows each), facts map to exactly ONE bin, so the bin equi-join
+    * emits each qualifying pair exactly once — no dedup pass — and the
+    * containment predicate runs only on bin-collision candidates as the
+    * join residual. Shuffle keys are (bin ++ equiKeys); both sides
+    * hash-partition, no nested loop anywhere (spec-asserted). Pick
+    * binWidth ≈ the typical interval span: much smaller multiplies the
+    * interval explode, much larger multiplies residual-filter waste.
+    * Empty/inverted intervals ([e, s] with e <= s) match nothing and are
+    * dropped up front (also keeps `sequence` ascending).
+    */
+  def rangeJoin(facts: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                binWidth: Long,
+                equiKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = facts.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"rename colliding columns before rangeJoin: $overlap")
+    def binOf(c: org.apache.spark.sql.Column) = floor(c / binWidth).cast("long")
+    val f = facts.withColumn("__fbin", binOf(col(pointCol)))
+    val i = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__ibin",
+        explode(sequence(binOf(col(startCol)), binOf(col(endCol) - 1))))
+    val cond = (Seq(col("__fbin") === col("__ibin")) ++
+      equiKeys.map { case (fk, ik) => col(fk) === col(ik) })
+      .reduce(_ && _) &&
+      col(pointCol) >= col(startCol) && col(pointCol) < col(endCol)
+    f.join(i, cond).drop("__fbin", "__ibin")
+  }
+
+  /** Registered query shape for [[rangeJoin]]: shipping volume landing in
+    * each urgent order's first week — lineitem ship-days against
+    * [orderdate, orderdate + 7) windows, binned at the window width.
+    */
+  def urgentWeekShipVolume(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("w_start"))
+      .withColumn("w_end", col("w_start") + 7)
+    val f = Tables.lineitem(spark, dir)
+      .select(unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_day"))
+    rangeJoin(f, "ship_day", iv, "w_start", "w_end", binWidth = 7)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
   /** Registered query shape: each event joined to the user's latest order
     * at event time (events.user_id ⋈ orders.o_custkey). The right side is
     * pre-reduced to one row per (custkey, orderdate) — max o_orderkey —
