@@ -82,6 +82,43 @@ object Graft {
   def assignSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     ops.TextStats.assignSplit(docs, trainPct = trainPct, valPct = valPct)
 
+  /** Leakage-PROOF split: near-dup clusters co-locate in one split
+    * ([[ops.TextStats.assignSplitByComponent]]) — closes the channel
+    * [[leakageReport]] measures; feed it the same materialized pairs. */
+  def assignSplitSafe(docs: DataFrame, pairs: DataFrame,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    ops.TextStats.assignSplitByComponent(docs, pairs,
+      trainPct = trainPct, valPct = valPct)
+
+  /** Corpus fingerprint for incremental dedup ([[ops.Dedup.corpusBloom]];
+    * save/load on [[ops.CorpusBloom]]) — build once per corpus snapshot,
+    * then [[incrementalSurvivors]] prefilters every future batch without
+    * rescanning the corpus. */
+  def corpusBloom(oldDocs: DataFrame): ops.CorpusBloom =
+    ops.Dedup.corpusBloom(oldDocs)
+
+  /** Batch-vs-corpus survivors, bloom-prefiltered
+    * ([[ops.Dedup.incrementalSurvivorsPrefiltered]]) — results are
+    * exactly the unfiltered pipeline's. */
+  def incrementalSurvivors(oldDocs: DataFrame, newDocs: DataFrame,
+                           bloom: ops.CorpusBloom,
+                           threshold: Double = 0.6): DataFrame =
+    ops.Dedup.incrementalSurvivorsPrefiltered(oldDocs, newDocs, bloom,
+      threshold = threshold)
+
+  /** Binned range join — interval containment without a nested loop
+    * ([[ops.AsOf.rangeJoin]]). */
+  def rangeJoin(facts: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                binWidth: Long): DataFrame =
+    ops.AsOf.rangeJoin(facts, pointCol, intervals, startCol, endCol, binWidth)
+
+  /** Size-targeted compaction write ([[etl.Load.compactTo]]). */
+  def compactTo(df: DataFrame, path: String,
+                targetBytes: Long = 128L << 20,
+                keys: Seq[String] = Seq.empty): Int =
+    Load.compactTo(df, path, targetBytes, keys)
+
   /** Deterministic weighted downsampling per group ([[ops.TextStats.mixCorpus]]). */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
                 keyCol: String = "lang"): DataFrame =

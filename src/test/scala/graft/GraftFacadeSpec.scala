@@ -47,6 +47,28 @@ class GraftFacadeSpec extends SparkSpec {
     assert(topk.count() > 0)
   }
 
+  test("incremental-corpus journey: bloom fingerprint → survivors → safe split → compaction") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.Tables.documents(spark, sfDir)
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val bloom = Graft.corpusBloom(old)
+    val surv = Graft.incrementalSurvivors(old, fresh, bloom, threshold = 0.5)
+    assert(surv.count() > 0 && surv.count() <= fresh.count())
+    val pairs = Graft.nearDupPairs(docs)
+    val safe = Graft.assignSplitSafe(docs, pairs)
+    assert(safe.count() == docs.count())
+    val d = tmpDir("facade_compact")
+    val n = Graft.compactTo(docs.repartition(32), d.resolve("out").toString)
+    assert(n >= 1 && spark.read.parquet(d.resolve("out").toString).count() == docs.count())
+    val iv = old.select(col("doc_id").as("iv_id"),
+      (col("doc_id") * 10).as("s"), (col("doc_id") * 10 + 5).as("e"))
+    val rj = Graft.rangeJoin(
+      fresh.select(col("doc_id").as("fid"), (col("doc_id") * 10 - 5).as("p")),
+      "p", iv, "s", "e", binWidth = 10)
+    assert(rj.columns.contains("iv_id"))
+  }
+
   test("composable stages: ingest → clean → load as one lazy chain") {
     val d = tmpDir("facade2")
     Files.writeString(d.resolve("in.csv"), "id,v\n1,a\n2,\n")
