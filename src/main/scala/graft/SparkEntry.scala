@@ -381,6 +381,18 @@ object SparkEntry {
       Similarity.ivfTopKTrained(emb, Similarity.querySet(emb, "vec_id", 20), codebook)
         .orderBy("query_id", "rank")
     }),
+    // multi-probe IVF: each query probes its 4 nearest cells — the
+    // nprobe recall/cost knob; corpus-side layout unchanged. Rows-only
+    // by design like the other ANN queries (recall gated in
+    // ScaleRecallSpec; nprobe=|cells| proven == brute force in
+    // SimilaritySpec)
+    "v12_ivf_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.ivfTopKTrainedMultiProbe(emb,
+          Similarity.querySet(emb, "vec_id", 20), codebook, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // IVF assignment-given-centroids: centroids = the 16 lowest-id
     // vectors (replayable in SQL), each vector → nearest by squared L2
     "v10_ivf_assign" -> ((s, d) => {

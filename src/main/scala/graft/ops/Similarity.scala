@@ -277,6 +277,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe cell assignment: the `nprobe` nearest centroids per
+    * vector, by the same 9dp-rounded squared-L2 (with cell-id tie-break)
+    * as [[assignCells]]. The bounded-heap `topk_by_score` aggregate
+    * keeps per-vector state at ≤ nprobe entries (score = −dist, so the
+    * heap's keep-max-k retains the min-dist cells); the n×k scored rows
+    * never shuffle.
+    */
+  def assignCellsMulti(vectors: DataFrame, centroids: DataFrame, nprobe: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val c = broadcast(centroids.select(col("cell"), col("cv")))
+    vectors.select(col(idCol), col(vecCol).as("v"))
+      .crossJoin(c)
+      .select(col(idCol), col("cell"),
+        Num.roundTo(l2sq(col("v"), col("cv")), 9).as("dist"))
+      .groupBy(idCol)
+      .agg(call_function("topk_by_score", -col("dist"), col("cell"), lit(nprobe)).as("t"))
+      .select(col(idCol), explode(col("t")).as("p"))
+      .select(col(idCol), col("p.id").as("cell"), (-col("p.score")).as("dist"))
+  }
+
+  /** Multi-probe IVF ANN — the `nprobe` recall/cost knob every
+    * production IVF exposes: the CORPUS keeps its one-cell-per-vector
+    * at-rest layout (the partition-pruned storage is untouched — same
+    * 100 TB story as [[ivfTopKTrained]]), while each QUERY probes its
+    * `nprobe` nearest cells. Scoring cost scales linearly in nprobe on
+    * the query side only; a (query, neighbor) pair can arise in at most
+    * one probed cell (the neighbor lives in exactly one), so no dedup
+    * pass. `nprobe = |codebook|` degenerates to exact brute force —
+    * spec'd equal to [[bruteForceTopK]] row for row, which pins the
+    * whole probe/join/rank pipeline's correctness.
+    */
+  def ivfTopKTrainedMultiProbe(corpus: DataFrame, queries: DataFrame,
+                               codebook: DataFrame, k: Int = 10, nprobe: Int = 4,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val cAssign = assignCells(corpus, codebook, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cAssign, "neighbor_id")
+      .withColumn("cn", norm(col("cv")))
+    val qAssign = assignCellsMulti(queries, codebook, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qAssign, "query_id")
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** IVF-bucketed ANN: single-probe top-k within the query's cell. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

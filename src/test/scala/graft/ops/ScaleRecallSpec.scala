@@ -68,6 +68,21 @@ class ScaleRecallSpec extends SparkSpec {
     assert(rTrained >= 0.15, s"trained IVF sf0.1 recall $rTrained")
   }
 
+  test("sf0.1: multi-probe IVF recall@10 — the nprobe lift over single-probe") {
+    val cb = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val single = pairSet(Similarity.ivfTopKTrained(emb, queries, cb, k = 10),
+      "query_id", "neighbor_id")
+    val multi = pairSet(
+      Similarity.ivfTopKTrainedMultiProbe(emb, queries, cb, k = 10, nprobe = 4),
+      "query_id", "neighbor_id")
+    val rSingle = (exactTopK & single).size.toDouble / exactTopK.size
+    val rMulti = (exactTopK & multi).size.toDouble / exactTopK.size
+    info(s"ivf recall@10 multi(nprobe=4)=$rMulti single=$rSingle")
+    assert(rMulti >= rSingle, "multi-probe can never lose to single-probe")
+    assert(rMulti >= 1.5 * rSingle,
+      s"expected a real nprobe=4 lift: $rMulti vs $rSingle")
+  }
+
   test("IVF at rest: corpus written partitioned by cell, a probe prunes to its partition") {
     // the 100 TB layout claim made concrete: assign once, write
     // partitioned by cell, and a single-cell probe must hit the

@@ -336,6 +336,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"ivfTopK recall $recall < 0.7 (measured 0.875 at pin time)")
   }
 
+  test("multi-probe IVF: nprobe=|cells| degenerates to exact brute force, row for row") {
+    // with every cell probed, the cell join scores every (query, neighbor)
+    // pair — the whole probe/join/rank pipeline must reproduce
+    // bruteForceTopK exactly (same rounding, same tie-breaks)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.querySet(emb, "vec_id", 50)
+    val cb = Similarity.trainIvfCodebook(emb, cells = 8, iters = 2)
+    val nCells = cb.count().toInt
+    val multi = Similarity.ivfTopKTrainedMultiProbe(emb, q, cb, k = 5, nprobe = nCells)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(multi.nonEmpty && multi == brute)
+  }
+
+  test("multi-probe IVF dominates single-probe on planted clusters") {
+    val q = Similarity.querySet(planted, "vec_id", 5)
+    val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
+    val cb = Similarity.trainIvfCodebook(planted, cells = 16, iters = 3)
+    val single = pairSet(Similarity.ivfTopKTrained(planted, q, cb, k = 4), "query_id", "neighbor_id")
+    val multi = pairSet(Similarity.ivfTopKTrainedMultiProbe(planted, q, cb, k = 4, nprobe = 4),
+      "query_id", "neighbor_id")
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    info(s"ivf recall multi=$rMulti single=$rSingle")
+    assert(rMulti >= rSingle, s"multi $rMulti < single $rSingle")
+  }
+
+  test("assignCellsMulti: nprobe nearest cells in distance order, ties on cell id") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f))).toDF("cell", "cv")
+    val vs = Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.assignCellsMulti(vs, cents, nprobe = 2)
+      .orderBy("dist").collect().map(r => r.getLong(1)).toSeq
+    assert(out == Seq(0L, 1L), s"got $out") // nearest, then next-nearest
+  }
+
   test("assignCells: nearest centroid by squared L2, cell-id tie-break") {
     import spark.implicits._
     val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
