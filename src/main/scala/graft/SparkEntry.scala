@@ -148,6 +148,7 @@ object SparkEntry {
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
+    "e5_sliding" -> (EventWindows.slidingByType(_, _)),
     "e2_sessions" -> (EventWindows.userSessions(_, _)),
     "e3_session_stats" -> (EventWindows.sessionStats(_, _)),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
@@ -801,6 +802,16 @@ object SparkEntry {
 
     "e1_hourly" -> hourlySql,
     "st1_stream_hourly" -> hourlySql,
+    // sliding windows: epoch-aligned starts, each event in exactly
+    // width/slide = 2 windows (floor grid minus k slides)
+    "e5_sliding" ->
+      s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type, value FROM events),
+         |x AS (SELECT ((tus // 1800000000) - k) * 1800000000 AS window_start_us,
+         |             event_type, value
+         |      FROM e, LATERAL (SELECT unnest([0, 1]) AS k) kk)
+         |SELECT window_start_us, event_type, count(*) AS n_events,
+         | ${decSum("value")} AS total_value
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e2_sessions" ->
       s"""$sessionsCte SELECT * FROM g ORDER BY user_id, session_id""",
     "z1_asof_join" ->

@@ -41,6 +41,23 @@ object EventWindows {
       .select(col("w.start").as("window_start"), col("n_events"))
       .orderBy("window_start")
 
+  /** Registered sliding-window shape (e5): 1-hour windows every 30
+    * minutes per event type. Spark's `window()` fans each event into
+    * width/slide = 2 rows BEFORE the aggregation — partial (map-side)
+    * combine still applies, so shuffle volume is O(windows·types), not
+    * O(events·2). The oracle replays the epoch-aligned window starts as
+    * floor-grid arithmetic (an event at t belongs to starts
+    * floor(t/slide)·slide − k·slide for k in 0..width/slide−1).
+    */
+  def slidingByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Num.exactSum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+
   /** Per-user sessionization with a 30-minute inactivity gap, expressed as
     * gaps-and-islands (lag + conditional cumulative sum) so the identical
     * SQL is the DuckDB oracle. One shuffle on user_id; both windows reuse

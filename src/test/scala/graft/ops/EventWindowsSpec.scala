@@ -37,6 +37,22 @@ class EventWindowsSpec extends SparkSpec {
     assert(slid == 2 * total) // 1h window every 30m → each event in 2 windows
   }
 
+  test("slidingByType: conservation, grid alignment, and per-type totals match tumbling") {
+    val total = Tables.events(spark, sfDir).count()
+    val st = EventWindows.slidingByType(spark, sfDir)
+    assert(st.agg(sum("n_events")).collect().head.getLong(0) == 2 * total)
+    // every window start sits on the 30-minute epoch grid
+    assert(st.filter(col("window_start_us") % (1800L * 1000000) =!= 0).count() == 0)
+    // per-type event totals are 2x the tumbling per-type totals
+    val slidByType = st.groupBy("event_type").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    EventWindows.hourlyByType(spark, sfDir)
+      .groupBy("event_type").agg(sum("n_events").as("n"))
+      .collect().foreach { r =>
+        assert(slidByType(r.getString(0)) == 2 * r.getLong(1))
+      }
+  }
+
   test("sessionStats n_events reconciles with userSessions") {
     val sess = EventWindows.userSessions(spark, sfDir)
     val stats = EventWindows.sessionStats(spark, sfDir)
