@@ -21,10 +21,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the tail of stdout; with ~80 queries a
+    // full-precision line overflows that capture and truncates from the
+    // FRONT. Keys are ordered so the headline metrics sit at the END of
+    // the (single) JSON line — a front-truncated tail still shows the
+    // total — and per-query times are rounded to 3 decimals to keep the
+    // whole line as short as possible.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -93,4 +93,82 @@ object EventWindows {
       .agg(count(lit(1)).as("n_sessions"),
            sum(col("n_events")).as("n_events"))
       .orderBy("user_id")
+
+  /** Ordered conversion funnel: for stages (A, B, C, …), a user reaches
+    * stage k when they have an event of type `stages(k)` STRICTLY after
+    * their first qualifying event for stage k-1 (first-touch semantics —
+    * each stage anchors on the earliest possible timestamp, so reach is
+    * maximal and the result is order-deterministic).
+    *
+    * Scale shape: one filtered aggregate per stage, all keyed on user_id —
+    * |stages| shuffles of (user_id, min_ts) pairs, never the raw events.
+    * Each stage's frame is at most the previous stage's user set, so the
+    * join sides shrink monotonically; AQE broadcasts them as they fall
+    * under the threshold. No windows, no driver-side loop over data —
+    * the loop is over the (tiny, static) stage list, building one plan.
+    */
+  def funnel(spark: SparkSession, dir: String,
+             stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // reached(k): user_id -> earliest time stage k completed
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("us")).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      e.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+        .filter(col("us") > col("prev_t"))
+        .groupBy("user_id").agg(min(col("us")).as("t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users bucketed by the epoch-week of their
+    * first event; one output row per (cohort_week, week_offset) counting
+    * users active that many weeks after their cohort week.
+    *
+    * Weeks are integer epoch arithmetic (`us div 7 days`), not calendar
+    * `date_trunc` — engine-neutral (no week-start or locale semantics)
+    * and exact. Two shuffles keyed on user_id (first-week aggregate +
+    * distinct activity), then one small aggregate keyed on the cohort
+    * grid — at corpus scale the grid is O(weeks²), corpus-size
+    * independent. `count(*)` after the distinct is deliberate: the
+    * (user, week) pairs are already unique, so no second distinct pass.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"))
+    val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val activity = e.distinct()
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Per-user inter-event cadence: gap statistics between consecutive
+    * events (lag over the user's timeline). The mean accumulates as an
+    * exact integer sum of micros (no floating drift), emitted as one
+    * rounded double division. Single shuffle on user_id; the lag window
+    * and the aggregate reuse the same partitioning.
+    */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           count(col("gap_us")).as("n_gaps"),
+           max(col("gap_us")).as("max_gap_us"),
+           when(count(col("gap_us")) > 0,
+             Num.roundTo(sum(col("gap_us")).cast("double") / count(col("gap_us")), 4))
+             .as("mean_gap_us"))
+      .orderBy("user_id")
+  }
 }
