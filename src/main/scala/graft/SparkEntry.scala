@@ -151,6 +151,12 @@ object SparkEntry {
     "e5_sliding" -> (EventWindows.slidingByType(_, _)),
     "e2_sessions" -> (EventWindows.userSessions(_, _)),
     "e3_session_stats" -> (EventWindows.sessionStats(_, _)),
+    // ordered conversion funnel (first-touch, strictly-after semantics)
+    "e6_funnel" -> ((s, d) => EventWindows.funnel(s, d)),
+    // weekly cohort retention on integer epoch-week arithmetic
+    "e7_retention" -> (EventWindows.retention(_, _)),
+    // per-user inter-event cadence (lag gaps + exact-integer mean)
+    "e8_gaps" -> (EventWindows.interEventGaps(_, _)),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -239,8 +245,7 @@ object SparkEntry {
     // closed) share one split — the fix for what t9 measures
     "t12_leakproof_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      TextStats.assignSplitByComponent(docs,
-          Dedup.ngramJaccard(docs, threshold = 0.5))
+      TextStats.assignSplitByComponent(docs, stagedPairs(s, d))
         .orderBy("doc_id")
     }),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
@@ -266,7 +271,7 @@ object SparkEntry {
     // independently) — composition of x4 pairs with t7 split assignment
     "t9_leakage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      TextStats.leakageReport(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
+      TextStats.leakageReport(docs, stagedPairs(s, d))
         .orderBy("doc_a", "doc_b")
     }),
     "c2_chunks" -> ((s, d) =>
@@ -315,7 +320,7 @@ object SparkEntry {
     }),
     "x5_dup_resolve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.resolveDuplicates(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
+      Dedup.resolveDuplicates(docs, stagedPairs(s, d))
         .orderBy("doc_id")
     }),
     // x6 through a CorpusBloom fingerprint of the old side: bloom
@@ -437,6 +442,22 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Tables.documents(s, d).write.mode("overwrite").parquet(stage)
     stage
+  }
+
+  /** The x4 near-dup pair table (ngramJaccard, threshold 0.5),
+    * materialized ONCE per sfDir and shared by every consumer — x5's
+    * cluster resolution, t9's leakage report, t12's leakproof split.
+    * The shingle-explode pass is the expensive pipeline; at corpus scale
+    * it runs once per corpus snapshot, and resolve/report/split are all
+    * cheap joins against the same small pair table (the
+    * Graft.assignSplitSafe / leakageReport contract).
+    */
+  private[graft] def stagedPairs(s: SparkSession, d: String): DataFrame = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/pairs_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)
+        .write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
   }
 
   private def stagedEmbeddings(s: SparkSession, d: String): String = {
@@ -834,6 +855,39 @@ object SparkEntry {
     "e3_session_stats" ->
       s"""$sessionsCte
          |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // ordered funnel: stage k = min event time STRICTLY after the user's
+    // stage-(k-1) first-touch time — chained min-ts aggregates, exactly
+    // EventWindows.funnel's scanLeft
+    "e6_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    // weekly cohorts on integer epoch-week arithmetic (no calendar
+    // week-start semantics — engine-neutral by construction)
+    "e7_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-user cadence: lag gaps; mean = exact integer sum / count, one
+    // double division, shared half-up rounding
+    "e8_gaps" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM e)
+         |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps, max(gap_us) AS max_gap_us,
+         |  CASE WHEN count(gap_us) > 0
+         |       THEN ${Num.sqlRoundTo("CAST(sum(gap_us) AS DOUBLE) / count(gap_us)", 4)} END AS mean_gap_us
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t6_top_terms" ->

@@ -53,6 +53,75 @@ class EventWindowsSpec extends SparkSpec {
       }
   }
 
+  test("funnel: strictly-after semantics — same-timestamp and out-of-order events don't advance") {
+    val d = tmpDir("funnel")
+    Seq(
+      // user 1: clean ordered funnel → reaches all 3 stages
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 0.0, "{}"),
+      // user 2: click at the SAME instant as signup → not strictly after
+      (4L, ts("2024-01-01 11:00:00"), 2L, "signup", 0.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 2L, "click", 0.0, "{}"),
+      // user 3: purchase BEFORE the first post-signup click → stage 2 only
+      (6L, ts("2024-01-01 12:00:00"), 3L, "signup", 0.0, "{}"),
+      (7L, ts("2024-01-01 11:59:00"), 3L, "purchase", 0.0, "{}"),
+      (8L, ts("2024-01-01 12:30:00"), 3L, "click", 0.0, "{}"),
+      // user 4: skips signup entirely → counted nowhere
+      (9L, ts("2024-01-01 13:00:00"), 4L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val rows = EventWindows.funnel(spark, d.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "signup", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: empty stage downstream still emits a zero row") {
+    val d = tmpDir("funnel0")
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val rows = EventWindows.funnel(spark, d.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("retention: cohort = first epoch-week, distinct users per offset") {
+    val d = tmpDir("retention")
+    Seq(
+      // user 1: active in its cohort week and again exactly 2 weeks later
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 09:00:00"), 1L, "view", 0.0, "{}"), // same week, dedup'd
+      (3L, ts("2024-01-15 00:00:00"), 1L, "view", 0.0, "{}"),
+      // user 2: cohort week only
+      (4L, ts("2024-01-01 12:00:00"), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val byOffset = EventWindows.retention(spark, d.toString).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byOffset == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("interEventGaps: integer-exact mean/max; single-event user has null gaps") {
+    val d = tmpDir("gaps")
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "c", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "c", 0.0, "{}"), // gap 60s
+      (3L, ts("2024-01-01 10:04:00"), 7L, "c", 0.0, "{}"), // gap 180s
+      (4L, ts("2024-01-01 10:00:00"), 8L, "c", 0.0, "{}")  // singleton
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val out = EventWindows.interEventGaps(spark, d.toString).collect()
+    val u7 = out.find(_.getLong(0) == 7L).get
+    assert(u7.getAs[Long]("n_gaps") == 2L)
+    assert(u7.getAs[Long]("max_gap_us") == 180000000L)
+    assert(u7.getAs[Double]("mean_gap_us") == 120000000.0)
+    val u8 = out.find(_.getLong(0) == 8L).get
+    assert(u8.getAs[Long]("n_gaps") == 0L)
+    assert(u8.isNullAt(u8.fieldIndex("max_gap_us")))
+    assert(u8.isNullAt(u8.fieldIndex("mean_gap_us")))
+  }
+
   test("sessionStats n_events reconciles with userSessions") {
     val sess = EventWindows.userSessions(spark, sfDir)
     val stats = EventWindows.sessionStats(spark, sfDir)
