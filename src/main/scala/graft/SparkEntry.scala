@@ -422,7 +422,20 @@ object SparkEntry {
     "m2_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
+    // WAV PCM samples and computes grid-RGB means / windowed RMS; the
+    // oracle replays the fixture's integer pixel/sample rules plus each
+    // float32 rounding step in SQL. JPEG rows are excluded (lossy decode
+    // is not SQL-replayable); their plumbing is gated by m1 + specs.
+    "m3_features" -> ((s, d) => {
+      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 =!= 1)
+      Multimodal.extractFeatures(media, dim = 12).toDF()
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "value")))
+        .select(col("media_id"), col("dim").cast("long").as("dim"),
+                col("value").cast("double").as("value"))
+        .orderBy("media_id", "dim")
+    })
   )
 
   /** Stage the events table as plain-timestamp parquet for the streaming
@@ -1163,6 +1176,48 @@ object SparkEntry {
          |SELECT format, count(*) AS n_media,
          |  ${Num.sqlRoundTo(Num.sqlExactAvg("width"), 4)} AS avg_width,
          |  ${Num.sqlRoundTo(Num.sqlExactAvg("height"), 4)} AS avg_height
-         |FROM m GROUP BY format ORDER BY format""".stripMargin
+         |FROM m GROUP BY format ORDER BY format""".stripMargin,
+
+    // replay of the REAL pixel/PCM feature extraction over the
+    // ImageCodec fixture: pixel (seed·31 + x·7 + y·13) mod 2^24 split
+    // into RGB, 2×2-grid cell means (dim 12 → g=2); WAV sample
+    // (seed·31 + i·997) mod 2^15, RMS over 12 equal windows. Sums are
+    // exact integers; each float32 rounding Scala performs is replayed
+    // with an explicit CAST(... AS FLOAT). sum(v²) = sum(s²)/2^30 is
+    // exact in double (≤11 terms, common power-of-two denominator), so
+    // the one double division + sqrt round identically in both engines.
+    "m3_features" ->
+      """WITH png AS (SELECT doc_id AS media_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 24) % 24 AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |pcell AS (SELECT media_id, gx, gy,
+        |            (gx * w) // 2 AS x0, ((gx + 1) * w) // 2 AS x1,
+        |            (gy * h) // 2 AS y0, ((gy + 1) * h) // 2 AS y1
+        |          FROM png, LATERAL (SELECT unnest(range(0, 2)) AS gx) gxs,
+        |                    LATERAL (SELECT unnest(range(0, 2)) AS gy) gys),
+        |ppix AS (SELECT media_id, gx, gy,
+        |           (media_id * 31 + x * 7 + y * 13) % 16777216 AS p
+        |         FROM pcell, LATERAL (SELECT unnest(range(x0, x1)) AS x) xs,
+        |                     LATERAL (SELECT unnest(range(y0, y1)) AS y) ys),
+        |pagg AS (SELECT media_id, gx, gy, count(*) AS n,
+        |           sum(p // 65536) AS r, sum((p // 256) % 256) AS g, sum(p % 256) AS b
+        |         FROM ppix GROUP BY media_id, gx, gy),
+        |pfeat AS (SELECT media_id, CAST((gy * 2 + gx) * 3 + c AS BIGINT) AS dim,
+        |            CAST(CAST(CAST(CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS FLOAT)
+        |                      / CAST(n AS FLOAT) AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) AS value
+        |          FROM pagg, LATERAL (SELECT unnest(range(0, 3)) AS c) cs),
+        |wav AS (SELECT doc_id AS media_id, 64 * (1 + doc_id % 2) AS ns
+        |        FROM documents WHERE doc_id % 3 = 2),
+        |wwin AS (SELECT media_id, w, (w * ns) // 12 AS s0,
+        |           greatest((w * ns) // 12 + 1, ((w + 1) * ns) // 12) AS s1
+        |         FROM wav, LATERAL (SELECT unnest(range(0, 12)) AS w) ws),
+        |wsmp AS (SELECT media_id, w, s1 - s0 AS n,
+        |           (media_id * 31 + i * 997) % 32768 AS s
+        |         FROM wwin, LATERAL (SELECT unnest(range(s0, s1)) AS i) iss),
+        |wfeat AS (SELECT media_id, CAST(w AS BIGINT) AS dim,
+        |            CAST(CAST(sqrt(sum(s * s) / 1073741824.0 / max(n)) AS FLOAT) AS DOUBLE) AS value
+        |          FROM wsmp GROUP BY media_id, w)
+        |SELECT media_id, dim, value FROM pfeat
+        |UNION ALL SELECT media_id, dim, value FROM wfeat
+        |ORDER BY media_id, dim""".stripMargin
   )
 }

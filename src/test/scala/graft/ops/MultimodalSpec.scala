@@ -91,6 +91,43 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.features(blob, 16).sameElements(Multimodal.FakeCodec.features(blob, 16)))
   }
 
+  test("m3 contract: decoded features reproduce the fixture's analytic rules (PNG grid means, WAV RMS)") {
+    import Multimodal.ImageCodec
+    // PNG: decode-side grid-RGB means must equal the pixel RULE means —
+    // the in-JVM twin of the m3 DuckDB oracle (same float32 rounding)
+    for (id <- Seq(0L, 3L, 48L, 201L)) {
+      val (w, h) = (ImageCodec.imgWidth(id), ImageCodec.imgHeight(id))
+      val feats = ImageCodec.imageFeatures(ImageCodec.synthPayload(id), dim = 12).get
+      for (gy <- 0 until 2; gx <- 0 until 2) {
+        val (x0, x1) = (gx * w / 2, (gx + 1) * w / 2)
+        val (y0, y1) = (gy * h / 2, (gy + 1) * h / 2)
+        var (r, g, b, n) = (0L, 0L, 0L, 0L)
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val p = (id * 31 + x * 7 + y * 13) & 0xFFFFFF
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF; n += 1
+        }
+        val base = (gy * 2 + gx) * 3
+        assert(feats(base) == (r.toFloat / n) / 255f, s"id=$id cell=($gx,$gy) R")
+        assert(feats(base + 1) == (g.toFloat / n) / 255f, s"id=$id cell=($gx,$gy) G")
+        assert(feats(base + 2) == (b.toFloat / n) / 255f, s"id=$id cell=($gx,$gy) B")
+      }
+    }
+    // WAV: RMS windows must equal the PCM sample RULE energies
+    for (id <- Seq(2L, 5L)) {
+      val ns = 64 * (1 + (id % 2).toInt)
+      val feats = ImageCodec.wavFeatures(ImageCodec.synthPayload(id), dim = 12).get
+      for (w <- 0 until 12) {
+        val s0 = w * ns / 12
+        val s1 = math.max(s0 + 1, (w + 1) * ns / 12)
+        val acc = (s0 until s1).map { i =>
+          val s = (id * 31 + i * 997) % 32768
+          (s * s).toDouble / (32768.0 * 32768.0)
+        }.sum
+        assert(feats(w) == math.sqrt(acc / (s1 - s0)).toFloat, s"id=$id w=$w")
+      }
+    }
+  }
+
   test("sampleFrames: frame count follows the stride formula") {
     val m = Multimodal.mediaTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(m, frameBytes = 32, stride = 4)
