@@ -145,6 +145,10 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))),
     "p2_quantiles" -> ((s, d) =>
       Profiling.quantilesByGroup(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+    // pairwise Pearson correlations, one exact-decimal aggregation pass
+    "p3_correlations" -> ((s, d) =>
+      Profiling.correlationMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -157,6 +161,8 @@ object SparkEntry {
     "e7_retention" -> (EventWindows.retention(_, _)),
     // per-user inter-event cadence (lag gaps + exact-integer mean)
     "e8_gaps" -> (EventWindows.interEventGaps(_, _)),
+    // DAU / trailing-7-day WAU / stickiness on integer epoch days
+    "e9_active_users" -> (EventWindows.activeUsers(_, _)),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -321,6 +327,17 @@ object SparkEntry {
     "x5_dup_resolve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.resolveDuplicates(docs, stagedPairs(s, d))
+        .orderBy("doc_id")
+    }),
+    // benchmark decontamination: train docs (doc_id % 50 != 0) sharing
+    // >= 3 shingles with the "benchmark" subset (doc_id % 50 == 0);
+    // benchmark shingles broadcast — the corpus side never shuffles
+    // for candidate generation
+    "t13_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
         .orderBy("doc_id")
     }),
     // x6 through a CorpusBloom fingerprint of the old side: bloom
@@ -789,6 +806,23 @@ object SparkEntry {
            | count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // Pearson from exact DECIMAL(38,6) sums, double finish — the same
+    // Σ/Σ²/Σxy forms as Profiling.correlationMatrix, so the one double
+    // expression rounds identically in both engines
+    "p3_correlations" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val prs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+      def d38(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+      val sums = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+        cols.flatMap(c => Seq(s"${d38(c)} AS s_$c", s"${d38(s"$c * $c")} AS ss_$c")) ++
+        prs.map { case (a, b) => s"${d38(s"$a * $b")} AS sp_${a}_$b" }).mkString(", ")
+      val rows = prs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n_rows,
+           | ${Num.sqlRoundTo(s"(n * sp_${a}_$b - s_$a * s_$b) / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b))", 6)} AS corr
+           | FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH s AS (SELECT $sums FROM lineitem)\n$rows\nORDER BY col_a, col_b"
+    },
     "p2_quantiles" ->
       s"""SELECT l_returnflag,
          | ${Num.sqlRoundTo("quantile_cont(l_extendedprice, 0.25)", 6)} AS p25,
@@ -893,6 +927,19 @@ object SparkEntry {
         |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DAU / trailing-7-day WAU on integer epoch days: distinct (user,
+    // day) pairs, each fanned to the 7 days it keeps the user "weekly
+    // active"; stickiness = dau/wau, one double division
+    "e9_active_users" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         |f AS (SELECT DISTINCT user_id, d
+         |      FROM ud, LATERAL (SELECT unnest(range(day, day + 7)) AS d) dd),
+         |wau AS (SELECT d AS day, count(*) AS wau FROM f GROUP BY d)
+         |SELECT day, dau, wau,
+         |  ${Num.sqlRoundTo("CAST(dau AS DOUBLE) / wau", 4)} AS stickiness
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     // per-user cadence: lag gaps; mean = exact integer sum / count, one
     // double division, shared half-up rounding
     "e8_gaps" ->
@@ -1078,6 +1125,23 @@ object SparkEntry {
          |      FROM pairs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // benchmark decontamination: distinct shared shingles per train doc
+    // against the benchmark subset (string shingles here, hashed in
+    // Spark — counts agree exactly under x4's collision-free premise)
+    "t13_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |       ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+        |be AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS n_hit_shingles,
+        |                count(DISTINCT be.bench_id) AS n_bench_docs
+        |         FROM tr JOIN be USING (s) GROUP BY tr.doc_id)
+        |SELECT doc_id, n_hit_shingles, n_bench_docs FROM hits
+        |WHERE n_hit_shingles >= 3 ORDER BY doc_id""".stripMargin,
     // cross-corpus pairs: per-side df caps, shingle must appear on BOTH
     // sides — mirrors ngramJaccardCross exactly (different guard than x4)
     "x6_cross_dedup" -> crossDedupSql,

@@ -506,6 +506,32 @@ object Dedup {
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Benchmark decontamination: flag training docs sharing >= `minShared`
+    * distinct w-shingles with ANY doc of an evaluation benchmark — the
+    * n-gram-overlap contamination check every serious training corpus
+    * runs before a model sees the data.
+    *
+    * Scale shape: the benchmark is small by definition (eval sets are
+    * thousands of docs, the corpus is billions), so its shingle set is
+    * BROADCAST — the training corpus never shuffles for candidate
+    * generation; the only exchange is the per-doc hit aggregation keyed
+    * on doc_id. Contrast with [[ngramJaccardCross]] (both sides large →
+    * shuffle join): same contract family, opposite build-side economics.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    w: Int = 3, minShared: Long = 3): DataFrame = {
+    val t = train.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(col(textCol), w)).as("shingle"))
+    val b = benchmark.select(col(idCol).as("bench_id"),
+      explode(shingleHashes(col(textCol), w)).as("shingle"))
+    t.join(broadcast(b), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
+           countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_hit_shingles") >= minShared)
+  }
 }
 
 /** Serialized corpus fingerprint for incremental dedup — see

@@ -151,6 +151,33 @@ object EventWindows {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Daily/weekly active users + stickiness: DAU, trailing-7-day WAU,
+    * and DAU/WAU per epoch day (integer `us div 1 day` — engine-neutral
+    * like [[retention]]'s weeks).
+    *
+    * Scale shape: events collapse to distinct (user, day) pairs FIRST
+    * (partial aggregation soaks per-user volume map-side — same skew
+    * guard as funnel/retention); the trailing window is a 7× fan-out of
+    * those 16-byte pairs, not of raw events, then a count per day. No
+    * windows, no distinct-over-range (which Spark can't partial-agg).
+    * Output days are restricted to days with events (join with DAU).
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        Num.roundTo(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Per-user inter-event cadence: gap statistics between consecutive
     * events (lag over the user's timeline). The mean accumulates as an
     * exact integer sum of micros (no floating drift), emitted as one

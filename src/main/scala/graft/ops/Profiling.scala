@@ -53,4 +53,40 @@ object Profiling {
       .agg(approx_percentile(col(valueCol), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
         .as("quantiles_approx"))
       .orderBy(groupCol)
+
+  /** Pairwise Pearson correlations over numeric columns, in ONE
+    * aggregation pass: every Σx, Σx², Σxy accumulates in the same
+    * partial-aggregate buffer (DECIMAL(38,6) — exact, so the result is
+    * order-independent and oracle-replayable, unlike Spark's built-in
+    * corr whose float accumulation drifts with partitioning). The
+    * pair rows unfold from the single aggregated row by exploding a
+    * struct array — no second scan, no driver loop over data.
+    */
+  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns")
+    val pairs = for {
+      (a, i) <- columns.zipWithIndex; b <- columns.drop(i + 1)
+    } yield (a, b)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      columns.flatMap(c => Seq(
+        sum(dec(col(c))).cast("double").as(s"s_$c"),
+        sum(dec(col(c) * col(c))).cast("double").as(s"ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(dec(col(a) * col(b))).cast("double").as(s"sp_${a}_$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        Num.roundTo(
+          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+             sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+          .as("corr"))
+    }: _*)
+    one.select(col("n").cast("long").as("n_rows"), explode(pairStructs).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+              col("n_rows"), col("p.corr").as("corr"))
+      .orderBy("col_a", "col_b")
+  }
 }

@@ -85,6 +85,22 @@ class DedupSpec extends SparkSpec {
     assert(surv == Seq(3L)) // 1 dropped (exact dup of 4, near-dup of 2)
   }
 
+  test("decontaminate: shared-shingle counts vs a benchmark set; benchmark side broadcasts") {
+    // docA (14 tokens) has 12 distinct 3-shingles; docB differs only in
+    // the last token → shares exactly the 11 shingles not touching it.
+    val train = Seq((1L, docB), (2L, docC), (3L, "tiny doc")).toDF("doc_id", "text")
+    val bench = Seq((100L, docA)).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, minShared = 1)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getAs[Long]("n_hit_shingles"), r.getAs[Long]("n_bench_docs"))).toMap
+    assert(rows.keySet == Set(1L)) // docC and the tiny doc share nothing
+    assert(rows(1L) == (11L, 1L))
+    // contaminated doc drops out below the threshold
+    assert(Dedup.decontaminate(train, bench, minShared = 12).collect().isEmpty)
+    // the benchmark side must be the broadcast build side
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("pointer jump round bound: 10k-node path converges in O(log diameter) rounds") {
     // the adversarial shape for label propagation: a single path of
     // diameter 9999 — plain min-propagation needs 9999 rounds; the jump

@@ -102,6 +102,23 @@ class EventWindowsSpec extends SparkSpec {
     assert(byOffset == Map(0L -> 2L, 2L -> 1L))
   }
 
+  test("activeUsers: DAU counts the day, WAU counts the trailing week") {
+    val d = tmpDir("active")
+    Seq(
+      // user 1 active day D and D+3; user 2 active day D only
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 0.0, "{}"), // same day, dedup'd
+      (3L, ts("2024-01-04 10:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val out = EventWindows.activeUsers(spark, d.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day D: dau 2, wau 2 (both users); day D+3: dau 1, wau 2 (user 2
+    // still weekly-active from day D)
+    assert(out.toSeq == Seq((2L, 2L, 1.0), (1L, 2L, 0.5)))
+  }
+
   test("interEventGaps: integer-exact mean/max; single-event user has null gaps") {
     val d = tmpDir("gaps")
     Seq(

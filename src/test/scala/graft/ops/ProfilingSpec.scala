@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("correlationMatrix: exact ±1 on linear columns, 0-ish on independent; one aggregate pass") {
+    val df = spark.range(1, 101).select(
+      col("id").cast("double").as("x"),
+      (col("id") * 2.0 + 5.0).as("y"),        // perfectly correlated
+      (-col("id")).cast("double").as("z"))    // perfectly anti-correlated
+    val out = Profiling.correlationMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == -1.0)
+    assert(out(("y", "z")) == -1.0)
+    // single scan: exactly one aggregate subtree over the source
+    val plan = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "pair rows must unfold from ONE aggregated row")
+  }
+
   test("columnProfile: one row per column with null/distinct counts") {
     val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "v")
     val out = Profiling.columnProfile(df, Seq("id", "v")).collect()
