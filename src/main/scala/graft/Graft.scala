@@ -165,4 +165,41 @@ object Graft {
     * ([[ops.Similarity.embeddingNearDup]]). */
   def nearDupEmbeddings(vectors: DataFrame, threshold: Double = 0.95): DataFrame =
     ops.Similarity.embeddingNearDup(vectors, threshold)
+
+  /** Benchmark decontamination ([[ops.Dedup.decontaminate]]): flag
+    * training docs sharing n-gram shingles with an eval set. The
+    * benchmark side broadcasts — the corpus never shuffles for it. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    minShared: Long = 3): DataFrame =
+    ops.Dedup.decontaminate(train, benchmark, minShared = minShared)
+
+  /** Real multimodal feature extraction ([[ops.Multimodal.extractFeatures]]):
+    * PNG/JPEG grid-RGB color layout, WAV windowed RMS — output shaped
+    * like the embeddings table for the similarity ops above. */
+  def mediaFeatures(media: DataFrame, dim: Int = 64): DataFrame =
+    ops.Multimodal.extractFeatures(media, dim).toDF()
+
+  // ---- Event analytics (events table) ----
+
+  /** Ordered conversion funnel ([[ops.EventWindows.funnel]]) — first-touch,
+    * strictly-after stage semantics; skew-safe via partial aggregation. */
+  def funnel(spark: SparkSession, dir: String, stages: Seq[String]): DataFrame =
+    ops.EventWindows.funnel(spark, dir, stages)
+
+  /** Weekly cohort retention grid ([[ops.EventWindows.retention]]). */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    ops.EventWindows.retention(spark, dir)
+
+  /** DAU / trailing-7-day WAU / stickiness ([[ops.EventWindows.activeUsers]]). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    ops.EventWindows.activeUsers(spark, dir)
+
+  /** Per-user inter-event cadence ([[ops.EventWindows.interEventGaps]]). */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame =
+    ops.EventWindows.interEventGaps(spark, dir)
+
+  /** Exact pairwise Pearson correlations in one aggregation pass
+    * ([[ops.Profiling.correlationMatrix]]). */
+  def correlations(df: DataFrame, columns: Seq[String]): DataFrame =
+    ops.Profiling.correlationMatrix(df, columns)
 }

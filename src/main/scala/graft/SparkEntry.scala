@@ -135,6 +135,14 @@ object SparkEntry {
     "g1_pivot" -> (Analytics.orderStatusPivot(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
+    // existence join: orders with >=1 late-shipped line, counted once
+    "q4_priority" -> (Analytics.q4OrderPriority(_, _)),
+    // filtered 3-way join + broadcast dim + top-k
+    "q10_returns" -> ((s, d) => Analytics.q10ReturnedItems(s, d)),
+    // conditional aggregation in one pass over a fact-dim join
+    "q14_promo" -> (Analytics.q14PromoRevenue(_, _)),
+    // OR-of-ANDs predicate spanning both join sides (the Q19 classic)
+    "q19_disjunctive" -> (Analytics.q19DisjunctiveRevenue(_, _)),
     "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
     // HLL++ sketch — engine-specific estimates, rows-only check (no oracle)
     "d2_approx_distinct" -> (Analytics.approxDistinct(_, _)),
@@ -781,6 +789,35 @@ object SparkEntry {
          |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        | FROM orders o
+        | WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |   AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |               AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         | FROM customer JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | WHERE l_returnflag = 'R'
+         |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |   AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         | GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      s"""SELECT ${Num.sqlRoundTo(
+             s"100.0 * ${decSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}" +
+             s" / ${decSum("l_extendedprice * (1 - l_discount)")}", 6)} AS promo_pct
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |   AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue, count(*) AS n_items
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "w1_top_orders" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -181,6 +181,89 @@ object Analytics {
       .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
            count(lit(1)).as("n_rows"))
 
+  /** Order-priority checking (TPC-H Q4 shape, adapted to this schema:
+    * "late" = shipped more than 90 days after the order date, since the
+    * testdata carries no commit/receipt dates). EXISTS → LEFT SEMI join
+    * with the date predicate inside the join condition, so each order
+    * counts once no matter how many late lines it has; the orders side
+    * is date-filtered first (pushed to the scan) so the semi join probes
+    * one year of orders, not the full table.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Returned-item reporting (TPC-H Q10 shape): top-k customers by
+    * returned revenue in a half-year window. Both fact sides filter
+    * before the orderkey shuffle join; the customer dim broadcasts;
+    * the final top-k is a TakeOrdered, not a full sort.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Promotion revenue share (TPC-H Q14 shape): conditional aggregation
+    * over the lineitem ⋈ part fact-dim join — both sums accumulate in
+    * the same partial-aggregate buffer in one pass; part broadcasts.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+      .agg(Num.roundTo(
+        lit(100.0) * exactSum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          / exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("promo_pct"))
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): OR of brand/size/
+    * quantity conjunctions mixing columns from BOTH join sides — the
+    * classic predicate that cannot split across the join, so it runs as
+    * a post-join filter over the broadcast part join. The part-side
+    * conjuncts could be pre-ORed onto the broadcast side as an
+    * optimization; left as the honest post-join form the SQL states.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def clause(brand: String, sizeMax: Int, qMin: Int, qMax: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeMax) && col("l_quantity").between(qMin, qMax)
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+      .filter(clause("Brand#12", 15, 1, 20) ||
+              clause("Brand#23", 25, 10, 30) ||
+              clause("Brand#34", 35, 20, 40))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
   /** Running total per customer — the cumulative-frame window shape (vs
     * w1's ranking shape). One shuffle on o_custkey; the running sum
     * accumulates in DECIMAL so every prefix is engine-exact.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Plan-shape assertions: the properties that matter at 100 TB — dim joins
   * broadcast (no lineitem shuffle for them), filters reach the parquet
@@ -123,6 +124,26 @@ class AnalyticsPlanSpec extends SparkSpec {
       .select("doc_id", "quality_score"))
     assert(!t1.contains("n_chars") && !t1.contains("source"),
       s"unpruned documents columns in:\n$t1")
+  }
+
+  test("q4: existence is a LEFT SEMI join — multi-late orders count once") {
+    val p = plan(Analytics.q4OrderPriority(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    // total counted orders can never exceed the orders in the window
+    val window = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+    val counted = Analytics.q4OrderPriority(spark, sfDir)
+      .agg(sum("order_count")).collect().head.getLong(0)
+    assert(counted <= window)
+  }
+
+  test("q10/q14/q19: part and customer dims broadcast; q14 share in [0,100]") {
+    assert(plan(Analytics.q10ReturnedItems(spark, sfDir)).contains("BroadcastHashJoin"))
+    assert(plan(Analytics.q14PromoRevenue(spark, sfDir)).contains("BroadcastHashJoin"))
+    assert(plan(Analytics.q19DisjunctiveRevenue(spark, sfDir)).contains("BroadcastHashJoin"))
+    val pct = Analytics.q14PromoRevenue(spark, sfDir).collect().head.getDouble(0)
+    assert(pct >= 0.0 && pct <= 100.0)
   }
 
   test("analytics results sanity at sf0.001") {
