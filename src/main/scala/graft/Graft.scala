@@ -198,8 +198,19 @@ object Graft {
   def interEventGaps(spark: SparkSession, dir: String): DataFrame =
     ops.EventWindows.interEventGaps(spark, dir)
 
+  /** Rolling z-score anomaly flags over hourly event-type volumes
+    * ([[ops.EventWindows.hourlyAnomalies]]). */
+  def hourlyAnomalies(spark: SparkSession, dir: String,
+                      lookback: Int = 24, zThreshold: Double = 2.0): DataFrame =
+    ops.EventWindows.hourlyAnomalies(spark, dir, lookback, zThreshold)
+
   /** Exact pairwise Pearson correlations in one aggregation pass
     * ([[ops.Profiling.correlationMatrix]]). */
   def correlations(df: DataFrame, columns: Seq[String]): DataFrame =
     ops.Profiling.correlationMatrix(df, columns)
+
+  /** Vocabulary coverage curve — share of corpus tokens the top-K terms
+    * cover ([[ops.TextStats.vocabCoverage]]). */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame =
+    ops.TextStats.vocabCoverage(docs, ks)
 }

@@ -50,6 +50,14 @@ object SparkEntry {
         nation.write.mode("overwrite").json(tmp)
       s.read.schema(nation.schema).json(tmp).orderBy("n_nationkey")
     }),
+    // ORC source path: parquet → ORC → read-back (same contract as s8)
+    "s9_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s9_${Integer.toHexString(d.hashCode)}"
+      val nation = Tables.nation(s, d)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS")))
+        nation.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("n_nationkey")
+    }),
     "s6_list_files" -> ((s, d) => {
       val dir = Fixtures.listingDir(d)
       Ingest.listCsvFiles(s, dir).select("filename", "size_bytes", "size_mb")
@@ -144,6 +152,18 @@ object SparkEntry {
     // OR-of-ANDs predicate spanning both join sides (the Q19 classic)
     "q19_disjunctive" -> (Analytics.q19DisjunctiveRevenue(_, _)),
     "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
+    // left-outer join + two-level aggregation (the Q13 distribution)
+    "q13_custdist" -> (Analytics.q13CustomerDistribution(_, _)),
+    // per-group aggregate filtered to the global max (the Q15 view+max)
+    "q15_top_supplier" -> (Analytics.q15TopSupplier(_, _)),
+    // correlated per-part average joined back onto the fact rows (Q17)
+    "q17_small_qty" -> ((s, d) => Analytics.q17SmallQuantityRevenue(s, d)),
+    // HAVING-subquery join + broadcast dim + top-k (Q18)
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    // EXISTS + NOT-EXISTS double self-join as pair aggregates (Q21)
+    "q21_waiting" -> (Analytics.q21WaitingSuppliers(_, _)),
+    // global scalar subquery + anti-join (Q22)
+    "q22_idle_bal" -> ((s, d) => Analytics.q22IdleBalances(s, d)),
     // HLL++ sketch — engine-specific estimates, rows-only check (no oracle)
     "d2_approx_distinct" -> (Analytics.approxDistinct(_, _)),
 
@@ -171,6 +191,8 @@ object SparkEntry {
     "e8_gaps" -> (EventWindows.interEventGaps(_, _)),
     // DAU / trailing-7-day WAU / stickiness on integer epoch days
     "e9_active_users" -> (EventWindows.activeUsers(_, _)),
+    // rolling z-score anomaly flags over the hourly volume grid
+    "e10_anomaly" -> ((s, d) => EventWindows.hourlyAnomalies(s, d)),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -294,6 +316,10 @@ object SparkEntry {
     // cross-entropy per doc (CCNet-style fluency signal)
     "t11_bigram_lm" -> ((s, d) =>
       TextStats.bigramCrossEntropy(Tables.documents(s, d)).orderBy("doc_id")),
+    // vocabulary coverage curve: share of corpus tokens covered by the
+    // top-K terms (tokenizer sizing)
+    "t14_coverage" -> ((s, d) =>
+      TextStats.vocabCoverage(Tables.documents(s, d))),
     "t6_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -710,6 +736,7 @@ object SparkEntry {
     "s2_csv_dir" -> "SELECT * FROM region ORDER BY r_regionkey",
     "s5_synthetic" -> s"$syntheticCte SELECT * FROM p ORDER BY id",
     "s8_json_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "s9_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "s6_list_files" ->
       """SELECT * FROM (VALUES ('a.csv', CAST(100 AS BIGINT), CAST(0.0 AS DOUBLE)),
         | ('b.csv', CAST(2048 AS BIGINT), CAST(0.0 AS DOUBLE))) t(filename, size_bytes, size_mb)
@@ -818,6 +845,74 @@ object SparkEntry {
          | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
          |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q13_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${decSum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      s"""WITH branded AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'),
+         |th AS (
+         |  SELECT l_partkey, ${Num.sqlExactAvg("l_quantity")} * 0.2 AS qty_threshold
+         |  FROM branded GROUP BY l_partkey)
+         |SELECT ${Num.sqlRoundTo(s"${Num.sqlExactSum("l_extendedprice")} / 7.0", 6)} AS avg_yearly,
+         |  count(*) AS n_lines
+         |FROM branded JOIN th USING (l_partkey)
+         |WHERE l_quantity < qty_threshold""".stripMargin,
+    "q18_large_orders" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q21_waiting" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS supp_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, l_suppkey),
+        |w AS (
+        |  SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late_supp
+        |  FROM ps)
+        |SELECT s_name, count(*) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_late = 1 AND n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_idle_bal" ->
+      s"""WITH cust AS (
+         |  SELECT * FROM customer WHERE c_nationkey IN (5, 10, 15, 20, 24)),
+         |ab AS (
+         |  SELECT ${Num.sqlExactAvg("c_acctbal")} AS avg_bal
+         |  FROM cust WHERE c_acctbal > 0.0)
+         |SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS numcust,
+         |  ${decSum("c_acctbal")} AS total_bal
+         |FROM cust, ab
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w1_top_orders" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -987,6 +1082,52 @@ object SparkEntry {
          |       THEN ${Num.sqlRoundTo("CAST(sum(gap_us) AS DOUBLE) / count(gap_us)", 4)} END AS mean_gap_us
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // rolling anomaly grid: trailing-24-observed-hours moments from exact
+    // integer sums; mean/var/z replayed as the identical double
+    // expressions, full-lookback rows only
+    "e10_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+         |    event_type, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT *, count(*) OVER tw AS n_prev,
+         |    sum(n_events) OVER tw AS sum_prev,
+         |    sum(n_events * n_events) OVER tw AS sumsq_prev
+         |  FROM h
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_us
+         |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         |m AS (
+         |  SELECT window_start_us, event_type, n_events,
+         |    CAST(sum_prev AS DOUBLE) / n_prev AS mean_raw,
+         |    (CAST(sumsq_prev AS DOUBLE)
+         |      - CAST(sum_prev AS DOUBLE) * CAST(sum_prev AS DOUBLE) / n_prev) / n_prev AS var_raw
+         |  FROM w WHERE n_prev = 24),
+         |z AS (
+         |  SELECT window_start_us, event_type, n_events,
+         |    ${Num.sqlRoundTo("mean_raw", 6)} AS mean_prev,
+         |    CASE WHEN var_raw > 0.0
+         |      THEN ${Num.sqlRoundTo("(CAST(n_events AS DOUBLE) - mean_raw) / sqrt(var_raw)", 6)}
+         |    END AS z_score
+         |  FROM m)
+         |SELECT window_start_us, event_type, n_events, mean_prev, z_score,
+         |  coalesce(abs(z_score) > 2.0, false) AS is_anomaly
+         |FROM z ORDER BY window_start_us, event_type""".stripMargin,
+    // vocabulary coverage: same tokenization as t6; rank ties break on
+    // the term; covered share of ALL tokens (below-cutoff mass included)
+    "t14_coverage" ->
+      s"""WITH terms AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |freq AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM freq),
+         |top AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM freq),
+         |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+         |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_terms,
+         |  CAST(sum(n) AS BIGINT) AS covered_tokens,
+         |  ${Num.sqlRoundTo("CAST(sum(n) AS DOUBLE) / total_tokens", 6)} AS coverage
+         |FROM top, ks, tot WHERE rank <= k
+         |GROUP BY k, total_tokens ORDER BY k""".stripMargin,
     "t6_top_terms" ->
       """WITH terms AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term

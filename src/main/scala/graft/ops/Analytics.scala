@@ -299,4 +299,158 @@ object Analytics {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))
       .orderBy("l_returnflag")
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    * with the class filter on the orders side (equivalent to the filter
+    * inside the outer-join condition — customers whose only orders are
+    * urgent land in the 0-count bucket, they don't disappear), then a
+    * two-level aggregation: per-customer count, then a histogram over the
+    * counts. Both aggregations partial-aggregate; the second one's domain
+    * is O(max orders per customer) — tiny at any scale. The join is an
+    * honest shuffle join: both sides scale with the data.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape): aggregate
+    * revenue per supplier, then keep the row(s) equal to the global max —
+    * the "view + scalar max" pattern. The max is a one-row aggregate that
+    * BROADCASTS back onto the supplier-revenue table, so no global sort
+    * and no single-partition window; revenues compare exactly because
+    * both sides of the equality derive from the same DECIMAL sums.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Small-quantity revenue (TPC-H Q17 shape): lineitems of one brand's
+    * parts whose quantity falls below 20% of that part's average quantity.
+    * The correlated scalar subquery (per-part average) becomes a grouped
+    * aggregate joined back onto the fact rows. The brand's parts broadcast
+    * (dimension-sized), so lineitem restricts map-side BEFORE the per-part
+    * aggregate; the aggregate output is O(parts of one brand) and
+    * broadcasts back — lineitem never shuffles. The threshold is an exact
+    * DECIMAL average emitted as one double multiply, replayed identically
+    * by the oracle, so the strict `<` is engine-deterministic.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String,
+                              brand: String = "Brand#23"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val branded = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val thresholds = branded.groupBy("l_partkey")
+      .agg((exactAvg(col("l_quantity")) * 0.2).as("qty_threshold"))
+    branded.join(broadcast(thresholds), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(Num.roundTo(exactSum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds a threshold, with customer context. The HAVING
+    * subquery is a grouped aggregate on l_orderkey (one honest shuffle of
+    * (orderkey, qty) pairs with map-side partials); the filtered survivor
+    * set is threshold-small, and AQE picks the join strategy for it at
+    * runtime (deliberately unhinted — at corpus scale with a low
+    * threshold it can legitimately exceed broadcast size). Customer is a
+    * broadcast dim; final top-k is a TakeOrdered.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 250.0, k: Int = 100): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty")) // integer-valued doubles: exact
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+              col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Suppliers who kept multi-supplier orders waiting (TPC-H Q21 shape,
+    * adapted: "late" = shipped >90 days after order date). The classic
+    * EXISTS(other supplier) + NOT EXISTS(other late supplier) double
+    * self-join is reformulated as aggregates: per (order, supplier) late
+    * flags, then per-order supplier/late-supplier counts via window
+    * functions OVER the already-aggregated pairs — a qualifying supplier
+    * is late in an order with ≥2 suppliers where they are the ONLY late
+    * one. Two shuffles total (pair aggregate, then order-key window);
+    * the raw lineitem never self-joins, and the window operates on
+    * O(order × supplier) pairs, not lines.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("long"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("supp_late"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supp", sum(col("supp_late")).over(byOrder))
+      .filter(col("supp_late") === 1 && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** Idle high-balance customers (TPC-H Q22 shape, adapted to this
+    * schema: "idle" = no urgent order, since every customer has SOME
+    * order in the testdata). A global scalar aggregate (average positive
+    * balance over the selected nations) broadcasts as a one-row cross
+    * join; the NOT EXISTS is a left-anti join against the urgent-order
+    * keys. Per-nation aggregation is map-side partial on a 25-value
+    * domain.
+    */
+  def q22IdleBalances(spark: SparkSession, dir: String,
+                      nations: Seq[Int] = Seq(5, 10, 15, 20, 24)): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(nations: _*))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(exactAvg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+           exactSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("nation")
+  }
 }

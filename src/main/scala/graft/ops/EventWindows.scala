@@ -178,6 +178,49 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** Rolling anomaly detection over hourly event-type volumes: each
+    * (hour, type) count is z-scored against the trailing `lookback`
+    * OBSERVED hours of the same type (rows-frame lag window — hours with
+    * zero events are absent from the grid, so the baseline is "the last N
+    * hours that had traffic"; at production volume every hour has
+    * traffic and the two readings coincide). Only rows with a full
+    * lookback emit, so the result is prefix-stable as new data arrives.
+    *
+    * Scale shape: the raw events collapse to the O(hours × types) grid
+    * FIRST (one shuffle with map-side partials — same skew guard as e1);
+    * the rolling window then runs over the tiny aggregate, partitioned
+    * by type. All moments accumulate as exact integer sums (counts), so
+    * mean/std/z are single deterministic double expressions the oracle
+    * replays bit-for-bit.
+    */
+  def hourlyAnomalies(spark: SparkSession, dir: String,
+                      lookback: Int = 24, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val trailing = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start_us"))
+      .rowsBetween(-lookback, -1)
+    val mean = col("sum_prev").cast("double") / col("n_prev")
+    val variance = (col("sumsq_prev").cast("double") -
+      col("sum_prev").cast("double") * col("sum_prev").cast("double") / col("n_prev")) / col("n_prev")
+    hourly
+      .withColumn("n_prev", count(lit(1)).over(trailing))
+      .withColumn("sum_prev", sum(col("n_events")).over(trailing))
+      .withColumn("sumsq_prev", sum(col("n_events") * col("n_events")).over(trailing))
+      .filter(col("n_prev") === lookback)
+      .withColumn("mean_prev", Num.roundTo(mean, 6))
+      .withColumn("z_score",
+        when(variance > 0.0,
+          Num.roundTo((col("n_events").cast("double") - mean) / sqrt(variance), 6))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_score")) > zThreshold, lit(false)))
+      .select("window_start_us", "event_type", "n_events", "mean_prev", "z_score", "is_anomaly")
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** Per-user inter-event cadence: gap statistics between consecutive
     * events (lag over the user's timeline). The mean accumulates as an
     * exact integer sum of micros (no floating drift), emitted as one

@@ -402,6 +402,43 @@ object TextStats {
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("split_a"), col("split_b"))
   }
 
+  /** Vocabulary coverage curve: for each K in `ks`, the share of all
+    * corpus tokens covered by the K most frequent terms — the
+    * tokenizer-sizing question ("how big a vocab before coverage
+    * plateaus?"). Ranking ties break lexicographically so the curve is
+    * deterministic.
+    *
+    * Scale shape: the corpus collapses to the term-frequency table in one
+    * shuffle (map-side partials soak Zipf's head); the top-max(K) slice
+    * is a TakeOrdered (no global sort — K is bounded by the caller), and
+    * the per-K sums run over ≤ max(K) rows crossed with the (tiny) K
+    * list. The total-token count is a one-row aggregate that broadcasts.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000),
+                    textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty, "vocabCoverage needs at least one K")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("total_tokens"))
+    val top = freq.orderBy(col("n").desc, col("term")).limit(ks.max)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term"))))
+    top.crossJoin(broadcast(ks.toDF("k")))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_terms"), col("covered_tokens"),
+        Num.roundTo(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -146,6 +146,57 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(pct >= 0.0 && pct <= 100.0)
   }
 
+  test("q13: outer join keeps zero-order customers — buckets partition the customer set") {
+    val p = plan(Analytics.q13CustomerDistribution(spark, sfDir))
+    assert(p.contains("LeftOuter"), s"no left-outer join in:\n$p")
+    val customers = Tables.customer(spark, sfDir).count()
+    val bucketed = Analytics.q13CustomerDistribution(spark, sfDir)
+      .agg(sum("custdist")).collect().head.getLong(0)
+    assert(bucketed == customers, s"distribution covers $bucketed of $customers customers")
+  }
+
+  test("q15: scalar max broadcasts back — every returned supplier carries the max revenue") {
+    val df = Analytics.q15TopSupplier(spark, sfDir)
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
+  test("q17: both the brand parts and the per-part thresholds broadcast — lineitem never shuffles") {
+    val p = plan(Analytics.q17SmallQuantityRevenue(spark, sfDir))
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+                       "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins == 0, s"expected 0 shuffled joins, got $shuffleJoins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q18: top-k is a TakeOrdered, and every survivor clears the quantity threshold") {
+    val df = Analytics.q18LargeOrders(spark, sfDir)
+    assert(plan(df).contains("TakeOrdered"), plan(df))
+    assert(df.collect().forall(_.getAs[Double]("total_qty") > 250.0))
+  }
+
+  test("q21: no lineitem self-join — the order-level counts come from a window over the pair aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val lp = Analytics.q21WaitingSuppliers(spark, sfDir).queryExecution.optimizedPlan
+    // joins: lineitem⋈orders + supplier lookup — never lineitem⋈lineitem,
+    // so the plan carries exactly 2 joins
+    val joins = lp.collect { case j: LJoin => j }
+    assert(joins.length == 2, s"expected 2 joins (li⋈ord, supplier), got ${joins.length}:\n$lp")
+    val counted = Analytics.q21WaitingSuppliers(spark, sfDir)
+      .agg(sum("numwait")).collect().head.getLong(0)
+    assert(counted > 0)
+  }
+
+  test("q22: anti join + one-row scalar broadcast; survivors beat the average") {
+    val df = Analytics.q22IdleBalances(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(df.collect().forall(_.getAs[Long]("numcust") > 0))
+  }
+
   test("analytics results sanity at sf0.001") {
     assert(Analytics.q1PricingSummary(spark, sfDir).count() == 6)
     assert(Analytics.orderRollup(spark, sfDir).count() == 19)

@@ -139,6 +139,34 @@ class EventWindowsSpec extends SparkSpec {
     assert(u8.isNullAt(u8.fieldIndex("mean_gap_us")))
   }
 
+  test("hourlyAnomalies: spike flags against a varying baseline; zero-variance baseline yields null z") {
+    val d = tmpDir("anomaly")
+    var id = 0L
+    val rows = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def hour(h: Int) = ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:30:00")
+    // type "v": 24 baseline hours alternating 1/3 events (mean 2, var 1),
+    // then a 20-event spike at hour 24
+    for (h <- 0 until 24; _ <- 0 until (if (h % 2 == 0) 1 else 3)) {
+      id += 1; rows += ((id, hour(h), 1L, "v", 0.0, "{}"))
+    }
+    for (_ <- 0 until 20) { id += 1; rows += ((id, hour(24), 1L, "v", 0.0, "{}")) }
+    // type "k": 25 constant hours — trailing variance 0, z undefined
+    for (h <- 0 until 25) { id += 1; rows += ((id, hour(h), 2L, "k", 0.0, "{}")) }
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val out = EventWindows.hourlyAnomalies(spark, d.toString).collect()
+    // only hour 24 has a full 24-hour lookback → one row per type
+    assert(out.length == 2, out.mkString("\n"))
+    val v = out.find(_.getString(1) == "v").get
+    assert(v.getAs[Long]("n_events") == 20L)
+    assert(v.getAs[Double]("mean_prev") == 2.0)
+    assert(v.getAs[Double]("z_score") == 18.0) // (20-2)/sqrt(1)
+    assert(v.getAs[Boolean]("is_anomaly"))
+    val k = out.find(_.getString(1) == "k").get
+    assert(k.isNullAt(k.fieldIndex("z_score")))
+    assert(!k.getAs[Boolean]("is_anomaly"))
+  }
+
   test("sessionStats n_events reconciles with userSessions") {
     val sess = EventWindows.userSessions(spark, sfDir)
     val stats = EventWindows.sessionStats(spark, sfDir)

@@ -253,4 +253,15 @@ class TextStatsSpec extends SparkSpec {
     val b = fp.orderBy("doc_id").collect().map(_.getLong(1)).toSeq
     assert(a == b)
   }
+
+  test("vocabCoverage: exact counts on a known corpus; final K covers everything") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, ks = Seq(1, 2, 10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // freqs: a=3, b=2, c=1; total 6
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 0.5),
+      (2L, 2L, 5L, 0.833333),
+      (10L, 3L, 6L, 1.0)))
+  }
 }
