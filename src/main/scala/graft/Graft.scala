@@ -213,4 +213,10 @@ object Graft {
     * cover ([[ops.TextStats.vocabCoverage]]). */
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame =
     ops.TextStats.vocabCoverage(docs, ks)
+
+  /** Exact heavy hitters via the two-pass Misra-Gries pattern
+    * ([[ops.TextStats.heavyHitters]]) — constant-memory candidate
+    * generation, exact recount, no term-frequency shuffle. */
+  def heavyHitters(docs: DataFrame, phi: Double = 0.01, capacity: Int = 256): DataFrame =
+    ops.TextStats.heavyHitters(docs, phi, capacity)
 }

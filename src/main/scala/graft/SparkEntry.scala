@@ -320,6 +320,11 @@ object SparkEntry {
     // top-K terms (tokenizer sizing)
     "t14_coverage" -> ((s, d) =>
       TextStats.vocabCoverage(Tables.documents(s, d))),
+    // two-pass heavy hitters: Misra-Gries candidates (constant memory,
+    // no term-frequency shuffle) + exact recount — final answer exact,
+    // so the oracle is the plain one-pass groupBy formulation
+    "t15_heavy_hitters" -> ((s, d) =>
+      TextStats.heavyHitters(Tables.documents(s, d))),
     "t6_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -1128,6 +1133,17 @@ object SparkEntry {
          |  ${Num.sqlRoundTo("CAST(sum(n) AS DOUBLE) / total_tokens", 6)} AS coverage
          |FROM top, ks, tot WHERE rank <= k
          |GROUP BY k, total_tokens ORDER BY k""".stripMargin,
+    // exact support threshold: terms in >= 1% of token positions; the
+    // sketch is invisible to the oracle because pass 2 recounts exactly
+    "t15_heavy_hitters" ->
+      s"""WITH terms AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS total_tokens FROM terms),
+         |f AS (SELECT term, count(*) AS n FROM terms GROUP BY term)
+         |SELECT term, n FROM f, tot
+         |WHERE n >= CAST(ceil(0.01 * total_tokens) AS BIGINT)
+         |ORDER BY n DESC, term""".stripMargin,
     "t6_top_terms" ->
       """WITH terms AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term

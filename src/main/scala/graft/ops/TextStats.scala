@@ -439,6 +439,44 @@ object TextStats {
       .orderBy("k")
   }
 
+  /** Exact heavy hitters by the two-pass sketch pattern: terms occurring
+    * in at least `phi` of all token positions. Pass 1 runs the
+    * Misra–Gries sketch ([[graft.functions.MisraGries]]) and the total
+    * count in ONE aggregation — constant memory per partition, no
+    * term-frequency shuffle; the sketch guarantees every term above
+    * n/capacity survives as a candidate (capacity must exceed 1/phi —
+    * enforced). Pass 2 re-counts ONLY the candidates exactly (broadcast
+    * join — the candidate set is ≤ capacity rows) and filters on the true
+    * threshold, so the result is exact and independent of encounter
+    * order, partitioning, and the sketch's lower-bound counts. At 100 TB
+    * this is two map-heavy scans instead of shuffling every distinct
+    * term; the classic one-pass groupBy is the oracle's formulation.
+    */
+  def heavyHitters(docs: DataFrame, phi: Double = 0.01, capacity: Int = 256,
+                   textCol: String = "text"): DataFrame = {
+    require(capacity > 1.0 / phi,
+      s"capacity $capacity must exceed 1/phi = ${1.0 / phi} for the superset guarantee")
+    val terms = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    // one row (sketch, total); localCheckpoint pins it so the candidate
+    // explode and the total read the SAME pass — without it each consumer
+    // would replay the sketch scan (same fix as packChunks' offset table)
+    val sketch = terms.agg(
+      call_function("misra_gries", col("term"), lit(capacity)).as("sketch"),
+      count(lit(1)).as("total_tokens"))
+      .localCheckpoint()
+    val candidates = sketch
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e.term").as("term"))
+    terms.join(broadcast(candidates), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch.select(col("total_tokens"))))
+      .filter(col("n") >= ceil(lit(phi) * col("total_tokens")).cast("long"))
+      .select(col("term"), col("n"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
