@@ -245,6 +245,30 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id")
     }),
+    // streaming sliding windows share e5's oracle (identical grid/agg)
+    "st6_stream_sliding" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st6_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.slidingByType(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      s.table(mem).orderBy("window_start_us", "event_type")
+    }),
+    // stateless streaming text pipeline: the map-only scrub runs
+    // unchanged over a stream (append mode, no state store) — shares
+    // c3's oracle
+    "st7_stream_scrub" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st7_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        TextStats.scrubPii(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed")),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_id")
+    }),
     // streaming ANN serving: query stream (every 20th vector) against the
     // static corpus; shares v1's oracle (identical sim/rank formulation)
     "st4_stream_topk" -> ((s, d) => {
@@ -633,6 +657,25 @@ object SparkEntry {
        |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN qlabel = predicted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
        |FROM p WHERE pr = 1 GROUP BY qlabel ORDER BY label""".stripMargin
 
+  /** Shared by e5 (batch) and st6 (structured streaming twin). */
+  private def slidingSql: String =
+    s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type, value FROM events),
+       |x AS (SELECT ((tus // 1800000000) - k) * 1800000000 AS window_start_us,
+       |             event_type, value
+       |      FROM e, LATERAL (SELECT unnest([0, 1]) AS k) kk)
+       |SELECT window_start_us, event_type, count(*) AS n_events,
+       | ${decSum("value")} AS total_value
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by c3 (batch) and st7 (stateless streaming twin). */
+  private def scrubSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS n_phones,
+       | regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+       |                '$PhonePattern', '<PHONE>', 'g') AS scrubbed
+       | FROM documents ORDER BY doc_id""".stripMargin
+
   /** Shared by e1 (batch) and st1 (structured streaming twin). */
   private def hourlySql: String =
     s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us, event_type,
@@ -1008,15 +1051,12 @@ object SparkEntry {
     "e1_hourly" -> hourlySql,
     "st1_stream_hourly" -> hourlySql,
     // sliding windows: epoch-aligned starts, each event in exactly
-    // width/slide = 2 windows (floor grid minus k slides)
-    "e5_sliding" ->
-      s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type, value FROM events),
-         |x AS (SELECT ((tus // 1800000000) - k) * 1800000000 AS window_start_us,
-         |             event_type, value
-         |      FROM e, LATERAL (SELECT unnest([0, 1]) AS k) kk)
-         |SELECT window_start_us, event_type, count(*) AS n_events,
-         | ${decSum("value")} AS total_value
-         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // width/slide = 2 windows (floor grid minus k slides); shared with
+    // the streaming twin
+    "e5_sliding" -> slidingSql,
+    "st6_stream_sliding" -> slidingSql,
+    // stateless streaming scrub = the batch scrub row for row
+    "st7_stream_scrub" -> scrubSql,
     "e2_sessions" ->
       s"""$sessionsCte SELECT * FROM g ORDER BY user_id, session_id""",
     "z1_asof_join" ->
@@ -1279,13 +1319,7 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // 'g' flag: DuckDB regexp_replace is first-match-only by default,
     // Spark's replaces all
-    "c3_scrub" ->
-      s"""SELECT doc_id,
-         | CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
-         | CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS n_phones,
-         | regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
-         |                '$PhonePattern', '<PHONE>', 'g') AS scrubbed
-         | FROM documents ORDER BY doc_id""".stripMargin,
+    "c3_scrub" -> scrubSql,
 
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents

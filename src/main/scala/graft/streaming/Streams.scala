@@ -64,6 +64,21 @@ object Streams {
       .select(unix_micros(col("w.start")).as("window_start_us"),
               col("event_type"), col("n_events"), col("total_value"), col("avg_value"))
 
+  /** Sliding 1-hour windows every 30 minutes per event_type — the
+    * streaming twin of [[graft.ops.EventWindows.slidingByType]]. Each
+    * event updates width/slide = 2 window states; watermark eviction
+    * bounds live state to O(active windows × types). Append mode emits
+    * each window exactly once when the watermark passes its end.
+    */
+  def slidingByType(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.ops.Num.exactSum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("total_value"))
+
   /** Sessionization with `session_window`: per-user sessions closed after
     * `gap` of inactivity. `session_end_us` here is (last event + gap) — the
     * session_window definition; the batch twin reports last-event time.

@@ -35,6 +35,22 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding windows == batch slidingByType, row for row") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = Streams.parquetDirStream(spark, eventsDir, schema)
+    Streams.runToMemory(Streams.slidingByType(stream), "sliding_stream")
+    val streamed = spark.table("sliding_stream")
+      .orderBy("window_start_us", "event_type").collect()
+    val batch = EventWindows.slidingByType(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(s.getDouble(3) == b.getDouble(3))
+    }
+  }
+
   test("streaming session_window sessions == batch gaps-and-islands sessions") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = Streams.parquetDirStream(spark, eventsDir, schema)
