@@ -214,6 +214,16 @@ object Graft {
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame =
     ops.TextStats.vocabCoverage(docs, ks)
 
+  /** Perceptual average-hashes for every decodable image
+    * ([[ops.Multimodal.imageHashes]]). */
+  def imageHashes(media: DataFrame): DataFrame =
+    ops.Multimodal.imageHashes(media)
+
+  /** Image near-dup pairs by aHash Hamming distance, exact via 8-chunk
+    * pigeonhole blocking ([[ops.Multimodal.nearDupImages]]). */
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    ops.Multimodal.nearDupImages(hashes, maxDist)
+
   /** Exact heavy hitters via the two-pass Misra-Gries pattern
     * ([[ops.TextStats.heavyHitters]]) — constant-memory candidate
     * generation, exact recount, no term-frequency shuffle. */

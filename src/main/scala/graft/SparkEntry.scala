@@ -508,6 +508,21 @@ object SparkEntry {
     // oracle replays the fixture's integer pixel/sample rules plus each
     // float32 rounding step in SQL. JPEG rows are excluded (lossy decode
     // is not SQL-replayable); their plumbing is gated by m1 + specs.
+    // perceptual average-hash over real PNG pixel decode: exact integer
+    // bit rule (cellSum*totalPixels > totalSum*cellPixels), so the
+    // oracle replays the fixture pixels and the hash bit for bit. PNG
+    // rows only, like m3 (JPEG decode is not SQL-replayable).
+    "m4_ahash" -> ((s, d) => {
+      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
+      Multimodal.imageHashes(media).orderBy("media_id")
+    }),
+    // image near-dup by aHash Hamming distance — exact via the 8-chunk
+    // pigeonhole blocking (maxDist 4 <= 7), oracle = all-pairs replay
+    "m5_image_neardup" -> ((s, d) => {
+      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
+      Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
+        .orderBy("id_a", "id_b")
+    }),
     "m3_features" -> ((s, d) => {
       val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 =!= 1)
       Multimodal.extractFeatures(media, dim = 12).toDF()
@@ -1510,6 +1525,48 @@ object SparkEntry {
         |          FROM wsmp GROUP BY media_id, w)
         |SELECT media_id, dim, value FROM pfeat
         |UNION ALL SELECT media_id, dim, value FROM wfeat
-        |ORDER BY media_id, dim""".stripMargin
+        |ORDER BY media_id, dim""".stripMargin,
+
+    // replay of ImageCodec.aHash64 over the PNG fixture pixels: 8×8 grid
+    // gray sums, bit = cellSum·totalPixels > totalSum·cellPixels (pure
+    // integer), hash assembled in HUGEINT then re-centered to signed
+    // BIGINT (same trick as the FNV oracle)
+    "m4_ahash" -> s"$aHashCte SELECT media_id, ahash FROM ah ORDER BY media_id",
+    // all-pairs Hamming over the replayed hashes — the blocked join must
+    // find exactly these pairs (pigeonhole guarantee at maxDist 4)
+    "m5_image_neardup" ->
+      s"""$aHashCte
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.aHash64]] over
+    * the PNG fixture rows — shared by the m4 and m5 oracles. */
+  private def aHashCte: String =
+    """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (SELECT id, 8 + id % 24 AS w, 8 + (id // 24) % 24 AS h FROM ids),
+      |cells AS (SELECT id, w, h, gx, gy,
+      |    (gx*w)//8 AS x0, ((gx+1)*w)//8 AS x1, (gy*h)//8 AS y0, ((gy+1)*h)//8 AS y1
+      |  FROM dims, LATERAL (SELECT unnest(range(0,8)) AS gx) gxs,
+      |             LATERAL (SELECT unnest(range(0,8)) AS gy) gys),
+      |px AS (SELECT c.id, c.gx, c.gy,
+      |         ((c.id*31 + x*7 + y*13) & 16777215) AS p
+      |       FROM cells c, LATERAL (SELECT unnest(range(c.x0, c.x1)) AS x) xs,
+      |                     LATERAL (SELECT unnest(range(c.y0, c.y1)) AS y) ys),
+      |csum AS (SELECT id, gx, gy,
+      |           sum((p >> 16) + ((p >> 8) & 255) + (p & 255)) AS cs,
+      |           count(*) AS cn
+      |         FROM px GROUP BY id, gx, gy),
+      |tot AS (SELECT id, sum(cs) AS gs, sum(cn) AS gn FROM csum GROUP BY id),
+      |bits AS (SELECT c.id, gy*8 + gx AS idx,
+      |           CASE WHEN cs * gn > gs * cn THEN 1 ELSE 0 END AS bit
+      |         FROM csum c JOIN tot USING (id)),
+      |hv AS (SELECT id, sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << idx)) AS u
+      |       FROM bits GROUP BY id),
+      |ah AS (SELECT id AS media_id,
+      |         CAST(u - CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS ahash
+      |       FROM hv)""".stripMargin
 }

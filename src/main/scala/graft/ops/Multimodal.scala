@@ -187,6 +187,61 @@ object Multimodal {
       }
     }
 
+    /** 64-bit perceptual average-hash over a FULL pixel decode: the image
+      * collapses to an 8×8 grid of gray sums (gray = r+g+b; cell bounds
+      * by the same integer partition as [[imageFeatures]]), and bit
+      * (gy·8+gx) is set when the cell's mean gray exceeds the GLOBAL
+      * pixel mean. The comparison is cross-multiplied —
+      * cellSum·totalPixels > totalSum·cellPixels — so the whole hash is
+      * exact integer arithmetic with no float summation order anywhere
+      * (which is what lets a SQL oracle replay it bit for bit). Near-dup
+      * images differ in few bits; see [[Multimodal.nearDupImages]].
+      * None when no reader claims the bytes.
+      */
+    def aHash64(bytes: Array[Byte]): Option[Long] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cs = new Array[Long](64)
+        val cn = new Array[Long](64)
+        var totalSum = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val idx = gy * 8 + gx
+            val (x0, y0) = (gx * w / 8, gy * h / 8)
+            val (x1, y1) = (math.max(x0 + 1, (gx + 1) * w / 8), math.max(y0 + 1, (gy + 1) * h / 8))
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val p = img.getRGB(x, y)
+                val gray = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+                cs(idx) += gray; cn(idx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            totalSum += cs(idx)
+            gx += 1
+          }
+          gy += 1
+        }
+        val totalN = w.toLong * h
+        var hash = 0L
+        var idx = 0
+        while (idx < 64) {
+          if (cn(idx) > 0 && cs(idx) * totalN > totalSum * cn(idx)) hash |= 1L << idx
+          idx += 1
+        }
+        Some(hash)
+      }
+    }
+
     /** Real audio features for canonical (44-byte-header) WAVs: RMS
       * energy of the 16-bit LE PCM samples over `dim` equal windows,
       * each in [0,1]. */
@@ -332,6 +387,52 @@ object Multimodal {
           i => col("payload").substr((i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes))))
           .as(Seq("frame_no", "frame")))
       .withColumn("frame_len", length(col("frame")).cast("long"))
+
+  /** Perceptual-hash stage: binary → (media_id, ahash) for every payload
+    * the image codec can decode; non-images drop out (flatMap). Map-only,
+    * one decode per row, blob never leaves the stage.
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.aHash64(bytes).map(h => (id, h))
+      })
+      .toDF("media_id", "ahash")
+  }
+
+  /** Image near-dup pairs by average-hash Hamming distance — the
+    * multimodal sibling of SimHash text dedup. Blocking: the 64-bit hash
+    * splits into 8 byte-chunks; by pigeonhole, any pair within
+    * `maxDist` ≤ 7 bits shares at least one identical chunk, so the
+    * chunk-equality self-join finds EVERY qualifying pair (exact, not
+    * approximate — enforced) while only images agreeing on some byte
+    * ever pair up. Shuffle carries (chunk, byte, id, hash) — 8 rows of
+    * ~20 bytes per image, never pixels. The exact Hamming filter then
+    * prunes the candidates. At 100 TB the 8-bit chunk keys are coarse
+    * (256 buckets per chunk); widen to 16-bit chunks with maxDist ≤ 3
+    * (x3's layout) when corpus size demands finer buckets.
+    */
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist $maxDist outside [0,7] breaks the 8-chunk pigeonhole guarantee")
+    val chunks = hashes
+      .select(col("media_id"), col("ahash"),
+        explode(sequence(lit(0), lit(7))).as("ci"))
+      .withColumn("ckey", expr("(ahash >> (ci * 8)) & 255"))
+    val a = chunks.select(col("ci"), col("ckey"),
+      col("media_id").as("id_a"), col("ahash").as("ha"))
+    val b = chunks.select(col("ci"), col("ckey"),
+      col("media_id").as("id_b"), col("ahash").as("hb"))
+    a.join(b, Seq("ci", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
 
   /** Metadata aggregate registered as a query: per-format media profile.
     * Averages use the exact-numerator form so the DuckDB oracle matches

@@ -128,6 +128,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("nearDupImages blocked join == brute-force all-pairs Hamming, any maxDist in range") {
+    import org.apache.spark.sql.functions.expr
+    val media = Multimodal.imageTable(spark, sfDir)
+      .filter(col("media_id") % 3 === 0)
+    val hashes = Multimodal.imageHashes(media).localCheckpoint()
+    val a = hashes.select(col("media_id").as("id_a"), col("ahash").as("ha"))
+    val b = hashes.select(col("media_id").as("id_b"), col("ahash").as("hb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+    for (maxDist <- Seq(0, 4, 7)) {
+      val blocked = Multimodal.nearDupImages(hashes, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = brute.filter(col("hamming") <= maxDist)
+        .select("id_a", "id_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == expected, s"maxDist=$maxDist")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDupImages(hashes, maxDist = 8) // pigeonhole breaks
+    }
+  }
+
   test("sampleFrames: frame count follows the stride formula") {
     val m = Multimodal.mediaTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(m, frameBytes = 32, stride = 4)
