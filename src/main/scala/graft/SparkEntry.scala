@@ -116,6 +116,18 @@ object SparkEntry {
         col("o_totalprice"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
         col("o_orderpriority"))
       .orderBy("o_orderkey").limit(10)),
+    // keyed upsert (MERGE): urgent orders get a discounted price and
+    // replace their base rows; everything else survives untouched
+    "k2_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val updates = base.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", Num.roundTo(col("o_totalprice") * 0.9, 6))
+      Load.upsert(base, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("o_totalprice"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+                col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
     "k1_roundtrip" -> ((s, d) => {
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/k1_${Integer.toHexString(d.hashCode)}"
       Load.replaceParquet(Synthetic.products(s), tmp)
@@ -177,6 +189,10 @@ object SparkEntry {
     "p3_correlations" -> ((s, d) =>
       Profiling.correlationMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // quantile bucketing without ntile: broadcast quartile boundaries,
+    // no global sort anywhere
+    "p4_spend_buckets" -> ((s, d) =>
+      Profiling.quantileBuckets(Tables.orders(s, d), "o_custkey", "o_totalprice")),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -193,6 +209,16 @@ object SparkEntry {
     "e9_active_users" -> (EventWindows.activeUsers(_, _)),
     // rolling z-score anomaly flags over the hourly volume grid
     "e10_anomaly" -> ((s, d) => EventWindows.hourlyAnomalies(s, d)),
+    // incremental aggregate maintenance: two disjoint halves aggregated
+    // separately, partials merged — must equal the full recompute, so it
+    // shares e1's oracle
+    "e11_incremental_hourly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventWindows.hourlyMerge(
+        EventWindows.hourlyPartial(ev.filter(col("event_id") % 2 === 0)),
+        EventWindows.hourlyPartial(ev.filter(col("event_id") % 2 === 1)))
+        .orderBy("window_start_us", "event_type")
+    }),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -846,6 +872,30 @@ object SparkEntry {
     "k1_roundtrip" ->
       s"""$syntheticCte SELECT category, count(*) AS n, sum(price) AS total_price
          | FROM p GROUP BY category ORDER BY category""".stripMargin,
+    // upsert replay: urgent rows take the discounted price, others pass
+    // through — updates keyed identically to base collapse to a CASE
+    "k2_upsert" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  CASE WHEN o_orderpriority = '1-URGENT'
+         |       THEN ${Num.sqlRoundTo("o_totalprice * 0.9", 6)}
+         |       ELSE o_totalprice END AS o_totalprice,
+         |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, o_orderpriority
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e11_incremental_hourly" -> hourlySql,
+    "p4_spend_buckets" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${decSum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey),
+         |b AS (SELECT
+         |  ${Num.sqlRoundTo("quantile_cont(spend, 0.25)", 6)} AS q1,
+         |  ${Num.sqlRoundTo("quantile_cont(spend, 0.5)", 6)} AS q2,
+         |  ${Num.sqlRoundTo("quantile_cont(spend, 0.75)", 6)} AS q3
+         |  FROM spend)
+         |SELECT CAST(1 + CASE WHEN spend > q1 THEN 1 ELSE 0 END
+         |              + CASE WHEN spend > q2 THEN 1 ELSE 0 END
+         |              + CASE WHEN spend > q3 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+         |  count(*) AS n_keys, ${decSum("spend")} AS total_value
+         |FROM spend, b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

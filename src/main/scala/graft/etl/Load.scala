@@ -25,6 +25,21 @@ object Load {
   def replaceParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Keyed upsert (MERGE): rows of `updates` replace same-key rows of
+    * `base`; unmatched base rows survive; new keys insert. Both sides
+    * must share a schema (column set of `base`). One anti-join shuffle on
+    * the key — when the update batch is small (the daily-delta shape)
+    * AQE broadcasts it and base never shuffles; with a partitioned base
+    * table, pair with dynamic partition overwrite so only touched
+    * partitions rewrite.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    base.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      .unionByName(updates.select(base.columns.map(org.apache.spark.sql.functions.col): _*))
+  }
+
   /** Partitioned replace-load: directory-partitioned parquet so filters on
     * the partition columns prune whole directories at planning time —
     * `WHERE event_type = 'click'` reads 1/n of a 100 TB table without

@@ -178,6 +178,36 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** Partial hourly aggregate — the MATERIALIZABLE form of
+    * [[hourlyByType]]: counts and DECIMAL sums only (no averages), so two
+    * partials merge EXACTLY by re-summing. The incremental-maintenance
+    * pattern for a 100 TB history: aggregate each day's events once,
+    * store the partial, and answer "all time" queries by merging partials
+    * ([[hourlyMerge]]) instead of rescanning history. Decomposable
+    * aggregates only — averages/ratios are derived at read time.
+    */
+  def hourlyPartial(events: DataFrame): DataFrame =
+    events
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,6)")).as("total_dec"))
+
+  /** Merge partial hourly aggregates ([[hourlyPartial]]) into the exact
+    * full-history result — equal row for row to running [[hourlyByType]]
+    * over the concatenated raw events (shares e1's oracle): counts add,
+    * DECIMAL sums add exactly, and the average is derived from the merged
+    * exact numerator. The merge shuffles O(hours × types), never events.
+    */
+  def hourlyMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+           sum(col("total_dec")).as("total_dec"))
+      .select(col("window_start_us"), col("event_type"), col("n_events"),
+        col("total_dec").cast("double").as("total_value"),
+        (col("total_dec").cast("double") / col("n_events")).as("avg_value"))
+
   /** Rolling anomaly detection over hourly event-type volumes: each
     * (hour, type) count is z-scored against the trailing `lookback`
     * OBSERVED hours of the same type (rows-frame lag window — hours with

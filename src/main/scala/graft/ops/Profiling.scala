@@ -54,6 +54,31 @@ object Profiling {
         .as("quantiles_approx"))
       .orderBy(groupCol)
 
+  /** Quantile bucketing without ntile: per-key exact sums are bucketed by
+    * the GLOBAL quartile boundaries, which come from one percentile
+    * aggregate broadcast back as a single row — no global sort, no
+    * single-partition window (ntile's fatal shape at scale). Boundaries
+    * are rounded to 6dp on both engines so the strict `>` comparisons
+    * bucket identically; ties stay in the lower bucket.
+    */
+  def quantileBuckets(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spend = df.groupBy(col(keyCol))
+      .agg(Num.exactSum(col(valueCol)).as("spend"))
+    val bounds = spend.agg(
+      Num.roundTo(percentile(col("spend"), lit(0.25)), 6).as("q1"),
+      Num.roundTo(percentile(col("spend"), lit(0.5)), 6).as("q2"),
+      Num.roundTo(percentile(col("spend"), lit(0.75)), 6).as("q3"))
+    spend.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1) + (col("spend") > col("q1")).cast("int")
+                + (col("spend") > col("q2")).cast("int")
+                + (col("spend") > col("q3")).cast("int")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+           Num.exactSum(col("spend")).as("total_value"))
+      .orderBy("bucket")
+  }
+
   /** Pairwise Pearson correlations over numeric columns, in ONE
     * aggregation pass: every Σx, Σx², Σxy accumulates in the same
     * partial-aggregate buffer (DECIMAL(38,6) — exact, so the result is

@@ -94,4 +94,14 @@ class LoadPipelineSpec extends SparkSpec {
     assert(res.rowsCleaned == 0)
     assert(spark.read.parquet(out).count() == 0)
   }
+
+  test("upsert: updates override, base survives, new keys insert") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val out = Load.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
 }

@@ -174,4 +174,20 @@ class EventWindowsSpec extends SparkSpec {
     val b = stats.agg(sum("n_events")).collect().head.getLong(0)
     assert(a == b && a == Tables.events(spark, sfDir).count())
   }
+
+  test("hourlyMerge of disjoint partials == full hourlyByType recompute, row for row") {
+    val ev = Tables.events(spark, sfDir)
+    val merged = EventWindows.hourlyMerge(
+      EventWindows.hourlyPartial(ev.filter(col("event_id") % 3 === 0)),
+      EventWindows.hourlyPartial(ev.filter(col("event_id") % 3 =!= 0)))
+      .orderBy("window_start_us", "event_type").collect()
+    val full = EventWindows.hourlyByType(spark, sfDir).collect()
+    assert(merged.length == full.length)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.getLong(0) == f.getLong(0) && m.getString(1) == f.getString(1))
+      assert(m.getLong(2) == f.getLong(2))
+      assert(m.getDouble(3) == f.getDouble(3)) // exact: decimal partials
+      assert(m.getDouble(4) == f.getDouble(4))
+    }
+  }
 }

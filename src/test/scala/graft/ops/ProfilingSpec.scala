@@ -76,4 +76,17 @@ class ProfilingSpec extends SparkSpec {
     val total = Tables.customer(spark, sfDir).count()
     assert(j1.size + j3.size == total)
   }
+
+  test("quantileBuckets: buckets partition the keys into near-quartiles, no global sort") {
+    val df = Profiling.quantileBuckets(Tables.orders(spark, sfDir), "o_custkey", "o_totalprice")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val keys = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == keys)
+    // quartiles: each bucket holds 25% +- interpolation slack
+    rows.foreach(r => assert(math.abs(r.getLong(1) - keys / 4.0) <= keys / 10.0 + 2, r.toString))
+    // the fatal shape at scale is a partition-less window (ntile) — absent
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
