@@ -214,6 +214,20 @@ object Graft {
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame =
     ops.TextStats.vocabCoverage(docs, ks)
 
+  /** Boilerplate shingles: repeated w-grams across ≥ minDf distinct docs
+    * ([[ops.Dedup.boilerplate]]). */
+  def boilerplate(docs: DataFrame, minDf: Int = 5): DataFrame =
+    ops.Dedup.boilerplate(docs, minDf)
+
+  /** Keyed upsert/MERGE — updates override, base survives, new keys
+    * insert ([[etl.Load.upsert]]). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    etl.Load.upsert(base, updates, keys)
+
+  /** Quantile bucketing without ntile ([[ops.Profiling.quantileBuckets]]). */
+  def quantileBuckets(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    ops.Profiling.quantileBuckets(df, keyCol, valueCol)
+
   /** Perceptual average-hashes for every decodable image
     * ([[ops.Multimodal.imageHashes]]). */
   def imageHashes(media: DataFrame): DataFrame =

@@ -144,6 +144,8 @@ object SparkEntry {
     "j1_semi_urgent" -> (Analytics.customersWithUrgentOrders(_, _)),
     "j2_anti_no_orders" -> (Analytics.customersWithoutOrders(_, _)),
     "j3_anti_no_urgent" -> (Analytics.customersWithoutUrgentOrders(_, _)),
+    // full-outer coverage with genuinely unmatched keys on both sides
+    "j4_full_outer" -> (Analytics.nationCoverage(_, _)),
     "r1_rollup" -> (Analytics.orderRollup(_, _)),
     "r2_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -209,6 +211,8 @@ object SparkEntry {
     "e9_active_users" -> (EventWindows.activeUsers(_, _)),
     // rolling z-score anomaly flags over the hourly volume grid
     "e10_anomaly" -> ((s, d) => EventWindows.hourlyAnomalies(s, d)),
+    // dense hourly spine with zero-filled gaps (calendar gap-fill)
+    "e12_gapfill" -> (EventWindows.hourlySpine(_, _)),
     // incremental aggregate maintenance: two disjoint halves aggregated
     // separately, partials merged — must equal the full recompute, so it
     // shares e1's oracle
@@ -418,6 +422,9 @@ object SparkEntry {
       Dedup.resolveDuplicates(docs, stagedPairs(s, d))
         .orderBy("doc_id")
     }),
+    // boilerplate shingles: repeated 3-grams across >= 5 distinct docs
+    "t16_boilerplate" -> ((s, d) =>
+      Dedup.boilerplate(Tables.documents(s, d))),
     // benchmark decontamination: train docs (doc_id % 50 != 0) sharing
     // >= 3 shingles with the "benchmark" subset (doc_id % 50 == 0);
     // benchmark shingles broadcast — the corpus side never shuffles
@@ -1044,6 +1051,37 @@ object SparkEntry {
         | WHERE NOT EXISTS (SELECT 1 FROM orders
         |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         | ORDER BY c_custkey""".stripMargin,
+    "j4_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |           FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey)
+        |SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nation,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nation""".stripMargin,
+    "e12_gapfill" ->
+      """WITH h AS (SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS wus,
+        |             event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(wus) AS lo, max(wus) AS hi FROM h),
+        |ty AS (SELECT DISTINCT event_type FROM h),
+        |spine AS (SELECT event_type,
+        |            unnest(range(lo, hi + 3600000000, 3600000000)) AS window_start_us
+        |          FROM ty, b)
+        |SELECT s.window_start_us, s.event_type, coalesce(h.n, 0) AS n_events,
+        |  coalesce(h.n, 0) = 0 AS is_gap
+        |FROM spine s LEFT JOIN h ON h.wus = s.window_start_us AND h.event_type = s.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "t16_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |       ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix)
+        |SELECT s AS shingle, count(*) AS df FROM sh GROUP BY s
+        |HAVING count(*) >= 5 ORDER BY df DESC, shingle""".stripMargin,
     "p1_column_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
       cols.map(c =>

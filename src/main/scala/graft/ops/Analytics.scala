@@ -300,6 +300,27 @@ object Analytics {
       .agg(approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))
       .orderBy("l_returnflag")
 
+  /** Full-outer coverage report: per-nation customer and supplier counts
+    * with nations present on either side only — the FULL OUTER shape
+    * (both inputs filtered so each side genuinely has unmatched keys).
+    * Both aggregates are tiny; the outer join runs on the 25-value
+    * nation domain.
+    */
+  def nationCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast("long").as("nation"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nation")
+  }
+
   /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
     * with the class filter on the orders side (equivalent to the filter
     * inside the outer-join condition — customers whose only orders are

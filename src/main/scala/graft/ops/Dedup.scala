@@ -38,6 +38,22 @@ object Dedup {
     keyed.join(keep, Seq("__h", idCol), "left_semi").drop("__h")
   }
 
+  /** Corpus boilerplate detection: w-shingles appearing in ≥ minDf
+    * DISTINCT documents — the repeated headers/footers/disclaimers a
+    * training pipeline strips before dedup (near-dup scoring counts them
+    * as similarity; quality scoring counts them as fluent text; both are
+    * wrong). One shuffle on the shingle string with map-side partials;
+    * output is df-bounded tiny. The readable string form is deliberate —
+    * the result is an action list for humans and strip rules, unlike the
+    * hashed pipelines.
+    */
+  def boilerplate(docs: DataFrame, minDf: Int = 5, w: Int = 3,
+                  textCol: String = "text"): DataFrame =
+    docs.select(explode(shingles(col(textCol), w)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle"))
+
   /** Word w-shingles as a distinct array — the unit set for Jaccard.
     * Readable string form (API/tests); the dedup pipelines use
     * [[shingleHashes]], which produces the same sets pre-hashed in one

@@ -178,6 +178,35 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** Dense hourly spine with gap-filling: every (hour, type) cell between
+    * the corpus' first and last observed hour, zero-filled where no
+    * events landed — the calendar-spine prerequisite for honest rolling
+    * statistics (a rows-frame window over the RAW aggregate silently
+    * skips empty hours; over the spine it means what it says).
+    *
+    * Scale shape: events collapse to the hourly grid first; the spine is
+    * types × sequence(min, max) — O(hours × types) rows generated from a
+    * broadcast one-row bounds aggregate, never from raw events — and the
+    * gap-fill is a left join between two tiny aggregates.
+    */
+  def hourlySpine(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val hourly = Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = hourly.agg(min(col("window_start_us")).as("lo"),
+                            max(col("window_start_us")).as("hi"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("window_start_us"))
+    spine.join(hourly, Seq("window_start_us", "event_type"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("is_gap", col("n_events") === 0L)
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** Partial hourly aggregate — the MATERIALIZABLE form of
     * [[hourlyByType]]: counts and DECIMAL sums only (no averages), so two
     * partials merge EXACTLY by re-summing. The incremental-maintenance
