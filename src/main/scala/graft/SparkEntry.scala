@@ -166,6 +166,8 @@ object SparkEntry {
     // OR-of-ANDs predicate spanning both join sides (the Q19 classic)
     "q19_disjunctive" -> (Analytics.q19DisjunctiveRevenue(_, _)),
     "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
+    // bilateral nation-pair revenue by shipping year (Q7)
+    "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
     // left-outer join + two-level aggregation (the Q13 distribution)
     "q13_custdist" -> (Analytics.q13CustomerDistribution(_, _)),
     // per-group aggregate filtered to the global max (the Q15 view+max)
@@ -298,6 +300,23 @@ object SparkEntry {
           .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed")),
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id")
+    }),
+    // custom keyed state (flatMapGroupsWithState) in the gate: running
+    // per-user counts — the final emission per user equals the batch
+    // GROUP BY count (max() guards against multi-batch re-emission)
+    "st8_running_counts" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      import s.implicits._
+      val mem = s"st8_mem_${Integer.toHexString(d.hashCode)}"
+      val evStream = graft.streaming.Streams.parquetDirStream(s, stage, schema)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Streams.EventRow]
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.runningUserCounts(evStream).toDF(), mem,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      s.table(mem).groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events")).orderBy("user_id")
     }),
     // streaming ANN serving: query stream (every 20th vector) against the
     // static corpus; shares v1's oracle (identical sim/rank formulation)
@@ -520,6 +539,11 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cv"))
       Similarity.assignCells(emb, centroids).orderBy("vec_id")
     }),
+    // product quantization reconstruction error — rows-only by design
+    // (trained per-subspace codebooks are not SQL-replayable); exactness
+    // pinned by SimilaritySpec (cells=n reconstructs perfectly)
+    "v13_pq_err" -> ((s, d) =>
+      Similarity.pqReconstructionError(Tables.embeddings(s, d))),
     "v5_topk_agg" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopKAgg(emb, Similarity.querySet(emb, "vec_id", 20))
@@ -965,6 +989,23 @@ object SparkEntry {
          | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
          |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+         |  ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_nationkey IN (1, 2) AND cn.n_nationkey IN (1, 2)
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the final flatMapGroupsWithState emission per user = total count
+    "st8_running_counts" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q13_custdist" ->
       """WITH co AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

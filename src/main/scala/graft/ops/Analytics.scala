@@ -300,6 +300,37 @@ object Analytics {
       .agg(approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))
       .orderBy("l_returnflag")
 
+  /** Bilateral nation volume (TPC-H Q7 shape): revenue flowing between
+    * two nations in either direction, by shipping year. The fact side
+    * shuffles once (lineitem ⋈ orders on orderkey); customer, supplier
+    * and nation all broadcast; the nation-pair filter is applied to the
+    * broadcast dims BEFORE the fact join, so non-qualifying lineitems
+    * drop at the first broadcast probe.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String,
+                     nationA: Int = 1, nationB: Int = 2): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_nationkey").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
   /** Full-outer coverage report: per-nation customer and supplier counts
     * with nations present on either side only — the FULL OUTER shape
     * (both inputs filtered so each side genuinely has unmatched keys).

@@ -456,6 +456,61 @@ object Similarity {
            count(lit(1)).as("n_vectors"))
   }
 
+  /** Per-subspace product-quantization codebooks: the embedding splits
+    * into `m` contiguous subvectors and each subspace trains its own
+    * Lloyd's codebook ([[trainIvfCodebook]] on the slice — deterministic
+    * lowest-id init, exact-decimal means). Storage: a vector becomes m
+    * small codes (m bytes at cells ≤ 256) instead of dim floats — 64×
+    * smaller at dim=64/m=4 — while reconstruction keeps per-subspace
+    * cluster structure that whole-vector int8 scaling
+    * ([[quantizeInt8]]) cannot express. Returns (sub, cell, cv).
+    */
+  def pqCodebooks(df: DataFrame, m: Int = 4, dim: Int = 64, cells: Int = 16,
+                  iters: Int = 3, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      trainIvfCodebook(
+        df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+        cells, iters, idCol, vecCol)
+        .withColumn("sub", lit(s))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ reconstruction-error report (the v8 contract for product
+    * quantization): each subvector maps to its nearest subspace centroid
+    * (broadcast codebook argmin, map-side), the reconstruction is the
+    * centroid, and the report is per-label mean absolute error over all
+    * dimensions. No oracle by design — trained codebooks are not
+    * SQL-replayable — gated instead by exactness specs (cells = corpus
+    * size reconstructs perfectly; more cells beat fewer on the fixture).
+    */
+  def pqReconstructionError(df: DataFrame, m: Int = 4, dim: Int = 64,
+                            cells: Int = 16, iters: Int = 3,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            labelCol: String = "label"): DataFrame = {
+    val books = pqCodebooks(df, m, dim, cells, iters, idCol, vecCol)
+    val sub = dim / m
+    val perSub = (0 until m).map { s =>
+      val book = books.filter(col("sub") === s).select("cell", "cv")
+      val vecs = df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      vecs
+        .join(assignCells(vecs, book, idCol, vecCol).select(col(idCol), col("cell")), idCol)
+        .join(broadcast(book), "cell")
+        .select(col(idCol),
+          aggregate(zip_with(col(vecCol), col("cv"), (v, c) => abs(v - c)),
+            lit(0.0), (acc, e) => acc + e).as("errsum"))
+    }.reduce(_ unionByName _)
+    perSub.groupBy(col(idCol))
+      .agg((sum(col("errsum")) / dim).as("err"))
+      .join(df.select(col(idCol), col(labelCol)), idCol)
+      .groupBy(labelCol)
+      .agg(Num.roundTo(Num.exactAvg(col("err")), 6).as("mean_abs_err"),
+           count(lit(1)).as("n_vectors"))
+      .orderBy(labelCol)
+  }
+
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
     * scale bug — 2^8 bucket values saturate beyond ~65k rows and every

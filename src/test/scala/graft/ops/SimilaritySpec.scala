@@ -539,4 +539,21 @@ class SimilaritySpec extends SparkSpec {
         && w.getLong(2) == a.getLong(2) && w.getDouble(3) == a.getDouble(3))
     }
   }
+
+  test("PQ: cells = corpus size reconstructs perfectly; trained cells beat a single centroid") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    // every subvector is its own centroid -> zero reconstruction error
+    val perfect = Similarity.pqReconstructionError(emb, m = 4, dim = 64,
+      cells = 100, iters = 0)
+    assert(perfect.collect().forall(_.getAs[Double]("mean_abs_err") == 0.0))
+    // and vector counts survive the per-subspace round trip
+    assert(perfect.agg(sum("n_vectors")).collect().head.getLong(0) == 100)
+    val coarse = Similarity.pqReconstructionError(emb, m = 4, dim = 64,
+      cells = 1, iters = 1)
+      .agg(sum(col("mean_abs_err"))).collect().head.getDouble(0)
+    val fine = Similarity.pqReconstructionError(emb, m = 4, dim = 64,
+      cells = 16, iters = 3)
+      .agg(sum(col("mean_abs_err"))).collect().head.getDouble(0)
+    assert(fine < coarse, s"16-cell PQ ($fine) should beat 1-cell ($coarse)")
+  }
 }
