@@ -155,6 +155,13 @@ object SparkEntry {
                  col("o_orderpriority").asc_nulls_first)),
     "d1_distinct" -> (Analytics.orderCountsDistinct(_, _)),
     "g1_pivot" -> (Analytics.orderStatusPivot(_, _)),
+    // melt the zero-filled pivot back to long form (UNPIVOT)
+    "g2_unpivot" -> (Analytics.orderStatusUnpivot(_, _)),
+    // ratio-to-parent without windows: re-aggregate the tiny parent level
+    "w3_revenue_share" -> (Analytics.regionRevenueShare(_, _)),
+    // mergeable HLL sketches (sketch-union = incremental distinct) —
+    // engine-specific estimates, rows-only like d2; accuracy spec'd
+    "d3_hll_union" -> (Analytics.hllUnionDistinct(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -444,6 +451,9 @@ object SparkEntry {
     // boilerplate shingles: repeated 3-grams across >= 5 distinct docs
     "t16_boilerplate" -> ((s, d) =>
       Dedup.boilerplate(Tables.documents(s, d))),
+    // typo/variant pairs over the bounded vocabulary (levenshtein <= 2)
+    "t17_fuzzy_terms" -> ((s, d) =>
+      TextStats.fuzzyTermPairs(Tables.documents(s, d))),
     // benchmark decontamination: train docs (doc_id % 50 != 0) sharing
     // >= 3 shingles with the "benchmark" subset (doc_id % 50 == 0);
     // benchmark shingles broadcast — the corpus side never shuffles
@@ -1186,6 +1196,48 @@ object SparkEntry {
         | count(*) FILTER (o_orderstatus = 'O') AS n_o,
         | count(*) FILTER (o_orderstatus = 'P') AS n_p
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // pivot→melt round trip: the dense grid incl. zero-filled cells
+    "g2_unpivot" ->
+      """WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |s AS (SELECT unnest(['F', 'O', 'P']) AS o_orderstatus),
+        |c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT p.o_orderpriority, s.o_orderstatus, coalesce(n, 0) AS n_orders
+        |FROM p CROSS JOIN s
+        |LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority
+        |           AND c.o_orderstatus = s.o_orderstatus
+        |ORDER BY 1, 2""".stripMargin,
+    // ratio-to-parent: the oracle mirrors the two-level double path
+    // (nation sums pass through DOUBLE before the region re-sum, exactly
+    // like the Spark plan)
+    "w3_revenue_share" ->
+      s"""WITH nr AS (
+         |  SELECT r_name, n_name, ${decSum("o_totalprice")} AS nation_revenue
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY r_name, n_name),
+         |rr AS (SELECT r_name, ${Num.sqlRoundTo(Num.sqlExactSum("nation_revenue"), 6)} AS region_revenue
+         |       FROM nr GROUP BY r_name)
+         |SELECT nr.r_name, n_name,
+         |  ${Num.sqlRoundTo("nation_revenue", 6)} AS nation_revenue,
+         |  region_revenue,
+         |  ${Num.sqlRoundTo("nation_revenue / region_revenue", 6)} AS share
+         |FROM nr JOIN rr USING (r_name) ORDER BY 1, 2""".stripMargin,
+    // bounded-vocab typo pairs; DuckDB's levenshtein is the same classic
+    // edit distance as Spark's
+    "t17_fuzzy_terms" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+        |top AS (SELECT term, n FROM freq ORDER BY n DESC, term LIMIT 1000)
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM top a, top b
+        |WHERE a.term < b.term AND levenshtein(a.term, b.term) <= 2
+        |ORDER BY term_a, term_b""".stripMargin,
     "st2_stream_sessions" ->
       s"""$sessionsCte
          |SELECT user_id, session_start_us, session_end_us + 1800000000 AS session_end_us,

@@ -300,6 +300,63 @@ object Analytics {
       .agg(approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))
       .orderBy("l_returnflag")
 
+  /** Mergeable distinct-count sketches — the INCREMENTAL form of
+    * [[approxDistinct]]: each half builds an HLL sketch independently
+    * (`hll_sketch_agg`), the sketches union (`hll_union_agg`), and the
+    * estimate reads off the merged sketch. The pattern that lets a
+    * 100 TB history keep per-day sketches and answer "distinct over any
+    * date range" by merging kilobytes instead of rescanning — the
+    * approximate twin of [[EventWindows.hourlyMerge]]'s exact partials.
+    */
+  def hllUnionDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("half", col("l_orderkey") % 2)
+      .groupBy(col("l_returnflag"), col("half"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_orders_approx"))
+      .orderBy("l_returnflag")
+
+  /** Unpivot round-trip: melt [[orderStatusPivot]]'s wide output back to
+    * long form (priority, status, count) — the relational MELT shape,
+    * zero-filled cells preserved. Runs on the tiny pivot result.
+    */
+  def orderStatusUnpivot(spark: SparkSession, dir: String): DataFrame =
+    orderStatusPivot(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f").as("F"), col("n_o").as("O"), col("n_p").as("P")),
+        "o_orderstatus", "n_orders")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  /** Ratio-to-parent share without windows: revenue per nation over its
+    * region's total. Two aggregations over the same small grouped
+    * result — region totals re-aggregate the nation rows (O(nations)),
+    * then broadcast back. The window formulation
+    * (`sum over (partition by region)`) computes the same thing but
+    * re-shuffles the child rows; re-aggregating the already-tiny parent
+    * level is the scale-correct shape.
+    */
+  def regionRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val byNation = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice")
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(exactSum(col("o_totalprice")).as("nation_revenue"))
+    val byRegion = byNation.groupBy(col("r_name"))
+      .agg(Num.roundTo(exactSum(col("nation_revenue")), 6).as("region_revenue"))
+    byNation.join(broadcast(byRegion), Seq("r_name"))
+      .select(col("r_name"), col("n_name"),
+        Num.roundTo(col("nation_revenue"), 6).as("nation_revenue"),
+        col("region_revenue"),
+        Num.roundTo(col("nation_revenue") / col("region_revenue"), 6).as("share"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Bilateral nation volume (TPC-H Q7 shape): revenue flowing between
     * two nations in either direction, by shipping year. The fact side
     * shuffles once (lineitem ⋈ orders on orderkey); customer, supplier

@@ -477,6 +477,32 @@ object TextStats {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Typo/variant clustering over the vocabulary: pairs of frequent terms
+    * within `maxDist` edit distance (codegen'd `levenshtein`). The
+    * vocabulary is bounded FIRST — a TakeOrdered top-`maxVocab` slice by
+    * frequency, the same bounding discipline as [[vocabCoverage]] — so
+    * the all-pairs comparison is maxVocab², a deliberate caller-set
+    * budget, never corpus². (Unbounded fuzzy joins need LSH-style
+    * q-gram blocking; for vocab-level typo mining the bounded exact form
+    * is the right tool and the result is exact over that slice.)
+    */
+  def fuzzyTermPairs(docs: DataFrame, maxVocab: Int = 1000, maxDist: Int = 2,
+                     textCol: String = "text"): DataFrame = {
+    val freq = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val top = freq.orderBy(col("n").desc, col("term")).limit(maxVocab)
+    val a = top.select(col("term").as("term_a"), col("n").as("n_a"))
+    val b = top.select(col("term").as("term_b"), col("n").as("n_b"))
+    a.join(b, col("term_a") < col("term_b") &&
+              levenshtein(col("term_a"), col("term_b")) <= maxDist)
+      .select(col("term_a"), col("term_b"),
+        levenshtein(col("term_a"), col("term_b")).cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("term_a", "term_b")
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

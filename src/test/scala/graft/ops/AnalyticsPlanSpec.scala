@@ -197,6 +197,43 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(df.collect().forall(_.getAs[Long]("numcust") > 0))
   }
 
+  test("d3 hll union: merged half-sketches estimate within 5% of exact, and equal the one-pass sketch") {
+    val exact = Analytics.orderCountsDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Analytics.hllUnionDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) <= math.max(1L, (exact(k) * 0.05).toLong),
+        s"$k: est $est vs exact ${exact(k)}")
+    }
+    // sketch-union tracks the one-pass sketch (not bit-identical: the
+    // union's internal HLL mode can differ, shifting estimates ~1%)
+    val onePass = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, est) =>
+      assert(math.abs(est - onePass(k)) <= math.max(1L, (onePass(k) * 0.02).toLong),
+        s"$k: merged $est vs one-pass ${onePass(k)}")
+    }
+  }
+
+  test("g2 unpivot inverts g1: melt(pivot) == the dense zero-filled grid") {
+    val long = Analytics.orderStatusUnpivot(spark, sfDir).collect()
+    assert(long.length == Analytics.orderStatusPivot(spark, sfDir).count() * 3)
+    val total = long.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.orders(spark, sfDir).count())
+  }
+
+  test("w3 shares sum to 1 per region") {
+    val byRegion = Analytics.regionRevenueShare(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    byRegion.values.foreach { rows =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"share sum $s")
+    }
+  }
+
   test("analytics results sanity at sf0.001") {
     assert(Analytics.q1PricingSummary(spark, sfDir).count() == 6)
     assert(Analytics.orderRollup(spark, sfDir).count() == 19)
