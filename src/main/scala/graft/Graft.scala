@@ -243,4 +243,20 @@ object Graft {
     * generation, exact recount, no term-frequency shuffle. */
   def heavyHitters(docs: DataFrame, phi: Double = 0.01, capacity: Int = 256): DataFrame =
     ops.TextStats.heavyHitters(docs, phi, capacity)
+
+  /** Typo/variant term pairs within an edit-distance budget over a
+    * bounded vocabulary slice ([[ops.TextStats.fuzzyTermPairs]]); the
+    * [[plans.LevenshteinPruning]] rule length-prunes the pair loop. */
+  def fuzzyTermPairs(docs: DataFrame, maxVocab: Int = 1000, maxDist: Int = 2): DataFrame =
+    ops.TextStats.fuzzyTermPairs(docs, maxVocab, maxDist)
+
+  /** Product-quantization reconstruction-error report
+    * ([[ops.Similarity.pqReconstructionError]]). */
+  def pqError(vectors: DataFrame, m: Int = 4, dim: Int = 64,
+              cells: Int = 16, iters: Int = 3): DataFrame =
+    ops.Similarity.pqReconstructionError(vectors, m, dim, cells, iters)
+
+  /** Dense zero-filled hourly spine ([[ops.EventWindows.hourlySpine]]). */
+  def hourlySpine(spark: SparkSession, dir: String): DataFrame =
+    ops.EventWindows.hourlySpine(spark, dir)
 }

@@ -249,6 +249,8 @@ object GraftFunctions {
     e.eval(null).asInstanceOf[Number].longValue()
 
   def register(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: length-bound pruning for edit-distance predicates
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruning)
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot", classOf[VecDot]),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig", classOf[MinHashSig]),
