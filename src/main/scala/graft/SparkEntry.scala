@@ -175,6 +175,10 @@ object SparkEntry {
     "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
     // bilateral nation-pair revenue by shipping year (Q7)
     "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
+    // national market share within a region by ship year (Q8)
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    // fixed-width histogram from a broadcast min/max row, sort-free
+    "p5_histogram" -> ((s, d) => Analytics.priceHistogram(s, d)),
     // left-outer join + two-level aggregation (the Q13 distribution)
     "q13_custdist" -> (Analytics.q13CustomerDistribution(_, _)),
     // per-group aggregate filtered to the global max (the Q15 view+max)
@@ -307,6 +311,16 @@ object SparkEntry {
           .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed")),
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id")
+    }),
+    // CDC compaction: latest value per key as a streaming aggregate
+    "st9_stream_latest" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st9_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.latestPerUser(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      s.table(mem).orderBy("user_id")
     }),
     // custom keyed state (flatMapGroupsWithState) in the gate: running
     // per-user counts — the final emission per user equals the batch
@@ -1016,6 +1030,36 @@ object SparkEntry {
     "st8_running_counts" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+         |  ${Num.sqlRoundTo(
+             decSum("CASE WHEN s_nationkey = 8 THEN l_extendedprice * (1 - l_discount) ELSE 0 END") +
+             " / " + decSum("l_extendedprice * (1 - l_discount)"), 6)} AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p5_histogram" ->
+      s"""WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+         |x AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin,
+         |        l_extendedprice AS x
+         |      FROM lineitem, b)
+         |SELECT bin, count(*) AS n_rows,
+         |  ${Num.sqlRoundTo("min(x)", 6)} AS bin_min,
+         |  ${Num.sqlRoundTo("max(x)", 6)} AS bin_max
+         |FROM x GROUP BY bin ORDER BY bin""".stripMargin,
+    // latest-per-key compaction: the struct-max survivor replayed as a
+    // row_number argmax (event_id is unique, so value never tiebreaks)
+    "st9_stream_latest" ->
+      """WITH r AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, us AS last_us, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q13_custdist" ->
       """WITH co AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

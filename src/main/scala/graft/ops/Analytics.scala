@@ -388,6 +388,57 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "ship_year")
   }
 
+  /** National market share (TPC-H Q8 shape): one nation's share of a
+    * region's supplier revenue per ship year — conditional aggregation
+    * over the q7-style broadcast-dim join, numerator and denominator in
+    * ONE partial-aggregate pass per year group.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    region: String = "ASIA", nationKey: Int = 8): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), (col("s_nationkey") === nationKey).as("is_target"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(Num.roundTo(
+        exactSum(when(col("is_target"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          / exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("mkt_share"))
+      .orderBy("ship_year")
+  }
+
+  /** Fixed-width histogram without a sort: bin bounds come from one
+    * broadcast min/max row; bin assignment is a map-side expression
+    * (`least(floor((x−lo)/w), nbins−1)` — the top edge closes the last
+    * bin); counts partial-aggregate. The profiling sibling of
+    * [[Profiling.quantileBuckets]] for shape, not rank.
+    */
+  def priceHistogram(spark: SparkSession, dir: String, nbins: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / nbins)),
+              lit(nbins - 1)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+           Num.roundTo(min(col("x")), 6).as("bin_min"),
+           Num.roundTo(max(col("x")), 6).as("bin_max"))
+      .orderBy("bin")
+  }
+
   /** Full-outer coverage report: per-nation customer and supplier counts
     * with nations present on either side only — the FULL OUTER shape
     * (both inputs filtered so each side genuinely has unmatched keys).

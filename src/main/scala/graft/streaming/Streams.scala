@@ -124,6 +124,20 @@ object Streams {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Latest value per key — CDC-style stream compaction to the current
+    * snapshot: one max(struct) aggregate keyed on user_id, so state per
+    * key is a single struct and the survivor is arrival-order
+    * independent (event-time + id ordering, not processing order) —
+    * exactly re-playable by a batch row_number oracle.
+    */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.us").as("last_us"), col("m.value").as("last_value"))
+
   /** Stream-static join: enrich a stream against a batch dimension table.
     * The static side behaves like a broadcast lookup re-resolved per
     * micro-batch — no state store involved.

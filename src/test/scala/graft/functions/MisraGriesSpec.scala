@@ -61,6 +61,44 @@ class MisraGriesSpec extends SparkSpec {
       s"missing: ${mustSurvive -- candidates}")
   }
 
+  test("property: merged sketch counters obey the n/capacity error bound under any partitioning") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val streams = for {
+      alphabet <- Gen.choose(50, 300)
+      n <- Gen.choose(200, 2000)
+      // Zipf-ish skew: low ids drawn far more often
+      items <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.choose(0, 9)), (3, Gen.choose(10, 49)), (1, Gen.choose(50, alphabet - 1))))
+      nParts <- Gen.choose(1, 8)
+    } yield (items.map(i => s"t$i"), nParts)
+    val capacity = 32
+    val prop = Prop.forAll(streams) { case (items, nParts) =>
+      val parts = items.grouped(math.max(1, items.size / nParts)).toSeq
+      val bufs = parts.map { p =>
+        val b = new MGBuffer(capacity); p.foreach(b.add(_, 1L)); b
+      }
+      val merged = bufs.reduce { (a, b) => b.foreach(a.addMerged); a.truncate(); a }
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = items.size.toDouble / capacity
+      val surviving = {
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        merged.foreach((t, c) => m(t) = c)
+        m.toMap
+      }
+      // every counter is a lower bound within n/capacity of the truth
+      val counterOk = surviving.forall { case (t, c) =>
+        c <= truth(t) && truth(t) - c <= bound + 1e-9
+      }
+      // every item above the bound survives
+      val supersetOk = truth.forall { case (t, n) =>
+        n <= bound || surviving.contains(t)
+      }
+      counterOk && supersetOk && surviving.size <= capacity
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("capacity <= 1/phi is rejected — the guarantee would not hold") {
     intercept[IllegalArgumentException] {
       TextStats.heavyHitters(docs, phi = 0.01, capacity = 100)
