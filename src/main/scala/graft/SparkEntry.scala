@@ -173,6 +173,8 @@ object SparkEntry {
     // OR-of-ANDs predicate spanning both join sides (the Q19 classic)
     "q19_disjunctive" -> (Analytics.q19DisjunctiveRevenue(_, _)),
     "w2_running_total" -> (Analytics.runningCustomerTotal(_, _)),
+    // lag + lead + first_value on one window partitioning
+    "w4_order_timeline" -> (Analytics.orderTimeline(_, _)),
     // bilateral nation-pair revenue by shipping year (Q7)
     "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
     // national market share within a region by ship year (Q8)
@@ -379,6 +381,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
+    // whitespace/control-char normalization (run before content hashing)
+    "c5_normalize" -> ((s, d) =>
+      TextStats.normalizeText(Tables.documents(s, d))
+        .select(col("doc_id"), col("normalized"), col("n_norm_chars"))
+        .orderBy("doc_id")),
     "c3_scrub" -> ((s, d) =>
       TextStats.scrubPii(Tables.documents(s, d))
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed"))
@@ -1560,6 +1567,26 @@ object SparkEntry {
     // 'g' flag: DuckDB regexp_replace is first-match-only by default,
     // Spark's replaces all
     "c3_scrub" -> scrubSql,
+    // same two regexp passes + trim; DuckDB's \s matches the same JDK
+    // whitespace class for ASCII input
+    "c5_normalize" ->
+      raw"""SELECT doc_id,
+           | trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0E-\x1F]', '', 'g'),
+           |                     '\s+', ' ', 'g')) AS normalized,
+           | CAST(length(trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0E-\x1F]', '', 'g'),
+           |                  '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+           | FROM documents ORDER BY doc_id""".stripMargin,
+    "w4_order_timeline" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+        |  lag(epoch_us(CAST(o_orderdate AS TIMESTAMP))) OVER w AS prev_us,
+        |  lead(epoch_us(CAST(o_orderdate AS TIMESTAMP))) OVER w AS next_us,
+        |  CAST((epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |        - first_value(epoch_us(CAST(o_orderdate AS TIMESTAMP))) OVER w)
+        |       // 86400000000 AS BIGINT) AS days_since_first
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate_us, o_orderkey""".stripMargin,
 
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents

@@ -280,6 +280,25 @@ object Analytics {
       .orderBy("o_custkey", "o_orderdate_us", "o_orderkey")
   }
 
+  /** Per-customer order timeline: previous/next order dates and days
+    * since first order — lag, lead, and first_value riding ONE window
+    * partitioning (single shuffle on o_custkey, one in-partition sort,
+    * three frames).
+    */
+  def orderTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate_us"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"))
+      .withColumn("prev_us", lag(col("o_orderdate_us"), 1).over(w))
+      .withColumn("next_us", lead(col("o_orderdate_us"), 1).over(w))
+      .withColumn("days_since_first",
+        ((col("o_orderdate_us") - first(col("o_orderdate_us")).over(w))
+          / (86400L * 1000000L)).cast("long"))
+      .orderBy("o_custkey", "o_orderdate_us", "o_orderkey")
+  }
+
   /** Pivot: order counts by priority (rows) × status (columns). Values are
     * enumerated explicitly — at scale an un-enumerated pivot needs a
     * distinct-scan first; listing the (small, known) domain keeps it one

@@ -477,6 +477,20 @@ object TextStats {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Text normalization — the pass that runs BEFORE any content hashing
+    * (exact dedup, split assignment, fingerprinting), because hash keys
+    * treat "a  b" and "a b" as different documents: collapse all
+    * whitespace runs to single spaces, trim, and strip C0 control
+    * characters. Map-only codegen'd regexps; normalized length comes
+    * along for filter pipelines.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("normalized",
+        trim(regexp_replace(
+          regexp_replace(col(textCol), "[\\x00-\\x08\\x0E-\\x1F]", ""),
+          "\\s+", " ")))
+      .withColumn("n_norm_chars", length(col("normalized")).cast("long"))
+
   /** Typo/variant clustering over the vocabulary: pairs of frequent terms
     * within `maxDist` edit distance (codegen'd `levenshtein`). The
     * vocabulary is bounded FIRST — a TakeOrdered top-`maxVocab` slice by
