@@ -469,13 +469,52 @@ object Similarity {
                   iters: Int = 3, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subvecs = pqSubvectors(df, m, dim, idCol, vecCol)
+    // init: the `cells` lowest-id vectors seed EVERY subspace (cell = id),
+    // exactly [[trainIvfCodebook]]'s init applied per slice
+    val initIds = broadcast(df.orderBy(col(idCol)).limit(cells).select(col(idCol)))
+    var codebook = subvecs.join(initIds, idCol)
+      .select(col("sub"), col(idCol).cast("long").as("cell"), col("sv").as("cv"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      // all m subspaces advance in ONE Lloyd's pass: the per-subspace
+      // loop form costs m× the fixed job latency for identical results
+      // (same init, same 9dp-rounded distances, same tie-breaks, same
+      // exact-decimal means — keyed by (sub, cell) instead of m plans)
+      val assigned = pqAssign(subvecs, codebook)
+      val means = subvecs.join(assigned, Seq(idCol, "sub"))
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg(Num.exactAvg(col("x").cast("double")).as("mx"))
+      codebook = means.groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx").cast("float")).as("cv"))
+        .localCheckpoint()
+      i += 1
+    }
+    codebook
+  }
+
+  /** (id, sub, sv): the m contiguous slices of each vector as rows. */
+  private def pqSubvectors(df: DataFrame, m: Int, dim: Int,
+                           idCol: String, vecCol: String): DataFrame = {
     val sub = dim / m
-    (0 until m).map { s =>
-      trainIvfCodebook(
-        df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
-        cells, iters, idCol, vecCol)
-        .withColumn("sub", lit(s))
-    }.reduce(_ unionByName _)
+    df.select(col(idCol), posexplode(
+      array((0 until m).map(s => slice(col(vecCol), s * sub + 1, sub)): _*))
+      .as(Seq("sub", "sv")))
+  }
+
+  /** Nearest subspace centroid per (id, sub) — [[assignCells]]'s argmin
+    * keyed by (id, sub) against the broadcast (sub, cell) codebook. */
+  private def pqAssign(subvecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val idCol = subvecs.columns.head
+    subvecs.join(broadcast(codebook), Seq("sub"))
+      .select(col(idCol), col("sub"), col("cell"),
+        Num.roundTo(l2sq(col("sv"), col("cv")), 9).as("dist"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist"), col("cell"))).as("mm"))
+      .select(col(idCol), col("sub"), col("mm.cell").as("cell"))
   }
 
   /** PQ reconstruction-error report (the v8 contract for product
@@ -491,18 +530,14 @@ object Similarity {
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             labelCol: String = "label"): DataFrame = {
     val books = pqCodebooks(df, m, dim, cells, iters, idCol, vecCol)
-    val sub = dim / m
-    val perSub = (0 until m).map { s =>
-      val book = books.filter(col("sub") === s).select("cell", "cv")
-      val vecs = df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
-      vecs
-        .join(assignCells(vecs, book, idCol, vecCol).select(col(idCol), col("cell")), idCol)
-        .join(broadcast(book), "cell")
-        .select(col(idCol),
-          aggregate(zip_with(col(vecCol), col("cv"), (v, c) => abs(v - c)),
-            lit(0.0), (acc, e) => acc + e).as("errsum"))
-    }.reduce(_ unionByName _)
-    perSub.groupBy(col(idCol))
+    val subvecs = pqSubvectors(df, m, dim, idCol, vecCol)
+    subvecs
+      .join(pqAssign(subvecs, books), Seq(idCol, "sub"))
+      .join(broadcast(books), Seq("sub", "cell"))
+      .select(col(idCol),
+        aggregate(zip_with(col("sv"), col("cv"), (v, c) => abs(v - c)),
+          lit(0.0), (acc, e) => acc + e).as("errsum"))
+      .groupBy(col(idCol))
       .agg((sum(col("errsum")) / dim).as("err"))
       .join(df.select(col(idCol), col(labelCol)), idCol)
       .groupBy(labelCol)

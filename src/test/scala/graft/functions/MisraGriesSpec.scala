@@ -64,7 +64,7 @@ class MisraGriesSpec extends SparkSpec {
   test("property: merged sketch counters obey the n/capacity error bound under any partitioning") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val streams = for {
-      alphabet <- Gen.choose(50, 300)
+      alphabet <- Gen.choose(51, 300) // cold range below is 50..alphabet-1
       n <- Gen.choose(200, 2000)
       // Zipf-ish skew: low ids drawn far more often
       items <- Gen.listOfN(n, Gen.frequency(
