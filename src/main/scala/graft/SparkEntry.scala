@@ -570,6 +570,14 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cv"))
       Similarity.assignCells(emb, centroids).orderBy("vec_id")
     }),
+    // ANN over PQ-compressed storage (exact queries vs reconstructed
+    // corpus) — rows-only like the other ANN queries; recall floor +
+    // cells=corpus-size exact-equality spec'd
+    "v14_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
     // product quantization reconstruction error — rows-only by design
     // (trained per-subspace codebooks are not SQL-replayable); exactness
     // pinned by SimilaritySpec (cells=n reconstructs perfectly)

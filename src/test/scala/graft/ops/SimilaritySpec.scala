@@ -556,4 +556,21 @@ class SimilaritySpec extends SparkSpec {
       .agg(sum(col("mean_abs_err"))).collect().head.getDouble(0)
     assert(fine < coarse, s"16-cell PQ ($fine) should beat 1-cell ($coarse)")
   }
+
+  test("PQ top-k: cells = corpus size equals brute force row for row; trained PQ keeps recall") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val qs = Similarity.querySet(emb, "vec_id", 10)
+    val brute = Similarity.bruteForceTopKAgg(emb, qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact reconstruction -> identical ranking, sims and all
+    val exactPq = Similarity.pqTopK(emb, qs, m = 4, dim = 64, cells = 100, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exactPq == brute)
+    // compressed PQ: recall@10 floor against brute force
+    val pq = Similarity.pqTopK(emb, qs, m = 4, dim = 64, cells = 16, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = bruteIds.count(pq.contains).toDouble / bruteIds.size
+    assert(recall >= 0.5, s"PQ recall@10 $recall below floor")
+  }
 }
