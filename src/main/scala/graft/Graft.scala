@@ -228,6 +228,17 @@ object Graft {
   def quantileBuckets(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     ops.Profiling.quantileBuckets(df, keyCol, valueCol)
 
+  /** Declarative data-quality validation — all row rules in one pass
+    * ([[ops.Profiling.validate]]). */
+  def validate(df: DataFrame, rowRules: Seq[(String, org.apache.spark.sql.Column)],
+               uniqueKeys: Seq[(String, Seq[String])] = Seq.empty): DataFrame =
+    ops.Profiling.validate(df, rowRules, uniqueKeys)
+
+  /** Funnel with mean time-to-convert per stage
+    * ([[ops.EventWindows.funnelTiming]]). */
+  def funnelTiming(spark: SparkSession, dir: String, stages: Seq[String]): DataFrame =
+    ops.EventWindows.funnelTiming(spark, dir, stages)
+
   /** Perceptual average-hashes for every decodable image
     * ([[ops.Multimodal.imageHashes]]). */
   def imageHashes(media: DataFrame): DataFrame =

@@ -210,6 +210,18 @@ object SparkEntry {
     // no global sort anywhere
     "p4_spend_buckets" -> ((s, d) =>
       Profiling.quantileBuckets(Tables.orders(s, d), "o_custkey", "o_totalprice")),
+    // declarative data-quality validation: all row rules in one pass,
+    // uniqueness as its own distinct aggregate
+    "p6_constraints" -> ((s, d) =>
+      Profiling.validate(Tables.lineitem(s, d),
+        rowRules = Seq(
+          "quantity_in_range" -> col("l_quantity").between(1.0, 50.0),
+          "discount_in_range" -> col("l_discount").between(0.0, 0.1),
+          "price_positive" -> (col("l_extendedprice") > 0.0),
+          "shipdate_not_null" -> col("l_shipdate").isNotNull,
+          "tax_below_price" -> (col("l_tax") < col("l_extendedprice"))),
+        uniqueKeys = Seq(
+          "orderkey_linenumber_unique" -> Seq("l_orderkey", "l_linenumber")))),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -218,6 +230,8 @@ object SparkEntry {
     "e3_session_stats" -> (EventWindows.sessionStats(_, _)),
     // ordered conversion funnel (first-touch, strictly-after semantics)
     "e6_funnel" -> ((s, d) => EventWindows.funnel(s, d)),
+    // funnel + mean time-to-convert per stage (exact integer micros)
+    "e13_funnel_timing" -> ((s, d) => EventWindows.funnelTiming(s, d)),
     // weekly cohort retention on integer epoch-week arithmetic
     "e7_retention" -> (EventWindows.retention(_, _)),
     // per-user inter-event cadence (lag gaps + exact-integer mean)
@@ -1335,6 +1349,45 @@ object SparkEntry {
       s"""$sessionsCte
          |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p6_constraints" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+        |SELECT rule, n_violations, n_rows FROM (
+        |  SELECT 'quantity_in_range' AS rule,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1.0 AND 50.0, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    (SELECT n_rows FROM n) AS n_rows FROM lineitem
+        |  UNION ALL SELECT 'discount_in_range',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, false) THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM lineitem
+        |  UNION ALL SELECT 'price_positive',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0.0, false) THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM lineitem
+        |  UNION ALL SELECT 'shipdate_not_null',
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM lineitem
+        |  UNION ALL SELECT 'tax_below_price',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_tax < l_extendedprice, false) THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM lineitem
+        |  UNION ALL SELECT 'orderkey_linenumber_unique',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM lineitem)
+        |ORDER BY rule""".stripMargin,
+    // funnel timing: same chained min-ts CTEs as e6, each stage carrying
+    // its anchor; mean gap = exact integer micros sum / count
+    "e13_funnel_timing" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(e.us) AS t, min(s1.t) AS prev_t FROM e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(e.us) AS t, min(s2.t) AS prev_t FROM e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type, count(*) AS n_users,
+         |    CAST(NULL AS DOUBLE) AS mean_us_from_prev FROM s1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*),
+         |    CASE WHEN count(*) > 0 THEN ${Num.sqlRoundTo("CAST(sum(t - prev_t) AS DOUBLE) / count(*)", 4)} END FROM s2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*),
+         |    CASE WHEN count(*) > 0 THEN ${Num.sqlRoundTo("CAST(sum(t - prev_t) AS DOUBLE) / count(*)", 4)} END FROM s3)
+         |ORDER BY stage""".stripMargin,
     // ordered funnel: stage k = min event time STRICTLY after the user's
     // stage-(k-1) first-touch time — chained min-ts aggregates, exactly
     // EventWindows.funnel's scanLeft

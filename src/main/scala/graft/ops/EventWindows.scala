@@ -127,6 +127,39 @@ object EventWindows {
     }.reduce(_ unionAll _).orderBy("stage")
   }
 
+  /** Funnel with conversion timing: [[funnel]]'s stage counts plus the
+    * mean time from the previous stage's first touch to this stage's —
+    * the "where does the funnel stall" report. Each stage frame carries
+    * its anchor timestamp through the aggregation (prev_t is constant
+    * per user after the join, so min() just keeps it), and the mean is
+    * an exact integer micros sum with one rounded division. Same scale
+    * shape as funnel: |stages| aggregates keyed on user_id.
+    */
+  def funnelTiming(spark: SparkSession, dir: String,
+                   stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("us")).as("t"))
+      .withColumn("prev_t", lit(null).cast("long"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      e.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("anchor")), Seq("user_id"))
+        .filter(col("us") > col("anchor"))
+        .groupBy("user_id")
+        .agg(min(col("us")).as("t"), min(col("anchor")).as("prev_t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"),
+          when(count(lit(1)) > 0 && lit(i) > 0,
+            Num.roundTo(sum(col("t") - col("prev_t")).cast("double") / count(lit(1)), 4))
+            .as("mean_us_from_prev"))
+        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"),
+                col("n_users"), col("mean_us_from_prev"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
+
   /** Weekly cohort retention: users bucketed by the epoch-week of their
     * first event; one output row per (cohort_week, week_offset) counting
     * users active that many weeks after their cohort week.

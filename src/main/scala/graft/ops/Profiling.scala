@@ -54,6 +54,37 @@ object Profiling {
         .as("quantiles_approx"))
       .orderBy(groupCol)
 
+  /** Declarative data-quality validation — the "expectations" pass a
+    * pipeline runs before training ingestion: every row-level rule
+    * (null/range/set membership, any boolean Column) is counted in ONE
+    * aggregation pass (violation counters share the partial-aggregate
+    * buffer, like [[columnProfile]]), then unpivoted to a per-rule
+    * report. Uniqueness is a second, separate aggregate (it needs a
+    * distinct, which cannot share the row-level pass) over the key
+    * columns only. Output: (rule, n_violations, n_rows) with
+    * violation-free rules included — the report proves checks RAN, not
+    * just that failures exist.
+    */
+  def validate(df: DataFrame, rowRules: Seq[(String, org.apache.spark.sql.Column)],
+               uniqueKeys: Seq[(String, Seq[String])] = Seq.empty): DataFrame = {
+    require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    val rowReport = if (rowRules.isEmpty) None else Some {
+      val aggs = count(lit(1)).as("__n") +:
+        rowRules.map { case (name, rule) =>
+          sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = rowRules.map { case (name, _) => s"'$name', __v_$name" }.mkString(", ")
+      one.selectExpr(s"stack(${rowRules.size}, $stackExpr) AS (rule, n_violations)", "__n AS n_rows")
+    }
+    val uniqReports = uniqueKeys.map { case (name, keys) =>
+      df.agg(count(lit(1)).as("n_rows"),
+             (count(lit(1)) - countDistinct(col(keys.head), keys.tail.map(col): _*)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"), col("n_rows"))
+    }
+    (rowReport.toSeq ++ uniqReports).reduce(_ unionByName _).orderBy("rule")
+  }
+
   /** Quantile bucketing without ntile: per-key exact sums are bucketed by
     * the GLOBAL quartile boundaries, which come from one percentile
     * aggregate broadcast back as a single row — no global sort, no

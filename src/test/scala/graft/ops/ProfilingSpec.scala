@@ -89,4 +89,19 @@ class ProfilingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("validate: planted violations counted per rule; clean rules report zero") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, "a"), (2L, -5.0, null), (2L, 3.0, "c"))
+      .toDF("id", "v", "s")
+    val out = Profiling.validate(df,
+      rowRules = Seq(
+        "v_positive" -> (col("v") > 0.0),
+        "s_not_null" -> col("s").isNotNull,
+        "id_positive" -> (col("id") > 0L)),
+      uniqueKeys = Seq("id_unique" -> Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("v_positive" -> 1L, "s_not_null" -> 1L,
+      "id_positive" -> 0L, "id_unique" -> 1L))
+  }
 }
