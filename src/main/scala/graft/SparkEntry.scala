@@ -242,6 +242,8 @@ object SparkEntry {
     "e10_anomaly" -> ((s, d) => EventWindows.hourlyAnomalies(s, d)),
     // dense hourly spine with zero-filled gaps (calendar gap-fill)
     "e12_gapfill" -> (EventWindows.hourlySpine(_, _)),
+    // EWMA as a weighted fan-out (no recursion) with decimal-exact sums
+    "e14_ewma" -> ((s, d) => EventWindows.hourlyEwma(s, d)),
     // incremental aggregate maintenance: two disjoint halves aggregated
     // separately, partials merged — must equal the full recompute, so it
     // shares e1's oracle
@@ -395,6 +397,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "c1_clean_corpus" -> (TextStats.cleanCorpus(_, _)),
+    // per-language median quality gate (CCNet-style filter)
+    "c6_quality_gate" -> ((s, d) =>
+      TextStats.qualityGate(Tables.documents(s, d)).orderBy("doc_id")),
     // whitespace/control-char normalization (run before content hashing)
     "c5_normalize" -> ((s, d) =>
       TextStats.normalizeText(Tables.documents(s, d))
@@ -1435,6 +1440,46 @@ object SparkEntry {
          |       THEN ${Num.sqlRoundTo("CAST(sum(gap_us) AS DOUBLE) / count(gap_us)", 4)} END AS mean_gap_us
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // EWMA replay: identical weight DOUBLES are embedded literally in
+    // both plans (Java Double.toString round-trips through DuckDB's
+    // parser), each term casts to DECIMAL(28,12) before summing — no
+    // pow() cross-engine ulp risk, no float summation order
+    "e14_ewma" -> {
+      val (alpha, kWin) = (0.3, 12)
+      val wCase = (0 until kWin).map { j =>
+        val w = if (j < kWin - 1) alpha * math.pow(1 - alpha, j.toDouble)
+                else math.pow(1 - alpha, j.toDouble)
+        s"WHEN $j THEN ${w}"
+      }.mkString(" ")
+      s"""WITH h AS (
+         |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+         |    event_type, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY window_start_us) AS BIGINT) AS pos FROM h),
+         |w AS (SELECT unnest(range(0, $kWin)) AS off),
+         |terms AS (
+         |  SELECT event_type, pos + off AS pos,
+         |    CAST(n_events * (CASE off $wCase END) AS DECIMAL(28,12)) AS term
+         |  FROM s, w),
+         |agg AS (SELECT event_type, pos, sum(term) AS ewma_dec, count(*) AS n
+         |        FROM terms GROUP BY 1, 2)
+         |SELECT s.window_start_us, s.event_type, s.n_events,
+         |  ${Num.sqlRoundTo("CAST(ewma_dec AS DOUBLE)", 6)} AS ewma
+         |FROM agg JOIN s USING (event_type, pos)
+         |WHERE n = $kWin ORDER BY 1, 2""".stripMargin
+    },
+    // per-language median gate: thresholds from quantile_cont over the
+    // replayed quality scores, strict comparison
+    "c6_quality_gate" ->
+      s"""$qualityCte,
+         |ql AS (SELECT qs.doc_id, d.lang, qs.quality_score
+         |       FROM qs JOIN documents d USING (doc_id)),
+         |th AS (SELECT lang, ${Num.sqlRoundTo("quantile_cont(quality_score, 0.5)", 6)} AS q_threshold
+         |       FROM ql GROUP BY lang)
+         |SELECT doc_id, lang, quality_score
+         |FROM ql JOIN th USING (lang)
+         |WHERE quality_score > q_threshold
+         |ORDER BY doc_id""".stripMargin,
     // rolling anomaly grid: trailing-24-observed-hours moments from exact
     // integer sums; mean/var/z replayed as the identical double
     // expressions, full-lookback rows only

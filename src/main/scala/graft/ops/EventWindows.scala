@@ -240,6 +240,54 @@ object EventWindows {
       .orderBy("window_start_us", "event_type")
   }
 
+  /** Exponentially-weighted moving average over the hourly grid, as a
+    * FAN-OUT instead of a recursion: a window-length-K EWMA is
+    * Σ_j w_j·x_{t−j} with fixed weights w_j = α(1−α)^j (plus the
+    * boundary term for the oldest contribution), so each grid row fans
+    * to the K future rows it contributes to, with its weight attached —
+    * the e9 trailing-week trick generalized to weighted windows. No
+    * recursive dependency, no sequential scan: one fan-out and one
+    * aggregation, both partial-aggregating. Every product is cast to
+    * DECIMAL(28,12) before summing, so the aggregation order cannot
+    * wiggle the result and the oracle replays it exactly.
+    *
+    * Emitted only where a full K-row trailing history exists (same
+    * prefix-stability contract as [[hourlyAnomalies]]); the "hours" are
+    * OBSERVED hours — compose with [[hourlySpine]] first when the
+    * calendar matters.
+    */
+  def hourlyEwma(spark: SparkSession, dir: String,
+                 alpha: Double = 0.3, k: Int = 12): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && k > 0, "need 0 < alpha <= 1, k > 0")
+    val hourly = Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("window_start_us"))
+    val seq = hourly.withColumn("pos", row_number().over(byType).cast("long"))
+    // weight of the contribution j rows back: α(1−α)^j for j<k−1, and
+    // (1−α)^j for the window's oldest row (the geometric tail folds in)
+    val weights = (0 until k).map { j =>
+      val w = if (j < k - 1) alpha * math.pow(1 - alpha, j.toDouble)
+              else math.pow(1 - alpha, j.toDouble)
+      struct(lit(j.toLong).as("off"), lit(w).as("w"))
+    }
+    seq
+      .select(col("event_type"), col("pos"), col("n_events"),
+        explode(array(weights: _*)).as("c"))
+      .select(col("event_type"), (col("pos") + col("c.off")).as("pos"),
+        (col("n_events") * col("c.w")).cast("decimal(28,12)").as("term"),
+        lit(1L).as("one"))
+      .groupBy("event_type", "pos")
+      .agg(sum(col("term")).as("ewma_dec"), sum(col("one")).as("n_terms"))
+      .filter(col("n_terms") === k)
+      .join(seq.select(col("event_type"), col("pos"), col("window_start_us"), col("n_events")),
+            Seq("event_type", "pos"))
+      .select(col("window_start_us"), col("event_type"), col("n_events"),
+        Num.roundTo(col("ewma_dec").cast("double"), 6).as("ewma"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** Partial hourly aggregate — the MATERIALIZABLE form of
     * [[hourlyByType]]: counts and DECIMAL sums only (no averages), so two
     * partials merge EXACTLY by re-summing. The incremental-maintenance

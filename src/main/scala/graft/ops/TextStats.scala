@@ -477,6 +477,25 @@ object TextStats {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Per-language quality gating (the CCNet-style filter): keep documents
+    * STRICTLY above their own language's quality median, so no language
+    * is wholesale dropped for scoring low on another language's scale.
+    * The per-language thresholds are one tiny percentile aggregate
+    * broadcast back; the gate itself is a map-side comparison. Thresholds
+    * round to 6dp on both engines and the comparison is strict, so ties
+    * at the median are excluded deterministically.
+    */
+  def qualityGate(docs: DataFrame, pct: Double = 0.5,
+                  langCol: String = "lang"): DataFrame = {
+    val scored = qualityScore(docs)
+      .select(col("doc_id"), col(langCol), col("quality_score"))
+    val thresholds = scored.groupBy(col(langCol))
+      .agg(Num.roundTo(percentile(col("quality_score"), lit(pct)), 6).as("q_threshold"))
+    scored.join(broadcast(thresholds), Seq(langCol))
+      .filter(col("quality_score") > col("q_threshold"))
+      .select(col("doc_id"), col(langCol), col("quality_score"))
+  }
+
   /** Text normalization — the pass that runs BEFORE any content hashing
     * (exact dedup, split assignment, fingerprinting), because hash keys
     * treat "a  b" and "a b" as different documents: collapse all

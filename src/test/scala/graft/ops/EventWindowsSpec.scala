@@ -190,4 +190,21 @@ class EventWindowsSpec extends SparkSpec {
       assert(m.getDouble(4) == f.getDouble(4))
     }
   }
+
+  test("hourlyEwma: constant series converges to the constant; weights sum to 1") {
+    val d = tmpDir("ewma")
+    var id = 0L
+    val rows = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def hour(h: Int) = ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:15:00")
+    // 30 hours with a constant 4 events/hour: any weighted average of a
+    // constant is the constant, so EWMA must be exactly 4 where emitted
+    for (h <- 0 until 30; _ <- 0 until 4) {
+      id += 1; rows += ((id, hour(h), 1L, "c", 0.0, "{}"))
+    }
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val out = EventWindows.hourlyEwma(spark, d.toString, alpha = 0.3, k = 12).collect()
+    assert(out.length == 30 - 12 + 1) // full-window positions only
+    out.foreach(r => assert(r.getAs[Double]("ewma") == 4.0, r.toString))
+  }
 }
