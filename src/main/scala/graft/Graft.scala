@@ -267,6 +267,26 @@ object Graft {
               cells: Int = 16, iters: Int = 3): DataFrame =
     ops.Similarity.pqReconstructionError(vectors, m, dim, cells, iters)
 
+  /** ANN over PQ-compressed storage ([[ops.Similarity.pqTopK]]). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, dim: Int = 64, cells: Int = 16): DataFrame =
+    ops.Similarity.pqTopK(corpus, queries, k, m, dim, cells)
+
+  /** Per-language median quality gate ([[ops.TextStats.qualityGate]]). */
+  def qualityGate(docs: DataFrame, pct: Double = 0.5): DataFrame =
+    ops.TextStats.qualityGate(docs, pct)
+
+  /** Whitespace/control-char normalization
+    * ([[ops.TextStats.normalizeText]]). */
+  def normalizeText(docs: DataFrame): DataFrame =
+    ops.TextStats.normalizeText(docs)
+
+  /** EWMA smoothing over the hourly grid as a weighted fan-out
+    * ([[ops.EventWindows.hourlyEwma]]). */
+  def hourlyEwma(spark: SparkSession, dir: String,
+                 alpha: Double = 0.3, k: Int = 12): DataFrame =
+    ops.EventWindows.hourlyEwma(spark, dir, alpha, k)
+
   /** Dense zero-filled hourly spine ([[ops.EventWindows.hourlySpine]]). */
   def hourlySpine(spark: SparkSession, dir: String): DataFrame =
     ops.EventWindows.hourlySpine(spark, dir)
