@@ -591,17 +591,20 @@ object SparkEntry {
     }),
     // ANN over PQ-compressed storage (exact queries vs reconstructed
     // corpus) — rows-only like the other ANN queries; recall floor +
-    // cells=corpus-size exact-equality spec'd
+    // cells=corpus-size exact-equality spec'd. Codebooks come from the
+    // staged model artifact shared with v13 (train once, serve many).
     "v14_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.pqTopK(emb, Similarity.querySet(emb, "vec_id", 20))
+      Similarity.pqTopKWith(emb, Similarity.querySet(emb, "vec_id", 20),
+          stagedPqBooks(s, d))
         .orderBy("query_id", "rank")
     }),
     // product quantization reconstruction error — rows-only by design
     // (trained per-subspace codebooks are not SQL-replayable); exactness
     // pinned by SimilaritySpec (cells=n reconstructs perfectly)
     "v13_pq_err" -> ((s, d) =>
-      Similarity.pqReconstructionError(Tables.embeddings(s, d))),
+      Similarity.pqReconstructionErrorWith(Tables.embeddings(s, d),
+        stagedPqBooks(s, d))),
     "v5_topk_agg" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopKAgg(emb, Similarity.querySet(emb, "vec_id", 20))
@@ -679,6 +682,20 @@ object SparkEntry {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/pairs_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)
+        .write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
+  }
+
+  /** PQ codebooks trained ONCE per sfDir (m=4, dim=64, cells=16,
+    * iters=3) and materialized like any model artifact — v13's error
+    * report and v14's serving path both read this table, mirroring the
+    * stagedPairs discipline: the expensive training loop runs once per
+    * corpus snapshot, consumers are cheap joins.
+    */
+  private[graft] def stagedPqBooks(s: SparkSession, d: String): DataFrame = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/pqbooks_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Similarity.pqCodebooks(Tables.embeddings(s, d))
         .write.mode("overwrite").parquet(stage)
     s.read.parquet(stage)
   }

@@ -528,8 +528,19 @@ object Similarity {
   def pqReconstructionError(df: DataFrame, m: Int = 4, dim: Int = 64,
                             cells: Int = 16, iters: Int = 3,
                             idCol: String = "vec_id", vecCol: String = "embedding",
-                            labelCol: String = "label"): DataFrame = {
-    val books = pqCodebooks(df, m, dim, cells, iters, idCol, vecCol)
+                            labelCol: String = "label"): DataFrame =
+    pqReconstructionErrorWith(df, pqCodebooks(df, m, dim, cells, iters, idCol, vecCol),
+      m, dim, idCol, vecCol, labelCol)
+
+  /** [[pqReconstructionError]] against a PRE-TRAINED codebook table —
+    * the deployment shape: codebooks train once per corpus snapshot
+    * (materialize [[pqCodebooks]] like any model artifact) and every
+    * consumer (this report, [[pqTopKWith]] serving) reads them back.
+    */
+  def pqReconstructionErrorWith(df: DataFrame, books: DataFrame,
+                                m: Int = 4, dim: Int = 64,
+                                idCol: String = "vec_id", vecCol: String = "embedding",
+                                labelCol: String = "label"): DataFrame = {
     val subvecs = pqSubvectors(df, m, dim, idCol, vecCol)
     subvecs
       .join(pqAssign(subvecs, books), Seq(idCol, "sub"))
@@ -572,11 +583,18 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              m: Int = 4, dim: Int = 64, cells: Int = 16, iters: Int = 3,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = pqCodebooks(corpus, m, dim, cells, iters, idCol, vecCol)
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWith(corpus, queries,
+      pqCodebooks(corpus, m, dim, cells, iters, idCol, vecCol),
+      k, m, dim, idCol, vecCol)
+
+  /** [[pqTopK]] against a pre-trained codebook table (see
+    * [[pqReconstructionErrorWith]]). */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, books: DataFrame,
+                 k: Int = 10, m: Int = 4, dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     bruteForceTopKAgg(pqReconstruct(corpus, books, m, dim, idCol, vecCol),
       queries, k, idCol, vecCol)
-  }
 
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
