@@ -491,6 +491,9 @@ object SparkEntry {
     // boilerplate shingles: repeated 3-grams across >= 5 distinct docs
     "t16_boilerplate" -> ((s, d) =>
       Dedup.boilerplate(Tables.documents(s, d))),
+    // per-source exact-duplication profile (corpus health report)
+    "t18_dup_profile" -> ((s, d) =>
+      Dedup.dupProfile(Tables.documents(s, d))),
     // typo/variant pairs over the bounded vocabulary (levenshtein <= 2)
     "t17_fuzzy_terms" -> ((s, d) =>
       TextStats.fuzzyTermPairs(Tables.documents(s, d))),
@@ -1714,6 +1717,13 @@ object SparkEntry {
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         | GROUP BY text ORDER BY doc_id""".stripMargin,
+    // distinct over TEXT here ≡ Spark's distinct over xxhash64(text)
+    // modulo 64-bit collisions (the x1 argument)
+    "t18_dup_profile" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT text) AS n_distinct_texts,
+         |  ${Num.sqlRoundTo("CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*)", 6)} AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // identical semantics, streaming execution (stateful aggregate)
     "st3_stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents

@@ -38,6 +38,22 @@ object Dedup {
     keyed.join(keep, Seq("__h", idCol), "left_semi").drop("__h")
   }
 
+  /** Per-source duplication profile — the corpus-health report run
+    * before spending compute on pair generation: exact-duplicate rate
+    * per source from distinct-text counts. Keyed on xxhash64(text) like
+    * [[exact]] (8-byte distinct, never the body). At extreme scale the
+    * `approx_count_distinct` twin drops the distinct shuffle entirely.
+    */
+  def dupProfile(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text"): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(xxhash64(col(textCol))).as("n_distinct_texts"))
+      .select(col(sourceCol), col("n_docs"), col("n_distinct_texts"),
+        Num.roundTo((col("n_docs") - col("n_distinct_texts")).cast("double")
+          / col("n_docs"), 6).as("dup_rate"))
+      .orderBy(sourceCol)
+
   /** Corpus boilerplate detection: w-shingles appearing in ≥ minDf
     * DISTINCT documents — the repeated headers/footers/disclaimers a
     * training pipeline strips before dedup (near-dup scoring counts them
