@@ -468,6 +468,10 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x2_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    // LSH banding planner — rows-only (minhash not SQL-replayable);
+    // internal consistency spec'd against the real banding pipeline
+    "x8_lsh_plan" -> ((s, d) =>
+      Dedup.lshPlan(Dedup.minhashSignatures(Tables.documents(s, d)))),
     "x3_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d), maxDist = 16)
         .orderBy("doc_a", "doc_b")),

@@ -105,6 +105,33 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)), b))
 
+  /** LSH banding planner: for each (bands, rowsPerBand) split of the same
+    * k-wide signatures, the bucket count, the candidate-pair workload
+    * Σ C(bucket,2) (bucket-local pairs summed across bands — the join
+    * work the config would generate, duplicates across bands included
+    * because the join pays them), the largest bucket, and the S-curve
+    * ~50%-recall crossover (1/b)^(1/r). The tuning table a team reads
+    * before committing a corpus-sized [[minhashLsh]] run: recall moves
+    * with the threshold, cost with the pair count — and since every
+    * config re-banded here reuses ONE signature table, the sweep costs
+    * |configs| cheap band aggregations, not |configs| corpus scans.
+    */
+  def lshPlan(sigs: DataFrame, k: Int = 128,
+              configs: Seq[(Int, Int)] = Seq((8, 16), (16, 8), (32, 4), (64, 2))): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b * r == k },
+      s"every (bands, rows) must multiply to k=$k")
+    configs.map { case (b, r) =>
+      sigs.select(explode(bandKeys(col("sig"), b, r)).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"),
+             sum(col("n") * (col("n") - 1) / 2).cast("long").as("n_candidate_pairs"),
+             max(col("n")).as("max_bucket"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+                col("n_buckets"), col("n_candidate_pairs"), col("max_bucket"),
+                Num.roundTo(lit(math.pow(1.0 / b, 1.0 / r)), 6).as("s_curve_threshold"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs, verified by estimated
     * Jaccard (signature agreement rate) >= threshold.
     *

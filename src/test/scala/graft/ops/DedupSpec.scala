@@ -243,4 +243,26 @@ class DedupSpec extends SparkSpec {
     val recall = (exact & sh).size.toDouble / exact.size
     assert(recall >= 0.8, s"simhashNearDup recall $recall < 0.8 (measured 0.93 at pin time)")
   }
+
+  test("lshPlan: workload counts match the real banding pipeline; thresholds follow the S-curve") {
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+    val plan = Dedup.lshPlan(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(5))).toSeq
+    assert(plan.map(_._1) == Seq(8L, 16L, 32L, 64L))
+    // internal consistency: the (32, 4) row's candidate workload equals
+    // a direct recount over the same band keys
+    val direct = sigs
+      .select(explode(Dedup.bandKeys(col("sig"), 32, 4)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2)).collect().head.getDouble(0).toLong
+    assert(plan.find(_._1 == 32L).get._3 == direct)
+    // more bands -> lower crossover threshold (recall up, cost up)
+    assert(plan.map(_._4) == plan.map(_._4).sorted.reverse)
+    // golden: (1/32)^(1/4) = 0.420448
+    assert(plan.find(_._1 == 32L).get._4 == 0.420448)
+    intercept[IllegalArgumentException] {
+      Dedup.lshPlan(sigs, configs = Seq((7, 13)))
+    }
+  }
 }
