@@ -122,10 +122,12 @@ final class MGBuffer(capacity: Int) {
       case None if m.size < capacity => m(t) = w
       case None =>
         // decrement-all by the new item's weight (w=1 in practice);
-        // the unseen item itself is absorbed by the same decrement
-        val dead = Seq.newBuilder[String]
-        m.foreachEntry { (k, c) => if (c <= w) dead += k else m(k) = c - w }
-        dead.result().foreach(m.remove)
+        // the unseen item itself is absorbed by the same decrement.
+        // Snapshot first: mutating while foreachEntry iterates is
+        // undefined for mutable.HashMap.
+        for ((k, c) <- m.toArray) {
+          if (c <= w) m.remove(k) else m(k) = c - w
+        }
     }
   }
 
@@ -141,9 +143,9 @@ final class MGBuffer(capacity: Int) {
     val counts = m.values.toArray
     java.util.Arrays.sort(counts)
     val cut = counts(counts.length - capacity - 1) // (capacity+1)-th largest
-    val dead = Seq.newBuilder[String]
-    m.foreachEntry { (k, c) => if (c <= cut) dead += k else m(k) = c - cut }
-    dead.result().foreach(m.remove)
+    for ((k, c) <- m.toArray) {
+      if (c <= cut) m.remove(k) else m(k) = c - cut
+    }
   }
 
   def foreach(f: (String, Long) => Unit): Unit = m.foreachEntry(f)

@@ -68,6 +68,9 @@ object Profiling {
   def validate(df: DataFrame, rowRules: Seq[(String, org.apache.spark.sql.Column)],
                uniqueKeys: Seq[(String, Seq[String])] = Seq.empty): DataFrame = {
     require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    // rule names are spliced into a stack() expression — identifiers only
+    require((rowRules.map(_._1) ++ uniqueKeys.map(_._1))
+      .forall(_.matches("[A-Za-z0-9_]+")), "rule names must be [A-Za-z0-9_]+")
     val rowReport = if (rowRules.isEmpty) None else Some {
       val aggs = count(lit(1)).as("__n") +:
         rowRules.map { case (name, rule) =>

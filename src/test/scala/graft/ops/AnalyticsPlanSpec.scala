@@ -234,6 +234,32 @@ class AnalyticsPlanSpec extends SparkSpec {
     }
   }
 
+  test("q7/q8: the nation-pair and market-share joins keep one fact shuffle, dims broadcast") {
+    for (df <- Seq(Analytics.q7NationVolume(spark, sfDir),
+                   Analytics.q8MarketShare(spark, sfDir))) {
+      val p = plan(df)
+      val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+                         "ShuffledHashJoin".r.findAllIn(p).length
+      assert(shuffleJoins <= 1, s"expected <=1 shuffled join:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    }
+    val share = Analytics.q8MarketShare(spark, sfDir).collect()
+    assert(share.forall { r =>
+      val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0
+    })
+  }
+
+  test("e12 gap-fill: dense grid, conservation, gaps flagged exactly where counts are zero") {
+    val spine = EventWindows.hourlySpine(spark, sfDir).collect()
+    val types = spine.map(_.getString(1)).distinct.length
+    assert(spine.length % types == 0) // every type spans the same dense grid
+    val total = spine.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    spine.foreach(r =>
+      assert(r.getAs[Boolean]("is_gap") == (r.getAs[Long]("n_events") == 0L)))
+    assert(spine.exists(_.getAs[Boolean]("is_gap"))) // fixture has real gaps
+  }
+
   test("analytics results sanity at sf0.001") {
     assert(Analytics.q1PricingSummary(spark, sfDir).count() == 6)
     assert(Analytics.orderRollup(spark, sfDir).count() == 19)
