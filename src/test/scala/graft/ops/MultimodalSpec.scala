@@ -150,6 +150,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageHashes: JPEGs hash deterministically too; WAVs drop out; partitioning is irrelevant") {
+    val media = Multimodal.imageTable(spark, sfDir) // PNG/JPEG/WAV mix
+    val a = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Multimodal.imageHashes(media.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // every PNG (id%3==0) and JPEG (id%3==1) row hashes; no WAV does
+    assert(a.keySet.forall(id => id % 3 != 2))
+    val decodable = media.filter(col("media_id") % 3 =!= 2).count()
+    assert(a.size == decodable)
+  }
+
   test("sampleFrames: frame count follows the stride formula") {
     val m = Multimodal.mediaTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(m, frameBytes = 32, stride = 4)
