@@ -104,4 +104,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out == Map("v_positive" -> 1L, "s_not_null" -> 1L,
       "id_positive" -> 0L, "id_unique" -> 1L))
   }
+
+  test("approxQuantilesByGroup: t-digest quartiles bounded by the exact min/max per group") {
+    val exact = Profiling.quantilesByGroup(Tables.lineitem(spark, sfDir),
+      "l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))).toMap
+    Profiling.approxQuantilesByGroup(Tables.lineitem(spark, sfDir),
+      "l_returnflag", "l_extendedprice").collect().foreach { r =>
+      val (lo, hi) = exact(r.getString(0))
+      val qs = r.getSeq[Double](1)
+      assert(qs.length == 3 && qs == qs.sorted)
+      assert(qs.head >= lo && qs.last <= hi)
+    }
+  }
 }

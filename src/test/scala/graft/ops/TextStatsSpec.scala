@@ -264,4 +264,21 @@ class TextStatsSpec extends SparkSpec {
       (2L, 2L, 5L, 0.833333),
       (10L, 3L, 6L, 1.0)))
   }
+
+  test("analyze: the one-pass composite agrees with the individual quality/lang/fingerprint ops") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val composite = TextStats.analyze(spark, sfDir)
+      .select("doc_id", "quality_score", "detected_lang", "fingerprint")
+      .filter(col("doc_id") < 50).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getLong(3))).toMap
+    val single = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        TextStats.detectLang(col("text")).as("l"),
+        TextStats.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    single.foreach { case (id, (l, f)) =>
+      val (q, cl, cf) = composite(id)
+      assert(cl == l && cf == f && q >= 0.0 && q <= 1.0)
+    }
+  }
 }
