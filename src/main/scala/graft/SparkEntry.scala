@@ -340,6 +340,29 @@ object SparkEntry {
           graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
       s.table(mem).orderBy("user_id")
     }),
+    // streaming funnel via custom keyed state: per-user stage-reach
+    // times; the per-stage user counts equal the batch funnel's, so it
+    // shares e6's oracle
+    "st10_stream_funnel" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      import s.implicits._
+      val stages = Seq("signup", "click", "purchase")
+      val mem = s"st10_mem_${Integer.toHexString(d.hashCode)}"
+      val ev = graft.streaming.Streams.parquetDirStream(s, stage, schema)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[graft.streaming.Streams.FunnelEvent]
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamFunnelStage(ev, stages).toDF(), mem,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val per = s.table(mem).groupBy("user_id").agg(max(col("max_stage")).as("ms"))
+      stages.zipWithIndex.map { case (st, i) =>
+        per.filter(col("ms") >= i + 1)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("stage"), lit(st).as("event_type"), col("n_users"))
+      }.reduce(_ unionAll _).orderBy("stage")
+    }),
     // custom keyed state (flatMapGroupsWithState) in the gate: running
     // per-user counts — the final emission per user equals the batch
     // GROUP BY count (max() guards against multi-batch re-emission)
@@ -829,6 +852,20 @@ object SparkEntry {
        | regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
        |                '$PhonePattern', '<PHONE>', 'g') AS scrubbed
        | FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Shared by e6 (batch) and st10 (custom-keyed-state streaming twin). */
+  private def funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+      |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+      |ORDER BY stage""".stripMargin
 
   /** Shared by e1 (batch) and st1 (structured streaming twin). */
   private def hourlySql: String =
@@ -1419,19 +1456,10 @@ object SparkEntry {
          |ORDER BY stage""".stripMargin,
     // ordered funnel: stage k = min event time STRICTLY after the user's
     // stage-(k-1) first-touch time — chained min-ts aggregates, exactly
-    // EventWindows.funnel's scanLeft
-    "e6_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
-        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
-        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
-        |ORDER BY stage""".stripMargin,
+    // EventWindows.funnel's scanLeft; shared with the streaming twin
+    "e6_funnel" -> funnelSql,
+    // streaming funnel's per-stage counts equal the batch funnel's
+    "st10_stream_funnel" -> funnelSql,
     // weekly cohorts on integer epoch-week arithmetic (no calendar
     // week-start semantics — engine-neutral by construction)
     "e7_retention" ->

@@ -200,6 +200,41 @@ object Streams {
 
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserCount(user_id: Long, n_events: Long)
+  final case class FunnelEvent(user_id: Long, event_id: Long, us: Long, event_type: String)
+  final case class FunnelReach(user_id: Long, max_stage: Long)
+
+  /** Streaming ordered funnel — [[graft.ops.EventWindows.funnel]]'s
+    * first-touch strictly-after semantics as custom keyed state: per
+    * user, the state is the earliest reach time per stage; each batch's
+    * events replay in event-time order against it and emit the user's
+    * current max stage. Within a batch the sorted single pass is exact
+    * (each stage's anchor is minimal before any later stage consults
+    * it); across batches it stays exact when batches arrive in event
+    * time (the AvailableNow gate run is one batch) — out-of-order
+    * ARRIVAL of an earlier stage event can under-advance later stages
+    * until their events recur, the standard streaming-funnel caveat.
+    * State is |stages| longs per user.
+    */
+  def streamFunnelStage(events: Dataset[FunnelEvent],
+                        stages: Seq[String]): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], FunnelReach](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[Array[Long]]) =>
+          val reach = state.getOption.getOrElse(Array.fill(stages.length)(Long.MaxValue))
+          rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val si = stages.indexOf(e.event_type)
+            if (si == 0) { if (e.us < reach(0)) reach(0) = e.us }
+            else if (si > 0 && reach(si - 1) != Long.MaxValue &&
+                     e.us > reach(si - 1) && e.us < reach(si)) reach(si) = e.us
+          }
+          state.update(reach)
+          Iterator(FunnelReach(uid, (reach.lastIndexWhere(_ != Long.MaxValue) + 1).toLong))
+      }
+  }
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * counts emitted on every update — the template for semantics that

@@ -51,6 +51,24 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel (custom keyed state) == batch funnel per stage") {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsDir).schema
+    val stages = Seq("signup", "click", "purchase")
+    val ev = Streams.parquetDirStream(spark, eventsDir, schema)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[Streams.FunnelEvent]
+    Streams.runToMemory(Streams.streamFunnelStage(ev, stages).toDF(),
+      "funnel_stream", org.apache.spark.sql.streaming.OutputMode.Update())
+    val per = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max(col("max_stage")).as("ms"))
+    val streamed = stages.indices.map(i => per.filter(col("ms") >= i + 1).count())
+    val batch = EventWindows.funnel(spark, sfDir, stages).collect()
+      .map(_.getAs[Long]("n_users")).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming session_window sessions == batch gaps-and-islands sessions") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = Streams.parquetDirStream(spark, eventsDir, schema)
