@@ -219,6 +219,14 @@ object Graft {
   def boilerplate(docs: DataFrame, minDf: Int = 5): DataFrame =
     ops.Dedup.boilerplate(docs, minDf)
 
+  /** Per-source exact-duplication profile ([[ops.Dedup.dupProfile]]). */
+  def dupProfile(docs: DataFrame): DataFrame = ops.Dedup.dupProfile(docs)
+
+  /** LSH banding planner — per-config candidate workload and S-curve
+    * crossover from one signature table ([[ops.Dedup.lshPlan]]). */
+  def lshPlan(docs: DataFrame, k: Int = 128): DataFrame =
+    ops.Dedup.lshPlan(ops.Dedup.minhashSignatures(docs, k = k), k)
+
   /** Keyed upsert/MERGE — updates override, base survives, new keys
     * insert ([[etl.Load.upsert]]). */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
