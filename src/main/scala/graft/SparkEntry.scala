@@ -118,6 +118,23 @@ object SparkEntry {
       .orderBy("o_orderkey").limit(10)),
     // keyed upsert (MERGE): urgent orders get a discounted price and
     // replace their base rows; everything else survives untouched
+    // K3: the write-once-join-many layout — orders and lineitem persisted
+    // as co-bucketed tables on the order key, then joined WITHOUT a
+    // shuffle (bucketing supplies the hash distribution both sides; plan
+    // shape pinned in BucketedJoinSpec). The oracle is the plain join on
+    // raw parquet: bucketing must never change results, only movement.
+    "k3_bucketed_join" -> ((s, d) => {
+      val sfx = Integer.toHexString(d.hashCode)
+      val ot = s"orders_bkt_$sfx"; val lt = s"lineitem_bkt_$sfx"
+      Load.replaceTableBucketed(Tables.orders(s, d), ot, 8, Seq("o_orderkey"))
+      Load.replaceTableBucketed(Tables.lineitem(s, d), lt, 8, Seq("l_orderkey"))
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+             Num.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     "k2_upsert" -> ((s, d) => {
       val base = Tables.orders(s, d)
       val updates = base.filter(col("o_orderpriority") === "1-URGENT")
@@ -363,6 +380,21 @@ object SparkEntry {
           .select(lit(i + 1L).as("stage"), lit(st).as("event_type"), col("n_users"))
       }.reduce(_ unionAll _).orderBy("stage")
     }),
+    // STREAM-STREAM interval join: click→purchase attribution with
+    // two-sided watermarked join state; event-time predicate makes the
+    // result arrival-order independent, so a plain batch self-join SQL
+    // is the oracle
+    "st11_stream_join" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st11_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamIntervalJoin(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema),
+          "click", "purchase"),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("user_id", "left_id", "right_id")
+    }),
     // custom keyed state (flatMapGroupsWithState) in the gate: running
     // per-user counts — the final emission per user equals the batch
     // GROUP BY count (max() guards against multi-batch re-emission)
@@ -412,6 +444,17 @@ object SparkEntry {
       TextStats.assignSplit(Tables.documents(s, d))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+    // stratified rebalancing: thin dominant-language strata by content
+    // hash (en → 40%), keep the rest whole; map-only survivor set
+    "t19_stratified_sample" -> ((s, d) =>
+      TextStats.stratifiedSample(Tables.documents(s, d), "lang",
+          Map("en" -> 40))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+    // inverse-frequency class weights per language (mean weight 1.0)
+    "t20_balance_weights" -> ((s, d) =>
+      TextStats.balanceWeights(Tables.documents(s, d), "lang")
+        .orderBy("lang")),
     // contamination-safe split: near-dup clusters (x4 pairs, transitively
     // closed) share one split — the fix for what t9 measures
     "t12_leakproof_split" -> ((s, d) => {
@@ -1023,6 +1066,12 @@ object SparkEntry {
       s"""$syntheticCte SELECT category, count(*) AS n, sum(price) AS total_price
          | FROM p GROUP BY category ORDER BY category""".stripMargin,
     // upsert replay: urgent rows take the discounted price, others pass
+    // bucketed layout must be result-invisible: oracle = plain join
+    "k3_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         | ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // through — updates keyed identically to base collapse to a CASE
     "k2_upsert" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1460,6 +1509,15 @@ object SparkEntry {
     "e6_funnel" -> funnelSql,
     // streaming funnel's per-stage counts equal the batch funnel's
     "st10_stream_funnel" -> funnelSql,
+    // stream-stream interval join ≡ batch event-time self-join
+    "st11_stream_join" ->
+      """SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+        |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, left_id, right_id""".stripMargin,
     // weekly cohorts on integer epoch-week arithmetic (no calendar
     // week-start semantics — engine-neutral by construction)
     "e7_retention" ->
@@ -1635,6 +1693,22 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // stratified sample: domain-separated content hash, en thinned to 40%
+    "t19_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, source,
+         |  ((${fnv1a64Sql("'sample:' || text")} % 100) + 100) % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM h
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
+    // inverse-frequency weights: total / (n_strata * n_stratum)
+    "t20_balance_weights" ->
+      s"""WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+         |             count(*) AS n_strata FROM per)
+         |SELECT lang, n_docs,
+         |  ${Num.sqlRoundTo("total / (n_strata * n_docs)", 6)} AS weight
+         |FROM per, t ORDER BY lang""".stripMargin,
     // concat-and-chop packing: global token tape ordered by
     // (doc_id, chunk_id); DuckDB replays the distributed prefix sum as
     // one window cumsum

@@ -62,6 +62,15 @@ object Load {
   def replaceTableBucketed(df: DataFrame, table: String,
                            buckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty && buckets > 0)
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${quote(table)}")
+    // the session catalog is in-memory: a previous JVM's warehouse dir
+    // survives while its table entry doesn't, and a stale location blocks
+    // CREATE — clear it through the table's filesystem (warehouse may be
+    // object storage, not the local disk)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

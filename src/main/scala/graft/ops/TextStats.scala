@@ -113,6 +113,48 @@ object TextStats {
     */
   def fingerprint(c: Column): Column = call_function("fnv1a64", c)
 
+  /** Deterministic STRATIFIED downsampling — corpus rebalancing by a
+    * categorical stratum (language, source, domain): each stratum keeps
+    * `rates(stratum)` percent (default `defaultPct` for unlisted strata),
+    * chosen by CONTENT hash so the kept set is stable under re-sharding
+    * and re-ingestion, and re-running with a higher rate only ADDS docs
+    * (the kept set is monotone in the rate — incremental-crawl friendly).
+    * The hash is domain-separated from [[assignSplit]]'s ("sample:"
+    * prefix) so sampling is independent of split assignment — sampling
+    * on the split hash would systematically thin specific split buckets.
+    * Map-only, fused into the scan; no shuffle, no rand(), replayable by
+    * the SQL oracle.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       rates: Map[String, Int], defaultPct: Int = 100,
+                       textCol: String = "text"): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100 &&
+            rates.values.forall(r => r >= 0 && r <= 100), "rates must be 0..100 pct")
+    val bucket = pmod(
+      call_function("fnv1a64", concat(lit("sample:"), col(textCol))), lit(100L))
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** Inverse-frequency CLASS WEIGHTS — the rebalancing dual of
+    * [[stratifiedSample]]: instead of dropping rows, emit a per-stratum
+    * example weight `total / (n_strata · n_stratum)` that equalizes each
+    * stratum's total weight mass (mean weight 1.0 across the corpus).
+    * One map-side-partial aggregation over the corpus plus a broadcast
+    * of the one-row totals — O(strata) result, no second corpus pass.
+    */
+  def balanceWeights(df: DataFrame, stratumCol: String): DataFrame = {
+    val per = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val totals = per.agg(sum(col("n_docs")).as("total"),
+                         count(lit(1)).as("n_strata"))
+    per.crossJoin(broadcast(totals))
+      .select(col(stratumCol), col("n_docs"),
+              Num.roundTo(col("total").cast("double") /
+                (col("n_strata") * col("n_docs")), 6).as("weight"))
+  }
+
   /** Deterministic train/val/test assignment by CONTENT hash — the
     * standard split discipline for training corpora: keyed on the text
     * (not the row id or position), so it is stable under re-sharding,

@@ -145,6 +145,42 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(dim, Seq(key), "left")
 
+  /** STREAM-STREAM interval join — conversion attribution as both sides
+    * flow: each `leftType` event joined to `rightType` events of the
+    * SAME user arriving within `[left_ts, left_ts + within]`. This is
+    * the one join shape that genuinely needs two-sided streaming state:
+    * a left row must be buffered until the watermark proves no more
+    * matching right rows can arrive, and vice versa. Both sides carry a
+    * watermark AND the join condition bounds event-time distance, which
+    * is exactly what lets Spark evict state — without the time bound the
+    * state store grows forever (Spark rejects it in append mode). State
+    * per side is O(watermark-window of in-flight rows), independent of
+    * total stream length — the 100 TB/day property. The join key
+    * includes user_id, so state is hash-partitioned by user across
+    * executors.
+    *
+    * Semantics are arrival-order independent (pure event-time
+    * predicate), so the result equals the batch self-join — st11 shares
+    * a plain SQL oracle.
+    */
+  def streamIntervalJoin(events: DataFrame, leftType: String, rightType: String,
+                         within: String = "30 minutes",
+                         watermarkDelay: String = "2 hours"): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("left_id"), col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermarkDelay)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("right_id"),
+              col("ts").as("right_ts"))
+      .withWatermark("right_ts", watermarkDelay)
+    left.join(right,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+              (unix_micros(col("right_ts")) - unix_micros(col("left_ts"))).as("gap_us"))
+  }
+
   /** Streaming incremental exact dedup against a STATIC corpus — the
     * "daily crawl" reduction as a stream: emit only docs whose text does
     * not already exist in the corpus. The broadcast bloom (build with

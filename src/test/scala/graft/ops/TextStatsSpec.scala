@@ -281,4 +281,46 @@ class TextStatsSpec extends SparkSpec {
       assert(cl == l && cf == f && q >= 0.0 && q <= 1.0)
     }
   }
+
+  test("stratifiedSample: monotone in rate, untouched strata kept whole, repartition-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val ids40 = TextStats.stratifiedSample(docs, "lang", Map("en" -> 40))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids80 = TextStats.stratifiedSample(docs, "lang", Map("en" -> 80))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids40.subsetOf(ids80), "raising the rate must only ADD docs")
+    // strata without a configured rate keep every row
+    val nonEn = docs.filter(col("lang") =!= "en").count()
+    val keptNonEn = TextStats.stratifiedSample(docs, "lang", Map("en" -> 40))
+      .filter(col("lang") =!= "en").count()
+    assert(keptNonEn == nonEn)
+    // en is genuinely thinned
+    assert(TextStats.stratifiedSample(docs, "lang", Map("en" -> 40))
+      .filter(col("lang") === "en").count() < docs.filter(col("lang") === "en").count())
+    // content-keyed: survivor set is independent of physical layout
+    val idsRepart = TextStats.stratifiedSample(docs.repartition(7), "lang", Map("en" -> 40))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsRepart == ids40)
+    // rate 0 drops the stratum entirely, rate 100 keeps it whole
+    assert(TextStats.stratifiedSample(docs, "lang", Map("en" -> 0))
+      .filter(col("lang") === "en").count() == 0)
+    assert(TextStats.stratifiedSample(docs, "lang", Map.empty).count() == docs.count())
+  }
+
+  test("balanceWeights: weight mass equalized per stratum, corpus mean weight 1.0") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = TextStats.balanceWeights(docs, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(w.map(_._1).toSet == docs.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet)
+    val total = w.map(_._2).sum.toDouble
+    // each stratum's n·weight ≈ total / n_strata (equal mass)
+    val target = total / w.length
+    w.foreach { case (lang, n, wt) =>
+      assert(wt > 0.0, s"$lang weight must be positive")
+      assert(math.abs(n * wt - target) < 1e-3, s"$lang mass ${n * wt} != $target")
+    }
+    // sum of per-doc weights ≈ corpus size → mean weight 1.0
+    assert(math.abs(w.map { case (_, n, wt) => n * wt }.sum - total) < 1e-2)
+  }
 }

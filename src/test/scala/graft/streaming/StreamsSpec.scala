@@ -286,6 +286,62 @@ class StreamsSpec extends SparkSpec {
     assert(filtered.count() == expected)
   }
 
+  test("stream-stream interval join == batch self-join, matches across micro-batch boundaries") {
+    // stage events time-split into two files with ordered mtimes so the
+    // file source delivers them as SEPARATE micro-batches in event-time
+    // order (the real-stream arrival shape): pairs whose click lands in
+    // batch 1 and purchase in batch 2 can only match through the
+    // watermarked two-sided join state
+    val d = tmpDir("ssjoin").resolve("events").toString
+    val ev = Tables.events(spark, sfDir)
+    val cut = "2024-01-15 22:00:00"
+    ev.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(d)
+    val early = new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet"))
+    val d2 = tmpDir("ssjoin2").resolve("late").toString
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(d2)
+    val lateFile = new java.io.File(d2).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = java.nio.file.Paths.get(d, "zz_" + lateFile.getName)
+    java.nio.file.Files.move(lateFile.toPath, target)
+    early.foreach(f => f.setLastModified(target.toFile.lastModified - 60000))
+
+    val schema = spark.read.parquet(d).schema
+    val stream = Streams.parquetDirStream(spark, d, schema, maxFilesPerTrigger = 1)
+    Streams.runToMemory(
+      Streams.streamIntervalJoin(stream, "click", "purchase"),
+      "ssjoin_mem", OutputMode.Append())
+    val streamed = spark.table("ssjoin_mem")
+      .orderBy("user_id", "left_id", "right_id").collect()
+
+    val e = ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val batch = e.filter(col("event_type") === "click").as("a")
+      .join(e.filter(col("event_type") === "purchase").as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("a.user_id"), col("a.event_id").as("left_id"),
+              col("b.event_id").as("right_id"))
+      .orderBy("user_id", "left_id", "right_id").collect()
+    assert(batch.nonEmpty, "fixture produced no join pairs")
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} pairs vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+             s.getLong(2) == b.getLong(2))
+    }
+    // and at least one pair must genuinely straddle the file boundary,
+    // or this test proves nothing about cross-batch state
+    val cutUs = java.sql.Timestamp.valueOf(cut).getTime * 1000L
+    val straddling = e.filter(col("event_type") === "click").as("a")
+      .join(e.filter(col("event_type") === "purchase").as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"))
+      .filter(unix_micros(col("a.ts")) < cutUs && unix_micros(col("b.ts")) >= cutUs)
+      .count()
+    assert(straddling > 0, "no boundary-straddling pair; move the cut")
+  }
+
   test("csv dir stream ingests files appearing in a directory") {
     import spark.implicits._
     val d = tmpDir("csvstream")
