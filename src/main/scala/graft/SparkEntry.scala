@@ -239,6 +239,10 @@ object SparkEntry {
           "tax_below_price" -> (col("l_tax") < col("l_extendedprice"))),
         uniqueKeys = Seq(
           "orderkey_linenumber_unique" -> Seq("l_orderkey", "l_linenumber")))),
+    // PSI drift: event-value distribution, first half-month vs second
+    "p7_psi" -> ((s, d) =>
+      Profiling.psiDrift(Tables.events(s, d), "event_type", "value",
+        "ts", "2024-01-16 00:00:00")),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -253,6 +257,7 @@ object SparkEntry {
     "e7_retention" -> (EventWindows.retention(_, _)),
     // per-user inter-event cadence (lag gaps + exact-integer mean)
     "e8_gaps" -> (EventWindows.interEventGaps(_, _)),
+    "e15_transitions" -> (EventWindows.transitions(_, _)),
     // DAU / trailing-7-day WAU / stickiness on integer epoch days
     "e9_active_users" -> (EventWindows.activeUsers(_, _)),
     // rolling z-score anomaly flags over the hourly volume grid
@@ -270,6 +275,17 @@ object SparkEntry {
         EventWindows.hourlyPartial(ev.filter(col("event_id") % 2 === 0)),
         EventWindows.hourlyPartial(ev.filter(col("event_id") % 2 === 1)))
         .orderBy("window_start_us", "event_type")
+    }),
+    // semantic dedup end-to-end: exact cosine pairs (threshold 0.42 —
+    // the fixture's vectors are near-orthogonal, see SimilaritySpec) →
+    // pointer-jumping connected components → canonical per cluster.
+    // The LSH pair generator (v3) is the at-scale twin of the pair stage.
+    "x9_emb_dup_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.embeddingNearDupExact(emb, 0.42)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.resolveDuplicates(emb.select(col("vec_id")), pairs, "vec_id")
+        .orderBy("vec_id")
     }),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
@@ -1486,6 +1502,29 @@ object SparkEntry {
         |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
         |    (SELECT n_rows FROM n) FROM lineitem)
         |ORDER BY rule""".stripMargin,
+    // per-bin Laplace-smoothed PSI terms: every value is a function of
+    // four exact integer counts; single ln per row, rounded to 6
+    "p7_psi" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         |b AS (SELECT event_type,
+         |        least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+         |        CASE WHEN t < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS isb
+         |      FROM e),
+         |c AS (SELECT event_type, bucket,
+         |        CAST(sum(isb) AS BIGINT) AS n_base,
+         |        CAST(sum(1 - isb) AS BIGINT) AS n_cur FROM b GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(n_base) AS BIGINT) AS tb,
+         |               CAST(sum(n_cur) AS BIGINT) AS tc FROM c GROUP BY 1),
+         |grid AS (SELECT event_type, tb, tc, gs.bucket
+         |         FROM tot, (SELECT unnest(range(0, 10)) AS bucket) gs),
+         |f AS (SELECT g.event_type, g.bucket,
+         |        COALESCE(c.n_base, 0) AS n_base, COALESCE(c.n_cur, 0) AS n_cur,
+         |        (COALESCE(c.n_base, 0) + 1.0) / CAST(g.tb + 10 AS DOUBLE) AS pb,
+         |        (COALESCE(c.n_cur, 0) + 1.0) / CAST(g.tc + 10 AS DOUBLE) AS pc
+         |      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.bucket = g.bucket)
+         |SELECT event_type, bucket, n_base, n_cur,
+         |  ${Num.sqlRoundTo("(pc - pb) * ln(pc / pb)", 6)} AS psi_term
+         |FROM f ORDER BY event_type, bucket""".stripMargin,
     // funnel timing: same chained min-ts CTEs as e6, each stage carrying
     // its anchor; mean gap = exact integer micros sum / count
     "e13_funnel_timing" ->
@@ -1549,6 +1588,16 @@ object SparkEntry {
          |  CASE WHEN count(gap_us) > 0
          |       THEN ${Num.sqlRoundTo("CAST(sum(gap_us) AS DOUBLE) / count(gap_us)", 4)} END AS mean_gap_us
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // first-order Markov transition counts over per-user sequences
+    "e15_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM s
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
 
     // EWMA replay: identical weight DOUBLES are embedded literally in
     // both plans (Java Double.toString round-trips through DuckDB's
@@ -1888,6 +1937,23 @@ object SparkEntry {
       s"""$dupComponentsCte
          |SELECT v AS doc_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY doc_id""".stripMargin,
+    // x9: same component machinery, edges from exact cosine >= 0.42
+    "x9_emb_dup_clusters" ->
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         |sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |        ${Num.sqlRoundTo("list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv)))", 9)} AS sim
+         |       FROM vv a JOIN vv b ON a.vec_id < b.vec_id),
+         |edges0 AS (SELECT ia, ib FROM sc WHERE sim >= 0.42),
+         |edges AS (SELECT ia AS v, ib AS w FROM edges0 UNION SELECT ib, ia FROM edges0),
+         |rec AS (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT vec_id, vec_id FROM embeddings
+         |    UNION
+         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
+         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
+         |)
+         |SELECT v AS vec_id, component, CAST(v = component AS BOOLEAN) AS keep
+         |FROM rec ORDER BY vec_id""".stripMargin,
     // t12 = x5's components + t7's FNV bucket, keyed on the CANONICAL
     // doc's text — the whole point is split(doc) = split(component rep)
     "t12_leakproof_split" ->

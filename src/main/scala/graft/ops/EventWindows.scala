@@ -381,4 +381,24 @@ object EventWindows {
              .as("mean_gap_us"))
       .orderBy("user_id")
   }
+
+  /** Event-sequence TRANSITION MATRIX — first-order Markov counts over
+    * each user's event-time-ordered stream (tie-broken by event_id so
+    * the sequence is total and engine-neutral). The classic journey
+    * analysis: which step follows which, corpus-wide. One shuffle on
+    * user_id for the lead(), then the transition-pair aggregation is
+    * O(|event_type|²) — the per-user sort is Spark's spillable external
+    * sort, so a power-user with millions of events never has to fit in
+    * memory. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
 }

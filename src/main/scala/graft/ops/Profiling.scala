@@ -148,4 +148,41 @@ object Profiling {
               col("n_rows"), col("p.corr").as("corr"))
       .orderBy("col_a", "col_b")
   }
+
+  /** Population-stability drift report — the monitoring op a training
+    * pipeline runs between corpus snapshots: fixed-width value bins per
+    * group, baseline window vs current window, one Laplace-smoothed PSI
+    * term per (group, bin). Emitting PER-BIN terms (not one summed
+    * statistic) keeps every output value a function of four exact
+    * integer counts — no cross-engine float-summation-order hazard —
+    * and is what a dashboard wants anyway (which bins drifted, not just
+    * that some did). Two aggregations over one scan; the 0..nBins-1
+    * grid is generated, so empty bins still report (their smoothed term
+    * is nonzero by design — absence IS drift evidence). PSI > 0.2 per
+    * common practice flags action; the spec pins sign/zero properties.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               tsCol: String, cutTs: String,
+               binWidth: Double = 50.0, nBins: Int = 10): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val bucketed = df.select(col(groupCol), col(tsCol), col(valueCol))
+      .withColumn("bucket",
+        least(floor(col(valueCol) / binWidth), lit(nBins - 1L)).cast("long"))
+      .withColumn("is_base",
+        when(col(tsCol) < lit(cutTs).cast("timestamp"), 1L).otherwise(0L))
+    val counts = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("is_base")).as("n_base"),
+           sum(lit(1L) - col("is_base")).as("n_cur"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val grid = totals.select(col(groupCol), col("tb"), col("tc"),
+      explode(sequence(lit(0L), lit(nBins - 1L))).as("bucket"))
+    val pb = (col("n_base") + lit(1.0)) / (col("tb") + lit(nBins)).cast("double")
+    val pc = (col("n_cur") + lit(1.0)) / (col("tc") + lit(nBins)).cast("double")
+    grid.join(counts, Seq(groupCol, "bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .select(col(groupCol), col("bucket"), col("n_base"), col("n_cur"),
+              Num.roundTo((pc - pb) * log(pc / pb), 6).as("psi_term"))
+      .orderBy(groupCol, "bucket")
+  }
 }

@@ -685,4 +685,23 @@ object Similarity {
         Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** EXACT embedding near-dup pairs: every (a < b) pair scored — the
+    * oracle-checkable baseline that [[embeddingNearDup]]'s LSH candidate
+    * generation approximates. Broadcast nested-loop (corpus × corpus);
+    * quadratic by definition, so at scale it exists to validate the LSH
+    * twin on samples, not to run on the full corpus.
+    */
+  def embeddingNearDupExact(df: DataFrame, threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      .join(broadcast(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))),
+            col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -207,4 +207,27 @@ class EventWindowsSpec extends SparkSpec {
     assert(out.length == 30 - 12 + 1) // full-window positions only
     out.foreach(r => assert(r.getAs[Double]("ewma") == 4.0, r.toString))
   }
+
+  test("transitions: counts conserve (sum = events - users), known tiny sequence") {
+    val t = EventWindows.transitions(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+    val events = Tables.events(spark, sfDir).count()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(t == events - users, "each user contributes n_events - 1 transitions")
+
+    import spark.implicits._
+    val d = tmpDir("trans")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a→b→a ; user 2: b→b. Ties impossible (distinct ts).
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "b", 0.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "a", 0.0, "{}"),
+        (4L, ts("2024-01-01 00:00:30"), 2L, "b", 0.0, "{}"),
+        (5L, ts("2024-01-01 00:03:00"), 2L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val m = EventWindows.transitions(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L), m.toString)
+  }
 }

@@ -117,4 +117,35 @@ class ProfilingSpec extends SparkSpec {
       assert(qs.head >= lo && qs.last <= hi)
     }
   }
+
+  test("psiDrift: complete bin grid, zero drift on identical halves, detects a shifted bin") {
+    import spark.implicits._
+    val out = Profiling.psiDrift(Tables.events(spark, sfDir),
+      "event_type", "value", "ts", "2024-01-16 00:00:00").collect()
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(out.length == types * 10, "one row per (group, bin), empty bins included")
+    assert(out.forall(r => !r.isNullAt(4)), "every bin reports a term")
+
+    // identical halves → every smoothed term is exactly 0 (pc == pb)
+    val flat = (1 to 200).flatMap { i =>
+      Seq((i.toLong, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), "g", (i % 10) * 50.0 + 1),
+          (1000L + i, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), "g", (i % 10) * 50.0 + 1))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val zero = Profiling.psiDrift(flat, "event_type", "value", "ts", "2024-01-16 00:00:00")
+      .collect()
+    assert(zero.forall(_.getDouble(4) == 0.0), "no drift must score exactly 0")
+
+    // all mass moves bins 0→9 between halves: both end bins show large
+    // positive terms (PSI terms are non-negative by construction:
+    // (pc-pb) and ln(pc/pb) always share sign)
+    val shifted = (1 to 200).flatMap { i =>
+      Seq((i.toLong, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), "g", 1.0),
+          (1000L + i, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), "g", 480.0))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val drift = Profiling.psiDrift(shifted, "event_type", "value", "ts", "2024-01-16 00:00:00")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(drift(0L) > 0.2 && drift(9L) > 0.2, s"shifted mass must flag both bins: $drift")
+    assert(drift.values.forall(_ >= 0.0), "PSI terms are non-negative")
+  }
 }

@@ -573,4 +573,30 @@ class SimilaritySpec extends SparkSpec {
     val recall = bruteIds.count(pq.contains).toDouble / bruteIds.size
     assert(recall >= 0.5, s"PQ recall@10 $recall below floor")
   }
+
+  test("embeddingNearDupExact + resolveDuplicates: pairs share a component, roots are minima") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Similarity.embeddingNearDupExact(emb, 0.42)
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.forall { case (a, b) => a < b }, "pairs are ordered (a < b)")
+    val resolved = graft.ops.Dedup.resolveDuplicates(
+      emb.select(col("vec_id")),
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), "vec_id")
+    val rows = resolved.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size == emb.count(), "one row per vector")
+    rows.foreach { case (id, (comp, keep)) =>
+      assert(comp <= id, "canonical is the cluster minimum")
+      assert(keep == (comp == id), "keep marks exactly the canonical")
+    }
+    pairRows.foreach { case (a, b) =>
+      assert(rows(a)._1 == rows(b)._1, s"pair ($a,$b) split across components")
+    }
+    // LSH twin is a subset of the exact pair set (candidates may miss,
+    // never invent: every emitted pair is re-scored exactly)
+    val exactSet = pairRows.toSet
+    val lsh = Similarity.embeddingNearDup(emb, 0.42, nbits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exactSet), "LSH must not emit a below-threshold pair")
+  }
 }
