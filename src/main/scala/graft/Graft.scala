@@ -298,4 +298,53 @@ object Graft {
   /** Dense zero-filled hourly spine ([[ops.EventWindows.hourlySpine]]). */
   def hourlySpine(spark: SparkSession, dir: String): DataFrame =
     ops.EventWindows.hourlySpine(spark, dir)
+
+  /** Deterministic stratified downsampling by content hash
+    * ([[ops.TextStats.stratifiedSample]]): rates in percent per stratum
+    * value, monotone in the rate, stable under re-sharding. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       rates: Map[String, Int], defaultPct: Int = 100): DataFrame =
+    ops.TextStats.stratifiedSample(docs, stratumCol, rates, defaultPct)
+
+  /** Inverse-frequency class weights ([[ops.TextStats.balanceWeights]]):
+    * equal weight mass per stratum, corpus mean weight 1.0. */
+  def balanceWeights(docs: DataFrame, stratumCol: String): DataFrame =
+    ops.TextStats.balanceWeights(docs, stratumCol)
+
+  /** Per-bin PSI drift between two time windows
+    * ([[ops.Profiling.psiDrift]]). */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               tsCol: String, cutTs: String): DataFrame =
+    ops.Profiling.psiDrift(df, groupCol, valueCol, tsCol, cutTs)
+
+  /** First-order event-transition counts ([[ops.EventWindows.transitions]]). */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    ops.EventWindows.transitions(spark, dir)
+
+  /** Watermark-bounded stream-stream interval join
+    * ([[streaming.Streams.streamIntervalJoin]]). */
+  def streamIntervalJoin(events: DataFrame, leftType: String, rightType: String,
+                         within: String = "30 minutes"): DataFrame =
+    streaming.Streams.streamIntervalJoin(events, leftType, rightType, within)
+
+  /** Exact embedding near-dup pairs
+    * ([[ops.Similarity.embeddingNearDupExact]]) — the oracle baseline for
+    * [[nearDupEmbeddings]]'s LSH candidate generation. */
+  def nearDupEmbeddingsExact(vectors: DataFrame, threshold: Double = 0.95): DataFrame =
+    ops.Similarity.embeddingNearDupExact(vectors, threshold)
+
+  /** Bucketed replace-load for shuffle-free downstream joins
+    * ([[etl.Load.replaceTableBucketed]]). */
+  def replaceTableBucketed(df: DataFrame, table: String,
+                           buckets: Int, keys: Seq[String]): Unit =
+    etl.Load.replaceTableBucketed(df, table, buckets, keys)
+
+  /** IVF+PQ ANN serving — routed search over compressed storage
+    * ([[ops.Similarity.ivfPqTopK]]); train the codebooks once per corpus
+    * snapshot ([[ops.Similarity.trainIvfCodebook]],
+    * [[ops.Similarity.pqCodebooks]]) and reuse them as model artifacts. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                ivfCodebook: DataFrame, pqBooks: DataFrame,
+                k: Int = 10, nprobe: Int = 4): DataFrame =
+    ops.Similarity.ivfPqTopK(corpus, queries, ivfCodebook, pqBooks, k, nprobe)
 }

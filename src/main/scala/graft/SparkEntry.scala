@@ -688,6 +688,17 @@ object SparkEntry {
           stagedPqBooks(s, d))
         .orderBy("query_id", "rank")
     }),
+    // IVF+PQ composition: routed search over compressed storage — the
+    // production serving shape; rows-only like the other ANN queries
+    // (degenerate-parameter equality to brute force + recall floor
+    // spec'd in SimilaritySpec)
+    "v15_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.ivfPqTopK(emb, Similarity.querySet(emb, "vec_id", 20),
+          codebook, stagedPqBooks(s, d), nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization reconstruction error — rows-only by design
     // (trained per-subspace codebooks are not SQL-replayable); exactness
     // pinned by SimilaritySpec (cells=n reconstructs perfectly)

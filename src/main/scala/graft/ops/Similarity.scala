@@ -596,6 +596,41 @@ object Similarity {
     bruteForceTopKAgg(pqReconstruct(corpus, books, m, dim, idCol, vecCol),
       queries, k, idCol, vecCol)
 
+  /** IVF+PQ serving — the production ANN composition (FAISS's IVFPQ
+    * expressed as DataFrame joins): IVF routing prunes the SEARCH (each
+    * query scores only its `nprobe` nearest cells' vectors), PQ prunes
+    * the STORAGE (scored vectors are their m-subspace reconstructions,
+    * ~dim·4/m× smaller at rest). The two knobs are independent: recall
+    * lost to routing comes back via nprobe, recall lost to compression
+    * via more PQ cells. Cell ASSIGNMENT of the corpus uses the raw
+    * vectors (build-time, exact — reconstruction error must not move
+    * vectors across cell boundaries); only the scoring operand is
+    * compressed. At nprobe = |codebook| and PQ cells = |corpus| this
+    * degenerates to exact brute force — spec'd row-for-row equal, which
+    * pins the whole composition.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                ivfCodebook: DataFrame, pqBooks: DataFrame,
+                k: Int = 10, nprobe: Int = 4, m: Int = 4, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cAssign = assignCells(corpus, ivfCodebook, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val c = pqReconstruct(corpus, pqBooks, m, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cAssign, "neighbor_id")
+      .withColumn("cn", norm(col("cv")))
+    val qAssign = assignCellsMulti(queries, ivfCodebook, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qAssign, "query_id")
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
     * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
     * scale bug — 2^8 bucket values saturate beyond ~65k rows and every

@@ -574,6 +574,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 $recall below floor")
   }
 
+  test("ivfPqTopK: degenerate params == brute force exactly; production params clear a recall floor") {
+    // nprobe = |codebook| kills routing loss; PQ cells >= |corpus| with
+    // iters=0 kills compression loss -> must equal brute force entirely
+    // (corpus capped at 100 so cells=100 covers every subvector)
+    val emb100 = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val qs100 = Similarity.querySet(emb100, "vec_id", 10)
+    val brute100 = Similarity.bruteForceTopK(emb100, qs100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf4 = Similarity.trainIvfCodebook(emb100, cells = 4, iters = 2)
+    val exactBooks = Similarity.pqCodebooks(emb100, cells = 100, iters = 0)
+    val degenerate = Similarity.ivfPqTopK(emb100, qs100, ivf4, exactBooks, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(degenerate == brute100, "nprobe=|cells| + exact PQ must reproduce brute force")
+    // production-shaped params on the full corpus: both prunings active
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = Similarity.querySet(emb, "vec_id", 20)
+    val brute = Similarity.bruteForceTopK(emb, qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf16 = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val books = Similarity.pqCodebooks(emb, cells = 16, iters = 3)
+    val ann = Similarity.ivfPqTopK(emb, qs, ivf16, books, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    // the fixture's vectors are near-orthogonal (max pairwise cosine
+    // ~0.51) — the adversarial no-structure case, where PQ's scoring
+    // noise dominates (and more probes only add lossy competitors, so
+    // no nprobe-monotonicity claim here). Correctness is pinned by the
+    // degenerate equality above; this floor guards the pruning from
+    // collapsing outright.
+    assert(recall >= 0.2, s"IVFPQ recall@10 $recall below floor")
+    // removing PQ loss (exact books) must not hurt: IVF-only >= IVFPQ
+    val books500 = Similarity.pqCodebooks(emb, cells = 500, iters = 0)
+    val ivfOnly = Similarity.ivfPqTopK(emb, qs, ivf16, books500, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallIvf = brute.count(ivfOnly.contains).toDouble / brute.size
+    assert(recallIvf >= recall, s"exact-books recall $recallIvf < PQ recall $recall")
+  }
+
   test("embeddingNearDupExact + resolveDuplicates: pairs share a component, roots are minima") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.embeddingNearDupExact(emb, 0.42)
