@@ -339,6 +339,17 @@ object Graft {
                            buckets: Int, keys: Seq[String]): Unit =
     etl.Load.replaceTableBucketed(df, table, buckets, keys)
 
+  /** Per-group top-k via the bounded-heap aggregate
+    * ([[ops.Analytics.topCustomersPerNation]]) — map-side k-reduction,
+    * no window sort. */
+  def topCustomersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    ops.Analytics.topCustomersPerNation(spark, dir, k)
+
+  /** Per-doc n-gram novelty vs a reference corpus
+    * ([[ops.TextStats.noveltyScore]]). */
+  def noveltyScore(newDocs: DataFrame, reference: DataFrame, w: Int = 3): DataFrame =
+    ops.TextStats.noveltyScore(newDocs, reference, w = w)
+
   /** IVF+PQ ANN serving — routed search over compressed storage
     * ([[ops.Similarity.ivfPqTopK]]); train the codebooks once per corpus
     * snapshot ([[ops.Similarity.trainIvfCodebook]],

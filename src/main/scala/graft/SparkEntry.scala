@@ -158,6 +158,8 @@ object SparkEntry {
     "q3_shipping" -> (Analytics.q3ShippingPriority(_, _)),
     "q5_volume" -> (Analytics.q5LocalSupplierVolume(_, _)),
     "w1_top_orders" -> (Analytics.topOrdersPerCustomer(_, _)),
+    // bounded-heap top-k per group (map-side k-reduction, no window sort)
+    "w5_topk_per_group" -> (Analytics.topCustomersPerNation(_, _)),
     "j1_semi_urgent" -> (Analytics.customersWithUrgentOrders(_, _)),
     "j2_anti_no_orders" -> (Analytics.customersWithoutOrders(_, _)),
     "j3_anti_no_urgent" -> (Analytics.customersWithoutUrgentOrders(_, _)),
@@ -460,6 +462,13 @@ object SparkEntry {
       TextStats.assignSplit(Tables.documents(s, d))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+    // n-gram novelty: odd docs scored against the even-doc reference
+    "t21_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextStats.noveltyScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     // stratified rebalancing: thin dominant-language strata by content
     // hash (en → 40%), keep the rest whole; map-only survivor set
     "t19_stratified_sample" -> ((s, d) =>
@@ -1753,6 +1762,35 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // bounded-heap top-k per nation == window row_number formulation
+    "w5_topk_per_group" ->
+      s"""WITH spend AS (SELECT o_custkey, ${decSum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey),
+         |j AS (SELECT n_name, c_custkey, spend
+         |      FROM spend JOIN customer ON c_custkey = o_custkey
+         |      JOIN nation ON c_nationkey = n_nationkey),
+         |r AS (SELECT n_name, c_custkey, spend,
+         |        CAST(row_number() OVER (PARTITION BY n_name
+         |          ORDER BY spend DESC, c_custkey) AS BIGINT) AS rank FROM j)
+         |SELECT n_name, rank, c_custkey, spend FROM r WHERE rank <= 3
+         |ORDER BY n_name, rank""".stripMargin,
+    // novelty: string shingles replay the hashed-shingle join (same
+    // distinct-set equivalence t13 relies on)
+    "t21_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |       ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+        |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+        |nd AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)
+        |SELECT nd.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  floor((CAST(sum(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+        |FROM nd LEFT JOIN ref ON nd.s = ref.s
+        |GROUP BY nd.doc_id ORDER BY nd.doc_id""".stripMargin,
     // stratified sample: domain-separated content hash, en thinned to 40%
     "t19_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, source,

@@ -102,6 +102,32 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
+  /** W5: top-k per group via the bounded-heap `topk_by_score` aggregate
+    * on the ANALYTICS domain — [[topOrdersPerCustomer]]'s window
+    * formulation shuffles and sorts EVERY row of every group; this plan
+    * reduces each map partition to ≤k candidates per nation before the
+    * exchange, so shuffle volume is O(nations·k·partitions) no matter
+    * how many customers exist. Same (score desc, id asc) tie-break as
+    * row_number, so one window-based DuckDB oracle gates both
+    * formulations. Spend totals are decimal-exact before ranking.
+    */
+  def topCustomersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Num.exactSum(col("o_totalprice")).as("spend"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(call_function("topk_by_score", col("spend"), col("c_custkey"), lit(k)).as("t"))
+      .select(col("n_name"), posexplode(col("t")).as(Seq("r0", "p")))
+      .select(col("n_name"), (col("r0") + 1).cast("long").as("rank"),
+              col("p.id").as("c_custkey"), col("p.score").as("spend"))
+      .orderBy("n_name", "rank")
+  }
+
   /** Left-semi (EXISTS): customers with urgent orders. Semi joins carry no
     * payload columns — cheapest join shape; the key side broadcasts. */
   def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {

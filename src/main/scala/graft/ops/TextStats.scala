@@ -138,6 +138,35 @@ object TextStats {
     df.filter(bucket < rate)
   }
 
+  /** N-gram NOVELTY scoring — per-doc fraction of distinct w-shingles
+    * absent from a reference corpus: the data-curation signal for "how
+    * much genuinely new text does this batch add" (prioritize crawls,
+    * price near-duplicate sources, cap epochs over stale data). Inverse
+    * of [[graft.ops.Dedup.decontaminate]]'s overlap measure, but with
+    * the OPPOSITE build-side economics: the reference corpus is the big
+    * side here, so no broadcast hint — the join keys on the 8-byte
+    * shingle hash and Catalyst/AQE picks the strategy (hash-partitioned
+    * at 100 TB; the doc texts never ride the join). Left join + null
+    * count, not anti-join, because the denominator needs every shingle.
+    */
+  def noveltyScore(newDocs: DataFrame, reference: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   w: Int = 3): DataFrame = {
+    val nd = newDocs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingleHashes(col(textCol), w)).as("shingle"))
+    val ref = reference
+      .select(explode(Dedup.shingleHashes(col(textCol), w)).as("shingle"))
+      .distinct().withColumn("seen", lit(1L))
+    nd.join(ref, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+              Num.roundTo(col("n_novel").cast("double") / col("n_shingles"), 6)
+                .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Inverse-frequency CLASS WEIGHTS — the rebalancing dual of
     * [[stratifiedSample]]: instead of dropping rows, emit a per-stratum
     * example weight `total / (n_strata · n_stratum)` that equalizes each

@@ -28,6 +28,30 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffled join, got $shuffles:\n$p")
   }
 
+  test("w5: bounded-heap top-k per group plans with NO window sort and a partial aggregate") {
+    val df = Analytics.topCustomersPerNation(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"w5 must not use a window sort:\n$p")
+    assert(p.contains("partial_topkbyscore"),
+      s"expected a map-side partial topk aggregate in:\n$p")
+    // and it equals the window formulation row for row
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(Num.exactSum(col("o_totalprice")).as("spend"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    val windowed = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("n_name", "rank", "c_custkey", "spend")
+      .orderBy("n_name", "rank")
+      .collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == windowed.toSeq)
+  }
+
   test("c4_pack: no global window over data — unpartitioned windows only above aggregates") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val lp = TextStats.packChunks(TextStats.chunk(Tables.documents(spark, sfDir)))

@@ -307,6 +307,30 @@ class TextStatsSpec extends SparkSpec {
     assert(TextStats.stratifiedSample(docs, "lang", Map.empty).count() == docs.count())
   }
 
+  test("noveltyScore: duplicate of reference scores 0, disjoint text scores 1, bounds hold") {
+    import spark.implicits._
+    val ref = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (12L, "completely different words entirely here now"), // disjoint
+      (13L, "the quick brown fox went somewhere else today")  // partial
+    ).toDF("doc_id", "text")
+    val out = TextStats.noveltyScore(batch, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(11L)._3 == 0.0, "reference duplicate must have zero novelty")
+    assert(out(12L)._3 == 1.0, "disjoint text must be fully novel")
+    val (n13, nov13, s13) = out(13L)
+    assert(nov13 > 0 && nov13 < n13 && s13 > 0.0 && s13 < 1.0,
+      s"partial overlap must land strictly inside (0,1): $s13")
+    // corpus-level sanity: bounds on the real fixture
+    val docs = Tables.documents(spark, sfDir)
+    TextStats.noveltyScore(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("balanceWeights: weight mass equalized per stratum, corpus mean weight 1.0") {
     val docs = Tables.documents(spark, sfDir)
     val w = TextStats.balanceWeights(docs, "lang").collect()
