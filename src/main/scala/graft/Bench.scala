@@ -30,7 +30,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
+    println(line)
+    // The stdout line above is all the driver keeps, and it keeps only the
+    // TAIL of it — with 140 queries that loses ~45% of the per-query
+    // numbers to front-truncation. Persist the complete JSON to a file so
+    // per-query history survives every round (driver rounds run from the
+    // repo root; fall back silently if the cwd isn't writable).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

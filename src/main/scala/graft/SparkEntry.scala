@@ -1527,7 +1527,7 @@ object SparkEntry {
     "p7_psi" ->
       s"""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events),
          |b AS (SELECT event_type,
-         |        least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+         |        greatest(CAST(0 AS BIGINT), least(CAST(floor(value / 50.0) AS BIGINT), 9)) AS bucket,
          |        CASE WHEN t < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS isb
          |      FROM e),
          |c AS (SELECT event_type, bucket,

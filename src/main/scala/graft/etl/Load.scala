@@ -32,6 +32,14 @@ object Load {
     * AQE broadcasts it and base never shuffles; with a partitioned base
     * table, pair with dynamic partition overwrite so only touched
     * partitions rewrite.
+    *
+    * Preconditions (the SQL MERGE contract this mirrors): `updates` must
+    * carry at most ONE row per key — multiple rows for the same key all
+    * survive here, where MERGE would raise a cardinality error; dedupe
+    * upstream if the batch can contain key repeats. Null keys never
+    * match (the anti-join uses null-rejecting equality), so a null-key
+    * base row always survives alongside any null-key update rows; treat
+    * null keys as insert-only or filter them before calling.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
@@ -62,14 +70,29 @@ object Load {
   def replaceTableBucketed(df: DataFrame, table: String,
                            buckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty && buckets > 0)
+    // qualified names (db.tbl) would make the fallback path below wrong
+    // (<warehouse>/<db.tbl> instead of <warehouse>/<db>.db/<tbl>) and the
+    // blind delete dangerous — restrict to the default-database case
+    require(!table.contains("."),
+      s"replaceTableBucketed takes an unqualified default-database name, got '$table'")
     val spark = df.sparkSession
+    // resolve the REAL location from the catalog while the entry exists —
+    // a table created with a custom LOCATION does not live under the
+    // warehouse dir, and deleting <warehouse>/<name> could hit an
+    // unrelated directory of the same name
+    val catalogLoc =
+      if (spark.catalog.tableExists(table))
+        Some(new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS ${quote(table)}")
     // the session catalog is in-memory: a previous JVM's warehouse dir
     // survives while its table entry doesn't, and a stale location blocks
     // CREATE — clear it through the table's filesystem (warehouse may be
-    // object storage, not the local disk)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // object storage, not the local disk). When the catalog had no entry,
+    // the default-database warehouse path is the only possible leftover.
+    val loc = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -71,6 +71,13 @@ object Profiling {
     // rule names are spliced into a stack() expression — identifiers only
     require((rowRules.map(_._1) ++ uniqueKeys.map(_._1))
       .forall(_.matches("[A-Za-z0-9_]+")), "rule names must be [A-Za-z0-9_]+")
+    // duplicate names would build duplicate __v_<name> agg columns and
+    // surface as an opaque ambiguous-column AnalysisException — fail clear
+    locally {
+      val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
+      require(names.distinct.size == names.size,
+        s"rule names must be unique, got duplicates: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    }
     val rowReport = if (rowRules.isEmpty) None else Some {
       val aggs = count(lit(1)).as("__n") +:
         rowRules.map { case (name, rule) =>
@@ -166,8 +173,12 @@ object Profiling {
                binWidth: Double = 50.0, nBins: Int = 10): DataFrame = {
     require(binWidth > 0 && nBins > 1)
     val bucketed = df.select(col(groupCol), col(tsCol), col(valueCol))
+      // clamp BOTH ends: without the greatest(), v < 0 lands on a bucket
+      // outside the 0..nBins-1 grid — counted in the totals but dropped
+      // by the grid join, silently skewing every smoothed probability
       .withColumn("bucket",
-        least(floor(col(valueCol) / binWidth), lit(nBins - 1L)).cast("long"))
+        greatest(lit(0L),
+          least(floor(col(valueCol) / binWidth), lit(nBins - 1L))).cast("long"))
       .withColumn("is_base",
         when(col(tsCol) < lit(cutTs).cast("timestamp"), 1L).otherwise(0L))
     val counts = bucketed.groupBy(col(groupCol), col("bucket"))
