@@ -283,8 +283,26 @@ object SparkEntry {
     // pointer-jumping connected components → canonical per cluster.
     // The LSH pair generator (v3) is the at-scale twin of the pair stage.
     "x9_emb_dup_clusters" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      // BOUNDED oracle baseline: the all-pairs stage is capped at the
+      // first 5000 vectors (a no-op at the fixture scales, whose ids stop
+      // at 1999) so the quadratic plan can never run on a full corpus —
+      // x10 below is the uncapped at-scale path (LSH pair generation).
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 5000)
       val pairs = Similarity.embeddingNearDupExact(emb, 0.42)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.resolveDuplicates(emb.select(col("vec_id")), pairs, "vec_id")
+        .orderBy("vec_id")
+    }),
+    // the composition a 100 TB corpus would actually run: sign-LSH
+    // bucketed candidate pairs (exact-cosine verified, so every pair is
+    // a TRUE >= threshold pair and the clustering is a refinement of
+    // x9's — spec'd in ScaleDedupSpec with recall floors at both scales)
+    // → pointer-jumping connected components. Rows-only by design: the
+    // LSH candidate set is not SQL-replayable.
+    "x10_emb_dup_scale" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.embeddingNearDup(emb, threshold = 0.42,
+          corpusCount = Some(emb.count()))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.resolveDuplicates(emb.select(col("vec_id")), pairs, "vec_id")
         .orderBy("vec_id")
@@ -646,8 +664,11 @@ object SparkEntry {
     "v6_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy("label", "dim")),
+    // BOUNDED n² baseline (same 5000-id cap rationale as x9): the full
+    // leave-one-out eval exists to validate v9, the sampled production
+    // form, which runs on the uncapped corpus
     "v7_knn_eval" -> ((s, d) =>
-      Similarity.knnLabelAccuracy(Tables.embeddings(s, d))
+      Similarity.knnLabelAccuracy(Tables.embeddings(s, d).filter(col("vec_id") < 5000))
         .orderBy("label")),
     // production form of v7: every 10th vector queries the full corpus —
     // n²/stride scoring instead of n²
@@ -894,9 +915,9 @@ object SparkEntry {
     * set) — one prediction rule, parameterized only by which vectors get
     * to be queries. Neighbors always come from the full corpus.
     */
-  private def knnEvalSql(queryWhere: String): String =
+  private def knnEvalSql(queryWhere: String, corpusWhere: String = ""): String =
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel FROM embeddings$queryWhere),
-       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel FROM embeddings$corpusWhere),
        |s AS (SELECT query_id, neighbor_id, qlabel, nlabel,
        |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
        |      FROM q, c WHERE query_id <> neighbor_id),
@@ -1988,7 +2009,7 @@ object SparkEntry {
          |FROM rec ORDER BY doc_id""".stripMargin,
     // x9: same component machinery, edges from exact cosine >= 0.42
     "x9_emb_dup_clusters" ->
-      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings WHERE vec_id < 5000),
          |sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |        ${Num.sqlRoundTo("list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv)))", 9)} AS sim
          |       FROM vv a JOIN vv b ON a.vec_id < b.vec_id),
@@ -1996,7 +2017,7 @@ object SparkEntry {
          |edges AS (SELECT ia AS v, ib AS w FROM edges0 UNION SELECT ib, ia FROM edges0),
          |rec AS (
          |  WITH RECURSIVE reach(v, r) AS (
-         |    SELECT vec_id, vec_id FROM embeddings
+         |    SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 5000
          |    UNION
          |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
          |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
@@ -2021,7 +2042,7 @@ object SparkEntry {
     // leave-one-out kNN label eval: same sim/rank formulation as
     // bruteTopKSql (9dp rounding, id tie-break), majority vote with
     // smallest-label tie-break, per-label accuracy
-    "v7_knn_eval" -> knnEvalSql(""),
+    "v7_knn_eval" -> knnEvalSql(" WHERE vec_id < 5000", " WHERE vec_id < 5000"),
     // sampled eval: identical prediction rule, query side restricted to
     // every 10th vector (matches Similarity.querySet's deterministic
     // stride); neighbors still come from the full corpus
