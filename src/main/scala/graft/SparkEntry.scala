@@ -509,6 +509,13 @@ object SparkEntry {
     // per-language median quality gate (CCNet-style filter)
     "c6_quality_gate" -> ((s, d) =>
       TextStats.qualityGate(Tables.documents(s, d)).orderBy("doc_id")),
+    // fixed-weight classifier scoring (fastText-style sigmoid(w·x+b)
+    // over the t1 features) — the model-based upgrade of the c6 gate;
+    // map-only literal-weight expression, no join, no shuffle
+    "c7_classifier" -> ((s, d) =>
+      TextStats.classifierScore(Tables.documents(s, d))
+        .select("doc_id", "clf_score", "clf_keep")
+        .orderBy("doc_id")),
     // whitespace/control-char normalization (run before content hashing)
     "c5_normalize" -> ((s, d) =>
       TextStats.normalizeText(Tables.documents(s, d))
@@ -1748,6 +1755,19 @@ object SparkEntry {
         | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "t1_quality" -> qualitySql,
+    // sigmoid(w·x + b) over the 4dp-rounded t1 features; weights/bias are
+    // the literal defaultClassifierWeights. keep decides on the ROUNDED
+    // score so both engines compare identical inputs.
+    "c7_classifier" ->
+      s"""$qualityCte,
+         |z AS (SELECT doc_id,
+         |  ((-3.0) * digit_ratio + 0.1 * mean_token_len + (-3.0) * punct_ratio
+         |   + 1.0 * stopword_ratio + 1.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+         |   + (-1.0) * upper_ratio + (-0.5)) AS zv
+         | FROM f),
+         |sc AS (SELECT doc_id, ${Num.sqlRoundTo("1.0 / (1.0 + exp(-zv))", 6)} AS clf_score FROM z)
+         |SELECT doc_id, clf_score, clf_score >= 0.5 AS clf_keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "t2_lang" -> langSql,
     "c1_clean_corpus" -> cleanCorpusSql,
     "c2_chunks" ->

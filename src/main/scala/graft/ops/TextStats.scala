@@ -557,15 +557,63 @@ object TextStats {
     * at the median are excluded deterministically.
     */
   def qualityGate(docs: DataFrame, pct: Double = 0.5,
-                  langCol: String = "lang"): DataFrame = {
-    val scored = qualityScore(docs)
-      .select(col("doc_id"), col(langCol), col("quality_score"))
-    val thresholds = scored.groupBy(col(langCol))
-      .agg(Num.roundTo(percentile(col("quality_score"), lit(pct)), 6).as("q_threshold"))
-    scored.join(broadcast(thresholds), Seq(langCol))
-      .filter(col("quality_score") > col("q_threshold"))
-      .select(col("doc_id"), col(langCol), col("quality_score"))
+                  langCol: String = "lang"): DataFrame =
+    qualityGateOn(qualityScore(docs), "quality_score", pct, langCol)
+
+  /** The gate generalized over ANY per-doc score column — the upgrade
+    * path from the t1 heuristic to [[classifierScore]]'s model output
+    * (or any future learned scorer): per-language `pct`-quantile
+    * threshold, keep strictly-above. The threshold table is one tiny
+    * broadcast; the corpus never shuffles.
+    */
+  def qualityGateOn(scored: DataFrame, scoreCol: String, pct: Double = 0.5,
+                    langCol: String = "lang"): DataFrame = {
+    val s2 = scored.select(col("doc_id"), col(langCol), col(scoreCol))
+    val thresholds = s2.groupBy(col(langCol))
+      .agg(Num.roundTo(percentile(col(scoreCol), lit(pct)), 6).as("q_threshold"))
+    s2.join(broadcast(thresholds), Seq(langCol))
+      .filter(col(scoreCol) > col("q_threshold"))
+      .select(col("doc_id"), col(langCol), col(scoreCol))
   }
+
+  /** Fixed-weight linear quality classifier — the production pattern the
+    * heuristic [[qualityScore]] graduates to (fastText-style):
+    * `sigmoid(w·x + b)` over the [[qualityFeatures]] vector. The weight
+    * table is a literal baked into the codegen'd expression (no join, no
+    * shuffle, map-only at any corpus size); swapping in trained
+    * coefficients changes no plan shape. Deterministic given the
+    * weights, hence DuckDB-replayable — the features are 4dp-rounded
+    * upstream and the single exp() per row hash-matches at 6dp (the
+    * p7_psi ln() precedent). `clf_keep` is the 0.5 decision on the
+    * ROUNDED score, so both engines decide on identical inputs.
+    */
+  def classifierScore(docs: DataFrame,
+                      weights: Map[String, Double] = defaultClassifierWeights,
+                      bias: Double = -0.5): DataFrame = {
+    val f = qualityFeatures(docs)
+    val x: Map[String, Column] = Map(
+      "tok_sat" -> least(col("n_tokens").cast("double") / 20.0, lit(1.0)),
+      "mean_token_len" -> col("mean_token_len"),
+      "punct_ratio" -> col("punct_ratio"),
+      "digit_ratio" -> col("digit_ratio"),
+      "upper_ratio" -> col("upper_ratio"),
+      "stopword_ratio" -> col("stopword_ratio"))
+    require(weights.keySet.subsetOf(x.keySet),
+      s"unknown feature(s): ${weights.keySet.diff(x.keySet).mkString(", ")}")
+    val z = weights.toSeq.sortBy(_._1)
+      .map { case (k, w) => lit(w) * x(k) }
+      .reduceOption(_ + _).getOrElse(lit(0.0)) + lit(bias)
+    f.withColumn("clf_score", Num.roundTo(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("clf_keep", col("clf_score") >= 0.5)
+  }
+
+  /** Stand-in coefficients (documented, not learned): reward token mass
+    * and stopword share, penalize punctuation/digit/uppercase noise —
+    * the same signal directions the t1 heuristic encodes.
+    */
+  val defaultClassifierWeights: Map[String, Double] = Map(
+    "tok_sat" -> 1.5, "mean_token_len" -> 0.1, "punct_ratio" -> -3.0,
+    "digit_ratio" -> -3.0, "upper_ratio" -> -1.0, "stopword_ratio" -> 1.0)
 
   /** Text normalization — the pass that runs BEFORE any content hashing
     * (exact dedup, split assignment, fingerprinting), because hash keys

@@ -347,4 +347,37 @@ class TextStatsSpec extends SparkSpec {
     // sum of per-doc weights ≈ corpus size → mean weight 1.0
     assert(math.abs(w.map { case (_, n, wt) => n * wt }.sum - total) < 1e-2)
   }
+
+  test("classifierScore: sigmoid bounds, weight direction, decision on rounded score") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = TextStats.classifierScore(docs)
+      .select("doc_id", "clf_score", "clf_keep").collect()
+    assert(scored.length == docs.count())
+    scored.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s > 0.0 && s < 1.0, s"sigmoid out of (0,1): $s")
+      assert(r.getBoolean(2) == (s >= 0.5), "clf_keep must decide on the rounded score")
+    }
+    // direction: an all-punctuation doc must score below a clean doc
+    import spark.implicits._
+    val probe = Seq((1L, "the quick brown fox jumps over the lazy dog and that is fine"),
+                    (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")).toDF("doc_id", "text")
+    val p = TextStats.classifierScore(probe).select("doc_id", "clf_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(1L) > p(2L), s"noise doc must score lower: ${p(1L)} vs ${p(2L)}")
+  }
+
+  test("qualityGateOn(clf_score) == model-gated corpus; delegation keeps c6 intact") {
+    val docs = Tables.documents(spark, sfDir)
+    // generic gate over the classifier score: strictly-above-median per lang
+    val gated = TextStats.qualityGateOn(
+      TextStats.classifierScore(docs), "clf_score")
+    val n = gated.count()
+    assert(n > 0 && n < docs.count(), s"gate must be selective, kept $n")
+    // the refactored qualityGate (now a qualityGateOn delegate) must agree
+    // with the inlined original formulation
+    val viaOn = TextStats.qualityGateOn(TextStats.qualityScore(docs), "quality_score")
+    val viaGate = TextStats.qualityGate(docs)
+    assert(viaOn.exceptAll(viaGate).count() == 0 && viaGate.exceptAll(viaOn).count() == 0)
+  }
 }
