@@ -480,6 +480,12 @@ object SparkEntry {
       TextStats.assignSplit(Tables.documents(s, d))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+    // BPE-style vocabulary induction: 8 highest-count pair merges as a
+    // bounded DataFrame loop over the distinct-token table (corpus
+    // scanned once); greedy merge application via literal replace on
+    // |-delimited symbol strings — integer-exact, oracle-replayable
+    "t22_bpe_merges" -> ((s, d) =>
+      TextStats.bpeMerges(Tables.documents(s, d))),
     // n-gram novelty: odd docs scored against the even-doc reference
     "t21_novelty" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1073,6 +1079,38 @@ object SparkEntry {
        |       + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
        |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
        | )""".stripMargin
+
+  /** Unrolled replay of [[graft.ops.TextStats.bpeMerges]]: per round,
+    * pair counts over the current `|`-delimited symbol strings, a
+    * (count DESC, lhs, rhs) argmax, and a literal `replace` applying the
+    * merge — DuckDB's left-to-right non-overlapping `replace` matches
+    * Spark's exactly, so greedy merge application is engine-identical.
+    */
+  private def bpeMergesSql(k: Int = 8): String = {
+    val base =
+      s"""WITH w AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
+         |    FROM documents) WHERE tok NOT LIKE '%|%' GROUP BY tok),
+         |s0 AS MATERIALIZED (SELECT '|' || array_to_string(list_filter(string_split(tok, ''), c -> c <> ''), '|') || '|' AS ss, n FROM w)""".stripMargin
+    val steps = (0 until k).map { i =>
+      val pairs =
+        s"""p$i AS MATERIALIZED (SELECT sy[j] AS lhs, sy[j + 1] AS rhs, CAST(sum(n) AS BIGINT) AS c
+           |  FROM (SELECT list_filter(string_split(ss, '|'), x -> x <> '') AS sy, n FROM s$i) t,
+           |       LATERAL (SELECT unnest(range(1, len(sy))) AS j) ix
+           |  GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, c AS pair_count
+           |        FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
+      val advance =
+        s"""s${i + 1} AS MATERIALIZED (SELECT replace(ss,
+           |    '|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|',
+           |    '|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|') AS ss, n FROM s$i)""".stripMargin
+      if (i < k - 1) pairs + ",\n" + advance else pairs
+    }
+    val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""$base,
+       |${steps.mkString(",\n")}
+       |SELECT merge_rank, lhs, rhs, pair_count FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
 
   private val EmailPattern = graft.ops.TextStats.emailPattern
   private val PhonePattern = graft.ops.TextStats.phonePattern
@@ -1769,6 +1807,7 @@ object SparkEntry {
          |SELECT doc_id, clf_score, clf_score >= 0.5 AS clf_keep
          |FROM sc ORDER BY doc_id""".stripMargin,
     "t2_lang" -> langSql,
+    "t22_bpe_merges" -> bpeMergesSql(),
     "c1_clean_corpus" -> cleanCorpusSql,
     "c2_chunks" ->
       """WITH toks AS (SELECT doc_id,

@@ -615,6 +615,73 @@ object TextStats {
     "tok_sat" -> 1.5, "mean_token_len" -> 0.1, "punct_ratio" -> -3.0,
     "digit_ratio" -> -3.0, "upper_ratio" -> -1.0, "stopword_ratio" -> 1.0)
 
+  /** BPE-style vocabulary induction: the `k` highest-count adjacent
+    * symbol-pair merges over the corpus token table — the missing
+    * LLM-pipeline stage between chunking (c2) and packing (c4).
+    *
+    * Same bounded-iteration discipline as `trainIvfCodebook` /
+    * `connectedComponents`: the distributed work per round is ONE
+    * aggregation over the (small) distinct-token table — the corpus is
+    * scanned once, up front, for token frequencies, never again. The
+    * driver pulls back exactly one argmax row per round to pick the
+    * merge (the coordination pattern, not a data collect).
+    *
+    * Symbol sequences ride as `|`-delimited strings (`"cat"` →
+    * `"|c|a|t|"`); applying a merge is then ONE codegen'd
+    * `replace(ss, "|l|r|", "|lr|")` — and because `replace` scans
+    * left-to-right non-overlapping, it implements greedy BPE merge
+    * application exactly ("aaa" + (a,a) → "aa"+"a", not "a"+"aa").
+    * DuckDB's `replace` has identical semantics, which makes every
+    * round integer-exact and oracle-replayable. Tokens containing the
+    * delimiter are excluded (both engines) — a real tokenizer would
+    * escape instead; the fixtures contain none.
+    *
+    * Pair counts weight by token frequency and count every adjacent
+    * position (overlaps included, the classic formulation); ties break
+    * lexicographically on (lhs, rhs). Output: (merge_rank, lhs, rhs,
+    * pair_count), one row per merge, rank-ordered.
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 8, textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "" && !col("tok").contains("|"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(concat(lit("|"), array_join(filter(split(col("tok"), ""), c => c =!= ""), "|"),
+                     lit("|")).as("ss"),
+              col("n"))
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (rank <- 0 until k if !exhausted) {
+      val syms = filter(split(col("ss"), "\\|"), c => c =!= "")
+      // sequence(1, 0) counts DOWN in Spark — single-symbol tokens must
+      // yield an empty pair array (explode then drops the row)
+      val pairsOf = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          j => struct(element_at(syms, j).as("lhs"),
+                      element_at(syms, j + 1).as("rhs"))))
+        .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+      val top = cur
+        .select(col("n"), explode(pairsOf).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, c))
+        cur = cur.withColumn("ss",
+          replace(col("ss"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   /** Text normalization — the pass that runs BEFORE any content hashing
     * (exact dedup, split assignment, fingerprinting), because hash keys
     * treat "a  b" and "a b" as different documents: collapse all

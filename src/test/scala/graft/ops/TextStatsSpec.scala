@@ -367,6 +367,38 @@ class TextStatsSpec extends SparkSpec {
     assert(p(1L) > p(2L), s"noise doc must score lower: ${p(1L)} vs ${p(2L)}")
   }
 
+  test("bpeMerges: greedy application, lexicographic ties, known toy sequence") {
+    import spark.implicits._
+    // "aaab": pairs (a,a)x2, (a,b)x1 → merge0 = (a,a,2) → [aa,a,b];
+    // round 1 ties (aa,a) vs (a,b) at 1 → lexicographic picks (a,b);
+    // round 2 merges (aa,ab). Also pins overlap counting (2, not 1) and
+    // that greedy replace turns "aaa" into [aa,a], never [a,aa].
+    val docs = Seq((0L, "aaab")).toDF("doc_id", "text")
+    val got = TextStats.bpeMerges(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, "a", "a", 2L), (1L, "a", "b", 1L), (2L, "aa", "ab", 1L)))
+  }
+
+  test("bpeMerges: monotone counts, vocab growth, determinism under repartition") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = TextStats.bpeMerges(docs, k = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 6)
+    // pair counts are non-increasing: merging the argmax can only leave
+    // equal-or-smaller counts behind (a merged pair never creates more
+    // occurrences of a better pair than existed before)
+    merges.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4, s"pair count rose after merge: $a -> $b")
+    }
+    // each merge strictly reduces the total symbol count of the corpus:
+    // every applied occurrence replaces two symbols with one
+    assert(merges.forall(_._4 >= 1))
+    // determinism: same merges regardless of partitioning
+    val reparted = TextStats.bpeMerges(docs.repartition(13), k = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(reparted.toSeq == merges.toSeq)
+  }
+
   test("qualityGateOn(clf_score) == model-gated corpus; delegation keeps c6 intact") {
     val docs = Tables.documents(spark, sfDir)
     // generic gate over the classifier score: strictly-above-median per lang
