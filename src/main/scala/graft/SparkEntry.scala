@@ -590,8 +590,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x2_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
-    // LSH banding planner — rows-only (minhash not SQL-replayable);
-    // internal consistency spec'd against the real banding pipeline
+    // LSH banding planner — hash-gated since round 11: the whole
+    // tokenize→FNV→splitmix-shingle→minhash→band-fold pipeline is
+    // integer arithmetic the DuckDB oracle replays exactly (lshPlanSql)
     "x8_lsh_plan" -> ((s, d) =>
       Dedup.lshPlan(Dedup.minhashSignatures(Tables.documents(s, d)))),
     "x3_simhash" -> ((s, d) =>
@@ -1110,6 +1111,123 @@ object SparkEntry {
     s"""$base,
        |${steps.mkString(",\n")}
        |SELECT merge_rank, lhs, rhs, pair_count FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Wrapping 64-bit arithmetic as DuckDB SQL — the toolkit that replays
+    * the JVM hash pipeline (FNV folds, the splitmix64 finalizer, the
+    * minhash universal-hash family) exactly: every step widens to
+    * HUGEINT, reduces mod 2^64, and re-centers to signed BIGINT (= Java
+    * long). Congruence mod 2^64 makes signed literals safe in the
+    * multiplies.
+    */
+  private object SqlHash {
+    private val W = "18446744073709551616"  // 2^64
+    private val H = "9223372036854775808"   // 2^63
+    /** any-integer HUGEINT expression → wrapped signed 64-bit BIGINT */
+    def wrapSigned(e: String): String = {
+      val u = s"((($e) % $W + $W) % $W)"
+      s"CAST($u - CASE WHEN $u >= $H THEN $W ELSE 0 END AS BIGINT)"
+    }
+    /** logical (unsigned) right shift of a signed 64-bit value */
+    def ushr(e: String, n: Int): String =
+      s"CAST(((CAST($e AS HUGEINT) % $W + $W) % $W) // ${BigInt(2).pow(n)} AS BIGINT)"
+    def wrapAddLit(a: String, b: Long): String =
+      wrapSigned(s"CAST($a AS HUGEINT) + ($b)")
+    def wrapMulLit(a: String, m: Long): String =
+      wrapSigned(s"CAST($a AS HUGEINT) * ($m)")
+    /** splitmix64 finalizer — [[graft.functions.Splitmix.mix]] verbatim */
+    def mix(x: String): String = {
+      val x1 = wrapAddLit(x, 0x9E3779B97F4A7C15L)
+      val x2 = wrapMulLit(s"xor($x1, ${ushr(x1, 30)})", 0xBF58476D1CE4E5B9L)
+      val x3 = wrapMulLit(s"xor($x2, ${ushr(x2, 27)})", 0x94D049BB133111EBL)
+      s"xor($x3, ${ushr(x3, 31)})"
+    }
+  }
+
+  /** Full-SQL replay of the x8 banding planner: tokenize → FNV-1a token
+    * hashes ([[fnv1a64Sql]]; code points == chars on the ASCII corpus) →
+    * order-sensitive splitmix fold per 3-token window (distinct per doc,
+    * = [[graft.functions.ShingleUtil.shingleHashes]]) → k=128 minhash
+    * lanes with the coefficient table inlined as literals (computed here
+    * from the same [[graft.functions.Splitmix]]) → per-config FNV band
+    * folds ([[graft.functions.BandUtil.bandKeys]]) → bucket counts.
+    * Integer-exact end to end; the one float (s-curve threshold) is a
+    * config-derived literal computed identically on both sides.
+    */
+  private val FnvOffsetSigned = -3750763034362895579L // 0xCBF29CE484222325
+  private val FnvPrime = 0x100000001B3L
+
+  /** Shared CTE prefix producing `sigt(doc_id, sig)` — the staged minhash
+    * signature table both x8 (banding planner) and x2 (LSH pipeline)
+    * replay from.
+    */
+  private def minhashSigCte(k: Int = 128, seed: Long = 42L): String = {
+    import graft.functions.Splitmix
+    val coefRows = (0 until k).map { i =>
+      s"(${i + 1}, CAST(${Splitmix.mix(seed + 2L * i) | 1L} AS BIGINT), CAST(${Splitmix.mix(seed + 2L * i + 1L)} AS BIGINT))"
+    }.mkString(", ")
+    val shingleFold =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+       |th AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(t, tok -> ${fnv1a64Sql("tok")}) AS th, len(t) AS m FROM toks),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, shash FROM (
+       |  SELECT doc_id, $shingleFold AS shash FROM (
+       |    SELECT doc_id, CASE WHEN m >= 3 THEN th[i : i + 2] ELSE th END AS win
+       |    FROM th, LATERAL (SELECT unnest(range(1, greatest(m - 2, 1) + 1)) AS i) ix)
+       |  )),
+       |coef AS MATERIALIZED (SELECT * FROM (VALUES $coefRows) c(i, a, b)),
+       |sigt AS MATERIALIZED (SELECT doc_id, list(minv ORDER BY i) AS sig FROM (
+       |  SELECT sh.doc_id, c.i,
+       |    min(${SqlHash.wrapSigned("CAST(c.a AS HUGEINT) * sh.shash + c.b")}) AS minv
+       |  FROM sh, coef c GROUP BY sh.doc_id, c.i)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Per-band FNV fold over signature lanes — [[graft.functions.BandUtil]]
+    * verbatim; `band` is the 0-based band index column in scope. */
+  private def bandFoldSql(r: Int): String =
+    s"""list_reduce(
+       |     list_prepend(xor(CAST($FnvOffsetSigned AS BIGINT), band), sig[band * $r + 1 : band * $r + $r]),
+       |     (h, e) -> ${SqlHash.wrapMulLit("xor(h, e)", FnvPrime)})""".stripMargin
+
+  private def lshPlanSql(k: Int = 128,
+                         configs: Seq[(Int, Int)] = Seq((8, 16), (16, 8), (32, 4), (64, 2))): String = {
+    val perConfig = configs.map { case (b, r) =>
+      val scurve = "%.6f".format(
+        math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6 + 0.5) / 1e6)
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+         |  max(n) AS max_bucket, CAST($scurve AS DOUBLE) AS s_curve_threshold
+         |FROM (SELECT bk, CAST(count(*) AS BIGINT) AS n FROM
+         |  (SELECT ${bandFoldSql(r)} AS bk
+         |   FROM sigt, LATERAL (SELECT unnest(range(0, $b)) AS band) ix)
+         |  GROUP BY bk)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${minhashSigCte(k)}
+       |SELECT * FROM ($perConfig) ORDER BY bands""".stripMargin
+  }
+
+  /** Full replay of x2 (minhashLsh, k=128 bands=32 r=4 threshold 0.5):
+    * banded candidates from the FNV band fold, distinct (a<b) pairs,
+    * signature agreement est_jaccard = equal-lane-count / 128 — a
+    * power-of-two division, so the one double is EXACT on both engines.
+    */
+  private def minhashLshSql(k: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.5): String = {
+    val r = k / bands
+    s"""${minhashSigCte(k)},
+       |banded AS MATERIALIZED (SELECT doc_id, band, ${bandFoldSql(r)} AS bk
+       |  FROM sigt, LATERAL (SELECT unnest(range(0, $bands)) AS band) ix),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |agree AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, ${k + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand JOIN sigt sa ON sa.doc_id = doc_a JOIN sigt sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM agree WHERE est_jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private val EmailPattern = graft.ops.TextStats.emailPattern
@@ -2059,6 +2177,8 @@ object SparkEntry {
     "x6_cross_dedup" -> crossDedupSql,
     // bloom prefilter is exact → same oracle as x6
     "x7_bloom_cross_dedup" -> crossDedupSql,
+    "x8_lsh_plan" -> lshPlanSql(),
+    "x2_minhash_lsh" -> minhashLshSql(),
     // x5 = x4's pair pipeline + transitive closure (recursive CTE) +
     // min-id per component — the oracle for resolveDuplicates' iterative
     // min-label propagation.

@@ -263,6 +263,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => SigAgree(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes", classOf[ShingleHashes]),
       (args: Seq[Expression]) => ShingleHashes(args(0), litInt(args(1)))))
+    ext.injectFunction((FunctionIdentifier("band_keys"), info("band_keys", classOf[BandKeys]),
+      (args: Seq[Expression]) => BandKeys(args(0), litInt(args(1)), litInt(args(2)))))
     ext.injectFunction((FunctionIdentifier("topk_by_score"), info("topk_by_score", classOf[TopKByScore]),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1), litInt(args(2)))))
     ext.injectFunction((FunctionIdentifier("misra_gries"), info("misra_gries", classOf[MisraGries]),
@@ -325,6 +327,55 @@ case class SigAgree(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
     copy(left = l, right = r)
+}
+
+/** Static core for [[BandKeys]] (compiled once, called from codegen). */
+object BandUtil {
+  /** Per band b over the signature lanes [b·r, (b+1)·r): FNV-1a-style
+    * fold over 64-bit lanes, seeded with (offset basis ^ b) so equal
+    * band contents in DIFFERENT bands get independent keys. Chosen over
+    * a generic hash (xxhash64) because the arithmetic — xor then one
+    * wrapping multiply per lane — is exactly replayable in DuckDB
+    * HUGEINT mod-2^64 SQL, which is what lets the x8 banding planner
+    * graduate from rows-only to a hash-gated oracle row.
+    */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xCBF29CE484222325L ^ b
+      var j = b * rowsPerBand
+      val end = math.min((b + 1) * rowsPerBand, sig.numElements())
+      while (j < end) { h = (h ^ sig.getLong(j)) * 0x100000001B3L; j += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** LSH band keys over a minhash signature: `bands` keys, each the
+  * [[BandUtil.bandKeys]] fold of its `rowsPerBand` signature lanes.
+  * Docs sharing any band key are candidate pairs.
+  */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"band_keys expects array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BandUtil.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BandUtil.bandKeys($c, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
 }
 
 /** Heavy lifting for [[ShingleHashes]] as a plain JVM static (called from

@@ -99,11 +99,14 @@ object Dedup {
     call_function("minhash_sig", hashedShingleCol, lit(k), lit(seed))
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Docs sharing any band key are candidates.
+    * and hash each band — codegen'd [[graft.functions.BandKeys]], an
+    * FNV-style per-band fold whose arithmetic the DuckDB oracle replays
+    * exactly (the x8 planner's gate). Docs sharing any band key are
+    * candidates. ONE definition shared by the planner and the pipeline,
+    * so the planner's workload table predicts the pipeline's joins.
     */
   def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+    call_function("band_keys", sigCol, lit(bands), lit(rowsPerBand))
 
   /** LSH banding planner: for each (bands, rowsPerBand) split of the same
     * k-wide signatures, the bucket count, the candidate-pair workload

@@ -50,7 +50,25 @@ class ExpressionParitySpec extends SparkSpec {
         call_function("simhash64",
           call_function("shingle_hashes", col("text"), lit(3))).as("sim"))
       .withColumn("agree", call_function("sig_agree", col("sig"), col("sig")))
+      .withColumn("bk", call_function("band_keys", col("sig"), lit(8), lit(4)))
       .orderBy("doc_id"))
+  }
+
+  test("band_keys: golden values pinned against an independent reference") {
+    import spark.implicits._
+    // FNV-style band fold computed from scratch (h = basis ^ band;
+    // h = (h ^ lane) * 0x100000001B3 wrapping per lane) — independent of
+    // BandUtil, so a transcription bug cannot self-verify.
+    val sig = Array(1L, 2L, 3L, 4L)
+    def ref(band: Int, lanes: Seq[Long]): Long = {
+      var h = 0xCBF29CE484222325L ^ band
+      lanes.foreach(l => h = (h ^ l) * 0x100000001B3L)
+      h
+    }
+    val got = Seq(Tuple1(sig)).toDF("sig")
+      .select(call_function("band_keys", col("sig"), lit(2), lit(2)).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(ref(0, Seq(1L, 2L)), ref(1, Seq(3L, 4L))))
   }
 
   test("fnv1a64: codegen == interpreted on real documents") {
