@@ -456,6 +456,9 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
       .distinct()
       .localCheckpoint(true)
+    // NOTE every materialization below goes through Iterate.materialize,
+    // not bare localCheckpoint — see Iterate's scaladoc for the
+    // double-exponential stats-estimate blowup it prevents (sf1 find).
     // Size the per-round shuffles to the GRAPH, not the session default:
     // the dup-pair graph is orders of magnitude smaller than the corpus,
     // and an iterative loop pays partition-scheduling overhead every
@@ -465,10 +468,9 @@ object Dedup {
     val parts = math.max(1, math.min(
       edgesAll.sparkSession.sparkContext.defaultParallelism,
       (edgesAll.count() / 100000L).toInt))
-    val edges = edgesAll.repartition(parts, col("w")).localCheckpoint(true)
-    var labels = edges.select(col("v")).distinct()
-      .withColumn("comp", col("v"))
-      .localCheckpoint(true)
+    val edges = Iterate.materialize(edgesAll.repartition(parts, col("w")))
+    var labels = Iterate.materialize(
+      edges.select(col("v")).distinct().withColumn("comp", col("v")))
     // Convergence probe: comp is pointwise non-increasing (min over a set
     // containing itself, then jump to comp(comp) <= comp), so the labels
     // changed this round IFF sum(comp) strictly decreased — one scalar
@@ -486,11 +488,10 @@ object Dedup {
         .groupBy("v").agg(min("comp").as("nc"))
       val tentative = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      val jumped = tentative
+      val jumped = Iterate.materialize(tentative
         .join(tentative.select(col("v").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
         .select(col("v"), coalesce(col("cc"), col("comp")).as("comp"))
-        .repartition(parts, col("v"))
-        .localCheckpoint(true)
+        .repartition(parts, col("v")))
       val s = compSum(jumped)
       done = s.compareTo(prevSum) == 0
       prevSum = s

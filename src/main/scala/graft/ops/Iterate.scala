@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization helper for iterative DataFrame loops (connected
+  * components, Lloyd's codebook training).
+  *
+  * `localCheckpoint(eager = true)` alone is NOT enough to make a loop
+  * scale-safe on Spark 4: `LogicalRDD.fromDataset` rewrites the SOURCE
+  * plan's statistics onto the checkpoint node, and the size-only stats
+  * visitor estimates a join as the PRODUCT of its children's sizes. In a
+  * loop, round k's checkpointed estimate therefore multiplies round
+  * k-1's — double-exponential growth. Past ~12 rounds the BigInt
+  * estimate has millions of digits: stats computation (driver-side, per
+  * checkpoint) takes minutes of Toom-Cook BigInteger multiplication and
+  * finally throws "BigInteger would overflow supported range". Observed
+  * on the sf1 scale run, where the dup-pair graph's diameter pushed the
+  * CC loop past the cliff; fixture scales converge in fewer rounds and
+  * never showed it.
+  *
+  * The fix: after materializing, re-wrap the checkpointed RDD in a fresh
+  * DataFrame. The new LogicalRDD carries NO inherited estimate (it
+  * reports the session default), so per-round stats stay constant. The
+  * row conversion this adds is per-loop-table row — the pair graph /
+  * centroid tables, orders of magnitude smaller than the corpus.
+  */
+object Iterate {
+  def materialize(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+}

@@ -229,9 +229,8 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(cells > 0 && iters >= 0, "need cells > 0, iters >= 0")
     val vecs = df.select(col(idCol), col(vecCol))
-    var codebook = vecs.orderBy(col(idCol)).limit(cells)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cv"))
-      .localCheckpoint()
+    var codebook = Iterate.materialize(vecs.orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cv")))
     var i = 0
     while (i < iters) {
       val assigned = assignCells(vecs, codebook, idCol, vecCol)
@@ -240,10 +239,9 @@ object Similarity {
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(Num.exactAvg(col("x").cast("double")).as("mx"))
-      codebook = means.groupBy(col("cell"))
+      codebook = Iterate.materialize(means.groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-          s => s.getField("mx").cast("float")).as("cv"))
-        .localCheckpoint()
+          s => s.getField("mx").cast("float")).as("cv")))
       i += 1
     }
     codebook
@@ -473,9 +471,8 @@ object Similarity {
     // init: the `cells` lowest-id vectors seed EVERY subspace (cell = id),
     // exactly [[trainIvfCodebook]]'s init applied per slice
     val initIds = broadcast(df.orderBy(col(idCol)).limit(cells).select(col(idCol)))
-    var codebook = subvecs.join(initIds, idCol)
-      .select(col("sub"), col(idCol).cast("long").as("cell"), col("sv").as("cv"))
-      .localCheckpoint()
+    var codebook = Iterate.materialize(subvecs.join(initIds, idCol)
+      .select(col("sub"), col(idCol).cast("long").as("cell"), col("sv").as("cv")))
     var i = 0
     while (i < iters) {
       // all m subspaces advance in ONE Lloyd's pass: the per-subspace
@@ -487,10 +484,9 @@ object Similarity {
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("cell"), col("dim"))
         .agg(Num.exactAvg(col("x").cast("double")).as("mx"))
-      codebook = means.groupBy(col("sub"), col("cell"))
+      codebook = Iterate.materialize(means.groupBy(col("sub"), col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-          s => s.getField("mx").cast("float")).as("cv"))
-        .localCheckpoint()
+          s => s.getField("mx").cast("float")).as("cv")))
       i += 1
     }
     codebook
