@@ -1081,6 +1081,55 @@ object SparkEntry {
        |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
        | )""".stripMargin
 
+  /** Full-SQL replay of x3 ([[graft.ops.Dedup.simhashNearDup]]): tokenize
+    * → splitmix64(FNV-1a) token hashes → 64-bit sign-tally SimHash (the
+    * [[graft.functions.SimHash64]] rule: bit set iff strictly more
+    * set-bit than clear-bit token occurrences) → 16-bit chunk blocking
+    * with the deterministic over-cap FNV coin → Hamming ≤ maxDist pairs.
+    * Integer-exact end to end; bit/chunk powers of two ride as HUGEINT
+    * literals so no SQL shift operators are needed, and the packed
+    * sketch re-centers mod 2^64 to a signed BIGINT exactly like the
+    * engine's long.
+    */
+  private def simhashSql(maxDist: Int = 16, maxBucket: Long = 256): String = {
+    val W = "18446744073709551616"
+    val bitRows = (0 until 64)
+      .map(b => s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))").mkString(", ")
+    val chunkRows = (0 until 4)
+      .map(i => s"($i, CAST('${BigInt(1) << (16 * i)}' AS HUGEINT))").mkString(", ")
+    val coin = fnv1a64Sql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk AS VARCHAR) || ':' || CAST(ckey AS VARCHAR)")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS MATERIALIZED (SELECT doc_id, h, count(*) AS cnt FROM (
+       |  SELECT doc_id, ${SqlHash.mix(fnv1a64Sql("tok"))} AS h
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u) GROUP BY 1, 2),
+       |hu AS (SELECT doc_id, ((CAST(h AS HUGEINT) % $W + $W) % $W) AS hv, cnt FROM th),
+       |bp AS (SELECT * FROM (VALUES $bitRows) t(b, p)),
+       |tally AS (SELECT doc_id, b, sum(CASE WHEN (hv // p) % 2 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM hu CROSS JOIN bp GROUP BY 1, 2),
+       |sh0 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS shu
+       |  FROM tally JOIN bp USING (b) GROUP BY 1),
+       |shx AS MATERIALIZED (SELECT d.doc_id, coalesce(s.shu, CAST(0 AS HUGEINT)) AS shu
+       |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d LEFT JOIN sh0 s USING (doc_id)),
+       |cq AS (SELECT * FROM (VALUES $chunkRows) t(chunk, q)),
+       |ex AS MATERIALIZED (SELECT doc_id, chunk, CAST((shu // q) % 65536 AS BIGINT) AS ckey
+       |  FROM shx CROSS JOIN cq),
+       |sz AS (SELECT chunk, ckey, count(*) AS bsz FROM ex GROUP BY 1, 2),
+       |kept AS MATERIALIZED (SELECT ex.doc_id, ex.chunk, ex.ckey
+       |  FROM ex JOIN sz USING (chunk, ckey)
+       |  WHERE bsz <= $maxBucket OR ((($coin) % bsz + bsz) % bsz) < $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id),
+       |sgn AS (SELECT doc_id,
+       |  CAST(shu - CASE WHEN shu >= 9223372036854775808 THEN $W ELSE 0 END AS BIGINT) AS sh FROM shx)
+       |SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+       |FROM cand c JOIN sgn sa ON sa.doc_id = c.doc_a JOIN sgn sb ON sb.doc_id = c.doc_b
+       |WHERE bit_count(xor(sa.sh, sb.sh)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Unrolled replay of [[graft.ops.TextStats.bpeMerges]]: per round,
     * pair counts over the current `|`-delimited symbol strings, a
     * (count DESC, lhs, rhs) argmax, and a literal `replace` applying the
@@ -2179,6 +2228,9 @@ object SparkEntry {
     "x7_bloom_cross_dedup" -> crossDedupSql,
     "x8_lsh_plan" -> lshPlanSql(),
     "x2_minhash_lsh" -> minhashLshSql(),
+    // hash-gated since round 11: FNV token hashes made the whole
+    // simhash → chunk-block → Hamming pipeline SQL-replayable
+    "x3_simhash" -> simhashSql(),
     // x5 = x4's pair pipeline + transitive closure (recursive CTE) +
     // min-id per component — the oracle for resolveDuplicates' iterative
     // min-label propagation.

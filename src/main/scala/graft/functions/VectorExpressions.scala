@@ -273,6 +273,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => PairLongs(args(0))))
     ext.injectFunction((FunctionIdentifier("fnv1a64"), info("fnv1a64", classOf[Fnv1a64]),
       (args: Seq[Expression]) => Fnv1a64(args(0))))
+    ext.injectFunction((FunctionIdentifier("splitmix64"), info("splitmix64", classOf[Splitmix64]),
+      (args: Seq[Expression]) => Splitmix64(args(0))))
     // Spark's own runtime-filter bloom expressions (public but not in the
     // default registry): bloom_agg(col, estNumItems, numBits) builds a
     // serialized filter; might_contain(bloomBytes, col) probes it with
@@ -507,6 +509,30 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextHashUtil.fnv1a64CodePoints($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** splitmix64 finalizer as a column function — the avalanche pass over
+  * weak-mixing hashes (FNV-1a over short tokens leaves correlated high
+  * bits, which inflates SimHash Hamming-ball collisions). Same fold the
+  * oracle replays via mod-2^64 SQL arithmetic, so pipelines stay
+  * hash-gate-able end to end.
+  */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"splitmix64 expects bigint, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Splitmix.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Splitmix.mix($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64 =
     copy(child = newChild)
 }
 

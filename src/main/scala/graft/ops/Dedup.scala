@@ -210,10 +210,18 @@ object Dedup {
   /** Packed 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 by
     * the token-hash bit, take the sign. Tokens are hashed once; the 64-bit
     * tally loop is the codegen'd [[graft.functions.SimHash64]].
+    *
+    * Token hash is splitmix64(FNV-1a) over code points — the same
+    * SQL-replayable family as t3/x2/x8, which is what lets x3 carry an
+    * exact DuckDB oracle (xxhash64 has no SQL replay). The splitmix
+    * finalizer matters: raw FNV over short tokens leaves correlated
+    * high bits, which at sf1 inflated the Hamming≤16 pair count ~5×.
+    * Empty tokens are dropped to match the shared tokenization contract.
     */
   def simhash(c: Column): Column =
     call_function("simhash64",
-      transform(split(lower(c), "\\s+"), t => xxhash64(t)))
+      transform(filter(split(lower(c), "\\s+"), t => t =!= ""),
+        t => call_function("splitmix64", call_function("fnv1a64", t))))
 
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -249,8 +257,12 @@ object Dedup {
         .as(Seq("chunk", "ckey")))
     val sizes = exploded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bsz"))
     val chunked = exploded.join(sizes, Seq("chunk", "ckey"))
+      // coin hash is FNV over a ':'-joined rendering (not xxhash64) so the
+      // whole pipeline, cap included, stays DuckDB-replayable
       .filter(col("bsz") <= maxBucket ||
-        pmod(xxhash64(col("doc_id"), col("chunk"), col("ckey")), col("bsz")) < maxBucket)
+        pmod(call_function("fnv1a64",
+          concat_ws(":", col("doc_id"), col("chunk"), col("ckey"))),
+          col("bsz")) < maxBucket)
       .drop("bsz")
     val cands = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"))
       .join(chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b")),

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query,query,...]
+
+The optional 3rd arg restricts the check to those queries (matching
+graft.Verify's subset arg — Verify always dumps the FULL oracle map, so
+a subset re-run needs this to avoid "no spark output" noise for the
+queries it didn't run).
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
 (tables = parquet files in sfDir), read the spark result parquet, sort
@@ -103,7 +108,7 @@ def load_rows(tbl):
     return cols, rows
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -112,6 +117,8 @@ def main(sf_dir, out_dir):
         elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name in sorted(oracle):
         spark_path = Path(out_dir) / name
@@ -159,7 +166,7 @@ def main(sf_dir, out_dir):
             n_ok += 1
     # rows-only checks for oracle-less queries
     for d in sorted(Path(out_dir).iterdir()):
-        if d.is_dir() and d.name not in oracle:
+        if d.is_dir() and d.name not in oracle and (not only or d.name in only):
             n = pq.read_table(d).num_rows
             print(f"rows {d.name}: {n} {'ok' if n > 0 else 'EMPTY!'}")
     print(f"\n{n_ok} ok, {n_bad} failed")
@@ -167,4 +174,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
