@@ -486,6 +486,16 @@ object SparkEntry {
     // |-delimited symbol strings — integer-exact, oracle-replayable
     "t22_bpe_merges" -> ((s, d) =>
       TextStats.bpeMerges(Tables.documents(s, d))),
+    // tokenizer ENCODE with the learned t22 merges (staged once per
+    // corpus): k replace passes over the distinct-token vocab, one
+    // broadcast join back to the token stream — the corpus is never
+    // rewritten k times
+    "c8_bpe_encode" -> ((s, d) =>
+      TextStats.bpeEncode(Tables.documents(s, d), stagedBpeMerges(s, d))),
+    // DSIR-style importance weights: hashed-unigram bucket features,
+    // target-vs-raw smoothed log-ratio, exact-DECIMAL per-doc sums
+    "t23_importance" -> ((s, d) =>
+      TextStats.importanceWeights(Tables.documents(s, d))),
     // n-gram novelty: odd docs scored against the even-doc reference
     "t21_novelty" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -844,6 +854,18 @@ object SparkEntry {
     s.read.parquet(stage)
   }
 
+  /** The t22 BPE merge table trained ONCE per sfDir (k=8) and
+    * materialized like the PQ codebooks — a model artifact the encode
+    * path (c8) reads, so serving never re-runs the training loop.
+    */
+  private[graft] def stagedBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/bpe_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      TextStats.bpeMerges(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
+  }
+
   private def stagedEmbeddings(s: SparkSession, d: String): String = {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/embeddings_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
@@ -1136,12 +1158,19 @@ object SparkEntry {
     * merge — DuckDB's left-to-right non-overlapping `replace` matches
     * Spark's exactly, so greedy merge application is engine-identical.
     */
-  private def bpeMergesSql(k: Int = 8): String = {
+  /** Shared CTE chain for the BPE replay: the token-frequency base, then
+    * per round a pair-count + argmax pair and a `replace` advance. `tok`
+    * rides through every round so consumers can map words to their final
+    * symbol strings. With `finalAdvance` the chain ends at `s$k` (all k
+    * merges applied — what the encode oracle reads); without it the last
+    * advance is skipped (the merges query only needs `m${k-1}`).
+    */
+  private def bpeReplayCtes(k: Int, finalAdvance: Boolean): String = {
     val base =
       s"""WITH w AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
          |    SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
-         |    FROM documents) WHERE tok NOT LIKE '%|%' GROUP BY tok),
-         |s0 AS MATERIALIZED (SELECT '|' || array_to_string(list_filter(string_split(tok, ''), c -> c <> ''), '|') || '|' AS ss, n FROM w)""".stripMargin
+         |    FROM documents WHERE text IS NOT NULL) WHERE tok NOT LIKE '%|%' GROUP BY tok),
+         |s0 AS MATERIALIZED (SELECT tok, '|' || array_to_string(list_filter(string_split(tok, ''), c -> c <> ''), '|') || '|' AS ss, n FROM w)""".stripMargin
     val steps = (0 until k).map { i =>
       val pairs =
         s"""p$i AS MATERIALIZED (SELECT sy[j] AS lhs, sy[j + 1] AS rhs, CAST(sum(n) AS BIGINT) AS c
@@ -1151,15 +1180,60 @@ object SparkEntry {
            |m$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, c AS pair_count
            |        FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
       val advance =
-        s"""s${i + 1} AS MATERIALIZED (SELECT replace(ss,
+        s"""s${i + 1} AS MATERIALIZED (SELECT tok, replace(ss,
            |    '|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|',
            |    '|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|') AS ss, n FROM s$i)""".stripMargin
-      if (i < k - 1) pairs + ",\n" + advance else pairs
+      if (i < k - 1 || finalAdvance) pairs + ",\n" + advance else pairs
     }
+    s"$base,\n${steps.mkString(",\n")}"
+  }
+
+  private def bpeMergesSql(k: Int = 8): String = {
     val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-    s"""$base,
-       |${steps.mkString(",\n")}
+    s"""${bpeReplayCtes(k, finalAdvance = false)}
        |SELECT merge_rank, lhs, rhs, pair_count FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Replay of [[graft.ops.TextStats.bpeEncode]]: re-learn the k merges
+    * (the t22 chain, final advance included), read each word's final
+    * symbol count off `s$k`, then aggregate per document over the token
+    * stream. Pure integer counts plus one floor-rounded division.
+    */
+  private def bpeEncodeSql(k: Int = 8): String =
+    s"""${bpeReplayCtes(k, finalAdvance = true)},
+       |enc AS MATERIALIZED (SELECT tok,
+       |  CAST(len(list_filter(string_split(ss, '|'), x -> x <> '')) AS BIGINT) AS n_syms FROM s$k),
+       |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  ${Num.sqlRoundTo("CAST(sum(n_syms) AS DOUBLE) / count(*)", 4)} AS syms_per_word
+       |FROM tk JOIN enc USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Replay of [[graft.ops.TextStats.importanceWeights]]: tokenize →
+    * FNV bucket → per-bucket target/raw tallies → smoothed log-ratio
+    * (single ln, floor-rounded 6dp, factors widened to double before
+    * multiplying — the p7 discipline) → per-doc exact-DECIMAL `n·w`
+    * sums.
+    */
+  private def importanceSql(targetLang: String = "en", nBuckets: Int = 256): String = {
+    val b = nBuckets
+    val h = fnv1a64Sql("tok")
+    val lnArg = s"(CAST(n_t + 1 AS DOUBLE) * CAST(tr + $b AS DOUBLE)) / " +
+      s"(CAST(n_r + 1 AS DOUBLE) * CAST(tt + $b AS DOUBLE))"
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang, ((($h) % $b + $b) % $b) AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
+       |        FROM documents WHERE text IS NOT NULL)),
+       |db AS (SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2, 3),
+       |bt AS (SELECT bucket, CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |       CAST(count(*) AS BIGINT) AS n_r FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt, CAST(sum(n_r) AS BIGINT) AS tr FROM bt),
+       |w AS (SELECT bucket, ${Num.sqlRoundTo(s"ln($lnArg)", 6)} AS w FROM bt CROSS JOIN tot)
+       |SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(n AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
+       |FROM db JOIN w USING (bucket)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   }
 
   /** Wrapping 64-bit arithmetic as DuckDB SQL — the toolkit that replays
@@ -1975,6 +2049,8 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin,
     "t2_lang" -> langSql,
     "t22_bpe_merges" -> bpeMergesSql(),
+    "c8_bpe_encode" -> bpeEncodeSql(),
+    "t23_importance" -> importanceSql(),
     "c1_clean_corpus" -> cleanCorpusSql,
     "c2_chunks" ->
       """WITH toks AS (SELECT doc_id,

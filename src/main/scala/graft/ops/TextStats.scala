@@ -682,6 +682,100 @@ object TextStats {
       .orderBy("merge_rank")
   }
 
+  /** Apply a learned BPE merge table ([[bpeMerges]] output) to the corpus
+    * and report per-document subword counts — the tokenizer-encode stage
+    * that consumes what t22 trains.
+    *
+    * The scale move: merges are applied to the DISTINCT-token vocabulary
+    * (vocab-sized, not corpus-sized — `k` codegen'd `replace` passes over
+    * one small table), then token occurrences join back to the encoded
+    * vocab for per-doc sums. At 100 TB the corpus is never rewritten
+    * `k` times; it pays one tokenize-explode + one join against a
+    * vocabulary AQE broadcasts. The merge table itself is a model
+    * artifact (`k` rows) pulled to the driver to become replace
+    * literals — coordination, not a data collect.
+    *
+    * Same delimiter contract as [[bpeMerges]]: `|`-rendered symbol
+    * strings, greedy left-to-right non-overlapping application (Spark
+    * and DuckDB `replace` agree), delimiter-bearing tokens excluded.
+    * Output per doc: whitespace-word count, post-merge subword count,
+    * and mean subwords/word (floor-rounded 4dp).
+    */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                textCol: String = "text"): DataFrame = {
+    val ms = merges.select("merge_rank", "lhs", "rhs")
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+      .filter(!col("tok").contains("|"))
+    val vocab = words.select("tok").distinct()
+      .withColumn("ss", concat(lit("|"),
+        array_join(filter(split(col("tok"), ""), c => c =!= ""), "|"), lit("|")))
+    val encoded = ms.foldLeft(vocab) { case (df, (l, r)) =>
+      df.withColumn("ss", replace(col("ss"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
+    }.select(col("tok"),
+      size(filter(split(col("ss"), "\\|"), c => c =!= "")).cast("long").as("n_syms"))
+    words.join(encoded, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("syms_per_word",
+        Num.roundTo(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-n-gram features are under a
+    * target domain than under the raw corpus — the data-selection stage
+    * that upgrades uniform sampling when you have a small high-quality
+    * target (here: the `targetLang` slice stands in for the target
+    * domain).
+    *
+    * Features are token-unigram buckets: `bucket = fnv1a64(token) mod
+    * nBuckets` — the SQL-replayable hash family shared with t3/x2/x3.
+    * Per-bucket smoothed log-ratio `w[b] = ln(((tgt[b]+1)(T_r+B)) /
+    * ((raw[b]+1)(T_t+B)))` uses ONE `ln` per bucket floor-rounded to 6dp
+    * (the p7 discipline: a single correctly-rounded-input `ln` per
+    * value hash-matches DuckDB), and per-doc weights sum `n·w` in exact
+    * DECIMAL, so the result is partitioning- and order-independent.
+    *
+    * Scale shape: one tokenize-explode pass collapses to (doc, bucket)
+    * counts with map-side combine; bucket tallies are `nBuckets` rows
+    * cross-joined against a one-row total and broadcast back. Nothing
+    * is all-pairs, nothing rescans the corpus.
+    */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en",
+                        nBuckets: Int = 256,
+                        textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+      .withColumn("bucket", pmod(call_function("fnv1a64", col("tok")), lit(nBuckets.toLong)))
+    val docBuckets = toks.groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val tallies = toks.groupBy("bucket")
+      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_t"),
+           count(lit(1)).as("n_r"))
+    val totals = tallies.agg(sum("n_t").as("tt"), sum("n_r").as("tr"))
+    // each factor goes to double BEFORE the multiply: counts at corpus
+    // scale overflow a long product, and double mul/div are correctly
+    // rounded so both engines see the identical ln argument
+    val w = tallies.crossJoin(totals).select(col("bucket"),
+      Num.roundTo(log(
+        ((col("n_t") + lit(1L)).cast("double") * (col("tr") + lit(nBuckets.toLong)).cast("double")) /
+        ((col("n_r") + lit(1L)).cast("double") * (col("tt") + lit(nBuckets.toLong)).cast("double"))), 6)
+        .as("w"))
+    docBuckets.join(w, "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum("n").as("n_tokens"),
+           sum(col("n").cast("decimal(18,0)") * col("w").cast("decimal(18,6)"))
+             .cast("double").as("log_weight"))
+      .orderBy("doc_id")
+  }
+
   /** Text normalization — the pass that runs BEFORE any content hashing
     * (exact dedup, split assignment, fingerprinting), because hash keys
     * treat "a  b" and "a b" as different documents: collapse all

@@ -399,6 +399,55 @@ class TextStatsSpec extends SparkSpec {
     assert(reparted.toSeq == merges.toSeq)
   }
 
+  test("bpeEncode: toy exactness, zero-merge identity, determinism") {
+    import spark.implicits._
+    // tokens: "aaab" (x2), "cd" (x1). merge0 = (a,a,4); round 1 ties
+    // (aa,a) and (a,b) at 2 → lex picks (a,b) → "aaab" = [aa, ab].
+    val docs = Seq((0L, "aaab aaab cd")).toDF("doc_id", "text")
+    val merges = TextStats.bpeMerges(docs, k = 2)
+    val got = TextStats.bpeEncode(docs, merges).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) ==
+      (0L, 3L, 6L, 2.0), s"got $got") // 2 + 2 + 2 subwords over 3 words
+    // zero merges → every word is its character sequence
+    val none = Seq.empty[(Long, String, String, Long)]
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    val raw = TextStats.bpeEncode(docs, none).collect().head
+    assert(raw.getLong(2) == 10L, s"chars: $raw") // 4+4+2
+    // fixture corpus: more merges never increase the subword total, and
+    // the result is partitioning-independent
+    val corpus = Tables.documents(spark, sfDir)
+    val m8 = TextStats.bpeMerges(corpus, k = 8)
+    val enc = TextStats.bpeEncode(corpus, m8)
+    val encR = TextStats.bpeEncode(corpus.repartition(13), m8)
+    assert(enc.collect().toSeq == encR.collect().toSeq)
+    val totRaw = TextStats.bpeEncode(corpus, none)
+      .agg(sum("n_bpe_tokens")).collect().head.getLong(0)
+    val totM = enc.agg(sum("n_bpe_tokens")).collect().head.getLong(0)
+    assert(totM < totRaw, s"merges must shrink the corpus: $totM vs $totRaw")
+  }
+
+  test("importanceWeights: target direction, token accounting, determinism") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = TextStats.importanceWeights(docs, targetLang = "en")
+    val rows = w.collect()
+    // every doc with >= 1 token appears, tokens match the shared contract
+    val expected = docs.filter(col("text").isNotNull)
+      .select(size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n"))
+      .filter(col("n") > 0).count()
+    assert(rows.length == expected, s"${rows.length} vs $expected")
+    // direction: the target-language slice must average a higher weight
+    // than the rest (its hashed unigrams define the target distribution)
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(3)).sum / rs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} must exceed rest ${mean(rest)}")
+    // partitioning-independence (exact DECIMAL sums, rounded-ln weights)
+    val r2 = TextStats.importanceWeights(docs.repartition(13), targetLang = "en")
+    assert(r2.collect().toSeq == rows.toSeq)
+  }
+
   test("qualityGateOn(clf_score) == model-gated corpus; delegation keeps c6 intact") {
     val docs = Tables.documents(spark, sfDir)
     // generic gate over the classifier score: strictly-above-median per lang
