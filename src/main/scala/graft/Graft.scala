@@ -335,6 +335,27 @@ object Graft {
 
   /** Bucketed replace-load for shuffle-free downstream joins
     * ([[etl.Load.replaceTableBucketed]]). */
+  /** Z-order layout rewrite: cluster a fact table on TWO keys at once so
+    * per-file min/max footers stay tight on both (k4; two-sided range
+    * scans skip files a single-column sort cannot).
+    */
+  def replaceZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                      nFiles: Int = 8): Unit =
+    graft.etl.Load.replaceZOrdered(df, path, c1, c2, nFiles)
+
+  /** Tokenizer encode with a learned BPE merge table (c8): per-doc
+    * subword counts; merges apply to the distinct-token vocab, never
+    * rewriting the corpus k times.
+    */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame =
+    graft.ops.TextStats.bpeEncode(docs, merges)
+
+  /** DSIR-style importance weights against a target-language slice
+    * (t23): hashed-unigram log-ratio scores for data selection.
+    */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    graft.ops.TextStats.importanceWeights(docs, targetLang)
+
   def replaceTableBucketed(df: DataFrame, table: String,
                            buckets: Int, keys: Seq[String]): Unit =
     etl.Load.replaceTableBucketed(df, table, buckets, keys)

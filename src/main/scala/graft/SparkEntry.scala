@@ -135,6 +135,21 @@ object SparkEntry {
                .as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // K4: multi-dimensional Z-ORDER layout — lineitem rewritten
+    // range-partitioned + sorted on the morton interleave of its
+    // (partkey, suppkey) 16-bit bins, then read back; per-row zval gates
+    // the interleave expression, and the layout (tight per-file min/max
+    // on BOTH keys — the two-sided file-skipping story) is pinned by
+    // ZOrderSpec. Like k3, the layout must never change results.
+    "k4_zorder" -> ((s, d) => {
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/k4_${Integer.toHexString(d.hashCode)}"
+      Load.replaceZOrdered(Tables.lineitem(s, d), tmp, "l_partkey", "l_suppkey")
+      s.read.parquet(tmp).select(
+        col("l_orderkey"), col("l_linenumber"),
+        call_function("zorder64", col("l_partkey").cast("long"),
+          col("l_suppkey").cast("long")).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "k2_upsert" -> ((s, d) => {
       val base = Tables.orders(s, d)
       val updates = base.filter(col("o_orderpriority") === "1-URGENT")
@@ -1236,6 +1251,25 @@ object SparkEntry {
        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   }
 
+  /** Replay of [[graft.functions.ZOrder.interleave]]: the identical
+    * mask-shift spread chain in BIGINT `&`/`|`/`<<` — safe in signed
+    * arithmetic because inputs truncate to 31 bits (the expression's
+    * contract), so no intermediate crosses 2^63.
+    */
+  private def zorderSql: String = {
+    def spread(e: String): String = Seq(
+      16 -> BigInt("0000FFFF0000FFFF", 16), 8 -> BigInt("00FF00FF00FF00FF", 16),
+      4 -> BigInt("0F0F0F0F0F0F0F0F", 16), 2 -> BigInt("3333333333333333", 16),
+      1 -> BigInt("5555555555555555", 16))
+      .foldLeft(s"(($e) & 2147483647)") { case (x, (sh, mask)) =>
+        s"((($x) | (($x) << $sh)) & $mask)"
+      }
+    s"""SELECT l_orderkey, l_linenumber,
+       |  (${spread("CAST(l_partkey AS BIGINT)")} |
+       |   (${spread("CAST(l_suppkey AS BIGINT)")} << 1)) AS zval
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** Wrapping 64-bit arithmetic as DuckDB SQL — the toolkit that replays
     * the JVM hash pipeline (FNV folds, the splitmix64 finalizer, the
     * minhash universal-hash family) exactly: every step widens to
@@ -1423,6 +1457,9 @@ object SparkEntry {
          |       ELSE o_totalprice END AS o_totalprice,
          |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, o_orderpriority
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // layout is result-invisible: oracle replays only the zval morton
+    // chain (same mask-shift spread over signed-safe 31-bit inputs)
+    "k4_zorder" -> zorderSql,
     "e11_incremental_hourly" -> hourlySql,
     "p4_spend_buckets" ->
       s"""WITH spend AS (

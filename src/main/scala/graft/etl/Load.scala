@@ -61,6 +61,38 @@ object Load {
       .parquet(path)
   }
 
+  /** Z-ordered replace-load: multi-dimensional clustering (`OPTIMIZE
+    * ZORDER BY` semantics) for fact tables scanned on MORE THAN ONE key.
+    * Each key is rescaled to a 16-bit bin against its broadcast global
+    * min/max, the bins bit-interleave into a morton z-value
+    * ([[graft.functions.ZOrder64]]), and the table is range-partitioned
+    * and sorted by that z-value into `nFiles` files. Per-file parquet
+    * min/max footers then stay tight on BOTH columns — a two-sided
+    * range predicate skips most files, where a single-column sort keeps
+    * the second dimension's footer spanning the full domain (the
+    * difference `ZOrderSpec` asserts). One extents aggregation + one
+    * range shuffle; no all-pairs, no driver data.
+    */
+  def replaceZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                      nFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles > 0, "nFiles must be positive")
+    val mm = df.agg(
+      min(col(c1)).cast("double").as("__min1"), max(col(c1)).cast("double").as("__max1"),
+      min(col(c2)).cast("double").as("__min2"), max(col(c2)).cast("double").as("__max2"))
+    def bin16(v: String, mn: String, mx: String) =
+      when(col(mx) > col(mn),
+        least(floor((col(v).cast("double") - col(mn)) * 65535.0 / (col(mx) - col(mn))), lit(65535.0)))
+        .otherwise(lit(0.0)).cast("long")
+    df.crossJoin(broadcast(mm))
+      .withColumn("__z", call_function("zorder64",
+        bin16(c1, "__min1", "__max1"), bin16(c2, "__min2", "__max2")))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__min1", "__max1", "__min2", "__max2", "__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed replace-load: pre-shuffles the table into `buckets` hash
     * buckets on `keys` so subsequent equi-joins/aggregations on those keys
     * read co-located data with NO shuffle — the write-once-join-many

@@ -275,6 +275,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => Fnv1a64(args(0))))
     ext.injectFunction((FunctionIdentifier("splitmix64"), info("splitmix64", classOf[Splitmix64]),
       (args: Seq[Expression]) => Splitmix64(args(0))))
+    ext.injectFunction((FunctionIdentifier("zorder64"), info("zorder64", classOf[ZOrder64]),
+      (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
     // Spark's own runtime-filter bloom expressions (public but not in the
     // default registry): bloom_agg(col, estNumItems, numBits) builds a
     // serialized filter; might_contain(bloomBytes, col) probes it with
@@ -534,6 +536,53 @@ case class Splitmix64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Splitmix64 =
     copy(child = newChild)
+}
+
+/** Bit-spreading helper for [[ZOrder64]] — the standard mask-shift
+  * morton encode over the LOW 31 BITS of each key (31, not 32, keeps
+  * every intermediate and the final 62-bit z-value positive in a signed
+  * long, which is what lets DuckDB replay the identical chain in plain
+  * BIGINT `&`/`|`/`<<` arithmetic with no unsigned wrapping).
+  */
+object ZOrder {
+  /** bit i of (x & 0x7FFFFFFF) lands at bit 2i */
+  @inline final def spread(x0: Long): Long = {
+    var x = x0 & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  @inline final def interleave(a: Long, b: Long): Long =
+    spread(a) | (spread(b) << 1)
+}
+
+/** Morton/Z-order interleave of two long keys (low 31 bits each): the
+  * multi-dimensional clustering key behind `OPTIMIZE ZORDER`-style data
+  * layout. Sorting by this value co-locates rows that are close in BOTH
+  * dimensions, so per-file min/max footers stay tight on both columns
+  * and two-sided range scans skip most files — the layout lever for
+  * 100 TB fact tables queried on more than one key.
+  */
+case class ZOrder64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"zorder64 expects (bigint, bigint), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrder.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Pair-generation helper for [[PairLongs]]. */
