@@ -951,6 +951,66 @@ object SparkEntry {
 
   /** Shared by v1 (window+row_number) and v5 (bounded-heap aggregate) —
     * two physical plans, one semantic contract. */
+  /** [[graft.functions.Splitmix.unit]] replay: mix → logical >>11 →
+    * ×2⁻⁵³ → ×2−1. Every step is EXACT in double (m·2⁻⁵³ has ≤53
+    * mantissa bits; ×2 and −1 stay on the 2⁻⁵² grid), so the hyperplane
+    * weights are bit-identical across engines.
+    */
+  private def unitSql(e: String): String =
+    s"((CAST(${SqlHash.ushr(SqlHash.mix(e), 11)} AS DOUBLE) * (1.0 / 9007199254740992.0)) * 2.0 - 1.0)"
+
+  /** Replay of [[graft.functions.LshBucket]]: per (vector, bit) a
+    * SEQUENTIAL left-to-right fold of v[d]·unit(seed + bit·1000003 + d)
+    * (DuckDB `list_reduce` preserves the engine's accumulation order —
+    * group-SUM would not), sign bits packed to the bucket id. Yields
+    * CTEs `e` (doubled vectors) and `bk` (vec_id → bucket).
+    */
+  private def lshBucketCtes(nbits: Int = 8, seed: Long = 42L): String = {
+    val unit = unitSql(s"$seed + b * 1000003 + (d - 1)")
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bs AS (SELECT unnest(range(0, $nbits)) AS b),
+       |sb AS (SELECT vec_id, b,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len(v) + 1), d -> v[d] * $unit)), (acc, x) -> acc + x) AS s
+       |  FROM e CROSS JOIN bs),
+       |bk AS MATERIALIZED (SELECT vec_id,
+       |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sb GROUP BY vec_id)""".stripMargin
+  }
+
+  /** v2: [[bruteTopKSql]]'s scoring restricted to same-bucket pairs. */
+  private def lshTopKSql: String =
+    s"""WITH ${lshBucketCtes()},
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e JOIN bk USING (vec_id) WHERE vec_id % 20 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e JOIN bk USING (vec_id)),
+       |s AS (SELECT query_id, neighbor_id,
+       |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+       |      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** v11: v2 with each query probing its own bucket plus every
+    * Hamming-distance-1 bucket. Probe values are distinct, so a
+    * neighbor matches at most once — no dedup stage, same as the
+    * engine's explode-join.
+    */
+  private def lshMultiprobeSql(nbits: Int = 8): String =
+    s"""WITH ${lshBucketCtes(nbits)},
+       |q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM e JOIN bk USING (vec_id) WHERE vec_id % 20 = 0),
+       |q AS (SELECT query_id, qv,
+       |        unnest(list_prepend(b0, list_transform(range(0, $nbits), i -> xor(b0, CAST(1 AS BIGINT) << i)))) AS bucket
+       |      FROM q0),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e JOIN bk USING (vec_id)),
+       |s AS (SELECT query_id, neighbor_id,
+       |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+       |      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def bruteTopKSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -2383,6 +2443,11 @@ object SparkEntry {
          |FROM asg ORDER BY doc_id""".stripMargin,
 
     "v1_brute_topk" -> bruteTopKSql,
+    // hash-gated since round 11: the sign-sketch bucket chain is exact
+    // in both engines (unit weights are exact doubles, the dot is a
+    // sequential fold), so single- and multi-probe LSH ANN replay fully
+    "v2_lsh_topk" -> lshTopKSql,
+    "v11_lsh_multiprobe" -> lshMultiprobeSql(),
     // leave-one-out kNN label eval: same sim/rank formulation as
     // bruteTopKSql (9dp rounding, id tie-break), majority vote with
     // smallest-label tie-break, per-label accuracy
