@@ -379,4 +379,34 @@ object Graft {
                 ivfCodebook: DataFrame, pqBooks: DataFrame,
                 k: Int = 10, nprobe: Int = 4): DataFrame =
     ops.Similarity.ivfPqTopK(corpus, queries, ivfCodebook, pqBooks, k, nprobe)
+
+  /** KMV exact-replayable distinct-count sketch over order keys
+    * ([[ops.Analytics.kmvDistinct]]); [[ops.Analytics.kmvUnion]] shows
+    * the kilobyte-sized sketch-merge path for any-range cardinality. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    ops.Analytics.kmvDistinct(spark, dir, k)
+
+  /** SCD TYPE-2 validity-interval history from an event stream
+    * ([[ops.EventWindows.scd2History]]). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    ops.EventWindows.scd2History(spark, dir)
+
+  /** First/last-touch conversion attribution with a lookback window
+    * ([[ops.EventWindows.attribution]]). */
+  def attribution(spark: SparkSession, dir: String,
+                  convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("click", "view"),
+                  lookbackHours: Int = 168): DataFrame =
+    ops.EventWindows.attribution(spark, dir, convType, touchTypes, lookbackHours)
+
+  /** Integer-exact PageRank over the part co-purchase graph
+    * ([[ops.Graph.partPageRank]]). */
+  def partPageRank(spark: SparkSession, dir: String,
+                   iters: Int = 3, topN: Int = 20): DataFrame =
+    ops.Graph.partPageRank(spark, dir, iters, topN)
+
+  /** Probability-proportional-to-size document sampling
+    * ([[ops.TextStats.weightedSample]]). */
+  def weightedSample(docs: DataFrame): DataFrame =
+    ops.TextStats.weightedSample(docs)
 }

@@ -196,6 +196,15 @@ object SparkEntry {
     // mergeable HLL sketches (sketch-union = incremental distinct) —
     // engine-specific estimates, rows-only like d2; accuracy spec'd
     "d3_hll_union" -> (Analytics.hllUnionDistinct(_, _)),
+    // KMV k-minimum-values sketch: the EXACT-replayable sketch — the
+    // k smallest distinct hashes are a pure set property of the input,
+    // so unlike d2/d3 these two sit in the full hash gate
+    "d4_kmv_distinct" -> (Analytics.kmvDistinct(_, _)),
+    // per-flag sketches + array-op union merge = whole-table sketch
+    "d5_kmv_union" -> (Analytics.kmvUnion(_, _)),
+    // integer-exact PageRank over the part co-purchase graph, 3
+    // synchronous iterations — the third iterative-DataFrame-loop family
+    "n1_part_pagerank" -> (Graph.partPageRank(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -283,6 +292,12 @@ object SparkEntry {
     "e12_gapfill" -> (EventWindows.hourlySpine(_, _)),
     // EWMA as a weighted fan-out (no recursion) with decimal-exact sums
     "e14_ewma" -> ((s, d) => EventWindows.hourlyEwma(s, d)),
+    // SCD2 history: each user's state stream compressed to validity
+    // intervals — change rows only, half-open, open-ended current
+    "e16_scd2" -> (EventWindows.scd2History(_, _)),
+    // first/last-touch conversion attribution over a 7-day lookback —
+    // all-integer credit counts
+    "e17_attribution" -> (EventWindows.attribution(_, _)),
     // incremental aggregate maintenance: two disjoint halves aggregated
     // separately, partials merged — must equal the full recompute, so it
     // shares e1's oracle
@@ -525,6 +540,10 @@ object SparkEntry {
           Map("en" -> 40))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
+    // probability-proportional-to-size sampling: integer cross-multiply
+    // coin, broadcast max-weight bounds row, map-only
+    "t24_weighted_sample" -> ((s, d) =>
+      TextStats.weightedSample(Tables.documents(s, d))),
     // inverse-frequency class weights per language (mean weight 1.0)
     "t20_balance_weights" -> ((s, d) =>
       TextStats.balanceWeights(Tables.documents(s, d), "lang")
@@ -1178,6 +1197,52 @@ object SparkEntry {
        |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
        | )""".stripMargin
 
+  /** KMV hash domain replay: splitmix64(key) folded to [0, 2^61) — the
+    * oracle twin of [[graft.ops.Analytics.kmvDistinct]]'s `pmod`. All
+    * BIGINT: |mix % M| < 2^61, + M ≤ 2^62, safely inside signed 64. */
+  private def kmvUSql(c: String): String = {
+    val m = "2305843009213693952" // 2^61
+    s"((${SqlHash.mix(c)}) % $m + $m) % $m"
+  }
+
+  /** KMV estimate row from (n, kth) — CASE mirrors the Spark branch:
+    * fewer than k kept ⇒ the sketch is the exact distinct set. */
+  private def kmvEstSql(k: Int): String =
+    s"""CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       | ELSE ${Num.sqlRoundTo(s"${(k - 1).toDouble} * 2305843009213693952.0 / CAST(kth AS DOUBLE)", 4)}
+       | END""".stripMargin
+
+  /** Full-SQL replay of [[graft.ops.Graph.partPageRank]]: the same
+    * integer fixpoint prefix — uniform start 10^12, per-iteration
+    * r' = 150000000000 + (17·Σ floor(r/deg)) // 20 — unrolled one CTE
+    * pair per iteration. DuckDB's `//` on non-negative BIGINTs is the
+    * same floor division as Spark's `DIV`; sums widen to HUGEINT and
+    * re-narrow via the CAST (bounds: total mass ≤ N·10^12).
+    */
+  private def pagerankSql(iters: Int = 3, topN: Int = 20): String = {
+    val head =
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |i$i AS (SELECT e.dst AS v, sum(r${i - 1}.r // deg.d) AS s
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT n.v,
+         |    CAST(150000000000 + (COALESCE(i$i.s, 0) * 17) // 20 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN i$i ON i$i.v = n.v)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |SELECT r$iters.v AS l_partkey, deg.d AS n_copurchase, r$iters.r AS rank_scaled
+         |FROM r$iters JOIN deg ON deg.src = r$iters.v
+         |ORDER BY rank_scaled DESC, l_partkey LIMIT $topN""".stripMargin
+  }
+
   /** Full-SQL replay of x3 ([[graft.ops.Dedup.simhashNearDup]]): tokenize
     * → splitmix64(FNV-1a) token hashes → 64-bit sign-tally SimHash (the
     * [[graft.functions.SimHash64]] rule: bit set iff strictly more
@@ -1800,6 +1865,33 @@ object SparkEntry {
     "d1_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // KMV sketch replay: the k smallest distinct hashes are a pure set
+    // property — SELECT DISTINCT … ORDER BY … LIMIT k IS the sketch
+    "d4_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem),
+         |k AS (SELECT u FROM h ORDER BY u LIMIT 256),
+         |s AS (SELECT count(*) AS n, max(u) AS kth FROM k)
+         |SELECT 'lineitem.l_orderkey' AS scope, CAST(256 AS BIGINT) AS k,
+         |  n AS n_kept, kth AS kth_min, ${kmvEstSql(256)} AS est_distinct
+         |FROM s""".stripMargin,
+    // per-flag sketches + union: any global k-minimum is inside its
+    // group's k minima, so the ALL row reads off the global distinct set
+    "d5_kmv_union" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS scope, u FROM
+         |       (SELECT l_returnflag, ${kmvUSql("l_orderkey")} AS u FROM lineitem)),
+         |g AS (SELECT scope, u,
+         |        row_number() OVER (PARTITION BY scope ORDER BY u) AS rn FROM h),
+         |kg AS (SELECT scope, count(*) AS n, max(u) AS kth FROM g
+         |       WHERE rn <= 256 GROUP BY scope),
+         |ha AS (SELECT DISTINCT u FROM h),
+         |ka AS (SELECT u FROM ha ORDER BY u LIMIT 256),
+         |sa AS (SELECT count(*) AS n, max(u) AS kth FROM ka),
+         |uni AS (SELECT scope, n, kth FROM kg
+         |        UNION ALL SELECT 'ALL', n, kth FROM sa)
+         |SELECT scope, CAST(256 AS BIGINT) AS k, n AS n_kept, kth AS kth_min,
+         |  ${kmvEstSql(256)} AS est_distinct
+         |FROM uni ORDER BY scope""".stripMargin,
+    "n1_part_pagerank" -> pagerankSql(),
     "q6_forecast" ->
       s"""SELECT ${decSum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
          | FROM lineitem
@@ -2022,6 +2114,52 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n FROM s
         |WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // SCD2: change-point filter then validity intervals — both window
+    // passes share one (partition, order) spec in both engines
+    "e16_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS state,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_id, us, state,
+        |        lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, us, state FROM c
+        |      WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
+    // attribution: row_number argmin/argmax replays Spark's
+    // min_by/max_by over the total (us, event_id) order
+    "e17_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, us AS touch_us,
+        |        event_type AS touch_type FROM e
+        |      WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT c.conv_id, t.touch_id, t.touch_us, t.touch_type
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_us < c.conv_us
+        |       AND t.touch_us >= c.conv_us - 604800000000),
+        |r AS (SELECT conv_id, touch_type,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_us, touch_id) AS rf,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_us DESC, touch_id DESC) AS rl
+        |      FROM p),
+        |f AS (SELECT touch_type, count(*) AS n_first FROM r WHERE rf = 1
+        |      GROUP BY touch_type),
+        |l AS (SELECT touch_type, count(*) AS n_last FROM r WHERE rl = 1
+        |      GROUP BY touch_type),
+        |a AS (SELECT touch_type, count(*) AS n_touch_events,
+        |        count(DISTINCT conv_id) AS n_conversions_touched
+        |      FROM p GROUP BY touch_type)
+        |SELECT a.touch_type, COALESCE(f.n_first, 0) AS n_first,
+        |  COALESCE(l.n_last, 0) AS n_last, a.n_touch_events, a.n_conversions_touched
+        |FROM a LEFT JOIN f ON f.touch_type = a.touch_type
+        |       LEFT JOIN l ON l.touch_type = a.touch_type
+        |ORDER BY a.touch_type""".stripMargin,
 
     // EWMA replay: identical weight DOUBLES are embedded literally in
     // both plans (Java Double.toString round-trips through DuckDB's
@@ -2169,6 +2307,16 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
+    // weighted sampling: FNV coin, integer cross-multiply vs max weight
+    "t24_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |    ((${fnv1a64Sql("'wsample:' || text")}) % 1000000000 + 1000000000) % 1000000000 AS u
+         |  FROM documents),
+         |m AS (SELECT max(n_tokens) AS w_max FROM w)
+         |SELECT doc_id, n_tokens, u FROM w, m
+         |WHERE u * w_max < n_tokens * 1000000000
+         |ORDER BY doc_id""".stripMargin,
     "t3_fingerprint" ->
       s"""SELECT doc_id, ${fnv1a64Sql("text")} AS fingerprint
          | FROM documents ORDER BY doc_id""".stripMargin,

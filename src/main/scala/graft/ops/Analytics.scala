@@ -362,6 +362,65 @@ object Analytics {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_orders_approx"))
       .orderBy("l_returnflag")
 
+  /** KMV distinct-count sketch over order keys — the EXACT-replayable
+    * sketch twin of [[approxDistinct]]: `kmv_sketch` (a mergeable
+    * [[graft.functions.KmvSketch]] bounded distinct-min-set) keeps the
+    * k smallest distinct splitmix64 hashes, and (k−1)·M / kth_min
+    * estimates the cardinality to ~1/√k. Unlike HLL, every byte of the
+    * sketch is a pure set property of the input, so the DuckDB oracle
+    * replays it bit for bit (`SELECT DISTINCT u ORDER BY u LIMIT k`) —
+    * the sketch family graduates into the hash gate. The aggregate
+    * ships ≤ k longs per partial: constant memory and k·partitions
+    * shuffle rows at any corpus size.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val sk = Tables.lineitem(spark, dir)
+      .select(pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+      .agg(call_function("kmv_sketch", col("u"), lit(k)).as("sk"))
+    kmvStats(sk.select(lit("lineitem.l_orderkey").as("scope"), col("sk")), k)
+  }
+
+  /** Mergeable-KMV demonstration — the exact-sketch twin of
+    * [[hllUnionDistinct]]: one sketch per return flag, then the "ALL"
+    * row merges the three sketches with plain array ops (flatten →
+    * distinct → sort → first k) — the SAME union-trim the aggregate's
+    * own merge performs, so the merged sketch equals the whole-table
+    * sketch exactly (any global k-minimum is in its group's k minima).
+    * The 100 TB pattern: keep per-shard/per-day sketches (k longs
+    * each), answer any-range cardinality by merging kilobytes.
+    */
+  def kmvUnion(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val hashed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+              pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+    val per = hashed
+      .groupBy(col("l_returnflag").as("scope"))
+      .agg(call_function("kmv_sketch", col("u"), lit(k)).as("sk"))
+    val merged = per
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+      .select(lit("ALL").as("scope"), col("sk"))
+    kmvStats(per.unionByName(merged), k).orderBy("scope")
+  }
+
+  /** Hash domain: splitmix64 folded to [0, 2^61) — 2^64 is an exact
+    * multiple, so pmod keeps the uniformity the estimator needs, and
+    * (k−1)·M fits double-exactly for the one final division. */
+  private val KmvM: Long = 1L << 61
+
+  private def kmvStats(sketches: DataFrame, k: Int): DataFrame = {
+    val nKept = size(col("sk"))
+    val kth = element_at(col("sk"), nKept)
+    sketches.select(
+      col("scope"),
+      lit(k).cast("long").as("k"),
+      nKept.cast("long").as("n_kept"),
+      kth.as("kth_min"),
+      // fewer than k distinct values ⇒ the sketch IS the distinct set
+      when(nKept < k, nKept.cast("double"))
+        .otherwise(Num.roundTo(lit((k - 1).toDouble) * lit(KmvM.toDouble) / kth.cast("double"), 4))
+        .as("est_distinct"))
+  }
+
   /** Unpivot round-trip: melt [[orderStatusPivot]]'s wide output back to
     * long form (priority, status, count) — the relational MELT shape,
     * zero-filled cells preserved. Runs on the tiny pivot result.

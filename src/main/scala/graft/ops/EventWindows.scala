@@ -401,4 +401,81 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
   }
+
+  /** SCD TYPE-2 history build: compress each user's event-time-ordered
+    * stream of states (event_type here standing in for any mutable
+    * attribute feed) into validity intervals — one row per state CHANGE,
+    * `[valid_from, valid_to)` half-open, open-ended current row last.
+    * The warehouse dimension-history pattern: a CDC feed becomes a
+    * point-in-time-joinable dimension (the `z1_asof_join` probe side).
+    *
+    * Plan shape: one shuffle on user_id; the change-point filter and
+    * both window passes share the same (partition, order) spec, so
+    * Spark plans ONE exchange + sort. Per-user history never has to fit
+    * in memory (spillable external sort), and the output is strictly
+    * smaller than the input — change rows only.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(byUser))
+      .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
+              col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** Multi-touch CONVERSION ATTRIBUTION: for every `convType` event,
+    * find the user's `touchTypes` events in the strictly-preceding
+    * `lookbackHours` window, then credit each touch type under the
+    * classic models — first-touch, last-touch, and raw touch volume —
+    * all as exact integer counts (fractional linear credit is left to
+    * the reader of `n_touch_events`/`n_conversions_touched`; integer
+    * outputs keep the query in the hash gate).
+    *
+    * Scale shape: conversions ⋈ touches is a per-user interval join —
+    * both sides hash-partition on user_id, fan-out bounded by per-user
+    * activity inside the lookback window (the same bound every
+    * sessionization query already lives with). The per-conversion
+    * argmin/argmax collapse via min_by/max_by on (us, event_id) structs
+    * — total order, engine-neutral tie-break, partial-aggregation
+    * friendly — and everything after is O(|touch types|).
+    */
+  def attribution(spark: SparkSession, dir: String,
+                  convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("click", "view"),
+                  lookbackHours: Int = 168): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+    val conv = ev.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("conv_us"))
+    val touch = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+              col("us").as("touch_us"), col("event_type").as("touch_type"))
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    val paired = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_us") < col("conv_us") &&
+              col("touch_us") >= col("conv_us") - lit(lookbackUs))
+    val perConv = paired.groupBy(col("conv_id"))
+      .agg(min_by(col("touch_type"), struct(col("touch_us"), col("touch_id"))).as("first_touch"),
+           max_by(col("touch_type"), struct(col("touch_us"), col("touch_id"))).as("last_touch"))
+    val firsts = perConv.groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_first"))
+    val lasts = perConv.groupBy(col("last_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_last"))
+    paired.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touch_events"),
+           countDistinct(col("conv_id")).as("n_conversions_touched"))
+      .join(firsts, Seq("touch_type"), "left")
+      .join(lasts, Seq("touch_type"), "left")
+      .select(col("touch_type"),
+              coalesce(col("n_first"), lit(0L)).as("n_first"),
+              coalesce(col("n_last"), lit(0L)).as("n_last"),
+              col("n_touch_events"), col("n_conversions_touched"))
+      .orderBy("touch_type")
+  }
 }

@@ -138,6 +138,34 @@ object TextStats {
     df.filter(bucket < rate)
   }
 
+  /** Probability-proportional-to-SIZE sampling — the weighted companion
+    * to [[stratifiedSample]]'s uniform-within-stratum draw: each doc is
+    * kept with probability weight/max(weight) (weight = whitespace
+    * token count here), so long documents are oversampled in proportion
+    * to the tokens they contribute — the curation-time approximation of
+    * token-level (not document-level) uniform sampling.
+    *
+    * Determinism: the coin is a content hash (domain-separated from the
+    * split/sample hashes), the threshold compare is an exact integer
+    * cross-multiplication `u·w_max < w·10^9` — no doubles anywhere — and
+    * max(weight) is a broadcast one-row aggregate (the
+    * [[Profiling.histogram]] bounds pattern), so the decision is
+    * reproducible per document at any partitioning and replayable in
+    * SQL. Map-only except the O(1) bounds row: no shuffle at any scale.
+    */
+  def weightedSample(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val w = tokenCount(col(textCol)).cast("long")
+    val u = pmod(call_function("fnv1a64", concat(lit("wsample:"), col(textCol))),
+                 lit(1000000000L))
+    val weighted = df.select(col(idCol).as("doc_id"), w.as("n_tokens"), u.as("u"))
+    val bounds = weighted.agg(max(col("n_tokens")).as("w_max"))
+    weighted.crossJoin(broadcast(bounds))
+      .filter(col("u") * col("w_max") < col("n_tokens") * lit(1000000000L))
+      .select(col("doc_id"), col("n_tokens"), col("u"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram NOVELTY scoring — per-doc fraction of distinct w-shingles
     * absent from a reference corpus: the data-curation signal for "how
     * much genuinely new text does this batch add" (prioritize crawls,

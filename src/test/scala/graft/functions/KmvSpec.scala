@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.{Analytics, Tables}
+import org.apache.spark.sql.functions._
+
+/** KMV sketch aggregate: exact set semantics, mergeability, estimator
+  * accuracy — the properties that make `d4`/`d5` oracle-replayable.
+  */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vals: Seq[Long] = (1L to 1000L).map(Splitmix.mix) // incl. negatives
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    df.agg(call_function("kmv_sketch", col("u"), lit(k)).as("sk"))
+      .collect().head.getSeq[Long](0)
+
+  test("kmv_sketch = the k smallest distinct values, at any partitioning, dup-safe") {
+    val expected = vals.distinct.sorted.take(64)
+    assert(sketchOf(vals.toDF("u").repartition(1), 64) == expected)
+    assert(sketchOf(vals.toDF("u").repartition(13), 64) == expected)
+    // duplicated input changes nothing — the buffer is a SET
+    assert(sketchOf((vals ++ vals ++ vals.take(100)).toDF("u").repartition(7), 64) == expected)
+  }
+
+  test("fewer distinct values than k: the sketch IS the distinct set") {
+    val small = vals.take(20)
+    assert(sketchOf((small ++ small).toDF("u"), 64) == small.distinct.sorted)
+  }
+
+  test("union-merge of overlapping half sketches equals the whole-input sketch") {
+    val k = 32
+    val (a, b) = (vals.take(700), vals.drop(300)) // overlap 300..700
+    val whole = sketchOf(vals.toDF("u"), k)
+    val skA = sketchOf(a.toDF("u"), k)
+    val skB = sketchOf(b.toDF("u"), k)
+    // the d5 merge: flatten → distinct → sort → first k
+    val merged = (skA ++ skB).distinct.sorted.take(k)
+    assert(merged == whole)
+  }
+
+  test("estimator lands within 3/sqrt(k) of the exact distinct count (fixture)") {
+    val exact = Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count()
+    val est = Analytics.kmvDistinct(spark, sfDir) // k = 256 ⇒ 3σ ≈ 18.75%
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - exact) / exact < 3.0 / math.sqrt(256.0),
+      s"est=$est exact=$exact")
+  }
+
+  test("d5 union query: ALL row equals the whole-table d4 sketch stats") {
+    val all = Analytics.kmvUnion(spark, sfDir)
+      .filter(col("scope") === "ALL").collect().head
+    val whole = Analytics.kmvDistinct(spark, sfDir).collect().head
+    assert(all.getAs[Long]("kth_min") == whole.getAs[Long]("kth_min"))
+    assert(all.getAs[Long]("n_kept") == whole.getAs[Long]("n_kept"))
+    assert(all.getAs[Double]("est_distinct") == whole.getAs[Double]("est_distinct"))
+  }
+}

@@ -230,4 +230,68 @@ class EventWindowsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(m == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L), m.toString)
   }
+
+  test("scd2: intervals chain gaplessly, states compress, one open row per user") {
+    import spark.implicits._
+    val d = tmpDir("scd2")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a a b a (consecutive dup compresses); user 2: c only
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "a", 0.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "b", 0.0, "{}"),
+        (4L, ts("2024-01-01 00:03:00"), 1L, "a", 0.0, "{}"),
+        (5L, ts("2024-01-01 00:00:00"), 2L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val rows = EventWindows.scd2History(spark, d.toString).collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[String]("state")).toSeq == Seq("a", "b", "a"),
+      "dup compresses; the a→b→a flip-back survives")
+    // half-open chaining: valid_to(i) == valid_from(i+1)
+    u1.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getAs[Long]("valid_to_us") == y.getAs[Long]("valid_from_us")) }
+    assert(rows.count(_.getAs[Boolean]("is_current")) == 2, "one open row per user")
+
+    // fixture-scale invariants: change rows only, every user has exactly
+    // one open interval, and intervals never overlap
+    val full = EventWindows.scd2History(spark, sfDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(full.filter(col("is_current")).count() == users)
+    val overlaps = full
+      .withColumn("next_from", lead(col("valid_from_us"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("valid_from_us")))
+      .filter(col("next_from").isNotNull && col("valid_to_us") =!= col("next_from"))
+    assert(overlaps.count() == 0, "intervals chain exactly")
+  }
+
+  test("attribution: credit counts conserve against per-conversion facts") {
+    import spark.implicits._
+    val d = tmpDir("attr")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: view, click, purchase → first=view, last=click
+    // user 2: click, purchase; view AFTER purchase (no credit);
+    // user 3: purchase with no prior touch (drops out entirely)
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 0.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "purchase", 0.0, "{}"),
+        (4L, ts("2024-01-02 00:00:00"), 2L, "click", 0.0, "{}"),
+        (5L, ts("2024-01-02 00:01:00"), 2L, "purchase", 0.0, "{}"),
+        (6L, ts("2024-01-02 00:02:00"), 2L, "view", 0.0, "{}"),
+        (7L, ts("2024-01-03 00:00:00"), 3L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val m = EventWindows.attribution(spark, d.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("view") == (1L, 0L, 1L, 1L), m.toString)   // first for u1 only
+    assert(m("click") == (1L, 2L, 2L, 2L), m.toString)  // last for u1+u2, first for u2
+
+    // fixture: every credited conversion has exactly one first and one
+    // last touch → the totals agree across models
+    val full = EventWindows.attribution(spark, sfDir).collect()
+    val (nf, nl) = (full.map(_.getAs[Long]("n_first")).sum, full.map(_.getAs[Long]("n_last")).sum)
+    assert(nf == nl && nf > 0)
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_touch_events") >= r.getAs[Long]("n_conversions_touched")) }
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank over the co-purchase graph: exact-arithmetic
+  * invariants and a closed-form fixture where the answer is known.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ring graph: a symmetric 2-regular graph keeps the uniform rank exactly") {
+    // order i = parts {i, (i+1) mod n} → co-purchase ring, every deg = 2.
+    // Uniform start S splits as S = 0.15·S + 0.85·(2·floor(S/2)) exactly
+    // (S even), so every iteration returns the uniform vector unchanged.
+    val n = 12L
+    val d = tmpDir("ring")
+    (0L until n).flatMap(i => Seq((i, i), (i, (i + 1) % n)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val out = Graph.partPageRank(spark, d.toString, iters = 3, topN = 100).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getAs[Long]("rank_scaled") == 1000000000000L))
+    assert(out.forall(_.getAs[Long]("n_copurchase") == 2L))
+  }
+
+  test("star graph: the hub outranks the spokes and mass stays near N·S") {
+    // orders {hub, spoke_i} → star. Hub collects 0.85·S·(n-1)/1 + base.
+    val n = 9L // 8 spokes + hub 0
+    val d = tmpDir("star")
+    (1L until n).flatMap(i => Seq((i, 0L), (i, i)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val out = Graph.partPageRank(spark, d.toString, iters = 3, topN = 100).collect()
+    val byId = out.map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("rank_scaled")).toMap
+    assert(out.head.getAs[Long]("l_partkey") == 0L, "hub ranks first")
+    val spokes = (1L until n).map(byId)
+    assert(spokes.distinct.size == 1, "spokes are symmetric → identical ranks")
+    assert(byId(0L) > spokes.head * 3, "hub dominates")
+    // floor-division leaks < 1 unit per node per iteration: total mass
+    // stays within iters·(N+damping slack) of N·S
+    val total = out.map(_.getAs[Long]("rank_scaled")).sum
+    assert(math.abs(total - n * 1000000000000L) < 100L * n)
+  }
+
+  test("fixture graph: deterministic under repartition, ranks above the base share") {
+    val a = Graph.partPageRank(spark, sfDir).collect()
+    val b = Graph.partPageRank(spark, sfDir, iters = 3, topN = 20).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty && a.length <= 20)
+    val ranks = a.map(_.getAs[Long]("rank_scaled")).toSeq
+    assert(ranks == ranks.sorted.reverse, "sorted by rank desc")
+    assert(ranks.forall(_ >= 150000000000L), "every rank ≥ floor(0.15·S)")
+  }
+}

@@ -461,4 +461,28 @@ class TextStatsSpec extends SparkSpec {
     val viaGate = TextStats.qualityGate(docs)
     assert(viaOn.exceptAll(viaGate).count() == 0 && viaGate.exceptAll(viaOn).count() == 0)
   }
+
+  test("weightedSample: PPS coin — max-weight docs always kept, rate tracks weight, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = TextStats.weightedSample(docs)
+    val rows = sampled.collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    // u < 10^9 always, so a doc at max weight passes the cross-multiply
+    // unconditionally — the PPS boundary condition
+    val wMax = rows.map(_.getAs[Long]("n_tokens")).max
+    val allByWeight = TextStats.weightedSample(docs) // deterministic rerun
+    assert(allByWeight.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    val full = docs.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).cast("long").as("w"))
+    val fullMax = full.agg(max("w")).collect().head.getLong(0)
+    val maxDocs = full.filter(col("w") === fullMax).count()
+    assert(rows.count(_.getAs[Long]("n_tokens") == fullMax) == maxDocs,
+      "every max-weight doc is sampled")
+    assert(wMax == fullMax)
+    // inclusion frequency rises with weight: mean sampled weight must
+    // exceed the corpus mean (PPS oversamples long docs)
+    val meanAll = full.agg(avg("w")).collect().head.getDouble(0)
+    val meanSampled = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
+    assert(meanSampled > meanAll, s"sampled mean $meanSampled vs corpus $meanAll")
+  }
 }
