@@ -409,4 +409,16 @@ object Graft {
     * ([[ops.TextStats.weightedSample]]). */
   def weightedSample(docs: DataFrame): DataFrame =
     ops.TextStats.weightedSample(docs)
+
+  /** Theta-sketch intersection estimate from two KMV sketches
+    * ([[ops.Analytics.kmvIntersect]]). */
+  def kmvIntersect(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    ops.Analytics.kmvIntersect(spark, dir, k)
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic
+    * ([[ops.Profiling.ksDrift]]) — the bin-free companion to
+    * [[psiDrift]]. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              groupA: String, groupB: String): DataFrame =
+    ops.Profiling.ksDrift(df, groupCol, valueCol, groupA, groupB)
 }

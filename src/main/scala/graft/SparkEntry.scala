@@ -202,6 +202,8 @@ object SparkEntry {
     "d4_kmv_distinct" -> (Analytics.kmvDistinct(_, _)),
     // per-flag sketches + array-op union merge = whole-table sketch
     "d5_kmv_union" -> (Analytics.kmvUnion(_, _)),
+    // theta-sketch set op: |A ∩ B| from the two sketches alone
+    "d6_kmv_intersect" -> (Analytics.kmvIntersect(_, _)),
     // integer-exact PageRank over the part co-purchase graph, 3
     // synchronous iterations — the third iterative-DataFrame-loop family
     "n1_part_pagerank" -> (Graph.partPageRank(_, _)),
@@ -269,6 +271,11 @@ object SparkEntry {
     "p7_psi" -> ((s, d) =>
       Profiling.psiDrift(Tables.events(s, d), "event_type", "value",
         "ts", "2024-01-16 00:00:00")),
+    // bin-free two-sample KS drift: exact integer ECDF argmax via the
+    // c4 distributed prefix sum — no single-task window
+    "p8_ks_drift" -> ((s, d) =>
+      Profiling.ksDrift(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "A", "R")),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -1892,6 +1899,29 @@ object SparkEntry {
          |  ${kmvEstSql(256)} AS est_distinct
          |FROM uni ORDER BY scope""".stripMargin,
     "n1_part_pagerank" -> pagerankSql(),
+    // theta intersection: common k-min hashes below θ are a uniform
+    // θ/M-rate sample of |A ∩ B|; a not-full sketch's threshold is M
+    "d6_kmv_intersect" ->
+      s"""WITH ua AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem
+         |           WHERE l_returnflag = 'A'),
+         |ka AS (SELECT u FROM ua ORDER BY u LIMIT 256),
+         |sa AS (SELECT count(*) AS n, max(u) AS kth FROM ka),
+         |ub AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem
+         |           WHERE l_returnflag = 'R'),
+         |kb AS (SELECT u FROM ub ORDER BY u LIMIT 256),
+         |sb AS (SELECT count(*) AS n, max(u) AS kth FROM kb),
+         |th AS (SELECT least(
+         |    CASE WHEN sa.n < 256 THEN 2305843009213693952 ELSE sa.kth END,
+         |    CASE WHEN sb.n < 256 THEN 2305843009213693952 ELSE sb.kth END) AS theta
+         |  FROM sa, sb),
+         |cm AS (SELECT count(*) AS common FROM ka JOIN kb USING (u), th
+         |       WHERE u < theta)
+         |SELECT 'A' AS group_a, 'R' AS group_b, CAST(256 AS BIGINT) AS k,
+         |  theta, CAST(common AS BIGINT) AS n_common,
+         |  ${Num.sqlRoundTo(
+                "CAST(common AS DOUBLE) * 2305843009213693952.0 / CAST(theta AS DOUBLE)", 4)}
+         |  AS est_intersect
+         |FROM cm, th""".stripMargin,
     "q6_forecast" ->
       s"""SELECT ${decSum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
          | FROM lineitem
@@ -2041,6 +2071,27 @@ object SparkEntry {
          |SELECT event_type, bucket, n_base, n_cur,
          |  ${Num.sqlRoundTo("(pc - pb) * ln(pc / pb)", 6)} AS psi_term
          |FROM f ORDER BY event_type, bucket""".stripMargin,
+    // two-sample KS: integer ECDF-difference argmax over distinct
+    // values, one final double division
+    "p8_ks_drift" ->
+      s"""WITH s AS (SELECT l_extendedprice AS v,
+         |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |t AS (SELECT CAST(sum(ia) AS BIGINT) AS na,
+         |        CAST(count(*) - sum(ia) AS BIGINT) AS nb FROM s),
+         |p AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+         |        CAST(count(*) - sum(ia) AS BIGINT) AS cb FROM s GROUP BY v),
+         |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+         |        sum(cb) OVER (ORDER BY v) AS cumb FROM p),
+         |d AS (SELECT v, na, nb,
+         |        CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS num
+         |      FROM c, t ORDER BY num DESC, v LIMIT 1)
+         |SELECT 'A' AS group_a, 'R' AS group_b, na AS n_a, nb AS n_b,
+         |  v AS d_at_value,
+         |  ${Num.sqlRoundTo(
+                "CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))", 6)}
+         |  AS ks_d
+         |FROM d""".stripMargin,
     // funnel timing: same chained min-ts CTEs as e6, each stage carrying
     // its anchor; mean gap = exact integer micros sum / count
     "e13_funnel_timing" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -400,6 +400,38 @@ object Analytics {
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
       .select(lit("ALL").as("scope"), col("sk"))
     kmvStats(per.unionByName(merged), k).orderBy("scope")
+  }
+
+  /** KMV sketch INTERSECTION — the theta-sketch set operation: from the
+    * two per-flag sketches alone (2k longs, no second scan), estimate
+    * |A ∩ B|. θ = min of the two sketch thresholds (a not-full sketch's
+    * threshold is the whole domain M — it IS its distinct set); every
+    * common hash below θ is a uniform sample of the intersection at
+    * inclusion probability θ/M, so est = |common < θ|·M/θ. The set-ops
+    * completion of [[kmvDistinct]]/[[kmvUnion]]: distinct counts over
+    * arbitrary unions AND intersections of per-shard sketches without
+    * rescanning — still exactly SQL-replayable, still in the hash gate.
+    */
+  def kmvIntersect(spark: SparkSession, dir: String, k: Int = 256,
+                   flagA: String = "A", flagB: String = "R"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+              pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+    def sketch(flag: String, as: String) =
+      li.filter(col("l_returnflag") === flag)
+        .agg(call_function("kmv_sketch", col("u"), lit(k)).as(as))
+    def thresholdOf(sk: Column): Column =
+      when(size(sk) < k, lit(KmvM)).otherwise(element_at(sk, size(sk)))
+    sketch(flagA, "ska").crossJoin(sketch(flagB, "skb"))
+      .withColumn("theta", least(thresholdOf(col("ska")), thresholdOf(col("skb"))))
+      .withColumn("n_common",
+        size(array_intersect(
+          filter(col("ska"), x => x < col("theta")),
+          filter(col("skb"), x => x < col("theta")))).cast("long"))
+      .select(lit(flagA).as("group_a"), lit(flagB).as("group_b"),
+              lit(k).cast("long").as("k"), col("theta"), col("n_common"),
+              Num.roundTo(col("n_common").cast("double") * lit(KmvM.toDouble) /
+                col("theta").cast("double"), 4).as("est_intersect"))
   }
 
   /** Hash domain: splitmix64 folded to [0, 2^61) — 2^64 is an exact

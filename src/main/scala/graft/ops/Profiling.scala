@@ -196,4 +196,59 @@ object Profiling {
               Num.roundTo((pc - pb) * log(pc / pb), 6).as("psi_term"))
       .orderBy(groupCol, "bucket")
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic between the `valueCol`
+    * distributions of two groups — the bin-free drift test [[psiDrift]]
+    * can't give (PSI needs a bin grid and misses shifts inside a bin;
+    * KS is the sup-distance between the two EMPIRICAL CDFs, sensitive
+    * to any distributional change).
+    *
+    * Exactness: D = max over observed values v of
+    * |cntA(≤v)·nB − cntB(≤v)·nA| / (nA·nB) — the numerator stays an
+    * exact integer argmax (products < 2^53 for samples to ~60M rows a
+    * side; grow to DECIMAL beyond), and only the final ratio divides.
+    *
+    * Scale shape: values collapse to the distinct-value count table
+    * first (map-side partial aggregation), then the running counts use
+    * the same DISTRIBUTED PREFIX SUM as c4's packing — range exchange,
+    * per-partition cumsum, broadcast one-row-per-partition offsets —
+    * so no global single-task window anywhere; the argmax is a
+    * TakeOrdered(1). The value domain, not the row count, bounds every
+    * post-aggregation stage.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("v"),
+              when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"))
+    val totals = s.agg(sum(col("ia")).as("na"), (count(lit(1)) - sum(col("ia"))).as("nb"))
+    val perV = s.groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), (count(lit(1)) - sum(col("ia"))).as("cb"))
+    // distributed prefix sum over distinct values (the c4 discipline):
+    // freeze the range exchange, then per-partition cumsums + broadcast
+    // per-partition offsets
+    val sorted = perV.repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy("pid")
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
+      .withColumn("offa", coalesce(sum(col("pa")).over(byPid), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("pb")).over(byPid), lit(0L)))
+      .select("pid", "offa", "offb")
+    val within = Window.partitionBy("pid").orderBy("v")
+    sorted.join(broadcast(offsets), "pid")
+      .withColumn("cuma", col("offa") + sum(col("ca")).over(within))
+      .withColumn("cumb", col("offb") + sum(col("cb")).over(within))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("na"), col("nb"),
+              abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("num"))
+      .orderBy(col("num").desc, col("v")).limit(1)
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+              col("na").as("n_a"), col("nb").as("n_b"),
+              col("v").as("d_at_value"),
+              Num.roundTo(col("num").cast("double") /
+                (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_d"))
+  }
 }

@@ -56,4 +56,26 @@ class KmvSpec extends SparkSpec {
     assert(all.getAs[Long]("n_kept") == whole.getAs[Long]("n_kept"))
     assert(all.getAs[Double]("est_distinct") == whole.getAs[Double]("est_distinct"))
   }
+
+  test("theta intersection estimate tracks the exact |A ∩ R| order overlap") {
+    val li = Tables.lineitem(spark, sfDir)
+    def keys(f: String) =
+      li.filter(col("l_returnflag") === f).select("l_orderkey").distinct()
+    val exact = keys("A").intersect(keys("R")).count()
+    val row = Analytics.kmvIntersect(spark, sfDir).collect().head
+    val est = row.getAs[Double]("est_intersect")
+    // intersection error compounds two sketches: allow 6/sqrt(k)
+    assert(math.abs(est - exact) / exact < 6.0 / math.sqrt(256.0),
+      s"est=$est exact=$exact")
+    assert(row.getAs[Long]("n_common") > 0)
+    // not-full sketches degrade to exact sets: tiny disjoint inputs → 0
+    import spark.implicits._
+    val d = tmpDir("kmvint")
+    (1L to 100L).map(i => (i, if (i <= 50) "A" else "R"))
+      .toDF("l_orderkey", "l_returnflag")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val disjoint = Analytics.kmvIntersect(spark, d.toString).collect().head
+    assert(disjoint.getAs[Long]("n_common") == 0L)
+    assert(disjoint.getAs[Double]("est_intersect") == 0.0)
+  }
 }

@@ -148,4 +148,27 @@ class ProfilingSpec extends SparkSpec {
     assert(drift(0L) > 0.2 && drift(9L) > 0.2, s"shifted mass must flag both bins: $drift")
     assert(drift.values.forall(_ >= 0.0), "PSI terms are non-negative")
   }
+
+  test("ksDrift: hand-computed D, identical samples → 0, disjoint shift → 1") {
+    def ks(rows: Seq[(String, Double)]) =
+      Profiling.ksDrift(rows.toDF("g", "v"), "g", "v", "A", "B").collect().head
+    // A = {1,2}, B = {1,3}: ECDF gap peaks at v=2 with |2·2 − 1·2| = 2
+    val r = ks(Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0)))
+    assert(r.getAs[Double]("ks_d") == 0.5 && r.getAs[Double]("d_at_value") == 2.0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // identical multisets: D = 0, argmax tie resolves to the smallest value
+    val same = ks(Seq(("A", 5.0), ("A", 7.0), ("B", 5.0), ("B", 7.0)))
+    assert(same.getAs[Double]("ks_d") == 0.0 && same.getAs[Double]("d_at_value") == 5.0)
+    // fully separated samples: D = 1 exactly, at A's maximum
+    val far = ks(Seq(("A", 1.0), ("A", 2.0), ("B", 101.0), ("B", 102.0)))
+    assert(far.getAs[Double]("ks_d") == 1.0 && far.getAs[Double]("d_at_value") == 2.0)
+    // fixture: same generator for both flags → near-zero drift, exact
+    // result stable under repartitioning (distributed prefix sum)
+    val li = Tables.lineitem(spark, sfDir)
+    val a = Profiling.ksDrift(li, "l_returnflag", "l_extendedprice", "A", "R").collect().head
+    val b = Profiling.ksDrift(li.repartition(13), "l_returnflag", "l_extendedprice", "A", "R")
+      .collect().head
+    assert(a.toSeq == b.toSeq, "partitioning must not change the exact statistic")
+    assert(a.getAs[Double]("ks_d") < 0.1, "same distribution → small D")
+  }
 }
