@@ -468,6 +468,22 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("user_id", "left_id", "right_id")
     }),
+    // streaming SCD2: each state change emits its closed interval
+    // exactly once; the union over batches equals e16's closed rows
+    "st12_stream_scd2" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      import s.implicits._
+      val mem = s"st12_mem_${Integer.toHexString(d.hashCode)}"
+      val ev = graft.streaming.Streams.parquetDirStream(s, stage, schema)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[graft.streaming.Streams.FunnelEvent]
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamScd2(ev).toDF(), mem,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      s.table(mem).orderBy("user_id", "valid_from_us")
+    }),
     // custom keyed state (flatMapGroupsWithState) in the gate: running
     // per-user counts — the final emission per user equals the batch
     // GROUP BY count (max() guards against multi-batch re-emission)
@@ -2165,6 +2181,21 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n FROM s
         |WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // streaming SCD2 = the batch build's CLOSED intervals exactly
+    "st12_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS state,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_id, us, state,
+        |        lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, us, state FROM c
+        |      WHERE prev IS NULL OR prev <> state),
+        |g AS (SELECT user_id, state, us AS valid_from_us,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |      FROM f)
+        |SELECT user_id, state, valid_from_us, valid_to_us FROM g
+        |WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, valid_from_us""".stripMargin,
     // SCD2: change-point filter then validity intervals — both window
     // passes share one (partition, order) spec in both engines
     "e16_scd2" ->

@@ -238,6 +238,8 @@ object Streams {
   final case class UserCount(user_id: Long, n_events: Long)
   final case class FunnelEvent(user_id: Long, event_id: Long, us: Long, event_type: String)
   final case class FunnelReach(user_id: Long, max_stage: Long)
+  final case class Scd2Closed(user_id: Long, state: String,
+                              valid_from_us: Long, valid_to_us: Long)
 
   /** Streaming ordered funnel — [[graft.ops.EventWindows.funnel]]'s
     * first-touch strictly-after semantics as custom keyed state: per
@@ -269,6 +271,41 @@ object Streams {
           }
           state.update(reach)
           Iterator(FunnelReach(uid, (reach.lastIndexWhere(_ != Long.MaxValue) + 1).toLong))
+      }
+  }
+
+  /** STREAMING SCD TYPE-2 — the incremental twin of
+    * [[graft.ops.EventWindows.scd2History]]: per-user keyed state holds
+    * only the OPEN interval (state, valid_from) — two values per user,
+    * however long the history — and each state CHANGE emits the closed
+    * interval exactly once, so the emitted union over all micro-batches
+    * equals the batch build's closed rows, row for row (the open
+    * current interval stays in state, unemitted, by construction).
+    * Within a batch, rows sort by (us, event_id) — the batch build's
+    * exact order; like every stateful twin here, cross-batch arrival
+    * order must respect event time for intervals to close correctly
+    * (the fixture replay and staged-stream gate do).
+    */
+  def streamScd2(events: Dataset[FunnelEvent]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long), Scd2Closed](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[(String, Long)]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Closed]
+          rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            cur match {
+              case None => cur = Some((e.event_type, e.us))
+              case Some((st, from)) if st != e.event_type =>
+                out += Scd2Closed(uid, st, from, e.us)
+                cur = Some((e.event_type, e.us))
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
       }
   }
 

@@ -354,4 +354,46 @@ class StreamsSpec extends SparkSpec {
     Streams.runToMemory(stream.groupBy().count(), "csv_stream_count")
     assert(spark.table("csv_stream_count").collect().head.getLong(0) == 3L)
   }
+
+  test("streaming SCD2 == batch closed intervals, closures across micro-batch boundaries") {
+    import spark.implicits._
+    // two time-split files, ordered mtimes → two micro-batches: every
+    // interval open at the cut can only close through the keyed state
+    val d = tmpDir("sscd2").resolve("events").toString
+    val ev = Tables.events(spark, sfDir)
+    val cut = "2024-01-15 22:00:00"
+    val cutUs = java.sql.Timestamp.valueOf(cut).getTime * 1000L
+    ev.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(d)
+    val early = new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet"))
+    val d2 = tmpDir("sscd2_late").resolve("late").toString
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(d2)
+    val lateFile = new java.io.File(d2).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = java.nio.file.Paths.get(d, "zz_" + lateFile.getName)
+    java.nio.file.Files.move(lateFile.toPath, target)
+    early.foreach(f => f.setLastModified(target.toFile.lastModified - 60000))
+
+    val schema = spark.read.parquet(d).schema
+    val stream = Streams.parquetDirStream(spark, d, schema, maxFilesPerTrigger = 1)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[Streams.FunnelEvent]
+    Streams.runToMemory(Streams.streamScd2(stream).toDF(), "sscd2_mem",
+      OutputMode.Update())
+    val streamed = spark.table("sscd2_mem")
+      .orderBy("user_id", "valid_from_us").collect()
+
+    val batch = EventWindows.scd2History(spark, sfDir)
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "state", "valid_from_us", "valid_to_us")
+      .orderBy("user_id", "valid_from_us").collect()
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} closed intervals vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+    // the boundary matters: some interval must open in batch 1 and
+    // close in batch 2, which only the carried keyed state can do
+    assert(streamed.exists(r =>
+      r.getAs[Long]("valid_from_us") < cutUs && r.getAs[Long]("valid_to_us") >= cutUs),
+      "no interval spans the micro-batch cut — harness degenerate")
+  }
 }
