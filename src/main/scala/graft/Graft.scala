@@ -405,6 +405,11 @@ object Graft {
                    iters: Int = 3, topN: Int = 20): DataFrame =
     ops.Graph.partPageRank(spark, dir, iters, topN)
 
+  /** Degree-ordered triangle count + clustering coefficient
+    * ([[ops.Graph.partTriangles]]). */
+  def partTriangles(spark: SparkSession, dir: String): DataFrame =
+    ops.Graph.partTriangles(spark, dir)
+
   /** Probability-proportional-to-size document sampling
     * ([[ops.TextStats.weightedSample]]). */
   def weightedSample(docs: DataFrame): DataFrame =

@@ -207,6 +207,9 @@ object SparkEntry {
     // integer-exact PageRank over the part co-purchase graph, 3
     // synchronous iterations — the third iterative-DataFrame-loop family
     "n1_part_pagerank" -> (Graph.partPageRank(_, _)),
+    // degree-ordered triangle count: each triangle counted once at its
+    // min-(degree,id) vertex; wedge fan-out capped at O(sqrt E)
+    "n2_triangles" -> (Graph.partTriangles(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -1915,6 +1918,30 @@ object SparkEntry {
          |  ${kmvEstSql(256)} AS est_distinct
          |FROM uni ORDER BY scope""".stripMargin,
     "n1_part_pagerank" -> pagerankSql(),
+    // degree-ordered triangle replay: same orientation, wedge join,
+    // and EXISTS closure — all exact integers
+    "n2_triangles" ->
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+         |deg AS (SELECT v, count(*) AS d FROM
+         |        (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         |o AS (SELECT
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst
+         |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+         |w AS (SELECT o1.dst AS y, o2.dst AS z
+         |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+         |adj AS (SELECT src AS x, dst AS y FROM o UNION ALL SELECT dst, src FROM o),
+         |tri AS (SELECT count(*) AS n_triangles FROM w
+         |        WHERE EXISTS (SELECT 1 FROM adj WHERE adj.x = w.y AND adj.y = w.z)),
+         |st AS (SELECT (SELECT count(*) FROM und) AS n_edges, count(*) AS n_nodes,
+         |         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_nodes, n_edges, n_triangles,
+         |  ${Num.sqlRoundTo(
+                "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)", 6)}
+         |  AS clustering_coeff
+         |FROM tri, st""".stripMargin,
     // theta intersection: common k-min hashes below θ are a uniform
     // θ/M-rate sample of |A ∩ B|; a not-full sketch's threshold is M
     "d6_kmv_intersect" ->

@@ -86,4 +86,61 @@ object Graph {
       .orderBy(col("rank_scaled").desc, col("l_partkey"))
       .limit(topN)
   }
+
+  /** TRIANGLE COUNT over the part co-purchase graph via DEGREE-ORDERED
+    * orientation — the standard trick that makes distributed triangle
+    * counting tractable: direct every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, so each triangle is
+    * counted EXACTLY once (at its minimum-degree vertex) and the wedge
+    * join's fan-out per vertex is bounded by its OUT-degree, which the
+    * orientation caps at O(√E) — Σ outdeg² stays near-linear on
+    * power-law graphs where the naive wedge join explodes on hubs.
+    *
+    * Three key-partitioned hash joins, all exact integers:
+    * wedges = oriented ⋈ oriented on the pivot, closed by a semi-join
+    * shape against the oriented edge set. Returns one row:
+    * (n_nodes, n_edges, n_triangles, global clustering coefficient =
+    * 3·triangles / wedges-of-the-UNDIRECTED-graph, rounded).
+    */
+  def partTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // canonical undirected edges (a < b), one row per co-purchased pair
+    val und = Iterate.materialize(
+      lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower endpoint → higher endpoint
+    val oriented = Iterate.materialize(
+      und.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // wedges at the pivot (two out-edges), closed iff (w1, w2) is itself
+    // an oriented edge — each triangle counted once at its min vertex
+    val wedges = oriented
+      .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
+      .filter(col("dst") < col("dst2"))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+      .unionAll(oriented.select(col("dst").as("x"), col("src").as("y")))
+    val triangles = wedges
+      .join(closing, col("dst") === col("x") && col("dst2") === col("y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        // undirected wedge count Σ d·(d−1)/2 for the clustering coeff —
+        // integer division AFTER the (even-termed) sum, no doubles
+        expr("sum(d * (d - 1)) DIV 2").as("n_wedges")))
+    triangles.crossJoin(stats)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+              Num.roundTo(lit(3.0) * col("n_triangles").cast("double") /
+                col("n_wedges").cast("double"), 6).as("clustering_coeff"))
+  }
 }

@@ -43,6 +43,35 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - n * 1000000000000L) < 100L * n)
   }
 
+  test("triangles: closed forms — K3, C4, K4 — and fixture determinism") {
+    def graphOf(orders: Seq[Seq[Long]]): String = {
+      val d = tmpDir("tri")
+      orders.zipWithIndex
+        .flatMap { case (parts, i) => parts.map(p => (i.toLong, p)) }
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+      d.toString
+    }
+    // one order {0,1,2} → K3: 1 triangle, 3 wedges, coefficient 1
+    val k3 = Graph.partTriangles(spark, graphOf(Seq(Seq(0L, 1L, 2L)))).collect().head
+    assert(k3.getAs[Long]("n_nodes") == 3 && k3.getAs[Long]("n_edges") == 3)
+    assert(k3.getAs[Long]("n_triangles") == 1L)
+    assert(k3.getAs[Double]("clustering_coeff") == 1.0)
+    // 4-cycle: no triangles
+    val c4 = Graph.partTriangles(spark,
+      graphOf(Seq(Seq(0L, 1L), Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 0L)))).collect().head
+    assert(c4.getAs[Long]("n_triangles") == 0L && c4.getAs[Long]("n_edges") == 4)
+    // K4: C(4,3) = 4 triangles, 12 wedges, coefficient 3·4/12 = 1
+    val k4 = Graph.partTriangles(spark, graphOf(Seq(Seq(0L, 1L, 2L, 3L)))).collect().head
+    assert(k4.getAs[Long]("n_triangles") == 4L && k4.getAs[Long]("n_edges") == 6)
+    assert(k4.getAs[Double]("clustering_coeff") == 1.0)
+    // fixture: rerun-stable exact integers
+    val a = Graph.partTriangles(spark, sfDir).collect().head
+    val b = Graph.partTriangles(spark, sfDir).collect().head
+    assert(a.toSeq == b.toSeq)
+    assert(a.getAs[Long]("n_triangles") >= 0L)
+  }
+
   test("fixture graph: deterministic under repartition, ranks above the base share") {
     val a = Graph.partPageRank(spark, sfDir).collect()
     val b = Graph.partPageRank(spark, sfDir, iters = 3, topN = 20).collect()
