@@ -344,19 +344,37 @@ object Multimodal {
       }
   }
 
+  /** Raised by [[extractFeatures]] in strict mode for a payload no
+    * codec can identify — the typed alternative to silently falling
+    * back to the deterministic projection. Carries the media id so a
+    * pipeline can quarantine the row.
+    */
+  final class UnsupportedMediaException(val mediaId: Long)
+    extends RuntimeException(
+      s"media $mediaId: payload is not decodable PNG/JPEG/GIF/WAV " +
+        "(strict feature extraction rejects unidentifiable blobs)")
+
   /** Feature-extraction stage: binary → Array[Float], output shaped
     * exactly like the `embeddings` table for downstream similarity ops.
     * Real for decodable media ([[ImageCodec.features]]: grid-RGB color
-    * layout for images, windowed PCM RMS for wav); the deterministic
-    * fake projection only for unidentifiable blobs. A learned embedding
-    * model would slot in here — same signature, same partition shape.
+    * layout for images, windowed PCM RMS for wav). For unidentifiable
+    * blobs: `strict = false` (default) applies the clearly-marked
+    * deterministic fake projection; `strict = true` raises the typed
+    * [[UnsupportedMediaException]] instead — the production setting,
+    * where an undecodable payload is a data-quality incident, not a
+    * silent feature vector. A learned embedding model would slot in
+    * here — same signature, same partition shape.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeature] = {
+  def extractFeatures(media: DataFrame, dim: Int = 64,
+                      strict: Boolean = false): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        if (strict && ImageCodec.imageFeatures(bytes, dim)
+              .orElse(ImageCodec.wavFeatures(bytes, dim)).isEmpty)
+          throw new UnsupportedMediaException(id)
         MediaFeature(id, ImageCodec.features(bytes, dim))
       })
   }

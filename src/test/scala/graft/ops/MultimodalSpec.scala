@@ -173,4 +173,28 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("count") =!= col("exp"))
     assert(joined.count() == 0)
   }
+
+  test("strict feature extraction: real media passes untouched, garbage raises the typed error") {
+    import spark.implicits._
+    // the encoded-media fixture is fully decodable: strict == default
+    val real = Multimodal.imageTable(spark, sfDir)
+    val strictRows = Multimodal.extractFeatures(real, strict = true)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    val laxRows = Multimodal.extractFeatures(real)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(strictRows == laxRows && strictRows.nonEmpty)
+    // an unidentifiable blob: lax falls back deterministically, strict
+    // raises UnsupportedMediaException with the offending id
+    val garbage = Seq((99L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
+    assert(Multimodal.extractFeatures(garbage).collect().length == 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(garbage, strict = true).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(e).exists {
+      case u: Multimodal.UnsupportedMediaException => u.mediaId == 99L
+      case _ => false
+    }, s"expected UnsupportedMediaException(99) in cause chain: $e")
+  }
 }
