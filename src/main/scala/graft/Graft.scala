@@ -426,4 +426,10 @@ object Graft {
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
               groupA: String, groupB: String): DataFrame =
     ops.Profiling.ksDrift(df, groupCol, valueCol, groupA, groupB)
+
+  /** End-to-end corpus preparation funnel — normalize → dedup → model
+    * gate → chunk accounting as one composed pipeline
+    * ([[ops.TextStats.corpusPipeline]]). */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    ops.TextStats.corpusPipeline(spark, dir)
 }

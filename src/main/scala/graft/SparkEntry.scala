@@ -570,6 +570,9 @@ object SparkEntry {
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
       TextStats.weightedSample(Tables.documents(s, d))),
+    // end-to-end curation funnel: normalize → dedup → model gate →
+    // chunk accounting, ONE composed lazy plan; per-source report
+    "c9_corpus_pipeline" -> (TextStats.corpusPipeline(_, _)),
     // inverse-frequency class weights per language (mean weight 1.0)
     "t20_balance_weights" -> ((s, d) =>
       TextStats.balanceWeights(Tables.documents(s, d), "lang")
@@ -2391,6 +2394,35 @@ object SparkEntry {
          |sc AS (SELECT doc_id, ${Num.sqlRoundTo("1.0 / (1.0 + exp(-zv))", 6)} AS clf_score FROM z)
          |SELECT doc_id, clf_score, clf_score >= 0.5 AS clf_keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // c9 = c5's normalize + x1's min-id dedup rule + c7's sigmoid gate
+    // + c2's chunk-count formula, composed; per-source funnel counts
+    "c9_corpus_pipeline" ->
+      s"""$qualityCte,
+         |z AS (SELECT doc_id,
+         |  ((-3.0) * digit_ratio + 0.1 * mean_token_len + (-3.0) * punct_ratio
+         |   + 1.0 * stopword_ratio + 1.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+         |   + (-1.0) * upper_ratio + (-0.5)) AS zv
+         | FROM f),
+         |sc AS (SELECT doc_id, ${Num.sqlRoundTo("1.0 / (1.0 + exp(-zv))", 6)} AS clf_score FROM z),
+         |norm AS (SELECT doc_id,
+         |   trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0E-\\x1F]', '', 'g'),
+         |                       '\\s+', ' ', 'g')) AS normalized FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY normalized),
+         |surv AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN keep USING (doc_id)),
+         |gated AS (SELECT s.doc_id, s.source, s.text FROM surv s JOIN sc USING (doc_id)
+         |          WHERE clf_score >= 0.5),
+         |ck AS (SELECT source, greatest(1, CAST(ceil(
+         |    (CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+         |                          x -> x <> '')) AS DOUBLE) - 16) / 48.0) AS BIGINT)) AS k
+         |  FROM gated),
+         |r1 AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+         |r2 AS (SELECT source, count(*) AS n_dedup FROM surv GROUP BY source),
+         |r3 AS (SELECT source, count(*) AS n_gated, CAST(sum(k) AS BIGINT) AS n_chunks
+         |       FROM ck GROUP BY source)
+         |SELECT r1.source, n_raw, COALESCE(n_dedup, 0) AS n_dedup,
+         |  COALESCE(n_gated, 0) AS n_gated, COALESCE(n_chunks, 0) AS n_chunks
+         |FROM r1 LEFT JOIN r2 USING (source) LEFT JOIN r3 USING (source)
+         |ORDER BY r1.source""".stripMargin,
     "t2_lang" -> langSql,
     "t22_bpe_merges" -> bpeMergesSql(),
     "c8_bpe_encode" -> bpeEncodeSql(),

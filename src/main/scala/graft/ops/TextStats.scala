@@ -818,6 +818,43 @@ object TextStats {
           "\\s+", " ")))
       .withColumn("n_norm_chars", length(col("normalized")).cast("long"))
 
+  /** END-TO-END corpus preparation — the full curation funnel a
+    * training-data user runs as ONE composed DataFrame pipeline:
+    * normalize ([[normalizeText]]) → exact-dedup on the NORMALIZED text
+    * (whitespace-variant dups collapse; 8-byte hash keys, min-doc_id
+    * survivor — the x1 rule) → model quality gate
+    * ([[classifierScore]]'s fixed-weight sigmoid, keep ≥ 0.5) → chunk
+    * accounting ([[chunk]]'s window formula). Returns the per-source
+    * funnel report (n_raw → n_dedup → n_gated → n_chunks), all exact
+    * integers — the corpus-health dashboard row, and the shape that
+    * proves the stages COMPOSE: one lazy plan, no materialization
+    * between stages, each stage's shuffle keyed as its standalone twin.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = normalizeText(docs)
+      .groupBy(xxhash64(col("normalized")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val surv = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val gated = surv.join(
+      classifierScore(surv).filter(col("clf_keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // c2's chunk-count formula: ceil((n − overlap)/stride), ≥ 1
+    val n = tokenCount(col("text"))
+    val k = greatest(lit(1),
+      ceil((n.cast("double") - 16) / 48.0).cast("int")).cast("long")
+    val r1 = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val r2 = surv.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+    val r3 = gated.select(col("source"), k.as("k"))
+      .groupBy("source").agg(count(lit(1)).as("n_gated"), sum(col("k")).as("n_chunks"))
+    r1.join(r2, Seq("source"), "left").join(r3, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+              coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+              coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+              coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
+      .orderBy("source")
+  }
+
   /** Typo/variant clustering over the vocabulary: pairs of frequent terms
     * within `maxDist` edit distance (codegen'd `levenshtein`). The
     * vocabulary is bounded FIRST — a TakeOrdered top-`maxVocab` slice by

@@ -462,6 +462,28 @@ class TextStatsSpec extends SparkSpec {
     assert(viaOn.exceptAll(viaGate).count() == 0 && viaGate.exceptAll(viaOn).count() == 0)
   }
 
+  test("corpusPipeline: funnel monotone per source, stages agree with the standalone ops") {
+    val rep = TextStats.corpusPipeline(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (raw, dedup, gated, chunks) =
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_dedup"),
+         r.getAs[Long]("n_gated"), r.getAs[Long]("n_chunks"))
+      assert(raw >= dedup && dedup >= gated && gated >= 0, r.toString)
+      assert(chunks >= gated, "every gated doc yields at least one chunk")
+    }
+    // cross-check the dedup stage against the standalone composition
+    val docs = Tables.documents(spark, sfDir)
+    val survCount = docs.join(
+      TextStats.normalizeText(docs)
+        .groupBy(xxhash64(col("normalized")).as("__h"))
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi").count()
+    assert(rep.map(_.getAs[Long]("n_dedup")).sum == survCount)
+    assert(rep.map(_.getAs[Long]("n_raw")).sum == docs.count())
+  }
+
   test("weightedSample: PPS coin — max-weight docs always kept, rate tracks weight, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val sampled = TextStats.weightedSample(docs)
