@@ -1924,7 +1924,8 @@ object SparkEntry {
     // degree-ordered triangle replay: same orientation, wedge join,
     // and EXISTS closure — all exact integers
     "n2_triangles" ->
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |            WHERE l_partkey < 20000),
          |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b
          |        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
          |deg AS (SELECT v, count(*) AS d FROM

