@@ -351,6 +351,21 @@ object SparkEntry {
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
     "z2_range_join" -> (AsOf.urgentWeekShipVolume(_, _)),
+    // as-of with staleness tolerance: last click ≤ 1 h before each
+    // purchase; older matches null out, age emitted
+    "z3_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val c = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us")).agg(max(col("event_id")).as("click_id"))
+      AsOf.asofJoinWithin(p, c, "user_id", "user_id", "us", "us",
+          "click_id", 3600000000L)
+        .select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+                col("asof_click_id"), col("asof_age_us"))
+        .orderBy("event_id")
+    }),
 
     // --- structured streaming in the correctness gate: the streaming
     //     hourly aggregation must equal e1_hourly's oracle ---
@@ -2060,6 +2075,22 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord
         |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    // tolerance as-of: DuckDB ASOF finds the last click, the CASE
+    // nulls out stale matches — identical carry + predicate semantics
+    "z3_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us, max(event_id) AS click_id FROM e
+        |      WHERE event_type = 'click' GROUP BY user_id, us),
+        |j AS (SELECT p.event_id, p.user_id, p.us, c.click_id, c.us AS cus
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us)
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CASE WHEN click_id IS NOT NULL AND us - cus <= 3600000000
+        |       THEN click_id END AS asof_click_id,
+        |  CASE WHEN click_id IS NOT NULL AND us - cus <= 3600000000
+        |       THEN us - cus END AS asof_age_us
+        |FROM j ORDER BY event_id""".stripMargin,
     // half-open [orderdate, orderdate+7) containment — DuckDB's IEJoin
     // replays the binned equi-join's semantics directly
     "z2_range_join" ->

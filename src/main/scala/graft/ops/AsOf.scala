@@ -52,6 +52,52 @@ object AsOf {
       .select(lcols.toIndexedSeq.map(col) :+ col("__carried").as(s"asof_$payloadCol"): _*)
   }
 
+  /** As-of join WITH STALENESS TOLERANCE — the production variant of
+    * [[asofJoin]]: a match older than `toleranceUs` is worthless (a
+    * price quote from last month, a click from last year), so the
+    * carried payload is kept only when `leftTime − rightTime ≤
+    * toleranceUs`, and the age itself is emitted for observability.
+    * Same single-shuffle union + carry-forward plan — the tolerance is
+    * a post-carry per-row predicate, NOT a join condition, so the cost
+    * model is identical to the unbounded as-of (a range-join
+    * formulation would re-introduce the candidate explosion the carry
+    * technique exists to avoid). Time columns must be numeric (epoch
+    * micros). Emits `asof_<payload>` and `asof_age_us`, both null when
+    * no match is fresh enough.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     payloadCol: String, toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, "tolerance must be non-negative")
+    val lcols = left.columns
+    val payloadT = right.schema(payloadCol).dataType
+    val carriedT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rt", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", payloadT)))
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__tag", lit(1)).withColumn("__p", lit(null).cast(carriedT))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).cast("long").as("__t"),
+      lit(0).as("__tag"),
+      struct(col(rightTime).cast("long").as("rt"), col(payloadCol).as("p")).as("__p"))
+    val rAligned = l.columns.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(
+        l.schema(c).dataType))
+    }.select(l.columns.toIndexedSeq.map(col): _*)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val age = col("__t") - col("__carried.rt")
+    val fresh = col("__carried").isNotNull && age <= toleranceUs
+    l.unionByName(rAligned)
+      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(lcols.toIndexedSeq.map(col)
+        :+ when(fresh, col("__carried.p")).as(s"asof_$payloadCol")
+        :+ when(fresh, age).as("asof_age_us"): _*)
+  }
+
   /** Binned range join — `facts.point ∈ [start, end)` — the other time
     * join Spark has no native operator for: a bare inequality join plans
     * as BroadcastNestedLoopJoin, O(|facts|·|intervals|) and

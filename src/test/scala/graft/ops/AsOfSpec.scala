@@ -32,6 +32,34 @@ class AsOfSpec extends SparkSpec {
       (4L, Some(900L))))
   }
 
+  test("asofJoinWithin: tolerance nulls stale matches, keeps fresh ones with their age") {
+    import spark.implicits._
+    // numeric (micros) times; tolerance 60s
+    val left = Seq(
+      (1L, 7L, 1000000000L),  // 10s after the 990s right row → fresh
+      (2L, 7L, 2000000000L),  // 1010s after → stale, nulls out
+      (3L, 7L, 990000000L),   // exact tie → age 0, fresh
+      (4L, 9L, 500000000L)    // no right row at all
+    ).toDF("event_id", "k", "t")
+    val right = Seq((7L, 990000000L, 42L)).toDF("rk", "rt", "payload")
+    val out = AsOf.asofJoinWithin(left, right, "k", "rk", "t", "rt", "payload", 60000000L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, Some(42L), Some(10000000L)),
+      (2L, None, None),
+      (3L, Some(42L), Some(0L)),
+      (4L, None, None)))
+    // infinite-ish tolerance degrades to the plain as-of join's payloads
+    val wide = AsOf.asofJoinWithin(left, right, "k", "rk", "t", "rt", "payload", Long.MaxValue / 2)
+      .orderBy("event_id").collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    val plain = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", "payload")
+      .orderBy("event_id").collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(wide.toSeq == plain.toSeq)
+  }
+
   test("eventsWithLastOrder covers every event exactly once") {
     val out = AsOf.eventsWithLastOrder(spark, sfDir)
     assert(out.count() == Tables.events(spark, sfDir).count())
