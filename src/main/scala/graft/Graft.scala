@@ -106,6 +106,23 @@ object Graft {
     ops.Dedup.incrementalSurvivorsPrefiltered(oldDocs, newDocs, bloom,
       threshold = threshold)
 
+  /** As-of join ([[ops.AsOf.asofJoin]]) and its staleness-bounded
+    * variant ([[ops.AsOf.asofJoinWithin]]) — point-in-time lookup via
+    * union + sorted carry-forward, one shuffle, no candidate
+    * explosion. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               payloadCol: String): DataFrame =
+    ops.AsOf.asofJoin(left, right, leftKey, rightKey, leftTime, rightTime, payloadCol)
+
+  def asofJoinWithin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     payloadCol: String, toleranceUs: Long): DataFrame =
+    ops.AsOf.asofJoinWithin(left, right, leftKey, rightKey, leftTime,
+      rightTime, payloadCol, toleranceUs)
+
   /** Binned range join — interval containment without a nested loop
     * ([[ops.AsOf.rangeJoin]]). */
   def rangeJoin(facts: DataFrame, pointCol: String,
