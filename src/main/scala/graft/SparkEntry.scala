@@ -502,6 +502,27 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Update())
       s.table(mem).orderBy("user_id", "valid_from_us")
     }),
+    // streaming attribution: per-conversion credit rows emitted at
+    // conversion time, aggregated to e17's exact report (shared oracle)
+    "st13_stream_attribution" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      import s.implicits._
+      val mem = s"st13_mem_${Integer.toHexString(d.hashCode)}"
+      val ev = graft.streaming.Streams.parquetDirStream(s, stage, schema)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[graft.streaming.Streams.FunnelEvent]
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamAttribution(ev).toDF(), mem,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      s.table(mem).groupBy("touch_type")
+        .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("n_first"),
+             sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"),
+             sum(col("n")).as("n_touch_events"),
+             count(lit(1)).as("n_conversions_touched"))
+        .orderBy("touch_type")
+    }),
     // custom keyed state (flatMapGroupsWithState) in the gate: running
     // per-user counts — the final emission per user equals the batch
     // GROUP BY count (max() guards against multi-batch re-emission)
@@ -1559,6 +1580,41 @@ object SparkEntry {
   private val EmailPattern = graft.ops.TextStats.emailPattern
   private val PhonePattern = graft.ops.TextStats.phonePattern
 
+  /** Multi-touch attribution replay — shared by e17 (batch) and st13
+    * (streaming twin): row_number argmin/argmax over the total
+    * (us, event_id) order replays min_by/max_by and the keyed-state
+    * first/last rule identically. */
+  private def attributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, us AS touch_us,
+        |        event_type AS touch_type FROM e
+        |      WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT c.conv_id, t.touch_id, t.touch_us, t.touch_type
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_us < c.conv_us
+        |       AND t.touch_us >= c.conv_us - 604800000000),
+        |r AS (SELECT conv_id, touch_type,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_us, touch_id) AS rf,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_us DESC, touch_id DESC) AS rl
+        |      FROM p),
+        |f AS (SELECT touch_type, count(*) AS n_first FROM r WHERE rf = 1
+        |      GROUP BY touch_type),
+        |l AS (SELECT touch_type, count(*) AS n_last FROM r WHERE rl = 1
+        |      GROUP BY touch_type),
+        |a AS (SELECT touch_type, count(*) AS n_touch_events,
+        |        count(DISTINCT conv_id) AS n_conversions_touched
+        |      FROM p GROUP BY touch_type)
+        |SELECT a.touch_type, COALESCE(f.n_first, 0) AS n_first,
+        |  COALESCE(l.n_last, 0) AS n_last, a.n_touch_events, a.n_conversions_touched
+        |FROM a LEFT JOIN f ON f.touch_type = a.touch_type
+        |       LEFT JOIN l ON l.touch_type = a.touch_type
+        |ORDER BY a.touch_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_csv_file" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "s2_csv_dir" -> "SELECT * FROM region ORDER BY r_regionkey",
@@ -2273,37 +2329,11 @@ object SparkEntry {
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
         |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
     // attribution: row_number argmin/argmax replays Spark's
-    // min_by/max_by over the total (us, event_id) order
-    "e17_attribution" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us FROM e
-        |      WHERE event_type = 'purchase'),
-        |t AS (SELECT user_id, event_id AS touch_id, us AS touch_us,
-        |        event_type AS touch_type FROM e
-        |      WHERE event_type IN ('click', 'view')),
-        |p AS (SELECT c.conv_id, t.touch_id, t.touch_us, t.touch_type
-        |      FROM c JOIN t ON c.user_id = t.user_id
-        |       AND t.touch_us < c.conv_us
-        |       AND t.touch_us >= c.conv_us - 604800000000),
-        |r AS (SELECT conv_id, touch_type,
-        |        row_number() OVER (PARTITION BY conv_id
-        |                           ORDER BY touch_us, touch_id) AS rf,
-        |        row_number() OVER (PARTITION BY conv_id
-        |                           ORDER BY touch_us DESC, touch_id DESC) AS rl
-        |      FROM p),
-        |f AS (SELECT touch_type, count(*) AS n_first FROM r WHERE rf = 1
-        |      GROUP BY touch_type),
-        |l AS (SELECT touch_type, count(*) AS n_last FROM r WHERE rl = 1
-        |      GROUP BY touch_type),
-        |a AS (SELECT touch_type, count(*) AS n_touch_events,
-        |        count(DISTINCT conv_id) AS n_conversions_touched
-        |      FROM p GROUP BY touch_type)
-        |SELECT a.touch_type, COALESCE(f.n_first, 0) AS n_first,
-        |  COALESCE(l.n_last, 0) AS n_last, a.n_touch_events, a.n_conversions_touched
-        |FROM a LEFT JOIN f ON f.touch_type = a.touch_type
-        |       LEFT JOIN l ON l.touch_type = a.touch_type
-        |ORDER BY a.touch_type""".stripMargin,
+    // min_by/max_by over the total (us, event_id) order; st13 emits
+    // per-conversion credit rows and aggregates to the same report
+    "e17_attribution" -> attributionSql,
+    "st13_stream_attribution" -> attributionSql,
+
 
     // EWMA replay: identical weight DOUBLES are embedded literally in
     // both plans (Java Double.toString round-trips through DuckDB's

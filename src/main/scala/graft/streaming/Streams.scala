@@ -240,6 +240,8 @@ object Streams {
   final case class FunnelReach(user_id: Long, max_stage: Long)
   final case class Scd2Closed(user_id: Long, state: String,
                               valid_from_us: Long, valid_to_us: Long)
+  final case class ConvTouch(conv_id: Long, touch_type: String, n: Long,
+                             is_first: Boolean, is_last: Boolean)
 
   /** Streaming ordered funnel — [[graft.ops.EventWindows.funnel]]'s
     * first-touch strictly-after semantics as custom keyed state: per
@@ -305,6 +307,59 @@ object Streams {
             }
           }
           cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING MULTI-TOUCH ATTRIBUTION — the incremental twin of
+    * [[graft.ops.EventWindows.attribution]]: per-user keyed state holds
+    * only the touches inside the lookback horizon (pruned against the
+    * newest event time seen, so state is bounded by per-user activity
+    * in one window, not history length), and each conversion emits its
+    * per-touch-type credit rows exactly once, at conversion time. The
+    * caller aggregates emissions to the batch operator's exact report,
+    * so st13 shares e17's oracle verbatim. Like every stateful twin,
+    * cross-batch arrival must respect event time (the staged gate does).
+    */
+  def streamAttribution(events: Dataset[FunnelEvent],
+                        convType: String = "purchase",
+                        touchTypes: Seq[String] = Seq("click", "view"),
+                        lookbackUs: Long = 168L * 3600L * 1000000L): Dataset[ConvTouch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Array[Long], Array[Long], Array[String]), ConvTouch](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[(Array[Long], Array[Long], Array[String])]) =>
+          var (tus, tid, ttp) = state.getOption
+            .getOrElse((Array.empty[Long], Array.empty[Long], Array.empty[String]))
+          var lastSeen = if (tus.isEmpty) Long.MinValue else tus.last
+          val out = Seq.newBuilder[ConvTouch]
+          rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            lastSeen = math.max(lastSeen, e.us)
+            if (touchTypes.contains(e.event_type)) {
+              tus :+= e.us; tid :+= e.event_id; ttp :+= e.event_type
+            } else if (e.event_type == convType) {
+              val lo = e.us - lookbackUs
+              val idx = tus.indices.filter(i => tus(i) < e.us && tus(i) >= lo)
+              if (idx.nonEmpty) {
+                // total (us, event_id) order — the batch min_by/max_by rule
+                val first = idx.minBy(i => (tus(i), tid(i)))
+                val last = idx.maxBy(i => (tus(i), tid(i)))
+                idx.groupBy(ttp).foreach { case (tpe, is) =>
+                  out += ConvTouch(e.event_id, tpe, is.size.toLong,
+                    ttp(first) == tpe && is.contains(first),
+                    ttp(last) == tpe && is.contains(last))
+                }
+              }
+            }
+          }
+          // prune: nothing older than the horizon can credit a future
+          // conversion (events arrive in event-time order)
+          val keep = tus.indices.filter(i => tus(i) >= lastSeen - lookbackUs)
+          state.update((keep.map(tus).toArray, keep.map(tid).toArray,
+            keep.map(ttp).toArray))
           out.result().iterator
       }
   }

@@ -355,6 +355,50 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("csv_stream_count").collect().head.getLong(0) == 3L)
   }
 
+  test("streaming attribution == batch e17 report, credit across micro-batch boundaries") {
+    import spark.implicits._
+    val d = tmpDir("sattr").resolve("events").toString
+    val ev = Tables.events(spark, sfDir)
+    val cut = "2024-01-15 22:00:00"
+    ev.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(d)
+    val early = new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet"))
+    val d2 = tmpDir("sattr_late").resolve("late").toString
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(d2)
+    val lateFile = new java.io.File(d2).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = java.nio.file.Paths.get(d, "zz_" + lateFile.getName)
+    java.nio.file.Files.move(lateFile.toPath, target)
+    early.foreach(f => f.setLastModified(target.toFile.lastModified - 60000))
+
+    val schema = spark.read.parquet(d).schema
+    val stream = Streams.parquetDirStream(spark, d, schema, maxFilesPerTrigger = 1)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[Streams.FunnelEvent]
+    Streams.runToMemory(Streams.streamAttribution(stream).toDF(), "sattr_mem",
+      OutputMode.Update())
+    val streamed = spark.table("sattr_mem").groupBy("touch_type")
+      .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("n_first"),
+           sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"),
+           sum(col("n")).as("n_touch_events"),
+           count(lit(1)).as("n_conversions_touched"))
+      .orderBy("touch_type").collect()
+    val batch = EventWindows.attribution(spark, sfDir)
+      .orderBy("touch_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+    // the boundary matters: some conversion after the cut must credit a
+    // touch before it — only the carried keyed state can know it
+    val cutUs = java.sql.Timestamp.valueOf(cut).getTime * 1000L
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val crossPairs = e.filter(col("event_type") === "purchase" && col("us") >= cutUs)
+      .join(e.filter(col("event_type").isin("click", "view") && col("us") < cutUs)
+              .select(col("user_id"), col("us").as("tus")), Seq("user_id"))
+      .filter(col("tus") < col("us") && col("tus") >= col("us") - 604800000000L)
+    assert(crossPairs.count() > 0, "no credit spans the micro-batch cut — harness degenerate")
+  }
+
   test("streaming SCD2 == batch closed intervals, closures across micro-batch boundaries") {
     import spark.implicits._
     // two time-split files, ordered mtimes → two micro-batches: every
