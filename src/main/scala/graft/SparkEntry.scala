@@ -500,7 +500,7 @@ object SparkEntry {
       graft.streaming.Streams.runToMemory(
         graft.streaming.Streams.streamScd2(ev).toDF(), mem,
         org.apache.spark.sql.streaming.OutputMode.Update())
-      s.table(mem).orderBy("user_id", "valid_from_us")
+      s.table(mem).orderBy("user_id", "valid_from_us", "state")
     }),
     // streaming attribution: per-conversion credit rows emitted at
     // conversion time, aggregated to e17's exact report (shared oracle)
@@ -2313,7 +2313,7 @@ object SparkEntry {
         |      FROM f)
         |SELECT user_id, state, valid_from_us, valid_to_us FROM g
         |WHERE valid_to_us IS NOT NULL
-        |ORDER BY user_id, valid_from_us""".stripMargin,
+        |ORDER BY user_id, valid_from_us, state""".stripMargin,
     // SCD2: change-point filter then validity intervals — both window
     // passes share one (partition, order) spec in both engines
     "e16_scd2" ->
@@ -2327,7 +2327,7 @@ object SparkEntry {
         |SELECT user_id, state, us AS valid_from_us,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
-        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
+        |FROM f ORDER BY user_id, valid_from_us, state""".stripMargin,
     // attribution: row_number argmin/argmax replays Spark's
     // min_by/max_by over the total (us, event_id) order; st13 emits
     // per-conversion credit rows and aggregates to the same report

@@ -441,7 +441,9 @@ object Analytics {
 
   private def kmvStats(sketches: DataFrame, k: Int): DataFrame = {
     val nKept = size(col("sk"))
-    val kth = element_at(col("sk"), nKept)
+    // empty sketch (empty table/group): element_at(_, 0) would throw —
+    // degrade to a null kth_min / 0.0 estimate row instead
+    val kth = when(nKept > 0, element_at(col("sk"), nKept))
     sketches.select(
       col("scope"),
       lit(k).cast("long").as("k"),

@@ -81,7 +81,12 @@ object AsOf {
     val r = right.select(
       col(rightKey).as("__k"), col(rightTime).cast("long").as("__t"),
       lit(0).as("__tag"),
-      struct(col(rightTime).cast("long").as("rt"), col(payloadCol).as("p")).as("__p"))
+      // null right payloads are SKIPPED (carry keeps the previous
+      // non-null match), preserving asofJoin's ignoreNulls semantics —
+      // wrapping unconditionally would let a null payload overwrite the
+      // carry and emit asof_age_us with a null asof_<payload>
+      when(col(payloadCol).isNotNull,
+        struct(col(rightTime).cast("long").as("rt"), col(payloadCol).as("p"))).as("__p"))
     val rAligned = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(
         l.schema(c).dataType))

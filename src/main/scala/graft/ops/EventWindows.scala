@@ -425,7 +425,10 @@ object EventWindows {
       .withColumn("valid_to_us", lead(col("us"), 1).over(byUser))
       .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
               col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from_us")
+      // `state` tiebreaker: two state changes for one user at the same
+      // microsecond (distinct event_ids) tie on (user_id, valid_from_us);
+      // the oracle SQL orders identically
+      .orderBy("user_id", "valid_from_us", "state")
   }
 
   /** Multi-touch CONVERSION ATTRIBUTION: for every `convType` event,

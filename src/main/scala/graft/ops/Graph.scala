@@ -67,6 +67,14 @@ object Graph {
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // symmetric edges ⇒ nodes = distinct src; every node has deg ≥ 1
     val nodes = Iterate.materialize(edges.select(col("src").as("v")).distinct())
+    // the integer arithmetic above is overflow-safe only while total mass
+    // N·S and the ×17 product fit a signed long — fail LOUDLY past the
+    // documented bound instead of silently wrapping (the DuckDB oracle
+    // widens to HUGEINT and would diverge, not error). nodes is already
+    // materialized, so the count is a cheap local scan.
+    val n = nodes.count()
+    require(n <= 200000L,
+      s"partPageRank integer ranks are overflow-safe for <= 200000 nodes; got $n")
 
     var ranks = nodes.select(col("v"), lit(S).as("r"))
     for (_ <- 1 to iters) {

@@ -372,10 +372,15 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        if (strict && ImageCodec.imageFeatures(bytes, dim)
-              .orElse(ImageCodec.wavFeatures(bytes, dim)).isEmpty)
-          throw new UnsupportedMediaException(id)
-        MediaFeature(id, ImageCodec.features(bytes, dim))
+        // decode once: strict rejects on a miss, lax falls back to the
+        // marked fake projection — never re-decode the same payload
+        val decoded = ImageCodec.imageFeatures(bytes, dim)
+          .orElse(ImageCodec.wavFeatures(bytes, dim))
+        decoded match {
+          case Some(f) => MediaFeature(id, f)
+          case None if strict => throw new UnsupportedMediaException(id)
+          case None => MediaFeature(id, FakeCodec.features(bytes, dim))
+        }
       })
   }
 
