@@ -337,8 +337,9 @@ object SparkEntry {
     // bucketed candidate pairs (exact-cosine verified, so every pair is
     // a TRUE >= threshold pair and the clustering is a refinement of
     // x9's — spec'd in ScaleDedupSpec with recall floors at both scales)
-    // → pointer-jumping connected components. Rows-only by design: the
-    // LSH candidate set is not SQL-replayable.
+    // → pointer-jumping connected components. Hash-gated since round 12:
+    // the whole candidate chain (integer-exact autoNbits, splitmix
+    // hyperplane weights AND sampling coin) replays in DuckDB.
     "x10_emb_dup_scale" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val pairs = Similarity.embeddingNearDup(emb, threshold = 0.42,
@@ -1094,6 +1095,47 @@ object SparkEntry {
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |      FROM s)
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Full replay of [[graft.ops.Similarity.embeddingNearDup]] — the
+    * multi-table sign-LSH candidate generator (seeds 42..42+tables−1),
+    * integer-exact auto-sized sketch width (smallest b in [8,20] with
+    * 64·2^b ≥ |corpus| — the same shift comparison as `autoNbits`, no
+    * float log), the splitmix64 over-cap sampling coin, candidate
+    * dedup, and 9dp-rounded cosine scoring. Yields CTE `pairs(id_a,
+    * id_b, sim)` — every LSH-surfaced pair at or above `threshold`.
+    * Composes into v3 (the pair list) and x10 (pairs → recursive-CTE
+    * connected components), graduating the flagship semantic-dedup
+    * scale path to an exact hash gate.
+    */
+  private def embNearDupPairCtes(threshold: Double, tables: Int = 4,
+                                 maxBucket: Long = 256L): String = {
+    val unit = unitSql(s"(42 + tbl) + bb * 1000003 + (d - 1)")
+    val coin = SqlHash.mix(s"xor(${SqlHash.mix("k.vec_id")}, k.tbl * 1000003 + k.bucket)")
+    s"""cnt AS (SELECT count(*) AS n FROM embeddings),
+       |nbq AS (SELECT LEAST(20, GREATEST(8, COALESCE(MIN(t.b), 21))) AS nbits
+       |        FROM range(0, 22) t(b), cnt WHERE (64 * (CAST(1 AS BIGINT) << t.b)) >= cnt.n),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tt AS (SELECT unnest(range(0, $tables)) AS tbl),
+       |bbs AS (SELECT unnest(range(0, (SELECT nbits FROM nbq))) AS bb),
+       |sb AS (SELECT vec_id, tbl, bb,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len(v) + 1), d -> v[d] * $unit)), (acc, x) -> acc + x) AS s
+       |  FROM e CROSS JOIN tt CROSS JOIN bbs),
+       |bk AS MATERIALIZED (SELECT vec_id, tbl,
+       |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sb GROUP BY vec_id, tbl),
+       |szs AS (SELECT tbl, bucket, count(*) AS c FROM bk GROUP BY tbl, bucket),
+       |keyed AS MATERIALIZED (SELECT k.vec_id, k.tbl, k.bucket
+       |  FROM bk k JOIN szs z ON k.tbl = z.tbl AND k.bucket = z.bucket
+       |  WHERE z.c <= $maxBucket OR ((($coin) % z.c) + z.c) % z.c < $maxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |pairs AS MATERIALIZED (SELECT id_a, id_b,
+       |  ${Num.sqlRoundTo("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))", 9)} AS sim
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)""".stripMargin +
+      s",\nkept AS (SELECT id_a, id_b, sim FROM pairs WHERE sim >= $threshold)"
+  }
 
   private def bruteTopKSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
@@ -2779,6 +2821,28 @@ object SparkEntry {
          |)
          |SELECT v AS vec_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY vec_id""".stripMargin,
+    // x10 — the flagship semantic-dedup SCALE path, hash-gated since
+    // round 12: multi-table sign-LSH candidates (the v2/v11 splitmix
+    // hyperplane replay × 4 seeded tables, integer-exact auto nbits,
+    // splitmix sampling coin) → exact-cosine verify → x9's recursive-CTE
+    // connected components over the FULL vertex set
+    "x10_emb_dup_scale" ->
+      s"""WITH ${embNearDupPairCtes(0.42)},
+         |edges AS (SELECT id_a AS v, id_b AS w FROM kept
+         |          UNION SELECT id_b, id_a FROM kept),
+         |rec AS (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT vec_id, vec_id FROM embeddings
+         |    UNION
+         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
+         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
+         |)
+         |SELECT v AS vec_id, component, CAST(v = component AS BOOLEAN) AS keep
+         |FROM rec ORDER BY vec_id""".stripMargin,
+    // v3 — the pair stage of x10 on its own, at the looser 0.35 bar
+    "v3_emb_near_dup" ->
+      s"""WITH ${embNearDupPairCtes(0.35)}
+         |SELECT id_a, id_b, sim FROM kept ORDER BY id_a, id_b""".stripMargin,
     // t12 = x5's components + t7's FNV bucket, keyed on the CANONICAL
     // doc's text — the whole point is split(doc) = split(component rep)
     "t12_leakproof_split" ->

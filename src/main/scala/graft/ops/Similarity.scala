@@ -628,13 +628,19 @@ object Similarity {
   }
 
   /** Sketch width that keeps average bucket size ≈ `targetBucket` rows:
-    * ceil(log2(n / targetBucket)) clamped to [8, 20]. A fixed nbits is a
-    * scale bug — 2^8 bucket values saturate beyond ~65k rows and every
-    * bucket blows past any sane cap; the keyspace must grow with the
-    * corpus. For parquet sources the count is a metadata-only job.
+    * the smallest b with targetBucket·2^b ≥ n (= ceil(log2(n /
+    * targetBucket))), clamped to [8, 20]. A fixed nbits is a scale bug —
+    * 2^8 bucket values saturate beyond ~65k rows and every bucket blows
+    * past any sane cap; the keyspace must grow with the corpus. For
+    * parquet sources the count is a metadata-only job.
+    *
+    * INTEGER-EXACT on purpose: a double log2 + ceil wobbles by one ulp
+    * exactly when n/targetBucket is a power of two, and the DuckDB
+    * oracle (x10) replays this width with the same integer shift
+    * comparison — both engines agree bit for bit at every n.
     */
   def autoNbits(n: Long, targetBucket: Long = 64L): Int = {
-    val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    val raw = (0 to 21).find(b => (targetBucket << b) >= n).getOrElse(21)
     math.min(20, math.max(8, raw))
   }
 
@@ -699,9 +705,14 @@ object Similarity {
       posexplode(array((0 until tables).map(t =>
         lshBucket(col(vecCol), bits, seed = 42L + t)): _*)).as(Seq("tbl", "bucket")))
     val sizes = bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+    // over-cap sampling coin: splitmix64(splitmix64(id) ^ (tbl·1000003 +
+    // bucket)) — chosen over xxhash64 so the DuckDB oracle replays the
+    // sampling decision exactly (SqlHash.mix is the same finalizer)
+    val coin = call_function("splitmix64",
+      call_function("splitmix64", col("id").cast("long"))
+        .bitwiseXOR(col("tbl").cast("long") * lit(1000003L) + col("bucket")))
     val keyed = bucketed.join(sizes, Seq("tbl", "bucket"))
-      .filter(col("bsz") <= maxBucket ||
-        pmod(xxhash64(col("id"), col("tbl"), col("bucket")), col("bsz")) < maxBucket)
+      .filter(col("bsz") <= maxBucket || pmod(coin, col("bsz")) < maxBucket)
       .drop("bsz")
     val cands = keyed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(keyed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
