@@ -804,8 +804,8 @@ object SparkEntry {
         .orderBy("label")),
     // trained-codebook IVF (Lloyd's, deterministic lowest-id init) — the
     // dominant-dimension train-free variant stays available as
-    // Similarity.ivfTopK; rows-only by design like every ANN query, the
-    // assignment step is oracle-gated separately as v10
+    // Similarity.ivfTopK; hash-gated since round 12 (the fixed-iteration
+    // Lloyd's loop replays CTE-for-CTE, trainedIvfTopKSql)
     "v4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
@@ -813,10 +813,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // multi-probe IVF: each query probes its 4 nearest cells — the
-    // nprobe recall/cost knob; corpus-side layout unchanged. Rows-only
-    // by design like the other ANN queries (recall gated in
-    // ScaleRecallSpec; nprobe=|cells| proven == brute force in
-    // SimilaritySpec)
+    // nprobe recall/cost knob; corpus-side layout unchanged. Hash-gated
+    // since round 12 like v4 (row_number <= nprobe replays the bounded
+    // heap); nprobe=|cells| additionally proven == brute force in
+    // SimilaritySpec
     "v12_ivf_multiprobe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
@@ -1135,6 +1135,74 @@ object SparkEntry {
        |  ${Num.sqlRoundTo("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))", 9)} AS sim
        |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)""".stripMargin +
       s",\nkept AS (SELECT id_a, id_b, sim FROM pairs WHERE sim >= $threshold)"
+  }
+
+  /** CTE-for-CTE replay of [[graft.ops.Similarity.trainIvfCodebook]] —
+    * Lloyd's with deterministic lowest-id init, unrolled to `iters`
+    * rounds (the n1-PageRank fixed-iteration replay pattern). Each
+    * round: 9dp-rounded squared-L2 argmin with cell-id tie-break
+    * (row_number ≡ Spark's min(struct(dist, cell))), then per-(cell,
+    * dim) decimal-exact means (`Num.sqlExactAvg`) reassembled ordered
+    * by dim and cast through REAL — the same float round-trip the
+    * engine's `.cast("float")` codebook takes, so the next round's
+    * distances see bit-identical centroids. Yields `e(vec_id, v)` and
+    * the final codebook `cb$iters(cell, cvd)` (double-promoted).
+    */
+  private def trainedIvfCtes(cells: Int = 16, iters: Int = 3): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    val init =
+      s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cvd FROM e
+         |        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $cells))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT w.vec_id, c.cell,
+         |  ${l2("w.v", "c.cvd")} AS dist FROM e w, cb${i - 1} c),
+         |r$i AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM a$i) WHERE rn = 1),
+         |m$i AS (SELECT r.cell, dd.dim, ${Num.sqlExactAvg("w.v[dd.dim + 1]")} AS mx
+         |  FROM r$i r JOIN e w ON w.vec_id = r.vec_id,
+         |       LATERAL (SELECT unnest(range(0, len(w.v))) AS dim) dd
+         |  GROUP BY r.cell, dd.dim),
+         |cb$i AS MATERIALIZED (SELECT cell,
+         |  list_transform(list(CAST(mx AS REAL) ORDER BY dim), f -> CAST(f AS DOUBLE)) AS cvd
+         |  FROM m$i GROUP BY cell)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** v4/v12 — trained-IVF ANN replay on top of [[trainedIvfCtes]]:
+    * corpus and queries argmin-assign against the trained codebook
+    * (single cell for v4; the `nprobe` nearest, row_number ≤ nprobe ≡
+    * the engine's bounded-heap `topk_by_score(−dist, cell)`, for v12),
+    * then bruteTopKSql's scoring/ranking restricted to shared cells.
+    */
+  private def trainedIvfTopKSql(nprobe: Int, iters: Int = 3): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    val qAssign =
+      if (nprobe == 1)
+        s"""qa AS (SELECT vec_id AS query_id, cell FROM (
+           |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+           |  FROM e w, cb$iters c WHERE w.vec_id % 20 = 0) WHERE rn = 1)""".stripMargin
+      else
+        s"""qa AS (SELECT vec_id AS query_id, cell FROM (
+           |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+           |  FROM e w, cb$iters c WHERE w.vec_id % 20 = 0) WHERE rn <= $nprobe)""".stripMargin
+    s"""WITH ${trainedIvfCtes(16, iters)},
+       |ca AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c) WHERE rn = 1),
+       |$qAssign,
+       |s AS (SELECT qa.query_id, ca.neighbor_id,
+       |  ${Num.sqlRoundTo("list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))", 9)} AS sim
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.query_id <> ca.neighbor_id
+       |  JOIN e q ON q.vec_id = qa.query_id JOIN e n ON n.vec_id = ca.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   private def bruteTopKSql: String =
@@ -2871,6 +2939,12 @@ object SparkEntry {
     // every 10th vector (matches Similarity.querySet's deterministic
     // stride); neighbors still come from the full corpus
     "v9_knn_sampled" -> knnEvalSql(" WHERE vec_id % 10 = 0"),
+    // trained IVF, hash-gated since round 12: Lloyd's (3 rounds,
+    // lowest-id init, decimal-exact means through a REAL round-trip)
+    // replayed CTE-for-CTE, then single-probe (v4) / 4-probe (v12)
+    // in-cell scoring with bruteTopKSql's rank rule
+    "v4_ivf_topk" -> trainedIvfTopKSql(nprobe = 1),
+    "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
     // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding
     // as Similarity.l2sq, cell-id tie-break
