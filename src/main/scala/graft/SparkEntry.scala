@@ -610,6 +610,15 @@ object SparkEntry {
     // end-to-end curation funnel: normalize → dedup → model gate →
     // chunk accounting, ONE composed lazy plan; per-source report
     "c9_corpus_pipeline" -> (TextStats.corpusPipeline(_, _)),
+    // deterministic shuffle-and-shard: seeded splitmix permutation +
+    // exact NTILE cuts via the packChunks distributed-rank discipline —
+    // the training-data handoff c9's funnel stops short of
+    "c10_shuffle_shard" -> ((s, d) =>
+      TextStats.shuffleShard(Tables.documents(s, d), nShards = 8)
+        .orderBy("doc_id")),
+    // the per-shard manifest a training job reads before touching data
+    "c11_shard_manifest" -> ((s, d) =>
+      TextStats.shardManifest(Tables.documents(s, d), nShards = 8)),
     // inverse-frequency class weights per language (mean weight 1.0)
     "t20_balance_weights" -> ((s, d) =>
       TextStats.balanceWeights(Tables.documents(s, d), "lang")
@@ -2595,6 +2604,27 @@ object SparkEntry {
          |  COALESCE(n_gated, 0) AS n_gated, COALESCE(n_chunks, 0) AS n_chunks
          |FROM r1 LEFT JOIN r2 USING (source) LEFT JOIN r3 USING (source)
          |ORDER BY r1.source""".stripMargin,
+    // c10/c11: the seeded permutation is two splitmix folds; NTILE's
+    // SQL-standard uneven-split rule (first N mod n shards get the
+    // extra doc) is exactly the engine's integer-DIV shard arithmetic
+    "c10_shuffle_shard" ->
+      s"""WITH k AS (SELECT doc_id, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents)
+         |SELECT doc_id, skey,
+         |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS rank,
+         |  CAST(ntile(8) OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shard
+         |FROM k ORDER BY doc_id""".stripMargin,
+    "c11_shard_manifest" ->
+      s"""WITH k AS (SELECT doc_id, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS rank,
+         |  CAST(ntile(8) OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shard
+         | FROM k),
+         |t AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(rank) AS rank_first, max(rank) AS rank_last
+         |FROM r JOIN t USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
     "t2_lang" -> langSql,
     "t22_bpe_merges" -> bpeMergesSql(),
     "c8_bpe_encode" -> bpeEncodeSql(),

@@ -431,6 +431,79 @@ object TextStats {
       .drop("pid", "poff")
   }
 
+  /** Deterministic corpus SHUFFLE-AND-SHARD — the last-mile operator of
+    * every training-data pipeline: impose a seeded pseudo-random global
+    * order on the curated corpus and cut it into `nShards` equal shards
+    * (sizes differ by at most one doc, larger shards first — exact
+    * SQL-standard NTILE semantics). The permutation key is
+    * splitmix64(splitmix64(doc_id) XOR seed): content-independent (a
+    * re-ingested doc keeps its slot), seed-separable (a new seed is a
+    * fresh permutation), and integer-replayable by the DuckDB oracle.
+    *
+    * Scale shape — the [[packChunks]] distributed-rank discipline,
+    * because NTILE as a bare window function is a single-task global
+    * sort: (1) range-repartition by (skey, id) so partition p holds a
+    * contiguous slice of the permutation, materialized ONCE
+    * (localCheckpoint) so the offsets branch and the main branch see
+    * the same partition assignment; (2) per-partition counts → a
+    * cluster-width offsets table (the only global window runs over
+    * that); (3) rank = partition offset + within-partition row_number,
+    * shard from rank by integer arithmetic. Every shard boundary is a
+    * pure function of (N, nShards, rank) — re-sharding with a different
+    * partition count reproduces the identical assignment (spec-pinned).
+    */
+  def shuffleShard(df: DataFrame, nShards: Int, seed: Long = 42L,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol),
+      call_function("splitmix64",
+        call_function("splitmix64", col(idCol).cast("long")).bitwiseXOR(lit(seed)))
+        .as("skey"))
+    val sorted = keyed.repartitionByRange(col("skey"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(
+        sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "poff")
+    val total = sorted.agg(count(lit(1)).as("n_total"))
+    val within = Window.partitionBy("pid").orderBy(col("skey"), col(idCol))
+    // NTILE(nShards) on 0-based rank i over N rows: the first N mod
+    // nShards shards carry ceil(N/nShards) docs, the rest floor — all
+    // integer DIV/%, so any engine reproduces the cut points exactly;
+    // greatest(base, 1) guards the (never-taken) N < nShards branch
+    sorted.join(broadcast(offsets), "pid")
+      .withColumn("rank", (col("poff") + row_number().over(within) - 1).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("shard", expr(
+        s"""CAST(CASE
+           |  WHEN rank < (n_total % $nShards) * ((n_total DIV $nShards) + 1)
+           |  THEN rank DIV ((n_total DIV $nShards) + 1)
+           |  ELSE (n_total % $nShards) +
+           |    (rank - (n_total % $nShards) * ((n_total DIV $nShards) + 1))
+           |      DIV greatest(n_total DIV $nShards, 1)
+           |END AS BIGINT)""".stripMargin))
+      .select(col(idCol), col("skey"), col("rank"), col("shard"))
+  }
+
+  /** Per-shard MANIFEST for [[shuffleShard]] — the handoff artifact a
+    * training job reads before touching data: doc and token counts plus
+    * the rank span of every shard. One groupBy over the assignment
+    * joined to the map-only token count; O(nShards) output rows.
+    */
+  def shardManifest(df: DataFrame, nShards: Int, seed: Long = 42L,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    shuffleShard(df, nShards, seed, idCol)
+      .join(toks, idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+           min(col("rank")).as("rank_first"), max(col("rank")).as("rank_last"))
+      .orderBy("shard")
+  }
+
   /** Bigram language-model cross-entropy per document — the CCNet-style
     * quality signal: train an add-k-smoothed bigram LM on the corpus and
     * score each doc by the mean negative log-probability of its bigrams

@@ -507,4 +507,46 @@ class TextStatsSpec extends SparkSpec {
     val meanSampled = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
     assert(meanSampled > meanAll, s"sampled mean $meanSampled vs corpus $meanAll")
   }
+
+  test("shuffleShard: exact NTILE cuts, re-shard stability, seed separability, manifest conservation") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val nShards = 8
+    val out = TextStats.shuffleShard(docs, nShards).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("skey"),
+                 r.getAs[Long]("rank"), r.getAs[Long]("shard")))
+    assert(out.length == n)
+    // ranks are a permutation of 0..N-1 following (skey, doc_id) order
+    assert(out.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    val byRank = out.sortBy(_._3)
+    assert(byRank.map(r => (r._2, r._1)).toSeq == out.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    // NTILE: sizes differ by at most one, larger shards first, contiguous
+    val sizes = out.groupBy(_._4).view.mapValues(_.length).toMap
+    val (base, rem) = (n / nShards, n % nShards)
+    (0 until nShards).foreach { s =>
+      val want = if (s < rem) base + 1 else base
+      assert(sizes.getOrElse(s.toLong, 0) == want, s"shard $s size")
+    }
+    // shard is monotone in rank (contiguous rank spans per shard)
+    assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.toSeq)
+    // RE-SHARD STABILITY: the assignment is a pure function of
+    // (doc_id, seed, N, nShards) — any input partitioning reproduces it
+    val re = TextStats.shuffleShard(docs.repartition(13), nShards).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"), r.getAs[Long]("shard")))
+      .sortBy(_._1)
+    assert(re.toSeq == out.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq)
+    // a different seed is a genuinely different permutation
+    val other = TextStats.shuffleShard(docs, nShards, seed = 7L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).sortBy(_._1)
+    assert(other.map(_._2).toSeq != out.map(r => (r._1, r._3)).sortBy(_._1).map(_._2).toSeq)
+    // manifest: doc/token totals conserved, rank spans tile 0..N-1
+    val man = TextStats.shardManifest(docs, nShards).collect()
+    assert(man.map(_.getAs[Long]("n_docs")).sum == n)
+    val totTok = docs.select(TextStats.tokenCount(col("text")).cast("long")).as[Long].collect().sum
+    assert(man.map(_.getAs[Long]("n_tokens")).sum == totTok)
+    val spans = man.sortBy(_.getAs[Long]("shard"))
+      .map(r => (r.getAs[Long]("rank_first"), r.getAs[Long]("rank_last")))
+    assert(spans.head._1 == 0L && spans.last._2 == n - 1)
+    spans.sliding(2).foreach { case Array((_, l), (f, _)) => assert(f == l + 1); case _ => }
+  }
 }
