@@ -585,6 +585,11 @@ object SparkEntry {
     // rewritten k times
     "c8_bpe_encode" -> ((s, d) =>
       TextStats.bpeEncode(Tables.documents(s, d), stagedBpeMerges(s, d))),
+    // unigram-LM tokenizer induction (SentencePiece-style Viterbi
+    // hard-EM): substring seed vocab → 2 EM rounds of ML segmentation
+    // over the DISTINCT word table → integer recounts → prune
+    "t25_unigram_vocab" -> ((s, d) =>
+      TextStats.unigramVocab(Tables.documents(s, d))),
     // DSIR-style importance weights: hashed-unigram bucket features,
     // target-vs-raw smoothed log-ratio, exact-DECIMAL per-doc sums
     "t23_importance" -> ((s, d) =>
@@ -1212,6 +1217,69 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM s)
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full replay of [[graft.ops.TextStats.unigramVocab]] — Viterbi
+    * hard-EM unigram-LM induction, unrolled CTE-for-CTE: word counts →
+    * substring seed vocab (top-N + all single chars) → per round, the
+    * per-word Viterbi DP one level per consumed-prefix length
+    * (row_number(sc DESC, i0 DESC) ≡ the engine's max_by tie-break;
+    * scores are IEEE products of c/T divisions, bit-identical in both
+    * engines) → integer piece recounts → final prune. 24 DP levels at
+    * the default (2 rounds × maxWordLen 12).
+    */
+  private def unigramVocabSql(seedTop: Int = 64, keepTop: Int = 48,
+                              maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                              emRounds: Int = 2): String = {
+    val prelude =
+      s"""w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents)
+         |  WHERE len(w) <= $maxWordLen GROUP BY w),
+         |subs AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+         |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, n
+         |  FROM w0,
+         |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) ii,
+         |    LATERAL (SELECT unnest(range(1, least($maxPieceLen, len(w) - i + 1) + 1)) AS l) ll)
+         |  GROUP BY piece),
+         |chars AS (SELECT piece, c FROM subs WHERE len(piece) = 1),
+         |top0 AS (SELECT piece, c FROM subs ORDER BY c DESC, piece LIMIT $seedTop),
+         |p0 AS MATERIALIZED (SELECT piece, c FROM top0 UNION ALL
+         |  SELECT piece, c FROM chars WHERE piece NOT IN (SELECT piece FROM top0))""".stripMargin
+    val rounds = (1 to emRounds).map { r =>
+      val model = if (r == 1) "p0" else s"p${r - 1}"
+      val pc =
+        s"""pc$r AS MATERIALIZED (SELECT piece,
+           |  CAST(c AS DOUBLE) / (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) FROM $model) AS p
+           |  FROM $model),
+           |st${r}_0 AS (SELECT w, n, 0 AS i, CAST(1.0 AS DOUBLE) AS score,
+           |  CAST([] AS VARCHAR[]) AS seg FROM w0)""".stripMargin
+      val levels = (1 to maxWordLen).map { j =>
+        s"""cand${r}_$j AS (SELECT s.w, s.n, s.score * p.p AS sc, s.i AS i0,
+           |  list_append(s.seg, p.piece) AS pa
+           |  FROM st${r}_${j - 1} s JOIN pc$r p
+           |    ON p.piece = substr(s.w, CAST(s.i + 1 AS INT), CAST($j - s.i AS INT))
+           |  WHERE s.i < $j AND s.i >= $j - $maxPieceLen AND len(s.w) >= $j),
+           |best${r}_$j AS (SELECT w, n, $j AS i, sc AS score, pa AS seg FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY sc DESC, i0 DESC) AS rn
+           |  FROM cand${r}_$j) WHERE rn = 1),
+           |st${r}_$j AS (SELECT w, n, i, score, seg FROM st${r}_${j - 1} UNION ALL
+           |  SELECT w, n, i, score, seg FROM best${r}_$j)""".stripMargin
+      }
+      val close =
+        s"""fin$r AS (SELECT n, unnest(seg) AS piece FROM st${r}_$maxWordLen WHERE i = len(w)),
+           |nc$r AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM fin$r GROUP BY piece),
+           |p$r AS MATERIALIZED (SELECT piece, c FROM nc$r UNION ALL
+           |  SELECT piece, CAST(0 AS BIGINT) AS c FROM chars
+           |  WHERE piece NOT IN (SELECT piece FROM nc$r))""".stripMargin
+      (pc +: levels :+ close).mkString(",\n")
+    }
+    val finalModel = s"p$emRounds"
+    s"""WITH ${(prelude +: rounds).mkString(",\n")},
+       |topf AS (SELECT piece, c FROM $finalModel ORDER BY c DESC, piece LIMIT $keepTop),
+       |vocab AS (SELECT piece, c FROM topf UNION ALL
+       |  SELECT piece, c FROM $finalModel
+       |  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM topf))
+       |SELECT piece, c AS n_piece FROM vocab ORDER BY n_piece DESC, piece""".stripMargin
   }
 
   private def bruteTopKSql: String =
@@ -2626,6 +2694,7 @@ object SparkEntry {
          |  min(rank) AS rank_first, max(rank) AS rank_last
          |FROM r JOIN t USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
     "t2_lang" -> langSql,
+    "t25_unigram_vocab" -> unigramVocabSql(),
     "t22_bpe_merges" -> bpeMergesSql(),
     "c8_bpe_encode" -> bpeEncodeSql(),
     "t23_importance" -> importanceSql(),

@@ -431,6 +431,113 @@ object TextStats {
       .drop("pid", "poff")
   }
 
+  /** UNIGRAM-LM tokenizer induction (SentencePiece-style), the other
+    * half of production tokenization next to [[bpeMerges]]: seed a
+    * substring vocabulary from the corpus word counts, then run a fixed
+    * number of EM rounds — the VITERBI (hard-EM) variant: the E-step
+    * segments every distinct word by its maximum-likelihood piece
+    * sequence under the current model, the M-step re-estimates piece
+    * counts from those segmentations, and a final prune keeps the
+    * `keepTop` highest-count pieces (single characters always survive,
+    * so the model stays able to segment anything).
+    *
+    * Every step is engine-exact, which is what buys the DuckDB hash
+    * gate: piece counts are INTEGERS; piece probabilities are single
+    * IEEE divisions c/T; the per-word Viterbi DP multiplies doubles in
+    * a fixed left-to-right recurrence (no transcendentals, no
+    * accumulation-order ambiguity — products and comparisons are
+    * bit-identical in any IEEE engine); argmax ties break on the later
+    * split point (the shorter last piece), a total order because one
+    * (i, j) pair names exactly one piece. Hard-EM (not forward-backward
+    * posteriors) is the deliberate choice: expected counts would be
+    * corpus-order-dependent doubles needing lossy decimal rounding,
+    * while Viterbi counts replay exactly.
+    *
+    * Scale shape: the model fits on the DISTINCT word-count table (the
+    * [[bpeMerges]] discipline — induction cost scales with |vocab|,
+    * never corpus tokens). One hash exchange per DP level on that
+    * table, pieces ride a broadcast; words longer than `maxWordLen`
+    * are excluded from INDUCTION (documented, replayed by the oracle) —
+    * they would only stretch the DP tail for vanishing count mass.
+    */
+  def unigramVocab(df: DataFrame, seedTop: Int = 64, keepTop: Int = 48,
+                   maxPieceLen: Int = 4, maxWordLen: Int = 12, emRounds: Int = 2,
+                   textCol: String = "text"): DataFrame = {
+    require(seedTop > 0 && keepTop > 0 && maxPieceLen > 0 && emRounds >= 0,
+      "unigramVocab params must be positive")
+    val words = Iterate.materialize(
+      df.select(explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+        .filter(length(col("w")) <= maxWordLen)
+        .groupBy("w").agg(count(lit(1)).as("n")))
+    // seed candidates: every substring of length 1..maxPieceLen, counted
+    // once per occurrence position per word weighted by the word count
+    val subs = words
+      .select(col("w"), col("n"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("n"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("n"))
+      .groupBy("piece").agg(sum(col("n")).as("c"))
+    val subsM = Iterate.materialize(subs)
+    val chars = subsM.filter(length(col("piece")) === 1)
+    def withSingles(top: DataFrame): DataFrame =
+      top.unionByName(
+        chars.join(top.select("piece"), Seq("piece"), "left_anti"))
+    var pieces = Iterate.materialize(withSingles(
+      subsM.orderBy(col("c").desc, col("piece")).limit(seedTop)))
+
+    for (_ <- 1 to emRounds) {
+      val tot = pieces.agg(sum(col("c")).as("t"))
+      val pc = broadcast(pieces.crossJoin(broadcast(tot))
+        .select(col("piece"), (col("c").cast("double") / col("t").cast("double")).as("p")))
+      // Viterbi DP, one level per consumed-prefix length j: state (w, n,
+      // i, score, seg) = best segmentation of w's first i chars. Each
+      // level is MATERIALIZED (the Iterate discipline): a lazy
+      // self-union would re-execute every shared prefix subtree once
+      // per downstream reference — exponential recompute by level 12.
+      // Only the last maxPieceLen levels stay live (the DP frontier).
+      val init = Iterate.materialize(words.repartition(col("w"))
+        .select(col("w"), col("n"), lit(0).as("i"), lit(1.0).as("score"),
+          array().cast("array<string>").as("seg")))
+      var frontier = Vector(init)
+      val finals = Vector.newBuilder[DataFrame]
+      finals += init.filter(length(col("w")) === 0)
+      for (j <- 1 to maxWordLen) {
+        val cand = frontier.map(_
+            .filter(col("i") < j && col("i") >= j - maxPieceLen && length(col("w")) >= j))
+          .reduce(_ unionAll _)
+          .withColumn("piece", col("w").substr(col("i") + 1, lit(j) - col("i")))
+          .join(pc, "piece")
+          .select(col("w"), col("n"), (col("score") * col("p")).as("sc"),
+            col("i").as("i0"), concat(col("seg"), array(col("piece"))).as("pa"))
+        // (sc desc, i0 desc) is total: one (i0, j) names one piece, so
+        // two candidates never tie on the pair — later split point wins
+        val best = Iterate.materialize(cand.groupBy("w", "n").agg(
+          max_by(struct(col("sc"), col("pa")), struct(col("sc"), col("i0"))).as("b"))
+          .select(col("w"), col("n"), lit(j).as("i"),
+            col("b.sc").as("score"), col("b.pa").as("seg")))
+        finals += best.filter(length(col("w")) === j)
+        frontier = (frontier :+ best).takeRight(maxPieceLen)
+      }
+      val fin = finals.result().reduce(_ unionAll _)
+      val newCounts = fin.select(col("n"), explode(col("seg")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("c"))
+      // single chars stay in the model at zero count — segmentability
+      pieces = Iterate.materialize(
+        newCounts.unionByName(
+          chars.select(col("piece"), lit(0L).as("c"))
+            .join(newCounts.select("piece"), Seq("piece"), "left_anti")))
+    }
+    // final prune: single chars re-enter with their CURRENT model count
+    // (pieces always contains every seed char by the round-end union)
+    val top = pieces.orderBy(col("c").desc, col("piece")).limit(keepTop)
+    top.unionByName(
+        pieces.filter(length(col("piece")) === 1)
+          .join(top.select("piece"), Seq("piece"), "left_anti"))
+      .select(col("piece"), col("c").as("n_piece"))
+      .orderBy(col("n_piece").desc, col("piece"))
+  }
+
   /** Deterministic corpus SHUFFLE-AND-SHARD — the last-mile operator of
     * every training-data pipeline: impose a seeded pseudo-random global
     * order on the curated corpus and cut it into `nShards` equal shards

@@ -508,6 +508,39 @@ class TextStatsSpec extends SparkSpec {
     assert(meanSampled > meanAll, s"sampled mean $meanSampled vs corpus $meanAll")
   }
 
+  test("unigramVocab: toy exactness, char conservation, determinism under repartition") {
+    // ab(×3), b(×1): seed T=10 with p(a)=.3 p(b)=.4 p(ab)=.3; Viterbi
+    // picks ab over a·b (0.3 > 0.12), so counts converge to ab=3, b=1,
+    // a=0 — the single char survives at zero count
+    val toy = Seq((1L, "ab ab ab b")).toDF("doc_id", "text")
+    val v = TextStats.unigramVocab(toy).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("ab", 3L), ("b", 1L), ("a", 0L)))
+
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.unigramVocab(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // every single char of every (length-capped) word survives pruning
+    val chars = docs.select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+      .filter(length(col("w")) <= 12)
+      .select(explode(split(col("w"), "")).as("ch")).distinct()
+      .as[String].collect().toSet
+    assert(chars.subsetOf(out.map(_._1).toSet))
+    // character mass is conserved pre-prune: every word's best
+    // segmentation covers it, so Σ c·len(piece) = Σ n_w·len(w)
+    val full = TextStats.unigramVocab(docs, keepTop = 100000).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wordMass = docs
+      .select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+      .filter(length(col("w")) <= 12)
+      .select(length(col("w")).cast("long")).as[Long].collect().sum
+    assert(full.map { case (p, c) => c * p.length }.sum == wordMass)
+    // deterministic under any input partitioning
+    val re = TextStats.unigramVocab(docs.repartition(17)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("shuffleShard: exact NTILE cuts, re-shard stability, seed separability, manifest conservation") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
