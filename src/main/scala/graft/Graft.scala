@@ -192,7 +192,9 @@ object Graft {
 
   /** Real multimodal feature extraction ([[ops.Multimodal.extractFeatures]]):
     * PNG/JPEG grid-RGB color layout, WAV windowed RMS — output shaped
-    * like the embeddings table for the similarity ops above. */
+    * like the embeddings table for the similarity ops above. STRICT by
+    * default: an undecodable payload raises the typed error rather than
+    * silently producing a fake vector. */
   def mediaFeatures(media: DataFrame, dim: Int = 64): DataFrame =
     ops.Multimodal.extractFeatures(media, dim).toDF()
 

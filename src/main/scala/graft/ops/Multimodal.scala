@@ -358,15 +358,16 @@ object Multimodal {
     * exactly like the `embeddings` table for downstream similarity ops.
     * Real for decodable media ([[ImageCodec.features]]: grid-RGB color
     * layout for images, windowed PCM RMS for wav). For unidentifiable
-    * blobs: `strict = false` (default) applies the clearly-marked
-    * deterministic fake projection; `strict = true` raises the typed
-    * [[UnsupportedMediaException]] instead — the production setting,
+    * blobs: `strict = true` (the DEFAULT — the production setting,
     * where an undecodable payload is a data-quality incident, not a
-    * silent feature vector. A learned embedding model would slot in
-    * here — same signature, same partition shape.
+    * silent feature vector) raises the typed
+    * [[UnsupportedMediaException]]; the clearly-marked deterministic
+    * fake projection exists only behind an explicit `strict = false`
+    * opt-out (pipeline-shape testing). A learned embedding model would
+    * slot in here — same signature, same partition shape.
     */
   def extractFeatures(media: DataFrame, dim: Int = 64,
-                      strict: Boolean = false): Dataset[MediaFeature] = {
+                      strict: Boolean = true): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))

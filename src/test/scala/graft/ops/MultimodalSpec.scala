@@ -57,7 +57,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures yields fixed-dim float vectors") {
-    val f = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir), dim = 16)
+    // text-blob fixture is not decodable media — the fake-projection
+    // shape test needs the explicit lenient opt-out
+    val f = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir),
+      dim = 16, strict = false)
     val rows = f.collect()
     assert(rows.forall(_.feature.length == 16))
     assert(rows.forall(_.feature.forall(v => v >= -1.0f && v <= 1.0f)))
@@ -176,19 +179,20 @@ class MultimodalSpec extends SparkSpec {
 
   test("strict feature extraction: real media passes untouched, garbage raises the typed error") {
     import spark.implicits._
-    // the encoded-media fixture is fully decodable: strict == default
+    // the encoded-media fixture is fully decodable: strict (the
+    // default) == explicit lenient, and no FakeCodec branch runs
     val real = Multimodal.imageTable(spark, sfDir)
-    val strictRows = Multimodal.extractFeatures(real, strict = true)
+    val strictRows = Multimodal.extractFeatures(real)
       .collect().map(f => f.media_id -> f.feature.toSeq).toMap
-    val laxRows = Multimodal.extractFeatures(real)
+    val laxRows = Multimodal.extractFeatures(real, strict = false)
       .collect().map(f => f.media_id -> f.feature.toSeq).toMap
     assert(strictRows == laxRows && strictRows.nonEmpty)
-    // an unidentifiable blob: lax falls back deterministically, strict
-    // raises UnsupportedMediaException with the offending id
+    // an unidentifiable blob: the DEFAULT raises UnsupportedMediaException
+    // with the offending id; only the explicit opt-out falls back
     val garbage = Seq((99L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
-    assert(Multimodal.extractFeatures(garbage).collect().length == 1)
+    assert(Multimodal.extractFeatures(garbage, strict = false).collect().length == 1)
     val e = intercept[org.apache.spark.SparkException] {
-      Multimodal.extractFeatures(garbage, strict = true).collect()
+      Multimodal.extractFeatures(garbage).collect()
     }
     def causes(t: Throwable): Iterator[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
