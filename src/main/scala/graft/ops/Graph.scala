@@ -58,38 +58,47 @@ object Graph {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct())
-    val edges = Iterate.materialize(
+    val edges0 = Iterate.materialize(
       lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") =!= col("pk2"))
         .select(col("pk").as("src"), col("pk2").as("dst"))
         .distinct())
-    val deg = Iterate.materialize(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    // symmetric edges ⇒ nodes = distinct src; every node has deg ≥ 1
-    val nodes = Iterate.materialize(edges.select(col("src").as("v")).distinct())
-    // the integer arithmetic above is overflow-safe only while total mass
-    // N·S and the ×17 product fit a signed long — fail LOUDLY past the
+    // symmetric edges ⇒ nodes = distinct src; every node has deg ≥ 1 —
+    // one aggregation yields nodes AND degrees
+    val nodes = Iterate.materialize(
+      edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("v"), col("deg")))
+    // the integer arithmetic is overflow-safe only while total mass N·S
+    // and the ×17 product fit a signed long — fail LOUDLY past the
     // documented bound instead of silently wrapping (the DuckDB oracle
     // widens to HUGEINT and would diverge, not error). nodes is already
     // materialized, so the count is a cheap local scan.
     val n = nodes.count()
     require(n <= 200000L,
       s"partPageRank integer ranks are overflow-safe for <= 200000 nodes; got $n")
+    // fold the out-degree INTO the edge table once at setup (map-side
+    // broadcast join — nodes is within the guarded bound) — each
+    // iteration then needs a single join instead of edges ⋈ ranks ⋈ deg
+    val edges = Iterate.materialize(
+      edges0.join(broadcast(nodes.select(col("v").as("src"), col("deg"))), "src"))
 
+    // the n ≤ 200k bound that makes the arithmetic overflow-safe ALSO
+    // makes the per-round rank state broadcastable by construction, so
+    // each iteration is ONE shuffle (the inflow groupBy) — the
+    // rank-onto-edges join and the node left join are both map-side
     var ranks = nodes.select(col("v"), lit(S).as("r"))
     for (_ <- 1 to iters) {
       val inflow = edges
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg, "src")
+        .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = Iterate.materialize(
-        nodes.join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        nodes.join(broadcast(inflow.withColumnRenamed("dst", "v")), Seq("v"), "left")
           .select(col("v"),
                   (lit(BaseShare) +
                     expr(s"(coalesce(s, 0L) * $DampNum) DIV $DampDen")).as("r")))
     }
-    ranks.join(deg.withColumnRenamed("src", "v"), "v")
+    ranks.join(broadcast(nodes), "v")
       .select(col("v").as("l_partkey"), col("deg").as("n_copurchase"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("l_partkey"))
       .limit(topN)
@@ -131,26 +140,30 @@ object Graph {
         .filter(col("pk") < col("pk2"))
         .select(col("pk").as("a"), col("pk2").as("b"))
         .distinct())
-    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    // node count is capped by maxPart, so the degree table broadcasts —
+    // the orientation pass is map-side, no shuffle of the edge set
+    val deg = Iterate.materialize(
+      und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
     // orient by (degree, id): lower endpoint → higher endpoint
     val oriented = Iterate.materialize(
-      und.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      und.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
         .select(
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             struct(col("a").as("src"), col("b").as("dst")))
             .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    // wedges at the pivot (two out-edges), closed iff (w1, w2) is itself
-    // an oriented edge — each triangle counted once at its min vertex
+    // wedges at the pivot (two out-edges), closed iff the endpoint pair
+    // is itself an edge — each triangle counted once at its min vertex.
+    // Wedge endpoints keep (dst < dst2) canonical id order, so the
+    // closure check is a semi-join against the CANONICAL undirected set
+    // directly: half the build side a both-directions union would carry
     val wedges = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))
-    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
-      .unionAll(oriented.select(col("dst").as("x"), col("src").as("y")))
     val triangles = wedges
-      .join(closing, col("dst") === col("x") && col("dst2") === col("y"), "left_semi")
+      .join(und, col("dst") === col("a") && col("dst2") === col("b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
