@@ -751,4 +751,141 @@ object Analytics {
            exactSum(col("c_acctbal")).as("total_bal"))
       .orderBy("nation")
   }
+
+  // ---- partsupp suite (TPC-H Q2/Q11/Q16/Q20 shapes) ------------------
+  //
+  // The driver's fixtures ship no partsupp table, so these run on
+  // self-generated dirs ([[graft.tools.GenData.partsupp]], public TPC-H
+  // schema) and are gated by PartsuppSpec against independent SQL-text
+  // references rather than the DuckDB oracle. DataFrame-parameterized so
+  // specs and future dirs feed them directly; the `dir` wrappers load
+  // via [[Tables]].
+
+  /** Minimum-cost supplier (TPC-H Q2 shape): for the filtered part
+    * slice, the region's suppliers offering exactly the per-part minimum
+    * supply cost. The min-cost table is a groupBy on ps_partkey and the
+    * "cost = min" match is an equi-join on (partkey, cost) — both
+    * shuffles share the partkey key (exchange reuse); nation/region and
+    * the filtered part slice broadcast, so partsupp shuffles once.
+    */
+  def q2MinCostSupplier(partsupp: DataFrame, part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame,
+                        size: Int = 15, ptype: String = "STANDARD",
+                        regionName: String = "EUROPE", k: Int = 100): DataFrame = {
+    val parts = part.filter(col("p_size") === size && col("p_type") === ptype)
+      .select("p_partkey", "p_name")
+    val regionSupp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val eligible = partsupp
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    eligible.join(minCost,
+        col("ps_partkey") === col("mk") && col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+              col("p_partkey"), col("p_name"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(k)
+  }
+
+  /** Important stock identification (TPC-H Q11 shape): per-part stock
+    * value held by one nation's suppliers, kept where it exceeds
+    * `fraction` of that nation's total. The national supplier set
+    * broadcasts into partsupp (one shuffle for the per-part groupBy);
+    * the grand total is a one-row broadcast — no second pass over
+    * partsupp, the per-part table re-aggregates to the total.
+    */
+  def q11ImportantStock(partsupp: DataFrame, supplier: DataFrame, nation: DataFrame,
+                        nationName: String = "NATION_7",
+                        fraction: Double = 0.0001): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName).select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = partsupp
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(exactSum(col("ps_supplycost") * col("ps_availqty")).as("stock_value"))
+    val total = perPart.agg(exactSum(col("stock_value")).as("total_value"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("stock_value") > col("total_value") * fraction)
+      .select(col("ps_partkey"), col("stock_value"))
+      .orderBy(col("stock_value").desc, col("ps_partkey"))
+  }
+
+  /** Parts/supplier relationship count (TPC-H Q16 shape): distinct
+    * suppliers per (brand, type, size) bucket for the complement of a
+    * part slice, excluding a flagged supplier set — the NOT IN becomes
+    * a broadcast LEFT ANTI join (the fixtures carry no free-text
+    * supplier comments, so "complaints" = negative account balance;
+    * the anti-join shape is the point). One shuffle: the distinct
+    * aggregation on the group keys.
+    */
+  def q16SupplierCount(partsupp: DataFrame, part: DataFrame, supplier: DataFrame,
+                       excludeBrand: String = "Brand#5", excludeType: String = "PROMO",
+                       sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand &&
+              !col("p_type").startsWith(excludeType) &&
+              col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    partsupp
+      .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Potential part promotion (TPC-H Q20 shape): suppliers in one
+    * nation holding more than half a year's shipped quantity of any
+    * name-matched part. The year's lineitem collapses to per-(part,
+    * supplier) quantity sums BEFORE joining partsupp (the z2 partial-
+    * aggregation-below-join lever); the part-name slice and the nation
+    * broadcast; the surviving supplier set reaches supplier as a
+    * broadcast LEFT SEMI.
+    */
+  def q20PromotionSuppliers(partsupp: DataFrame, part: DataFrame, supplier: DataFrame,
+                            nation: DataFrame, lineitem: DataFrame,
+                            namePrefix: String = "green",
+                            nationName: String = "NATION_3"): DataFrame = {
+    val parts = part.filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(exactSum(col("l_quantity")).as("year_qty"))
+    val heavy = partsupp
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("double") > col("year_qty") * 0.5)
+      .select(col("ps_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName).select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_name")
+  }
+
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    q2MinCostSupplier(Tables.load(spark, dir, "partsupp"), Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame =
+    q11ImportantStock(Tables.load(spark, dir, "partsupp"),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir))
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame =
+    q16SupplierCount(Tables.load(spark, dir, "partsupp"), Tables.part(spark, dir),
+      Tables.supplier(spark, dir))
+  def q20PromotionSuppliers(spark: SparkSession, dir: String): DataFrame =
+    q20PromotionSuppliers(Tables.load(spark, dir, "partsupp"), Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir), Tables.lineitem(spark, dir))
 }

@@ -142,6 +142,24 @@ object GenData {
         .as("l_shipdate"))
   }
 
+  /** TPC-H partsupp (public schema: Specification 4.2.2, table layouts):
+    * 4 suppliers per part via a collision-free stride — (partkey + 1 +
+    * i·⌊nSupp/4⌋) mod nSupp yields 4 DISTINCT suppkeys whenever
+    * nSupp ≥ 4, so (ps_partkey, ps_suppkey) is a genuine primary key.
+    * The driver's fixtures don't ship this table; q2/q11/q16/q20 run on
+    * self-generated dirs only.
+    */
+  def partsupp(s: SparkSession, nPart: Long, nSupp: Long): DataFrame = {
+    val pk = (col("id") / 4).cast("long")
+    val i = col("id") % 4
+    val stride = math.max(1L, nSupp / 4L)
+    s.range(nPart * 4).select(
+      pk.as("ps_partkey"),
+      pmod(pk + 1 + i * stride, lit(nSupp)).as("ps_suppkey"),
+      (uniInt(col("id"), "pq", 9999) + 1).cast("int").as("ps_availqty"),
+      round(lit(1.0) + u01(col("id"), "pc") * 999.0, 2).as("ps_supplycost"))
+  }
+
   def events(s: SparkSession, n: Long, nUsers: Long): DataFrame =
     s.range(n).select(
       col("id").as("event_id"),
@@ -223,6 +241,7 @@ object GenData {
     write("part", part(spark, nPart), 4)
     write("orders", orders(spark, nOrders, nCust), 8)
     write("lineitem", lineitem(spark, nLine, nOrders, nPart, nSupp), 16)
+    write("partsupp", partsupp(spark, nPart, nSupp), 4)
     write("events", events(spark, nEvents, nUsers), 8)
     write("documents", documents(spark, nDocs), 4)
     write("embeddings", embeddings(spark, nEmb), 4)
