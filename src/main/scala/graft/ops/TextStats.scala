@@ -492,13 +492,18 @@ object TextStats {
         .select(col("piece"), (col("c").cast("double") / col("t").cast("double")).as("p")))
       // Viterbi DP, one level per consumed-prefix length j: state (w, n,
       // i, score, seg) = best segmentation of w's first i chars. Each
-      // level is MATERIALIZED (the Iterate discipline): a lazy
-      // self-union would re-execute every shared prefix subtree once
-      // per downstream reference — exponential recompute by level 12.
-      // Only the last maxPieceLen levels stay live (the DP frontier).
-      val init = Iterate.materialize(words.repartition(col("w"))
+      // level gets a LAZY localCheckpoint: the logical plan truncates
+      // IMMEDIATELY (a later level references up to maxPieceLen earlier
+      // ones — with embedded lineage the plan tree grows ~4^level and
+      // OOMs the driver by level 12; a cache alone does not cut the
+      // tree), while the checkpoint itself materializes on the round's
+      // ONE action, each level computed exactly once and shared — none
+      // of the 2·maxWordLen eager per-level jobs an eager checkpoint
+      // would schedule. Only the last maxPieceLen levels stay live.
+      val init = words.repartition(col("w"))
         .select(col("w"), col("n"), lit(0).as("i"), lit(1.0).as("score"),
-          array().cast("array<string>").as("seg")))
+          array().cast("array<string>").as("seg"))
+        .localCheckpoint(eager = false)
       var frontier = Vector(init)
       val finals = Vector.newBuilder[DataFrame]
       finals += init.filter(length(col("w")) === 0)
@@ -512,14 +517,15 @@ object TextStats {
             col("i").as("i0"), concat(col("seg"), array(col("piece"))).as("pa"))
         // (sc desc, i0 desc) is total: one (i0, j) names one piece, so
         // two candidates never tie on the pair — later split point wins
-        val best = Iterate.materialize(cand.groupBy("w", "n").agg(
+        val best = cand.groupBy("w", "n").agg(
           max_by(struct(col("sc"), col("pa")), struct(col("sc"), col("i0"))).as("b"))
           .select(col("w"), col("n"), lit(j).as("i"),
-            col("b.sc").as("score"), col("b.pa").as("seg")))
+            col("b.sc").as("score"), col("b.pa").as("seg"))
+          .localCheckpoint(eager = false)
         finals += best.filter(length(col("w")) === j)
         frontier = (frontier :+ best).takeRight(maxPieceLen)
       }
-      val fin = finals.result().reduce(_ unionAll _)
+      val fin = Iterate.materialize(finals.result().reduce(_ unionAll _))
       val newCounts = fin.select(col("n"), explode(col("seg")).as("piece"))
         .groupBy("piece").agg(sum(col("n")).as("c"))
       // single chars stay in the model at zero count — segmentability
