@@ -1251,7 +1251,7 @@ object SparkEntry {
         s"""pc$r AS MATERIALIZED (SELECT piece,
            |  CAST(c AS DOUBLE) / (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) FROM $model) AS p
            |  FROM $model),
-           |st${r}_0 AS (SELECT w, n, 0 AS i, CAST(1.0 AS DOUBLE) AS score,
+           |st${r}_0 AS MATERIALIZED (SELECT w, n, 0 AS i, CAST(1.0 AS DOUBLE) AS score,
            |  CAST([] AS VARCHAR[]) AS seg FROM w0)""".stripMargin
       val levels = (1 to maxWordLen).map { j =>
         s"""cand${r}_$j AS (SELECT s.w, s.n, s.score * p.p AS sc, s.i AS i0,
@@ -1262,7 +1262,7 @@ object SparkEntry {
            |best${r}_$j AS (SELECT w, n, $j AS i, sc AS score, pa AS seg FROM (
            |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY sc DESC, i0 DESC) AS rn
            |  FROM cand${r}_$j) WHERE rn = 1),
-           |st${r}_$j AS (SELECT w, n, i, score, seg FROM st${r}_${j - 1} UNION ALL
+           |st${r}_$j AS MATERIALIZED (SELECT w, n, i, score, seg FROM st${r}_${j - 1} UNION ALL
            |  SELECT w, n, i, score, seg FROM best${r}_$j)""".stripMargin
       }
       val close =
