@@ -847,9 +847,11 @@ object SparkEntry {
       Similarity.assignCells(emb, centroids).orderBy("vec_id")
     }),
     // ANN over PQ-compressed storage (exact queries vs reconstructed
-    // corpus) — rows-only like the other ANN queries; recall floor +
-    // cells=corpus-size exact-equality spec'd. Codebooks come from the
-    // staged model artifact shared with v13 (train once, serve many).
+    // corpus) — hash-gated since round 12 (pqTopKSql replays the
+    // per-subspace Lloyd's + reconstruction); recall floor +
+    // cells=corpus-size exact-equality additionally spec'd. Codebooks
+    // come from the staged model artifact shared with v13 (train once,
+    // serve many).
     "v14_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopKWith(emb, Similarity.querySet(emb, "vec_id", 20),
@@ -857,9 +859,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // IVF+PQ composition: routed search over compressed storage — the
-    // production serving shape; rows-only like the other ANN queries
-    // (degenerate-parameter equality to brute force + recall floor
-    // spec'd in SimilaritySpec)
+    // production serving shape; hash-gated since round 12 (ivfPqTopKSql
+    // composes the trained-IVF and trained-PQ replays); degenerate-
+    // parameter equality to brute force + recall floor spec'd too
     "v15_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
@@ -867,9 +869,9 @@ object SparkEntry {
           codebook, stagedPqBooks(s, d), nprobe = 4)
         .orderBy("query_id", "rank")
     }),
-    // product quantization reconstruction error — rows-only by design
-    // (trained per-subspace codebooks are not SQL-replayable); exactness
-    // pinned by SimilaritySpec (cells=n reconstructs perfectly)
+    // product quantization reconstruction error — hash-gated since
+    // round 12 (pqErrSql); exactness additionally pinned by
+    // SimilaritySpec (cells=n reconstructs perfectly)
     "v13_pq_err" -> ((s, d) =>
       Similarity.pqReconstructionErrorWith(Tables.embeddings(s, d),
         stagedPqBooks(s, d))),
@@ -1213,6 +1215,119 @@ object SparkEntry {
        |  ${Num.sqlRoundTo("list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))", 9)} AS sim
        |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.query_id <> ca.neighbor_id
        |  JOIN e q ON q.vec_id = qa.query_id JOIN e n ON n.vec_id = ca.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** CTE-for-CTE replay of [[graft.ops.Similarity.pqCodebooks]] — the
+    * trained-IVF replay ([[trainedIvfCtes]]) keyed by (sub, cell): the
+    * embedding splits into `m` contiguous `dim/m`-length slices
+    * (`list_slice` ≡ Spark's `slice(v, s·sub+1, sub)`), the `cells`
+    * lowest-id vectors' slices seed every subspace, and each unrolled
+    * Lloyd's round runs the same 9dp-rounded squared-L2 argmin with
+    * cell-id tie-break and decimal-exact per-(sub, cell, dim) means
+    * through the REAL round-trip. Yields `e(vec_id, v)` (unless the
+    * caller already has it), the slice table `psv(vec_id, sub, sv)`,
+    * the final codebook `pb$iters(sub, cell, cvd)`, the final argmin
+    * assignment `pasg(vec_id, sub, cell)` and the reconstruction
+    * `prec(vec_id, rv)` (centroid slices concatenated in sub order).
+    */
+  private def trainedPqCtes(m: Int = 4, dim: Int = 64, cells: Int = 16,
+                            iters: Int = 3, includeE: Boolean = true): String = {
+    val sub = dim / m
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    val e = "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    val init =
+      s"""psv AS MATERIALIZED (SELECT vec_id, ss.sub, list_slice(v, ss.sub * $sub + 1, ss.sub * $sub + $sub) AS sv
+         |  FROM e, LATERAL (SELECT unnest(range(0, $m)) AS sub) ss),
+         |pb0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cell, sv AS cvd FROM psv
+         |        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $cells))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT vec_id, sub, cell FROM (
+         |  SELECT w.vec_id, w.sub, c.cell, row_number() OVER (PARTITION BY w.vec_id, w.sub ORDER BY ${l2("w.sv", "c.cvd")}, c.cell) AS rn
+         |  FROM psv w JOIN pb${i - 1} c ON w.sub = c.sub) WHERE rn = 1),
+         |pm$i AS (SELECT r.sub, r.cell, dd.dim, ${Num.sqlExactAvg("w.sv[dd.dim + 1]")} AS mx
+         |  FROM pr$i r JOIN psv w ON w.vec_id = r.vec_id AND w.sub = r.sub,
+         |       LATERAL (SELECT unnest(range(0, len(w.sv))) AS dim) dd
+         |  GROUP BY r.sub, r.cell, dd.dim),
+         |pb$i AS MATERIALIZED (SELECT sub, cell,
+         |  list_transform(list(CAST(mx AS REAL) ORDER BY dim), f -> CAST(f AS DOUBLE)) AS cvd
+         |  FROM pm$i GROUP BY sub, cell)""".stripMargin
+    }
+    val consumers =
+      s"""pasg AS MATERIALIZED (SELECT vec_id, sub, cell FROM (
+         |  SELECT w.vec_id, w.sub, c.cell, row_number() OVER (PARTITION BY w.vec_id, w.sub ORDER BY ${l2("w.sv", "c.cvd")}, c.cell) AS rn
+         |  FROM psv w JOIN pb$iters c ON w.sub = c.sub) WHERE rn = 1),
+         |prec AS MATERIALIZED (SELECT a.vec_id, flatten(list(c.cvd ORDER BY a.sub)) AS rv
+         |  FROM pasg a JOIN pb$iters c ON c.sub = a.sub AND c.cell = a.cell
+         |  GROUP BY a.vec_id)""".stripMargin
+    ((if (includeE) Seq(e) else Seq.empty[String]) ++ (init +: rounds) :+ consumers)
+      .mkString(",\n")
+  }
+
+  /** v13 — [[graft.ops.Similarity.pqReconstructionErrorWith]] replay:
+    * per-(vec_id, sub) absolute reconstruction error summed in dim order
+    * (both engines fold double-promoted diffs left-to-right from 0.0),
+    * the per-vector total folded in SUB order (the engine's
+    * array_sort(collect_list(struct(sub, errsum))) fold), then per-label
+    * decimal-exact mean rounded to 6dp.
+    */
+  private def pqErrSql(dim: Int = 64, iters: Int = 3): String =
+    s"""WITH ${trainedPqCtes(iters = iters)},
+       |per AS (SELECT w.vec_id, w.sub,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len(w.sv) + 1), d -> abs(w.sv[d] - c.cvd[d]))),
+       |    (acc, x) -> acc + x) AS errsum
+       |  FROM psv w JOIN pasg a ON a.vec_id = w.vec_id AND a.sub = w.sub
+       |  JOIN pb$iters c ON c.sub = a.sub AND c.cell = a.cell),
+       |pe AS (SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(errsum ORDER BY sub)),
+       |    (acc, x) -> acc + x) / $dim AS err
+       |  FROM per GROUP BY vec_id)
+       |SELECT emb.label, ${Num.sqlRoundTo(Num.sqlExactAvg("pe.err"), 6)} AS mean_abs_err,
+       |  count(*) AS n_vectors
+       |FROM pe JOIN embeddings emb USING (vec_id)
+       |GROUP BY emb.label ORDER BY emb.label""".stripMargin
+
+  /** v14 — [[graft.ops.Similarity.pqTopKWith]] replay: exact queries
+    * (every 20th vector, raw) score the RECONSTRUCTED corpus with
+    * bruteTopKSql's 9dp cosine + (sim DESC, neighbor_id) rank rule. */
+  private def pqTopKSql(iters: Int = 3): String =
+    s"""WITH ${trainedPqCtes(iters = iters)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+       |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |  ${Num.sqlRoundTo("list_dot_product(q.qv, n.rv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.rv, n.rv)))", 9)} AS sim
+       |  FROM q JOIN prec n ON q.query_id <> n.vec_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** v15 — [[graft.ops.Similarity.ivfPqTopK]] replay: IVF routing on RAW
+    * vectors (corpus single-probe, queries 4-probe — the v4/v12 argmin
+    * rules against [[trainedIvfCtes]]'s cb3) restricts which pairs score;
+    * the scoring operand is the PQ reconstruction (`prec.rv`) while the
+    * query side stays raw — exactly the engine's compressed-storage
+    * asymmetric distance.
+    */
+  private def ivfPqTopKSql(nprobe: Int = 4, iters: Int = 3): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    s"""WITH ${trainedIvfCtes(16, iters)},
+       |${trainedPqCtes(iters = iters, includeE = false)},
+       |ca AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c) WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c WHERE w.vec_id % 20 = 0) WHERE rn <= $nprobe),
+       |s AS (SELECT qa.query_id, ca.neighbor_id,
+       |  ${Num.sqlRoundTo("list_dot_product(q.v, n.rv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.rv, n.rv)))", 9)} AS sim
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.query_id <> ca.neighbor_id
+       |  JOIN e q ON q.vec_id = qa.query_id JOIN prec n ON n.vec_id = ca.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM s)
@@ -3044,6 +3159,14 @@ object SparkEntry {
     // in-cell scoring with bruteTopKSql's rank rule
     "v4_ivf_topk" -> trainedIvfTopKSql(nprobe = 1),
     "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
+    // PQ family, hash-gated since round 12: per-subspace Lloyd's
+    // replayed CTE-for-CTE keyed by (sub, cell); v13 folds the
+    // double-promoted |sv−cv| diffs in dim order then sub order,
+    // v14 scores raw queries against the reconstruction, v15 adds
+    // IVF routing on the raw vectors (the asymmetric-distance shape)
+    "v13_pq_err" -> pqErrSql(),
+    "v14_pq_topk" -> pqTopKSql(),
+    "v15_ivfpq_topk" -> ivfPqTopKSql(),
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
     // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding
     // as Similarity.l2sq, cell-id tie-break

@@ -517,9 +517,14 @@ object Similarity {
     * quantization): each subvector maps to its nearest subspace centroid
     * (broadcast codebook argmin, map-side), the reconstruction is the
     * centroid, and the report is per-label mean absolute error over all
-    * dimensions. No oracle by design — trained codebooks are not
-    * SQL-replayable — gated instead by exactness specs (cells = corpus
-    * size reconstructs perfectly; more cells beat fewer on the fixture).
+    * dimensions. Hash-gated since round 12: the fixed-iteration
+    * per-subspace Lloyd's replays CTE-for-CTE in DuckDB (the v4/v12
+    * pattern keyed by (sub, cell)), and every float here is promoted to
+    * double BEFORE subtraction — a float−float difference is exactly
+    * representable in double, so both engines see bit-identical diffs —
+    * with the cross-subspace sum folded in `sub` order (unordered double
+    * sums are the one nondeterminism decimal casts don't fix).
+    * Exactness specs additionally pin cells = corpus size → zero error.
     */
   def pqReconstructionError(df: DataFrame, m: Int = 4, dim: Int = 64,
                             cells: Int = 16, iters: Int = 3,
@@ -541,11 +546,13 @@ object Similarity {
     subvecs
       .join(pqAssign(subvecs, books), Seq(idCol, "sub"))
       .join(broadcast(books), Seq("sub", "cell"))
-      .select(col(idCol),
-        aggregate(zip_with(col("sv"), col("cv"), (v, c) => abs(v - c)),
+      .select(col(idCol), col("sub"),
+        aggregate(zip_with(col("sv").cast("array<double>"),
+            col("cv").cast("array<double>"), (v, c) => abs(v - c)),
           lit(0.0), (acc, e) => acc + e).as("errsum"))
       .groupBy(col(idCol))
-      .agg((sum(col("errsum")) / dim).as("err"))
+      .agg((aggregate(array_sort(collect_list(struct(col("sub"), col("errsum")))),
+        lit(0.0), (acc, s) => acc + s.getField("errsum")) / dim).as("err"))
       .join(df.select(col(idCol), col(labelCol)), idCol)
       .groupBy(labelCol)
       .agg(Num.roundTo(Num.exactAvg(col("err")), 6).as("mean_abs_err"),
