@@ -739,6 +739,12 @@ object SparkEntry {
       Dedup.resolveDuplicates(docs, stagedPairs(s, d))
         .orderBy("doc_id")
     }),
+    // cross-document duplicate-span profile (w=8 token windows; a span
+    // is dup when its order-sensitive hash occurs >= 2 times corpus-wide)
+    // — the Lee-et-al exact-substring-dedup signal; integer-exact
+    // fnv1a64/splitmix64 span identity, replayed by dupSpansSql
+    "x11_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d))),
     // boilerplate shingles: repeated 3-grams across >= 5 distinct docs
     "t16_boilerplate" -> ((s, d) =>
       Dedup.boilerplate(Tables.documents(s, d))),
@@ -1563,6 +1569,31 @@ object SparkEntry {
        |       + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
        |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
        | )""".stripMargin
+
+  /** Full replay of [[graft.ops.Dedup.dupSpans]]: tokenize (the shared
+    * ASCII-\s split), FNV-1a token hashes, order-sensitive splitmix fold
+    * per w-token window at EVERY position (docs under w tokens yield one
+    * all-token span), then per-(hash, doc) counts, corpus-wide totals,
+    * and the per-doc duplicated-span fraction. Integer-exact end to end;
+    * the one double is an integer-ratio division + floor-round both
+    * engines evaluate identically.
+    */
+  private def dupSpansSql(w: Int = 8): String = {
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+       |th AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(t, tok -> ${fnv1a64Sql("tok")}) AS th, len(t) AS m FROM toks),
+       |sp AS MATERIALIZED (SELECT doc_id, $fold AS h FROM (
+       |  SELECT doc_id, CASE WHEN m >= $w THEN th[i : i + ${w - 1}] ELSE th END AS win
+       |  FROM th, LATERAL (SELECT unnest(range(1, greatest(m - ${w - 1}, 1) + 1)) AS i) ix)),
+       |pd AS MATERIALIZED (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY h, doc_id),
+       |g AS (SELECT h, CAST(sum(c) AS BIGINT) AS gt FROM pd GROUP BY h)
+       |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN g.gt >= 2 THEN pd.c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN g.gt >= 2 THEN pd.c ELSE 0 END) AS DOUBLE) / CAST(sum(pd.c) AS DOUBLE)", 6)} AS dup_span_frac
+       |FROM pd JOIN g USING (h) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+  }
 
   /** KMV hash domain replay: splitmix64(key) folded to [0, 2^61) — the
     * oracle twin of [[graft.ops.Analytics.kmvDistinct]]'s `pmod`. All
@@ -3016,6 +3047,9 @@ object SparkEntry {
     "x1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         | GROUP BY text ORDER BY doc_id""".stripMargin,
+    // w=8 token-window duplicate spans; the span-hash fold, counts and
+    // ratio all replay integer-exactly
+    "x11_dup_spans" -> dupSpansSql(),
     // distinct over TEXT here ≡ Spark's distinct over xxhash64(text)
     // modulo 64-bit collisions (the x1 argument)
     "t18_dup_profile" ->

@@ -70,6 +70,52 @@ object Dedup {
       .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("shingle"))
 
+  /** Cross-document DUPLICATE-SPAN profile — the w-token-granular exact
+    * substring dedup signal (the operator behind "deduplicating training
+    * data" span removal, cf. Lee et al. 2022): every w-token window of
+    * every document keyed by an order-sensitive 64-bit hash, a span is
+    * duplicated when its hash occurs ≥ 2 times ANYWHERE in the corpus
+    * (another doc or a repeat in the same doc — [[dupProfile]]/[[exact]]
+    * see only whole-text equality, [[TextStats.repetitionSignals]] only
+    * within-doc repeats; this is the cross-cutting one). Output per doc:
+    * total spans, duplicated spans, and the duplicated fraction — the
+    * report that decides whether span-level removal is worth running.
+    *
+    * Span identity = splitmix64 fold over FNV-1a token hashes in position
+    * order (the [[graft.functions.ShingleUtil]] arithmetic, here built
+    * from the injected `fnv1a64`/`splitmix64` functions so every step is
+    * codegen'd HOFs and the DuckDB oracle replays it integer-exactly).
+    * Docs shorter than w tokens contribute their single all-token span.
+    *
+    * Scale shape: only (doc_id, span_hash) pairs leave the map side —
+    * 16 bytes per token position, never text. Two hash-partitioned
+    * aggregations (per-(hash, doc) counts with map-side combine, then
+    * per-hash totals) and one join back on the hash — no all-pairs
+    * stage, no strings in any shuffle. Span REMOVAL composes on top:
+    * filter the position stream by `global_count >= 2` before re-chunking.
+    */
+  def dupSpans(docs: DataFrame, w: Int = 8, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(w > 0, "w must be positive")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val th = transform(toks, t => call_function("fnv1a64", t))
+    val m = size(th)
+    val spanArr = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
+      i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
+        (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
+    val spans = docs.select(col(idCol), explode(spanArr).as("h"))
+    val perDoc = spans.groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("c"))
+    val global = perDoc.groupBy("h").agg(sum(col("c")).as("g"))
+    perDoc.join(global, "h")
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_spans"),
+           sum(when(col("g") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        Num.roundTo(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      .orderBy(idCol)
+  }
+
   /** Word w-shingles as a distinct array — the unit set for Jaccard.
     * Readable string form (API/tests); the dedup pipelines use
     * [[shingleHashes]], which produces the same sets pre-hashed in one

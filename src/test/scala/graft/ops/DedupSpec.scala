@@ -35,6 +35,39 @@ class DedupSpec extends SparkSpec {
     assert(short == Seq("two words"))
   }
 
+  test("dupSpans: cross-doc shared spans counted, unique docs at zero, short docs one span") {
+    // docs 1 and 4 are identical (14 tokens → 7 w=8 spans each, ALL dup);
+    // doc 2 shares its first 6 spans with 1/4 (differs only in the last
+    // token, which sits in the final 8-token window... the last span
+    // covers tokens 7..14 — token 14 differs, so spans 1..6 are shared
+    // and span 7 is unique); doc 3 shares nothing.
+    val out = Dedup.dupSpans(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m(1L) == ((1L, 7L, 7L, 1.0)))      // exact dup of 4: every span dup
+    assert(m(4L) == ((4L, 7L, 7L, 1.0)))
+    assert(m(2L)._2 == 7L && m(2L)._3 == 6L)  // near-dup: all but the last window
+    assert(m(3L)._3 == 0L && m(3L)._4 == 0.0) // unrelated: zero dup spans
+    // short doc (< w tokens): exactly one all-token span; a repeated short
+    // doc is a dup through that single span
+    val short = Seq((1L, "two words"), (2L, "two words"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val s = Dedup.dupSpans(short, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(s == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("dupSpans: within-doc repetition alone marks spans duplicated") {
+    val rep = "a b c d e f g h a b c d e f g h" // 16 tokens, spans 1..9; span(1)=span(9)
+    val one = Seq((1L, rep), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
+    // positions 1 and 9 hash identically (same 8 tokens in order)
+    val m = Dedup.dupSpans(one, w = 8).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(m(1L)._1 == 9L && m(1L)._2 == 2L)
+    assert(m(2L) == ((2L, 0L)))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
