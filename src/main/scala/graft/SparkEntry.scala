@@ -590,6 +590,11 @@ object SparkEntry {
     // over the DISTINCT word table → integer recounts → prune
     "t25_unigram_vocab" -> ((s, d) =>
       TextStats.unigramVocab(Tables.documents(s, d))),
+    // unigram-LM ENCODE with the learned t25 vocab (staged once per
+    // corpus): one Viterbi pass over the distinct-word table, char
+    // fallback for capped/unreachable words, per-doc piece accounting
+    "c12_unigram_encode" -> ((s, d) =>
+      TextStats.unigramEncode(Tables.documents(s, d), stagedUnigramVocab(s, d))),
     // DSIR-style importance weights: hashed-unigram bucket features,
     // target-vs-raw smoothed log-ratio, exact-DECIMAL per-doc sums
     "t23_importance" -> ((s, d) =>
@@ -988,6 +993,17 @@ object SparkEntry {
     s.read.parquet(stage)
   }
 
+  /** The t25 unigram vocab trained ONCE per sfDir and materialized like
+    * the BPE merges — the model artifact the encode path (c12) reads.
+    */
+  private[graft] def stagedUnigramVocab(s: SparkSession, d: String): DataFrame = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/unigram_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      TextStats.unigramVocab(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
+  }
+
   private def stagedEmbeddings(s: SparkSession, d: String): String = {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/embeddings_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
@@ -1351,7 +1367,17 @@ object SparkEntry {
     */
   private def unigramVocabSql(seedTop: Int = 64, keepTop: Int = 48,
                               maxPieceLen: Int = 4, maxWordLen: Int = 12,
-                              emRounds: Int = 2): String = {
+                              emRounds: Int = 2): String =
+    s"""WITH ${unigramVocabCtes(seedTop, keepTop, maxPieceLen, maxWordLen, emRounds)}
+       |SELECT piece, c AS n_piece FROM vocab ORDER BY n_piece DESC, piece""".stripMargin
+
+  /** The [[unigramVocabSql]] induction as a CTE prefix ending in
+    * `vocab(piece, c)` — shared by t25 (the vocab itself) and c12 (the
+    * encode pass, which re-derives the model exactly as bpeEncodeSql
+    * re-learns the t22 merges). */
+  private def unigramVocabCtes(seedTop: Int = 64, keepTop: Int = 48,
+                               maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                               emRounds: Int = 2): String = {
     val prelude =
       s"""w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
          |  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents)
@@ -1395,12 +1421,53 @@ object SparkEntry {
       (pc +: levels :+ close).mkString(",\n")
     }
     val finalModel = s"p$emRounds"
-    s"""WITH ${(prelude +: rounds).mkString(",\n")},
+    s"""${(prelude +: rounds).mkString(",\n")},
        |topf AS (SELECT piece, c FROM $finalModel ORDER BY c DESC, piece LIMIT $keepTop),
-       |vocab AS (SELECT piece, c FROM topf UNION ALL
+       |vocab AS MATERIALIZED (SELECT piece, c FROM topf UNION ALL
        |  SELECT piece, c FROM $finalModel
-       |  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM topf))
-       |SELECT piece, c AS n_piece FROM vocab ORDER BY n_piece DESC, piece""".stripMargin
+       |  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM topf))""".stripMargin
+  }
+
+  /** c12 — [[graft.ops.TextStats.unigramEncode]] replay: the induction
+    * CTEs rebuild the t25 vocab, then ONE more Viterbi pass (same DP
+    * recurrence, probabilities = c/Σc over the PRUNED vocab) segments
+    * every distinct corpus word of length ≤ `encodeMaxLen`; words longer
+    * than the cap or with no piece path (a char the pruned vocab lost)
+    * fall back to one piece per char. Carried DP state is (score,
+    * piece-count) — the count replays without the seg arrays. Per-doc
+    * report joins the encoded vocab back to the word stream.
+    */
+  private def unigramEncodeSql(maxPieceLen: Int = 4,
+                               encodeMaxLen: Int = 16): String = {
+    val levels = (1 to encodeMaxLen).map { j =>
+      s"""ec$j AS (SELECT s.w, s.score * p.p AS sc, s.i AS i0, s.np + 1 AS npa
+         |  FROM est${j - 1} s JOIN pce p
+         |    ON p.piece = substr(s.w, CAST(s.i + 1 AS INT), CAST($j - s.i AS INT))
+         |  WHERE s.i < $j AND s.i >= $j - $maxPieceLen AND len(s.w) >= $j),
+         |eb$j AS (SELECT w, $j AS i, sc AS score, npa AS np FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY sc DESC, i0 DESC) AS rn
+         |  FROM ec$j) WHERE rn = 1),
+         |est$j AS MATERIALIZED (SELECT w, i, score, np FROM est${j - 1} UNION ALL
+         |  SELECT w, i, score, np FROM eb$j)""".stripMargin
+    }
+    s"""WITH ${unigramVocabCtes()},
+       |wdoc AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents),
+       |ew AS MATERIALIZED (SELECT DISTINCT w FROM wdoc),
+       |pce AS MATERIALIZED (SELECT piece,
+       |  CAST(c AS DOUBLE) / (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) FROM vocab) AS p
+       |  FROM vocab),
+       |est0 AS MATERIALIZED (SELECT w, 0 AS i, CAST(1.0 AS DOUBLE) AS score,
+       |  CAST(0 AS BIGINT) AS np FROM ew WHERE len(w) <= $encodeMaxLen),
+       |${levels.mkString(",\n")},
+       |eseg AS (SELECT w, np FROM est$encodeMaxLen WHERE i = len(w)),
+       |enc AS MATERIALIZED (SELECT ew.w,
+       |  COALESCE(eseg.np, CAST(len(ew.w) AS BIGINT)) AS n_pieces
+       |  FROM ew LEFT JOIN eseg ON eseg.w = ew.w)
+       |SELECT wdoc.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(enc.n_pieces) AS BIGINT) AS n_unigram_tokens,
+       |  ${Num.sqlRoundTo("CAST(sum(enc.n_pieces) AS DOUBLE) / count(*)", 4)} AS pieces_per_word
+       |FROM wdoc JOIN enc ON enc.w = wdoc.w
+       |GROUP BY wdoc.doc_id ORDER BY wdoc.doc_id""".stripMargin
   }
 
   private def bruteTopKSql: String =
@@ -2841,6 +2908,9 @@ object SparkEntry {
          |FROM r JOIN t USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
     "t2_lang" -> langSql,
     "t25_unigram_vocab" -> unigramVocabSql(),
+    // unigram encode: induction CTEs rebuild the vocab, one more Viterbi
+    // DP pass (16 levels) segments every distinct word, char fallback
+    "c12_unigram_encode" -> unigramEncodeSql(),
     "t22_bpe_merges" -> bpeMergesSql(),
     "c8_bpe_encode" -> bpeEncodeSql(),
     "t23_importance" -> importanceSql(),

@@ -544,6 +544,70 @@ object TextStats {
       .orderBy(col("n_piece").desc, col("piece"))
   }
 
+  /** Viterbi ENCODE with a learned unigram vocab ([[unigramVocab]]
+    * output) — the tokenizer-encode stage that consumes what t25 trains,
+    * the unigram twin of [[bpeEncode]]: every distinct corpus word is
+    * segmented by its maximum-likelihood piece sequence under the pruned
+    * model (probabilities c/Σc, the same fixed left-to-right DP
+    * recurrence and (score, later-split) tie-break as induction), and
+    * the per-doc report joins the encoded vocabulary back to the word
+    * stream. Words longer than `encodeMaxLen`, or with no piece path
+    * (a character the pruned vocab lost), fall back to one piece per
+    * character — SentencePiece's byte/char fallback, deterministic and
+    * oracle-replayable.
+    *
+    * The DP carries (score, piece COUNT) — not the piece arrays — so
+    * encode state is a fixed-width row per (word, level). Same scale
+    * shape as induction: cost scales with |distinct words| × levels,
+    * never corpus tokens; the corpus pays one tokenize-explode and one
+    * join against the vocab-sized encode table. Same lazy-localCheckpoint
+    * level discipline (plan tree stays linear in levels).
+    */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
+                    encodeMaxLen: Int = 16, textCol: String = "text"): DataFrame = {
+    require(maxPieceLen > 0 && encodeMaxLen > 0, "positive lengths required")
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+    val distinctW = Iterate.materialize(words.select("w").distinct())
+    val tot = vocab.agg(sum(col("n_piece")).as("t"))
+    val pc = broadcast(vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), (col("n_piece").cast("double") / col("t").cast("double")).as("p")))
+    val init = distinctW.filter(length(col("w")) <= encodeMaxLen)
+      .repartition(col("w"))
+      .select(col("w"), lit(0).as("i"), lit(1.0).as("score"), lit(0L).as("np"))
+      .localCheckpoint(eager = false)
+    var frontier = Vector(init)
+    val finals = Vector.newBuilder[DataFrame]
+    for (j <- 1 to encodeMaxLen) {
+      val cand = frontier.map(_
+          .filter(col("i") < j && col("i") >= j - maxPieceLen && length(col("w")) >= j))
+        .reduce(_ unionAll _)
+        .withColumn("piece", col("w").substr(col("i") + 1, lit(j) - col("i")))
+        .join(pc, "piece")
+        .select(col("w"), (col("score") * col("p")).as("sc"),
+          col("i").as("i0"), (col("np") + 1L).as("npa"))
+      // (sc, i0) is total per word at level j: one i0 names one piece
+      val best = cand.groupBy("w").agg(
+        max_by(struct(col("sc"), col("npa")), struct(col("sc"), col("i0"))).as("b"))
+        .select(col("w"), lit(j).as("i"), col("b.sc").as("score"), col("b.npa").as("np"))
+        .localCheckpoint(eager = false)
+      finals += best.filter(length(col("w")) === j)
+      frontier = (frontier :+ best).takeRight(maxPieceLen)
+    }
+    val seg = Iterate.materialize(finals.result().reduce(_ unionAll _))
+      .select(col("w"), col("np").as("n_pieces"))
+    val enc = distinctW.join(seg, Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("n_pieces"), length(col("w")).cast("long")).as("n_pieces"))
+    words.join(enc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_unigram_tokens"))
+      .withColumn("pieces_per_word",
+        Num.roundTo(col("n_unigram_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus SHUFFLE-AND-SHARD — the last-mile operator of
     * every training-data pipeline: impose a seeded pseudo-random global
     * order on the curated corpus and cut it into `nShards` equal shards

@@ -426,6 +426,37 @@ class TextStatsSpec extends SparkSpec {
     assert(totM < totRaw, s"merges must shrink the corpus: $totM vs $totRaw")
   }
 
+  test("unigramEncode: ML segmentation, char fallback, determinism") {
+    import spark.implicits._
+    // hand-built model: piece "ab" dominates → "abab" = [ab, ab] (2
+    // pieces), "ba" has no 2-char piece → [b, a] (2 chars), "cc" has no
+    // covering pieces at all ('c' absent) → char fallback (2)
+    val vocab = Seq(("ab", 90L), ("a", 5L), ("b", 5L))
+      .toDF("piece", "n_piece")
+    val docs = Seq((0L, "abab ba cc")).toDF("doc_id", "text")
+    val got = TextStats.unigramEncode(docs, vocab).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) ==
+      (0L, 3L, 6L, 2.0), s"got $got")
+    // a word over the encode cap falls back to one piece per char
+    val long = Seq((1L, ("a" * 20) + " ab")).toDF("doc_id", "text")
+    val g2 = TextStats.unigramEncode(long, vocab).collect().head
+    assert(g2.getLong(2) == 21L, s"20-char fallback + 1-piece ab: $g2")
+    // fixture corpus with the trained t25 vocab: every doc accounted,
+    // multi-char pieces beat the char baseline, partitioning-independent
+    val corpus = Tables.documents(spark, sfDir)
+    val tv = TextStats.unigramVocab(corpus)
+    val enc = TextStats.unigramEncode(corpus, tv)
+    val rows = enc.collect()
+    assert(rows.length == corpus.filter(col("text").isNotNull).count())
+    val charsOnly = tv.filter(length(col("piece")) === 1)
+    val totChars = TextStats.unigramEncode(corpus, charsOnly)
+      .agg(sum("n_unigram_tokens")).collect().head.getLong(0)
+    val totML = enc.agg(sum("n_unigram_tokens")).collect().head.getLong(0)
+    assert(totML < totChars, s"ML pieces must shrink the corpus: $totML vs $totChars")
+    val r2 = TextStats.unigramEncode(corpus.repartition(13), tv).collect()
+    assert(r2.toSeq == rows.toSeq)
+  }
+
   test("importanceWeights: target direction, token accounting, determinism") {
     val docs = Tables.documents(spark, sfDir)
     val w = TextStats.importanceWeights(docs, targetLang = "en")
