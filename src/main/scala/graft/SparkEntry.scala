@@ -629,6 +629,11 @@ object SparkEntry {
     // the per-shard manifest a training job reads before touching data
     "c11_shard_manifest" -> ((s, d) =>
       TextStats.shardManifest(Tables.documents(s, d), nShards = 8)),
+    // per-language token-budget fill: seeded splitmix order, distributed
+    // prefix sum, keep while the language budget is not exhausted
+    "t26_token_budget_mix" -> ((s, d) =>
+      TextStats.tokenBudgetMix(Tables.documents(s, d),
+        Map("en" -> 6000L, "de" -> 2000L), defaultBudget = 3000L)),
     // inverse-frequency class weights per language (mean weight 1.0)
     "t20_balance_weights" -> ((s, d) =>
       TextStats.balanceWeights(Tables.documents(s, d), "lang")
@@ -2894,6 +2899,20 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS rank,
          |  CAST(ntile(8) OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shard
          |FROM k ORDER BY doc_id""".stripMargin,
+    // token-budget fill: same splitmix permutation key as c10, per-lang
+    // prefix sum strictly BEFORE the row, kept while under the budget
+    "t26_token_budget_mix" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |  ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tk)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM c
+         |WHERE cum_before < CASE WHEN lang = 'de' THEN 2000 WHEN lang = 'en' THEN 6000 ELSE 3000 END
+         |ORDER BY doc_id""".stripMargin,
     "c11_shard_manifest" ->
       s"""WITH k AS (SELECT doc_id, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
          |r AS (SELECT doc_id,

@@ -305,6 +305,60 @@ object TextStats {
     df.filter(pmod(call_function("fnv1a64", col(textCol)), lit(10000L)) < thr)
   }
 
+  /** Per-language TOKEN-BUDGET fill — the other half of mix design next
+    * to [[mixCorpus]]'s rate thinning: a training mix is usually specified
+    * as "N tokens of lang X" (a budget), not "keep X%" (a rate). Docs in
+    * each language take a seeded splitmix permutation order (the
+    * [[shuffleShard]] key: content-independent, seed-separable) and fill
+    * the language's budget front to back; a doc is kept iff the budget is
+    * not yet exhausted when it starts, so the fill overshoots by at most
+    * one document — the deterministic "take until full" rule, replayable
+    * as a prefix-sum comparison. Output: the kept docs with their token
+    * count and running total.
+    *
+    * Scale shape — the [[packChunks]]/[[shuffleShard]] distributed-rank
+    * discipline per language (a bare PARTITION BY lang window puts each
+    * language in ONE task — the dominant language of a 100 TB corpus is
+    * most of the corpus): range-repartition by (lang, skey, id),
+    * materialized once; per-(partition, lang) token subtotals become a
+    * broadcast offsets table (the only global window runs over that);
+    * each row's running total = partition offset + within-partition
+    * prefix sum. Budgets enter as a literal CASE — no join.
+    */
+  def tokenBudgetMix(df: DataFrame, budgets: Map[String, Long],
+                     defaultBudget: Long = Long.MaxValue, seed: Long = 42L,
+                     langCol: String = "lang", textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0L),
+      "budgets must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget): Column) {
+      case (acc, (l, b)) => when(col(langCol) === l, lit(b)).otherwise(acc)
+    }
+    val keyed = df.select(col(idCol), col(langCol),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
+      call_function("splitmix64",
+        call_function("splitmix64", col(idCol).cast("long")).bitwiseXOR(lit(seed)))
+        .as("skey"))
+    val sorted = keyed.repartitionByRange(col(langCol), col("skey"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid", langCol).agg(sum("n_tokens").as("ptok"))
+      .withColumn("poff", coalesce(
+        sum("ptok").over(Window.partitionBy(langCol).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col(langCol), col("poff"))
+    val within = Window.partitionBy(col("pid"), col(langCol))
+      .orderBy(col("skey"), col(idCol))
+    sorted.join(broadcast(offsets), Seq("pid", langCol))
+      .withColumn("cum_before",
+        col("poff") + sum("n_tokens").over(within) - col("n_tokens"))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+      .orderBy(idCol)
+  }
+
   /** Conservative patterns shared (verbatim) by the Spark queries and the
     * DuckDB oracle — kept to syntax both Java regex and RE2 read
     * identically: char classes, +, explicit {m,n}, no backrefs, no

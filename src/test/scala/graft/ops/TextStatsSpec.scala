@@ -426,6 +426,38 @@ class TextStatsSpec extends SparkSpec {
     assert(totM < totRaw, s"merges must shrink the corpus: $totM vs $totRaw")
   }
 
+  test("tokenBudgetMix: take-until-full per language, overshoot <= one doc, re-shard stable") {
+    val corpus = Tables.documents(spark, sfDir)
+    val budgets = Map("en" -> 600L, "de" -> 200L)
+    val out = TextStats.tokenBudgetMix(corpus, budgets, defaultBudget = 300L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per lang: every kept doc STARTS under the budget (cum - n < budget),
+    // and the final total overshoots by strictly less than its own tokens
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val b = budgets.getOrElse(lang, 300L)
+      rs.foreach { r =>
+        assert(r.getLong(3) - r.getLong(2) < b,
+          s"$lang doc ${r.getLong(0)} starts past budget $b")
+      }
+      val last = rs.maxBy(_.getLong(3))
+      assert(last.getLong(3) - last.getLong(2) < b && (
+        last.getLong(3) >= b ||
+        // budget not reached: then EVERY doc of the lang must be kept
+        rs.length == corpus.filter(col("lang") === lang).count()),
+        s"$lang fill stopped early: $last")
+    }
+    // deterministic under repartitioning (the distributed prefix sum must
+    // not depend on the physical partition count)
+    val r2 = TextStats.tokenBudgetMix(corpus.repartition(13), budgets,
+      defaultBudget = 300L).collect()
+    assert(r2.toSeq == rows.toSeq)
+    // budget 0 keeps nothing; huge budget keeps everything
+    assert(TextStats.tokenBudgetMix(corpus, Map.empty, defaultBudget = 0L).count() == 0L)
+    assert(TextStats.tokenBudgetMix(corpus, Map.empty).count() == corpus.count())
+  }
+
   test("unigramEncode: ML segmentation, char fallback, determinism") {
     import spark.implicits._
     // hand-built model: piece "ab" dominates → "abab" = [ab, ab] (2
