@@ -451,4 +451,36 @@ object Graft {
     * ([[ops.TextStats.corpusPipeline]]). */
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
     ops.TextStats.corpusPipeline(spark, dir)
+
+  /** Deterministic shuffle-and-shard — seeded permutation + exact NTILE
+    * cuts, the training-data handoff ([[ops.TextStats.shuffleShard]]);
+    * [[shardManifest]] is the per-shard summary a trainer reads first. */
+  def shuffleShard(docs: DataFrame, nShards: Int, seed: Long = 42L): DataFrame =
+    ops.TextStats.shuffleShard(docs, nShards, seed)
+
+  def shardManifest(docs: DataFrame, nShards: Int = 8): DataFrame =
+    ops.TextStats.shardManifest(docs, nShards)
+
+  /** Unigram-LM tokenizer induction (SentencePiece-style Viterbi
+    * hard-EM, [[ops.TextStats.unigramVocab]]); encode the corpus with
+    * the learned vocab via [[unigramEncode]]. */
+  def unigramVocab(docs: DataFrame): DataFrame =
+    ops.TextStats.unigramVocab(docs)
+
+  /** Viterbi encode with a learned unigram vocab
+    * ([[ops.TextStats.unigramEncode]]): per-doc piece accounting, char
+    * fallback for capped/unreachable words. */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame): DataFrame =
+    ops.TextStats.unigramEncode(docs, vocab)
+
+  /** Cross-document duplicate-span profile at w-token granularity
+    * ([[ops.Dedup.dupSpans]]) — the exact-substring-dedup signal. */
+  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame =
+    ops.Dedup.dupSpans(docs, w)
+
+  /** Per-language token-budget fill in seeded permutation order
+    * ([[ops.TextStats.tokenBudgetMix]]) — mix design by budget, not rate. */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+                     defaultBudget: Long = Long.MaxValue, seed: Long = 42L): DataFrame =
+    ops.TextStats.tokenBudgetMix(docs, budgets, defaultBudget, seed)
 }
