@@ -755,6 +755,10 @@ object SparkEntry {
     // fnv1a64/splitmix64 span identity, replayed by dupSpansSql
     "x11_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d))),
+    // duplicate-span REMOVAL (the x11 profile's action): first occurrence
+    // kept, later occurrences drop their covered tokens, text rebuilt
+    "c13_span_scrub" -> ((s, d) =>
+      Dedup.scrubDupSpans(Tables.documents(s, d))),
     // boilerplate shingles: repeated 3-grams across >= 5 distinct docs
     "t16_boilerplate" -> ((s, d) =>
       Dedup.boilerplate(Tables.documents(s, d))),
@@ -1665,6 +1669,39 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN g.gt >= 2 THEN pd.c ELSE 0 END) AS BIGINT) AS n_dup_spans,
        |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN g.gt >= 2 THEN pd.c ELSE 0 END) AS DOUBLE) / CAST(sum(pd.c) AS DOUBLE)", 6)} AS dup_span_frac
        |FROM pd JOIN g USING (h) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+  }
+
+  /** Full replay of [[graft.ops.Dedup.scrubDupSpans]]: the x11 span
+    * identity (per-token lowercase FNV → splitmix fold), first occurrence
+    * per hash by row_number(doc_id, pos), later occurrences drop their
+    * covered positions (union), kept tokens re-join in position order.
+    */
+  private def spanScrubSql(w: Int = 8): String = {
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    s"""WITH tb AS MATERIALIZED (SELECT doc_id, ts,
+       |  list_transform(ts, tok -> ${fnv1a64Sql("lower(tok)")}) AS th, len(ts) AS m FROM (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+       |  FROM documents)),
+       |sp AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, least($w, m) AS cov, $fold AS h FROM (
+       |  SELECT doc_id, m, i, CASE WHEN m >= $w THEN th[i : i + ${w - 1}] ELSE th END AS win
+       |  FROM tb, LATERAL (SELECT unnest(range(1, greatest(m - ${w - 1}, 1) + 1)) AS i) ix
+       |  WHERE m > 0)),
+       |rm AS MATERIALIZED (SELECT doc_id, pos, cov FROM (
+       |  SELECT doc_id, pos, cov, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM sp) WHERE rn > 1),
+       |cv AS (SELECT DISTINCT doc_id, pos + o AS tokpos
+       |  FROM rm, LATERAL (SELECT unnest(range(0, cov)) AS o) oo),
+       |toks AS (SELECT doc_id, CAST(p AS BIGINT) AS tokpos, ts[CAST(p AS INT)] AS tok
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp),
+       |kept AS (SELECT t.doc_id, t.tokpos, t.tok FROM toks t
+       |  LEFT JOIN cv c ON c.doc_id = t.doc_id AND c.tokpos = t.tokpos
+       |  WHERE c.tokpos IS NULL),
+       |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY tokpos) AS scrubbed FROM kept GROUP BY doc_id)
+       |SELECT tb.doc_id, CAST(tb.m AS BIGINT) AS n_tokens,
+       |  CAST(tb.m - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(reb.scrubbed, '') AS scrubbed
+       |FROM tb LEFT JOIN reb ON reb.doc_id = tb.doc_id ORDER BY tb.doc_id""".stripMargin
   }
 
   /** KMV hash domain replay: splitmix64(key) folded to [0, 2^61) — the
@@ -3139,6 +3176,9 @@ object SparkEntry {
     // w=8 token-window duplicate spans; the span-hash fold, counts and
     // ratio all replay integer-exactly
     "x11_dup_spans" -> dupSpansSql(),
+    // span removal: first-occurrence rule + coverage union + position-
+    // ordered rebuild, all integer/string-exact
+    "c13_span_scrub" -> spanScrubSql(),
     // distinct over TEXT here ≡ Spark's distinct over xxhash64(text)
     // modulo 64-bit collisions (the x1 argument)
     "t18_dup_profile" ->

@@ -116,6 +116,64 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Duplicate-span REMOVAL — the action [[dupSpans]]'s profile decides
+    * on (Lee et al. 2022's "deduplicating training data" rewrite, at
+    * w-token granularity): of every span occurring ≥ 2 times corpus-wide,
+    * the globally FIRST occurrence (smallest (doc_id, position)) is kept
+    * and every other occurrence is removed — each removed occurrence
+    * drops its w covered token positions (overlaps union; a token under
+    * both a kept first occurrence and a later occurrence of another span
+    * still drops — removal is a pure coverage rule, deterministic at any
+    * partitioning). Output per doc: original token count, removed count,
+    * and the rebuilt text (kept tokens joined in position order; fully
+    * duplicated docs come back empty, not missing).
+    *
+    * Span identity matches [[dupSpans]] (lowercased-token FNV → splitmix
+    * fold); the rebuilt text keeps ORIGINAL case. Scale shape: the
+    * first-occurrence choice is one row_number window PARTITIONED BY
+    * span hash (hash-parallel, never global); coverage explodes w small
+    * rows per removed occurrence; only the final rebuild touches strings,
+    * and that shuffle is output-sized.
+    */
+  def scrubDupSpans(docs: DataFrame, w: Int = 8, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(w > 0, "w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val th = transform(toksArr, t => call_function("fnv1a64", lower(t)))
+    val m = size(th)
+    val spanArr = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
+      i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
+        (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
+    val base = docs.select(col(idCol), toksArr.as("ts"), m.as("m"), spanArr.as("sp"))
+    val spans = base.filter(col("m") > 0)
+      .select(col(idCol), least(lit(w), col("m")).as("cov"),
+        posexplode(col("sp")).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("cov"), col("h"))
+    val byFirst = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    val removed = spans
+      .withColumn("rn", row_number().over(byFirst))
+      .filter(col("rn") > 1)
+    val covered = removed
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + col("cov") - 1))
+        .as("tokpos"))
+      .distinct()
+    val toks = base.select(col(idCol), col("m"),
+        posexplode(col("ts")).as(Seq("tp0", "tok")))
+      .select(col(idCol), col("m"), (col("tp0") + 1).cast("long").as("tokpos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "tokpos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    base.select(col(idCol), col("m").cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+      .orderBy(idCol)
+  }
+
   /** Word w-shingles as a distinct array — the unit set for Jaccard.
     * Readable string form (API/tests); the dedup pipelines use
     * [[shingleHashes]], which produces the same sets pre-hashed in one

@@ -68,6 +68,35 @@ class DedupSpec extends SparkSpec {
     assert(m(2L) == ((2L, 0L)))
   }
 
+  test("scrubDupSpans: first occurrence survives, later copies drop, unique text untouched") {
+    // doc 1 and doc 4 are identical: doc 1 (smaller id) keeps all its
+    // spans, doc 4 loses every covered token (14 tokens, 7 spans of w=8
+    // → coverage = positions 1..14 = everything)
+    val out = Dedup.scrubDupSpans(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m(1L) == ((1L, 14L, 0L, docA)))    // first occurrence: untouched
+    assert(m(4L) == ((4L, 14L, 14L, "")))     // exact dup: fully scrubbed
+    assert(m(3L) == ((3L, 10L, 0L, docC)))    // unique: untouched
+    // near-dup doc 2: spans 1..6 duplicate doc 1's (first occurrences are
+    // doc 1's), covering tokens 1..13; span 7 (tokens 7..14) is unique.
+    // Only token 14 ("tonight") survives.
+    assert(m(2L) == ((2L, 14L, 13L, "tonight")), s"got ${m(2L)}")
+    // deterministic under repartitioning
+    val r2 = Dedup.scrubDupSpans(docs.repartition(7), w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(r2 == out)
+    // hashing is case-insensitive (a case-variant copy IS a dup) while
+    // the rebuilt text keeps the surviving doc's original case
+    val cased = Seq((1L, "Alpha Beta"), (2L, "ALPHA beta"), (3L, "gamma DELTA"))
+      .toDF("doc_id", "text")
+    val c = Dedup.scrubDupSpans(cased, w = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(c(1L) == ((0L, "Alpha Beta")))   // first occurrence, case kept
+    assert(c(2L) == ((2L, "")))             // case-variant dup scrubbed
+    assert(c(3L) == ((0L, "gamma DELTA")))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
