@@ -103,7 +103,14 @@ object Dedup {
     val spanArr = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
       i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
         (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
+    // ONE hash exchange of 16-byte rows feeds everything downstream:
+    // partitioning by h satisfies the (h, doc) grouping, the h grouping,
+    // AND the join clustering, so Catalyst reuses the exchange — the
+    // corpus is scanned and span-hashed exactly once (plan-asserted in
+    // DedupSpec), where the naive two-branch formulation re-tokenizes
+    // the whole corpus for the global-count side.
     val spans = docs.select(col(idCol), explode(spanArr).as("h"))
+      .repartition(col("h"))
     val perDoc = spans.groupBy(col("h"), col(idCol))
       .agg(count(lit(1)).as("c"))
     val global = perDoc.groupBy("h").agg(sum(col("c")).as("g"))

@@ -58,6 +58,20 @@ class DedupSpec extends SparkSpec {
     assert(s == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
   }
 
+  test("dupSpans: one corpus scan — the h-exchange is reused by both aggregations") {
+    // AQE reuses shuffle stages at RUNTIME (canonicalized-exchange match):
+    // execute first, then read the final adaptive plan
+    val df = Dedup.dupSpans(Tables.documents(spark, sfDir))
+    df.collect()
+    // the executed-plan string appends the pre-AQE "Initial Plan" copy —
+    // read only the final stage tree
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"global-count side must reuse the span exchange:\n$plan")
+  }
+
   test("dupSpans: within-doc repetition alone marks spans duplicated") {
     val rep = "a b c d e f g h a b c d e f g h" // 16 tokens, spans 1..9; span(1)=span(9)
     val one = Seq((1L, rep), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
