@@ -478,6 +478,13 @@ object Graft {
   def dupSpans(docs: DataFrame, w: Int = 8): DataFrame =
     ops.Dedup.dupSpans(docs, w)
 
+  /** Dimension-truncation recall curve over an embedding corpus
+    * ([[ops.Similarity.dimTruncationRecall]]) — how many dims the index
+    * actually needs to store. */
+  def dimTruncationRecall(corpus: DataFrame, queries: DataFrame,
+                          dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 10): DataFrame =
+    ops.Similarity.dimTruncationRecall(corpus, queries, dims, k)
+
   /** Per-language token-budget fill in seeded permutation order
     * ([[ops.TextStats.tokenBudgetMix]]) — mix design by budget, not rate. */
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],

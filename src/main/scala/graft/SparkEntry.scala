@@ -900,6 +900,12 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(emb, Similarity.querySet(emb, "vec_id", 20))
         .orderBy("query_id", "rank")
     }),
+    // dimension-truncation recall curve (Matryoshka storage knob): re-rank
+    // with the first d dims only, agreement vs the full-width top-k
+    "v16_dim_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.dimTruncationRecall(emb, Similarity.querySet(emb, "vec_id", 20))
+    }),
 
     // --- multimodal plumbing ---
     // real decode gate: Spark decodes genuine PNG/JPEG/WAV headers; the
@@ -1363,6 +1369,35 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM s)
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** v16 — [[graft.ops.Similarity.dimTruncationRecall]] replay: the
+    * full-width brute top-k (bruteTopKSql's rank rule) is the reference
+    * set; each width re-ranks with `v[1:d]` and counts (query, neighbor)
+    * agreement. All set members pin through the shared 9dp rounding +
+    * id tie-break; only the final recall ratio is a double division.
+    */
+  private def dimRecallSql(dims: Seq[Int] = Seq(8, 16, 32, 64),
+                           k: Int = 10): String = {
+    def ranked(vexpr: String => String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${Num.sqlRoundTo(s"list_dot_product(${vexpr("q")}, ${vexpr("c")}) / (sqrt(list_dot_product(${vexpr("q")}, ${vexpr("q")})) * sqrt(list_dot_product(${vexpr("c")}, ${vexpr("c")})))", 9)} AS sim
+         |    FROM e q, e c WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id))
+         |  WHERE rn <= $k""".stripMargin
+    val levels = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_hits FROM (
+         |  ${ranked(t => s"$t.v[1 : $d]")}) t JOIN f USING (query_id, neighbor_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |f AS MATERIALIZED (${ranked(t => s"$t.v")}),
+       |den AS (SELECT CAST(count(*) AS BIGINT) AS n_full,
+       |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM f)
+       |SELECT lv.dim, den.n_queries, lv.n_hits,
+       |  ${Num.sqlRoundTo("CAST(lv.n_hits AS DOUBLE) / den.n_full", 6)} AS recall
+       |FROM ($levels) lv, den ORDER BY lv.dim""".stripMargin
   }
 
   /** Full replay of [[graft.ops.TextStats.unigramVocab]] — Viterbi
@@ -3330,6 +3365,8 @@ object SparkEntry {
     "v13_pq_err" -> pqErrSql(),
     "v14_pq_topk" -> pqTopKSql(),
     "v15_ivfpq_topk" -> ivfPqTopKSql(),
+    // truncation recall: every set member pins via 9dp + id tie-break
+    "v16_dim_recall" -> dimRecallSql(),
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
     // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding
     // as Similarity.l2sq, cell-id tie-break

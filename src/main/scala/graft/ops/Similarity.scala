@@ -108,6 +108,45 @@ object Similarity {
       .select(col("query_id"), col("nb.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
 
+  /** Dimension-truncation recall curve — the Matryoshka-style storage
+    * knob evaluation: re-rank with only the FIRST `d` dimensions of every
+    * embedding and measure top-k agreement with the full-width ranking,
+    * for each candidate width. The report that decides how many
+    * dimensions a 100 TB index actually stores (truncating 64→16 is 4×
+    * less storage AND 4× less scoring flops — if recall holds).
+    *
+    * recall@k(d) = |topk_d ∩ topk_full| / |topk_full| over the query
+    * set; the full-width reference is computed ONCE and each width joins
+    * against it (left-semi on (query, neighbor) — 16-byte rows). Rankings
+    * use the shared 9dp-rounded cosine + id tie-break, so the oracle
+    * replays every set exactly; the recall division is the only double.
+    */
+  def dimTruncationRecall(corpus: DataFrame, queries: DataFrame,
+                          dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 10,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), "dims must be positive")
+    val full = Iterate.materialize(
+      bruteForceTopKAgg(corpus, queries, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")))
+    val denom = broadcast(full.agg(count(lit(1)).as("n_full"),
+      countDistinct(col("query_id")).as("n_queries")))
+    val perDim = dims.map { d =>
+      val tc = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val tq = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopKAgg(tc, tq, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_hits"))
+    }
+    perDim.reduce(_ unionAll _)
+      .crossJoin(denom)
+      .select(col("dim"), col("n_queries"), col("n_hits"),
+        Num.roundTo(col("n_hits").cast("double") / col("n_full"), 6).as("recall"))
+      .orderBy("dim")
+  }
+
   /** Random-hyperplane sign-sketch bucket id (packed sign bits) — codegen'd
     * native expression; hyperplane weights derive from (seed, bit, dim). */
   def lshBucket(vecCol: Column, nbits: Int = 12, seed: Long = 42L): Column =

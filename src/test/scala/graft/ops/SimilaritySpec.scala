@@ -189,6 +189,27 @@ class SimilaritySpec extends SparkSpec {
     assert(win.take(3).map(_.getLong(1)).toSeq == Seq(2L, 4L, 3L))
   }
 
+  test("dimTruncationRecall: zero-padded dims give recall 1, informative dims degrade, full width exact") {
+    import spark.implicits._
+    // 4-dim vectors whose last two dims are ZERO: truncating to 2 dims
+    // cannot change any cosine, so recall@k(2) == 1.0 exactly
+    val padded = (0L until 40L).map { i =>
+      (i, Array((i % 7 + 1).toFloat, (i % 5 + 1).toFloat, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val pq = padded.filter(col("vec_id") % 4 === 0)
+    val p = Similarity.dimTruncationRecall(padded, pq, dims = Seq(2, 4), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p(2L) == 1.0 && p(4L) == 1.0, s"zero-padded: $p")
+    // fixture corpus: full width is exact by construction; wider prefixes
+    // never lose to the 8-dim prefix on aggregate
+    val emb = Tables.embeddings(spark, sfDir)
+    val r = Similarity.dimTruncationRecall(emb, Similarity.querySet(emb, "vec_id", 20))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(64L) == 1.0, s"full width must agree with itself: $r")
+    assert(r(32L) >= r(8L), s"32-dim prefix must not lose to 8-dim: $r")
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("embeddingNearDup default path is lazy: no Spark job at DataFrame construction") {
     import spark.implicits._
     // Canary input: ANY job that executes this plan throws. r5's default
