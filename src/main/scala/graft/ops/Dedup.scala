@@ -97,8 +97,15 @@ object Dedup {
   def dupSpans(docs: DataFrame, w: Int = 8, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     require(w > 0, "w must be positive")
+    // The token-hash array is materialized as its OWN projection before
+    // the span fold references it: expression trees get no common-
+    // subexpression elimination inside higher-order functions, so an
+    // inlined `th` re-tokenizes and re-hashes the document once PER SPAN
+    // POSITION (~w× the scan cost; measured 10 s → ~1 s at sf0.1).
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val th = transform(toks, t => call_function("fnv1a64", t))
+    val withTh = docs.select(col(idCol),
+      transform(toks, t => call_function("fnv1a64", t)).as("th"))
+    val th = col("th")
     val m = size(th)
     val spanArr = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
       i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
@@ -109,7 +116,7 @@ object Dedup {
     // corpus is scanned and span-hashed exactly once (plan-asserted in
     // DedupSpec), where the naive two-branch formulation re-tokenizes
     // the whole corpus for the global-count side.
-    val spans = docs.select(col(idCol), explode(spanArr).as("h"))
+    val spans = withTh.select(col(idCol), explode(spanArr).as("h"))
       .repartition(col("h"))
     val perDoc = spans.groupBy(col("h"), col(idCol))
       .agg(count(lit(1)).as("c"))
@@ -146,13 +153,19 @@ object Dedup {
                     idCol: String = "doc_id"): DataFrame = {
     require(w > 0, "w must be positive")
     import org.apache.spark.sql.expressions.Window
+    // Same staged projections as [[dupSpans]]: tokens, then hashes, then
+    // the span fold — HOFs get no common-subexpression elimination, so
+    // inlining re-tokenizes per span position.
     val toksArr = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    val th = transform(toksArr, t => call_function("fnv1a64", lower(t)))
+    val withTh = docs.select(col(idCol), toksArr.as("ts"))
+      .select(col(idCol), col("ts"),
+        transform(col("ts"), t => call_function("fnv1a64", lower(t))).as("th"))
+    val th = col("th")
     val m = size(th)
     val spanArr = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
       i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
         (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
-    val base = docs.select(col(idCol), toksArr.as("ts"), m.as("m"), spanArr.as("sp"))
+    val base = withTh.select(col(idCol), col("ts"), m.as("m"), spanArr.as("sp"))
     val spans = base.filter(col("m") > 0)
       .select(col(idCol), least(lit(w), col("m")).as("cov"),
         posexplode(col("sp")).as(Seq("p0", "h")))
