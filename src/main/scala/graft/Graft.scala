@@ -485,6 +485,12 @@ object Graft {
                           dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 10): DataFrame =
     ops.Similarity.dimTruncationRecall(corpus, queries, dims, k)
 
+  /** IVF nprobe-recall curve ([[ops.Similarity.ivfProbeCurve]]) — size
+    * the probe count before a corpus-scale serving rollout. */
+  def ivfProbeCurve(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 10): DataFrame =
+    ops.Similarity.ivfProbeCurve(corpus, queries, codebook, probes, k)
+
   /** Per-language token-budget fill in seeded permutation order
     * ([[ops.TextStats.tokenBudgetMix]]) — mix design by budget, not rate. */
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],

@@ -906,6 +906,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.dimTruncationRecall(emb, Similarity.querySet(emb, "vec_id", 20))
     }),
+    // IVF nprobe-recall curve (the tuning report before a serving
+    // rollout — the IVF twin of the x8 banding planner)
+    "v17_ivf_probe_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.ivfProbeCurve(emb, Similarity.querySet(emb, "vec_id", 20), codebook)
+    }),
 
     // --- multimodal plumbing ---
     // real decode gate: Spark decodes genuine PNG/JPEG/WAV headers; the
@@ -1398,6 +1405,49 @@ object SparkEntry {
        |SELECT lv.dim, den.n_queries, lv.n_hits,
        |  ${Num.sqlRoundTo("CAST(lv.n_hits AS DOUBLE) / den.n_full", 6)} AS recall
        |FROM ($levels) lv, den ORDER BY lv.dim""".stripMargin
+  }
+
+  /** v17 — [[graft.ops.Similarity.ivfProbeCurve]] replay: the trained-IVF
+    * CTEs rebuild the codebook, ONE ranked query-assignment CTE serves
+    * every probe level (`rn <= np`), each level ranks its in-cell pairs
+    * with the shared 9dp + id tie-break rule and counts agreement with
+    * the exact brute-force reference set.
+    */
+  private def ivfProbeCurveSql(probes: Seq[Int] = Seq(1, 2, 4, 8),
+                               k: Int = 10, iters: Int = 3): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    val cos = Num.sqlRoundTo(
+      "list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))", 9)
+    val levels = probes.map { np =>
+      s"""lvl$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rn FROM (
+         |    SELECT qr.query_id, ca.neighbor_id, $cos AS sim
+         |    FROM qr JOIN ca ON qr.cell = ca.cell AND qr.query_id <> ca.neighbor_id
+         |    JOIN e q ON q.vec_id = qr.query_id JOIN e n ON n.vec_id = ca.neighbor_id
+         |    WHERE qr.rn <= $np) s) WHERE rn <= $k),
+         |h$np AS (SELECT CAST($np AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM lvl$np JOIN f USING (query_id, neighbor_id))""".stripMargin
+    }
+    val union = probes.map(np => s"SELECT nprobe, n_hits FROM h$np").mkString("\nUNION ALL\n")
+    s"""WITH ${trainedIvfCtes(16, iters)},
+       |f AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, n.vec_id) AS rn
+       |  FROM e q, e n WHERE q.vec_id % 20 = 0 AND q.vec_id <> n.vec_id) WHERE rn <= $k),
+       |ca AS MATERIALIZED (SELECT vec_id AS neighbor_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c) WHERE rn = 1),
+       |qr AS MATERIALIZED (SELECT w.vec_id AS query_id, c.cell,
+       |  row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c WHERE w.vec_id % 20 = 0),
+       |${levels.mkString(",\n")},
+       |den AS (SELECT CAST(count(*) AS BIGINT) AS n_full,
+       |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM f)
+       |SELECT lv.nprobe, den.n_queries, lv.n_hits,
+       |  ${Num.sqlRoundTo("CAST(lv.n_hits AS DOUBLE) / den.n_full", 6)} AS recall
+       |FROM ($union) lv, den ORDER BY lv.nprobe""".stripMargin
   }
 
   /** Full replay of [[graft.ops.TextStats.unigramVocab]] — Viterbi
@@ -3367,6 +3417,8 @@ object SparkEntry {
     "v15_ivfpq_topk" -> ivfPqTopKSql(),
     // truncation recall: every set member pins via 9dp + id tie-break
     "v16_dim_recall" -> dimRecallSql(),
+    // nprobe curve: one ranked assignment CTE serves all probe levels
+    "v17_ivf_probe_curve" -> ivfProbeCurveSql(),
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
     // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding
     // as Similarity.l2sq, cell-id tie-break

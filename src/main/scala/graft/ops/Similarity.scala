@@ -147,6 +147,38 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** IVF nprobe-recall curve — the tuning report that sizes `nprobe`
+    * before a corpus-scale serving rollout (the IVF twin of the x8 LSH
+    * banding planner): for each candidate probe count, top-k agreement
+    * with the exact full ranking over the query set. Costs one brute
+    * reference pass + one routed pass per probe level; the corpus-side
+    * cell layout is identical at every level (nprobe is query-side
+    * only), which is exactly the claim this report lets you verify
+    * before trusting it at 100 TB.
+    */
+  def ivfProbeCurve(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 10,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be >= 1")
+    val full = Iterate.materialize(
+      bruteForceTopKAgg(corpus, queries, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")))
+    val denom = broadcast(full.agg(count(lit(1)).as("n_full"),
+      countDistinct(col("query_id")).as("n_queries")))
+    probes.map { np =>
+      ivfTopKTrainedMultiProbe(corpus, queries, codebook, k, np, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(denom)
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        Num.roundTo(col("n_hits").cast("double") / col("n_full"), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Random-hyperplane sign-sketch bucket id (packed sign bits) — codegen'd
     * native expression; hyperplane weights derive from (seed, bit, dim). */
   def lshBucket(vecCol: Column, nbits: Int = 12, seed: Long = 42L): Column =

@@ -210,6 +210,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("ivfProbeCurve: monotone non-decreasing in nprobe, nprobe=|cells| is exactly 1.0") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.querySet(emb, "vec_id", 20)
+    val cb = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val r = Similarity.ivfProbeCurve(emb, q, cb, probes = Seq(1, 4, 16))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // more probes can only ADD candidate cells: recall is monotone
+    assert(r(1L) <= r(4L) && r(4L) <= r(16L), s"monotonicity: $r")
+    // probing every cell degenerates to exact brute force
+    assert(r(16L) == 1.0, s"nprobe=|cells| must be exact: $r")
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("embeddingNearDup default path is lazy: no Spark job at DataFrame construction") {
     import spark.implicits._
     // Canary input: ANY job that executes this plan throws. r5's default
