@@ -418,6 +418,14 @@ object Graft {
                   lookbackHours: Int = 168): DataFrame =
     ops.EventWindows.attribution(spark, dir, convType, touchTypes, lookbackHours)
 
+  /** Linear multi-touch attribution — integer basis-point credit split
+    * equally per conversion ([[ops.EventWindows.linearAttribution]]). */
+  def linearAttribution(spark: SparkSession, dir: String,
+                        convType: String = "purchase",
+                        touchTypes: Seq[String] = Seq("click", "view"),
+                        lookbackHours: Int = 168): DataFrame =
+    ops.EventWindows.linearAttribution(spark, dir, convType, touchTypes, lookbackHours)
+
   /** Integer-exact PageRank over the part co-purchase graph
     * ([[ops.Graph.partPageRank]]). */
   def partPageRank(spark: SparkSession, dir: String,

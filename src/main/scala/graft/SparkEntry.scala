@@ -308,6 +308,9 @@ object SparkEntry {
     // first/last-touch conversion attribution over a 7-day lookback —
     // all-integer credit counts
     "e17_attribution" -> (EventWindows.attribution(_, _)),
+    // linear multi-touch attribution: integer basis-point credit split
+    // equally per conversion, remainder to the earliest touch
+    "e18_linear_attribution" -> (EventWindows.linearAttribution(_, _)),
     // incremental aggregate maintenance: two disjoint halves aggregated
     // separately, partials merged — must equal the full recompute, so it
     // shares e1's oracle
@@ -2111,6 +2114,36 @@ object SparkEntry {
     * (streaming twin): row_number argmin/argmax over the total
     * (us, event_id) order replays min_by/max_by and the keyed-state
     * first/last rule identically. */
+  /** e18 — [[graft.ops.EventWindows.linearAttribution]] replay: the e17
+    * interval join, then integer basis-point credit 10000//n per touch
+    * with the remainder to the (touch_us, touch_id)-earliest touch. */
+  private def linearAttributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, us AS touch_us,
+        |        event_type AS touch_type FROM e
+        |      WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT c.conv_id, t.touch_id, t.touch_us, t.touch_type
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_us < c.conv_us
+        |       AND t.touch_us >= c.conv_us - 604800000000),
+        |w AS (SELECT touch_type,
+        |        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_us, touch_id) AS rn
+        |      FROM p),
+        |cr AS (SELECT touch_type, CAST(10000 AS BIGINT) // n_touches
+        |         + CASE WHEN rn = 1 THEN CAST(10000 AS BIGINT) % n_touches
+        |                ELSE 0 END AS bp FROM w),
+        |den AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs FROM p)
+        |SELECT cr.touch_type, CAST(count(*) AS BIGINT) AS n_touch_events,
+        |  CAST(sum(cr.bp) AS BIGINT) AS credit_bp,
+        |  floor((CAST(sum(cr.bp) AS DOUBLE) / (CAST(den.n_convs AS DOUBLE) * 10000.0)) * 1000000.0 + 0.5) / 1000000.0 AS credit_share
+        |FROM cr, den GROUP BY cr.touch_type, den.n_convs
+        |ORDER BY cr.touch_type""".stripMargin
+
   private def attributionSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -2859,6 +2892,7 @@ object SparkEntry {
     // min_by/max_by over the total (us, event_id) order; st13 emits
     // per-conversion credit rows and aggregates to the same report
     "e17_attribution" -> attributionSql,
+    "e18_linear_attribution" -> linearAttributionSql,
     "st13_stream_attribution" -> attributionSql,
 
 

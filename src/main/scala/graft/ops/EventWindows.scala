@@ -447,6 +447,51 @@ object EventWindows {
     * — total order, engine-neutral tie-break, partial-aggregation
     * friendly — and everything after is O(|touch types|).
     */
+  /** LINEAR multi-touch attribution — the third credit model next to
+    * [[attribution]]'s first/last-touch: every conversion's credit
+    * (10,000 basis points, so credit stays INTEGER and the oracle
+    * replays it exactly) splits equally across its lookback touches;
+    * the integer-division remainder goes to the EARLIEST touch
+    * ((touch_us, touch_id) min — deterministic, and conservation is
+    * exact: Σ credit_bp = 10000 × conversions-with-touches, spec'd).
+    * Same one interval join as e17; the per-conversion touch count and
+    * first-touch marker come from ONE aggregate joined back, no window.
+    */
+  def linearAttribution(spark: SparkSession, dir: String,
+                        convType: String = "purchase",
+                        touchTypes: Seq[String] = Seq("click", "view"),
+                        lookbackHours: Int = 168): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+    val conv = ev.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("conv_us"))
+    val touch = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+              col("us").as("touch_us"), col("event_type").as("touch_type"))
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    val paired = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_us") < col("conv_us") &&
+              col("touch_us") >= col("conv_us") - lit(lookbackUs))
+      .select(col("conv_id"), col("touch_id"), col("touch_us"), col("touch_type"))
+    val sizes = paired.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+           min(struct(col("touch_us"), col("touch_id"))).as("first_t"))
+    val credited = paired.join(sizes, "conv_id")
+      .withColumn("credit_bp",
+        expr("CAST(10000 AS BIGINT) DIV n_touches") +
+        when(struct(col("touch_us"), col("touch_id")) === col("first_t"),
+          expr("CAST(10000 AS BIGINT) % n_touches")).otherwise(lit(0L)))
+    val denom = broadcast(sizes.agg(count(lit(1)).as("n_convs")))
+    credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touch_events"), sum(col("credit_bp")).as("credit_bp"))
+      .crossJoin(denom)
+      .select(col("touch_type"), col("n_touch_events"), col("credit_bp"),
+        Num.roundTo(col("credit_bp").cast("double")
+          / (col("n_convs").cast("double") * 10000.0), 6).as("credit_share"))
+      .orderBy("touch_type")
+  }
+
   def attribution(spark: SparkSession, dir: String,
                   convType: String = "purchase",
                   touchTypes: Seq[String] = Seq("click", "view"),

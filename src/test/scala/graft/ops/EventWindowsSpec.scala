@@ -294,4 +294,31 @@ class EventWindowsSpec extends SparkSpec {
     full.foreach { r =>
       assert(r.getAs[Long]("n_touch_events") >= r.getAs[Long]("n_conversions_touched")) }
   }
+
+  test("linearAttribution: exact basis-point conservation, remainder to earliest touch") {
+    import spark.implicits._
+    val d = tmpDir("linattr")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: view, click, click before purchase → 3 touches: 3333 bp each,
+    // remainder 1 bp to the EARLIEST (the view) → view 3334, click 6666
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 0.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "click", 0.0, "{}"),
+        (4L, ts("2024-01-01 00:03:00"), 1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val m = EventWindows.linearAttribution(spark, d.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("view") == ((1L, 3334L, 0.3334)), m.toString)
+    assert(m("click") == ((2L, 6666L, 0.6666)), m.toString)
+
+    // fixture: conservation is EXACT — total credit = 10000 bp per
+    // credited conversion, and the result is partitioning-independent
+    val full = EventWindows.linearAttribution(spark, sfDir)
+    val rows = full.collect()
+    val firstLast = EventWindows.attribution(spark, sfDir).collect()
+    val nConvs = firstLast.map(_.getAs[Long]("n_first")).sum // 1 first per conversion
+    assert(rows.map(_.getAs[Long]("credit_bp")).sum == 10000L * nConvs)
+    assert(math.abs(rows.map(_.getAs[Double]("credit_share")).sum - 1.0) < 1e-4)
+  }
 }
