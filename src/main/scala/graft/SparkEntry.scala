@@ -1114,13 +1114,24 @@ object SparkEntry {
     * CTEs `e` (doubled vectors) and `bk` (vec_id → bucket).
     */
   private def lshBucketCtes(nbits: Int = 8, seed: Long = 42L): String = {
-    val unit = unitSql(s"$seed + b * 1000003 + (d - 1)")
+    val unit = unitSql(s"$seed + b * 1000003 + (dd.d - 1)")
+    // The hyperplane unit depends only on (bit, dim) — nbits·dim values.
+    // Precompute them ONCE as per-bit ordered lists: inlining the
+    // HUGEINT splitmix chain into the per-vector fold makes DuckDB
+    // (which, like Spark HOFs, does no scalar CSE) evaluate the ~64×-
+    // self-duplicating expression n·nbits·dim times — the difference
+    // between minutes and hours at the sf1 gate. The fold itself is
+    // unchanged (same order, same operands), so results are
+    // bit-identical.
     s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bs AS (SELECT unnest(range(0, $nbits)) AS b),
+       |ul AS MATERIALIZED (SELECT b, list($unit ORDER BY dd.d) AS us FROM bs,
+       |  LATERAL (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d) dd
+       |  GROUP BY b),
        |sb AS (SELECT vec_id, b,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |    list_transform(range(1, len(v) + 1), d -> v[d] * $unit)), (acc, x) -> acc + x) AS s
-       |  FROM e CROSS JOIN bs),
+       |    list_transform(range(1, len(v) + 1), d -> v[d] * us[d])), (acc, x) -> acc + x) AS s
+       |  FROM e CROSS JOIN ul),
        |bk AS MATERIALIZED (SELECT vec_id,
        |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM sb GROUP BY vec_id)""".stripMargin
@@ -1172,18 +1183,25 @@ object SparkEntry {
     */
   private def embNearDupPairCtes(threshold: Double, tables: Int = 4,
                                  maxBucket: Long = 256L): String = {
-    val unit = unitSql(s"(42 + tbl) + bb * 1000003 + (d - 1)")
+    val unit = unitSql(s"(42 + tbl) + bb * 1000003 + (dd.d - 1)")
     val coin = SqlHash.mix(s"xor(${SqlHash.mix("k.vec_id")}, k.tbl * 1000003 + k.bucket)")
+    // units precomputed per (table, bit) as ordered lists — the
+    // lshBucketCtes trick (see there): tables·nbits·dim chain evals
+    // instead of n·tables·nbits·dim, bit-identical fold.
     s"""cnt AS (SELECT count(*) AS n FROM embeddings),
        |nbq AS (SELECT LEAST(20, GREATEST(8, COALESCE(MIN(t.b), 21))) AS nbits
        |        FROM range(0, 22) t(b), cnt WHERE (64 * (CAST(1 AS BIGINT) << t.b)) >= cnt.n),
        |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |tt AS (SELECT unnest(range(0, $tables)) AS tbl),
        |bbs AS (SELECT unnest(range(0, (SELECT nbits FROM nbq))) AS bb),
+       |ul AS MATERIALIZED (SELECT tbl, bb, list($unit ORDER BY dd.d) AS us
+       |  FROM tt CROSS JOIN bbs,
+       |  LATERAL (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d) dd
+       |  GROUP BY tbl, bb),
        |sb AS (SELECT vec_id, tbl, bb,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |    list_transform(range(1, len(v) + 1), d -> v[d] * $unit)), (acc, x) -> acc + x) AS s
-       |  FROM e CROSS JOIN tt CROSS JOIN bbs),
+       |    list_transform(range(1, len(v) + 1), d -> v[d] * us[d])), (acc, x) -> acc + x) AS s
+       |  FROM e CROSS JOIN ul),
        |bk AS MATERIALIZED (SELECT vec_id, tbl,
        |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM sb GROUP BY vec_id, tbl),
