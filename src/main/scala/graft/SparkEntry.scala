@@ -527,6 +527,31 @@ object SparkEntry {
              count(lit(1)).as("n_conversions_touched"))
         .orderBy("touch_type")
     }),
+    // streaming LINEAR attribution: per-conversion credit rows emitted
+    // from the same horizon-pruned keyed state as st13; aggregated
+    // emissions equal e18's exact integer report (shared oracle)
+    "st14_stream_linear_attr" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      import s.implicits._
+      val mem = s"st14_mem_${Integer.toHexString(d.hashCode)}"
+      val ev = graft.streaming.Streams.parquetDirStream(s, stage, schema)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[graft.streaming.Streams.FunnelEvent]
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamLinearAttribution(ev).toDF(), mem,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val t = s.table(mem)
+      val denom = broadcast(t.agg(countDistinct(col("conv_id")).as("n_convs")))
+      t.groupBy("touch_type")
+        .agg(sum(col("n")).as("n_touch_events"), sum(col("credit_bp")).as("credit_bp"))
+        .crossJoin(denom)
+        .select(col("touch_type"), col("n_touch_events"), col("credit_bp"),
+          graft.ops.Num.roundTo(col("credit_bp").cast("double")
+            / (col("n_convs").cast("double") * 10000.0), 6).as("credit_share"))
+        .orderBy("touch_type")
+    }),
     // custom keyed state (flatMapGroupsWithState) in the gate: running
     // per-user counts — the final emission per user equals the batch
     // GROUP BY count (max() guards against multi-batch re-emission)
@@ -2911,6 +2936,7 @@ object SparkEntry {
     // per-conversion credit rows and aggregates to the same report
     "e17_attribution" -> attributionSql,
     "e18_linear_attribution" -> linearAttributionSql,
+    "st14_stream_linear_attr" -> linearAttributionSql,
     "st13_stream_attribution" -> attributionSql,
 
 

@@ -242,6 +242,8 @@ object Streams {
                               valid_from_us: Long, valid_to_us: Long)
   final case class ConvTouch(conv_id: Long, touch_type: String, n: Long,
                              is_first: Boolean, is_last: Boolean)
+  final case class ConvCredit(conv_id: Long, touch_type: String, n: Long,
+                              credit_bp: Long)
 
   /** Streaming ordered funnel — [[graft.ops.EventWindows.funnel]]'s
     * first-touch strictly-after semantics as custom keyed state: per
@@ -357,6 +359,55 @@ object Streams {
           }
           // prune: nothing older than the horizon can credit a future
           // conversion (events arrive in event-time order)
+          val keep = tus.indices.filter(i => tus(i) >= lastSeen - lookbackUs)
+          state.update((keep.map(tus).toArray, keep.map(tid).toArray,
+            keep.map(ttp).toArray))
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING LINEAR ATTRIBUTION — the incremental twin of
+    * [[graft.ops.EventWindows.linearAttribution]], same keyed state and
+    * horizon pruning as [[streamAttribution]]: each conversion splits
+    * its 10,000 basis points equally across its lookback touches at
+    * conversion time (integer division, remainder to the
+    * (us, event_id)-earliest touch — the batch rule), emitting one
+    * credit row per touch type. Aggregated emissions equal the batch
+    * report exactly, so st14 shares e18's oracle verbatim.
+    */
+  def streamLinearAttribution(events: Dataset[FunnelEvent],
+                              convType: String = "purchase",
+                              touchTypes: Seq[String] = Seq("click", "view"),
+                              lookbackUs: Long = 168L * 3600L * 1000000L): Dataset[ConvCredit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Array[Long], Array[Long], Array[String]), ConvCredit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[(Array[Long], Array[Long], Array[String])]) =>
+          var (tus, tid, ttp) = state.getOption
+            .getOrElse((Array.empty[Long], Array.empty[Long], Array.empty[String]))
+          var lastSeen = if (tus.isEmpty) Long.MinValue else tus.last
+          val out = Seq.newBuilder[ConvCredit]
+          rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            lastSeen = math.max(lastSeen, e.us)
+            if (touchTypes.contains(e.event_type)) {
+              tus :+= e.us; tid :+= e.event_id; ttp :+= e.event_type
+            } else if (e.event_type == convType) {
+              val lo = e.us - lookbackUs
+              val idx = tus.indices.filter(i => tus(i) < e.us && tus(i) >= lo)
+              if (idx.nonEmpty) {
+                val base = 10000L / idx.size
+                val rem = 10000L % idx.size
+                val first = idx.minBy(i => (tus(i), tid(i)))
+                idx.groupBy(ttp).foreach { case (tpe, is) =>
+                  out += ConvCredit(e.event_id, tpe, is.size.toLong,
+                    base * is.size + (if (is.contains(first)) rem else 0L))
+                }
+              }
+            }
+          }
           val keep = tus.indices.filter(i => tus(i) >= lastSeen - lookbackUs)
           state.update((keep.map(tus).toArray, keep.map(tid).toArray,
             keep.map(ttp).toArray))

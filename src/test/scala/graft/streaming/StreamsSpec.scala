@@ -399,6 +399,45 @@ class StreamsSpec extends SparkSpec {
     assert(crossPairs.count() > 0, "no credit spans the micro-batch cut — harness degenerate")
   }
 
+  test("streaming linear attribution == batch e18 report, credit across micro-batch boundaries") {
+    import spark.implicits._
+    // same two-file, two-micro-batch harness as the st13 spec: touches
+    // before the cut credit conversions after it only via carried state
+    val d = tmpDir("slinattr").resolve("events").toString
+    val ev = Tables.events(spark, sfDir)
+    val cut = "2024-01-15 22:00:00"
+    ev.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(d)
+    val early = new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet"))
+    val d2 = tmpDir("slinattr_late").resolve("late").toString
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(d2)
+    val lateFile = new java.io.File(d2).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = java.nio.file.Paths.get(d, "zz_" + lateFile.getName)
+    java.nio.file.Files.move(lateFile.toPath, target)
+    early.foreach(f => f.setLastModified(target.toFile.lastModified - 60000))
+
+    val schema = spark.read.parquet(d).schema
+    val stream = Streams.parquetDirStream(spark, d, schema, maxFilesPerTrigger = 1)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[Streams.FunnelEvent]
+    Streams.runToMemory(Streams.streamLinearAttribution(stream).toDF(), "slin_mem",
+      OutputMode.Update())
+    val t = spark.table("slin_mem")
+    val denom = t.agg(countDistinct(col("conv_id"))).collect().head.getLong(0)
+    val streamed = t.groupBy("touch_type")
+      .agg(sum(col("n")).as("n_touch_events"), sum(col("credit_bp")).as("credit_bp"))
+      .withColumn("credit_share", graft.ops.Num.roundTo(
+        col("credit_bp").cast("double") / (lit(denom.toDouble) * 10000.0), 6))
+      .orderBy("touch_type").collect()
+    val batch = EventWindows.linearAttribution(spark, sfDir)
+      .orderBy("touch_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+    // conservation holds over the streamed emissions too
+    assert(streamed.map(_.getAs[Long]("credit_bp")).sum == 10000L * denom)
+  }
+
   test("streaming SCD2 == batch closed intervals, closures across micro-batch boundaries") {
     import spark.implicits._
     // two time-split files, ordered mtimes → two micro-batches: every
