@@ -1209,10 +1209,14 @@ object SparkEntry {
   private def embNearDupPairCtes(threshold: Double, tables: Int = 4,
                                  maxBucket: Long = 256L): String = {
     val unit = unitSql(s"(42 + tbl) + bb * 1000003 + (dd.d - 1)")
-    val coin = SqlHash.mix(s"xor(${SqlHash.mix("k.vec_id")}, k.tbl * 1000003 + k.bucket)")
     // units precomputed per (table, bit) as ordered lists — the
     // lshBucketCtes trick (see there): tables·nbits·dim chain evals
-    // instead of n·tables·nbits·dim, bit-identical fold.
+    // instead of n·tables·nbits·dim, bit-identical fold. The sampling
+    // coin's NESTED mix gets the same staging (mv column, then coin
+    // column): inlined, the outer chain's ~64× self-duplication applies
+    // to an argument that is itself a ~64×-duplicating chain — a
+    // ~4096-wide expression tree whose per-node executor vectors blew
+    // DuckDB's memory limit at sf1 before any data-sized work ran.
     s"""cnt AS (SELECT count(*) AS n FROM embeddings),
        |nbq AS (SELECT LEAST(20, GREATEST(8, COALESCE(MIN(t.b), 21))) AS nbits
        |        FROM range(0, 22) t(b), cnt WHERE (64 * (CAST(1 AS BIGINT) << t.b)) >= cnt.n),
@@ -1231,9 +1235,12 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM sb GROUP BY vec_id, tbl),
        |szs AS (SELECT tbl, bucket, count(*) AS c FROM bk GROUP BY tbl, bucket),
+       |bkm AS (SELECT vec_id, tbl, bucket, ${SqlHash.mix("vec_id")} AS mv FROM bk),
+       |bkc AS (SELECT vec_id, tbl, bucket,
+       |  ${SqlHash.mix("xor(mv, tbl * 1000003 + bucket)")} AS coin FROM bkm),
        |keyed AS MATERIALIZED (SELECT k.vec_id, k.tbl, k.bucket
-       |  FROM bk k JOIN szs z ON k.tbl = z.tbl AND k.bucket = z.bucket
-       |  WHERE z.c <= $maxBucket OR ((($coin) % z.c) + z.c) % z.c < $maxBucket),
+       |  FROM bkc k JOIN szs z ON k.tbl = z.tbl AND k.bucket = z.bucket
+       |  WHERE z.c <= $maxBucket OR ((k.coin % z.c) + z.c) % z.c < $maxBucket),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |    AND a.vec_id < b.vec_id),
