@@ -504,4 +504,23 @@ object Graft {
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
                      defaultBudget: Long = Long.MaxValue, seed: Long = 42L): DataFrame =
     ops.TextStats.tokenBudgetMix(docs, budgets, defaultBudget, seed)
+
+  /** SemDeDup: cluster-conditional semantic dedup — trained-IVF cells
+    * bound the pair search to within-cluster
+    * ([[ops.Similarity.semDeDup]]; train a codebook with
+    * [[ops.Similarity.trainIvfCodebook]] first). */
+  def semDeDup(vectors: DataFrame, codebook: DataFrame,
+               threshold: Double = 0.42): DataFrame =
+    ops.Similarity.semDeDup(vectors, codebook, threshold)
+
+  /** Quality-aware canonical selection: per near-dup cluster keep the
+    * highest-quality member, ties to the lowest id
+    * ([[ops.Dedup.resolveBestByScore]]). */
+  def resolveBestByScore(docs: DataFrame, pairs: DataFrame,
+                         scores: DataFrame): DataFrame =
+    ops.Dedup.resolveBestByScore(docs, pairs, scores)
+
+  /** Per-document tf-idf top-k terms ([[ops.TextStats.tfidfTopTerms]]). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame =
+    ops.TextStats.tfidfTopTerms(docs, k)
 }

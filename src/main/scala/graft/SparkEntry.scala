@@ -351,6 +351,19 @@ object SparkEntry {
       Dedup.resolveDuplicates(emb.select(col("vec_id")), pairs, "vec_id")
         .orderBy("vec_id")
     }),
+    // SemDeDup (Abbas et al. 2023): cluster-conditional semantic dedup —
+    // the trained-IVF cells (v4's codebook, same 16 cells / 3 Lloyd's
+    // rounds) bound the pair search to within-cluster, and any vector
+    // with a smaller-id cell-mate at cosine >= 0.42 is pruned. The
+    // middle ground between x9 (exact all-pairs, quarantined) and x10
+    // (LSH candidates): cells scale with the corpus, so the quadratic
+    // term never sees global n². Hash-gated via the v4 Lloyd's replay.
+    "x12_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.semDeDup(emb, codebook, threshold = 0.42)
+        .orderBy("vec_id")
+    }),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -741,6 +754,12 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"))
       .orderBy("doc_id")),
+    // per-doc tf-idf top terms: what each document is ABOUT — idf =
+    // ln(N/df) rounded at 6dp into the product (the t11/p7 ln
+    // discipline), term-string tie-break
+    "t27_tfidf" -> ((s, d) =>
+      TextStats.tfidfTopTerms(Tables.documents(s, d))
+        .orderBy("doc_id", "rank")),
 
     // --- dedup ---
     "x1_exact_dedup" -> ((s, d) =>
@@ -787,6 +806,18 @@ object SparkEntry {
     // kept, later occurrences drop their covered tokens, text rebuilt
     "c13_span_scrub" -> ((s, d) =>
       Dedup.scrubDupSpans(Tables.documents(s, d))),
+    // quality-aware canonical selection: within each x4/x5 near-dup
+    // cluster keep the highest-QUALITY member (ties -> lowest id), not
+    // the lowest id — the dedup action a production corpus runs (the
+    // best-written copy survives, not the first-crawled). Shares x5's
+    // staged pair table and t1's quality score; the oracle composes
+    // their two replays.
+    "c14_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.resolveBestByScore(docs, stagedPairs(s, d),
+        graft.ops.TextStats.qualityScore(docs).select("doc_id", "quality_score"))
+        .orderBy("doc_id")
+    }),
     // boilerplate shingles: repeated 3-grams across >= 5 distinct docs
     "t16_boilerplate" -> ((s, d) =>
       Dedup.boilerplate(Tables.documents(s, d))),
@@ -1080,7 +1111,12 @@ object SparkEntry {
        |SELECT doc_id, lang, CASE $cases END AS detected_lang FROM m ORDER BY doc_id""".stripMargin
   }
 
-  private def qualityCte: String = {
+  private def qualityCte: String = s"WITH ${qualityCteBody()}"
+
+  /** t1's quality-feature/score CTE pair WITHOUT the leading WITH, with
+    * caller-chosen CTE names — so composites whose other half already owns
+    * a CTE named `f` (dupComponentsCte, in c14) can append it. */
+  private def qualityCteBody(fN: String = "f", qsN: String = "qs"): String = {
     val nChars = "CAST(length(text) AS DOUBLE)"
     val nTok = "CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE)"
     val punct = raw"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))"
@@ -1089,7 +1125,7 @@ object SparkEntry {
     val stopPat = "(?i)\\b(the|a|an|and|or|of|to|in|is|on|for|with|at|by|from|as|it|that)\\b"
     val nStop = s"CAST(len(regexp_extract_all(text, '$stopPat')) AS DOUBLE)"
     def r4(e: String) = Num.sqlRoundTo(e, 4)
-    s"""WITH f AS (SELECT doc_id,
+    s"""$fN AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
        |  ${r4(s"CASE WHEN $nTok > 0 THEN ($nChars - ($nTok - 1)) / $nTok ELSE 0.0 END")} AS mean_token_len,
        |  ${r4(s"$punct / greatest($nChars, 1.0)")} AS punct_ratio,
@@ -1097,13 +1133,13 @@ object SparkEntry {
        |  ${r4(s"$upper / greatest($nChars, 1.0)")} AS upper_ratio,
        |  ${r4(s"$nStop / greatest($nTok, 1.0)")} AS stopword_ratio
        |FROM documents),
-       |qs AS (SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
+       |$qsN AS (SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
        |  ${r4("""greatest(0.0, least(1.0,
        |    0.25 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) +
        |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
        |    0.25 * (1.0 - least(digit_ratio * 5.0, 1.0)) +
        |    0.25 * (1.0 - abs(stopword_ratio - 0.4))))""")} AS quality_score
-       |FROM f)""".stripMargin
+       |FROM $fN)""".stripMargin
   }
 
   private def qualitySql: String =
@@ -1316,6 +1352,29 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM s)
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** x12 — [[graft.ops.Similarity.semDeDup]] replay: the trained-IVF
+    * corpus assignment (v4's argmin rule over [[trainedIvfCtes]]'s final
+    * codebook), within-cell (a < b) pairs scored with the 9dp cosine, and
+    * the greedy keep-earliest prune — any vector with a smaller-id
+    * cell-mate at sim ≥ threshold drops.
+    */
+  private def semDedupSql(threshold: Double = 0.42, iters: Int = 3): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    s"""WITH ${trainedIvfCtes(16, iters)},
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c) WHERE rn = 1),
+       |p AS (SELECT b.vec_id AS id_b,
+       |  ${Num.sqlRoundTo("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))", 9)} AS sim
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+       |drp AS (SELECT DISTINCT id_b FROM p WHERE sim >= $threshold)
+       |SELECT asg.vec_id, asg.cell, (drp.id_b IS NULL) AS keep
+       |FROM asg LEFT JOIN drp ON drp.id_b = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
   }
 
   /** CTE-for-CTE replay of [[graft.ops.Similarity.pqCodebooks]] — the
@@ -3050,6 +3109,23 @@ object SparkEntry {
         |  FROM documents)
         |SELECT term, count(*) AS n FROM terms GROUP BY term
         |ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    // t27 — tf·ln(N/df) rounded once at 6dp (N/df is an exact double
+    // division, identical both engines); rank ties break on the term
+    "t27_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |  ${Num.sqlRoundTo("CAST(tf.tf AS DOUBLE) * ln(nn.nd / CAST(dfq.df AS DOUBLE))", 6)} AS tfidf
+         |  FROM tf JOIN dfq USING (term), nn),
+         |r AS (SELECT doc_id, term, tf, df, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin,
     "r2_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -3458,6 +3534,20 @@ object SparkEntry {
     "v3_emb_near_dup" ->
       s"""WITH ${embNearDupPairCtes(0.35)}
          |SELECT id_a, id_b, sim FROM kept ORDER BY id_a, id_b""".stripMargin,
+    // c14 = x5's components + t1's quality score: per component the
+    // highest-score member keeps (row_number ties to the lowest id —
+    // the engine's max(struct(score, -id)) argmax)
+    "c14_keep_best" ->
+      s"""$dupComponentsCte,
+         |${qualityCteBody("qft", "qsc")},
+         |scd AS (SELECT rec.v AS doc_id, rec.component, qsc.quality_score
+         |        FROM rec JOIN qsc ON qsc.doc_id = rec.v),
+         |b AS (SELECT component, doc_id AS best_id FROM (
+         |  SELECT component, doc_id, row_number() OVER (PARTITION BY component ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM scd) WHERE rn = 1)
+         |SELECT scd.doc_id, scd.component, scd.quality_score,
+         |  (scd.doc_id = b.best_id) AS keep
+         |FROM scd JOIN b USING (component) ORDER BY scd.doc_id""".stripMargin,
     // t12 = x5's components + t7's FNV bucket, keyed on the CANONICAL
     // doc's text — the whole point is split(doc) = split(component rep)
     "t12_leakproof_split" ->
@@ -3497,6 +3587,9 @@ object SparkEntry {
     // double-promoted |sv−cv| diffs in dim order then sub order,
     // v14 scores raw queries against the reconstruction, v15 adds
     // IVF routing on the raw vectors (the asymmetric-distance shape)
+    // x12 — SemDeDup: the v4 trained-IVF assignment bounds the 9dp-cosine
+    // pair search to within-cell; smaller-id neighbor >= 0.42 prunes
+    "x12_semdedup" -> semDedupSql(),
     "v13_pq_err" -> pqErrSql(),
     "v14_pq_topk" -> pqTopKSql(),
     "v15_ivfpq_topk" -> ivfPqTopKSql(),

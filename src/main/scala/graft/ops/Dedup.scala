@@ -652,6 +652,34 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("component"))
   }
 
+  /** Quality-aware canonical selection — the dedup ACTION a production
+    * corpus pipeline runs: within each near-dup cluster keep the highest-
+    * QUALITY member instead of [[resolveDuplicates]]'s lowest id (dropping
+    * the best-written copy of a page because a worse one crawled first is
+    * a real corpus-quality regression). `scores` is any (idCol, scoreCol)
+    * table — here the t1 quality score, but a model-based classifier
+    * score drops in unchanged.
+    *
+    * The argmax is deterministic: max(struct(score, −id)) — highest score
+    * wins, ties go to the LOWEST id (so clusters whose members tie degrade
+    * to resolveDuplicates' rule exactly). Everything after component
+    * resolution moves O(docs) 16-byte rows: scores join on ids, never
+    * text, and the per-component argmax is a partial (map-side) aggregate.
+    */
+  def resolveBestByScore(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "quality_score"): DataFrame = {
+    val scored = resolveDuplicates(docs, pairs, idCol)
+      .select(col(idCol), col("component"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = scored.groupBy("component")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("m"))
+      .select(col("component"), (-col("m.negid")).as("best_id"))
+    scored.join(best, Seq("component"))
+      .select(col(idCol), col("component"), col(scoreCol),
+        (col(idCol) === col("best_id")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard near-dup via shared-shingle grouping: explode
     * distinct hashed shingles, group BY shingle collecting the (bounded)
     * doc list, generate ordered pairs in-group, then count shared shingles

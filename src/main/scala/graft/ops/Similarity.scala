@@ -824,4 +824,46 @@ object Similarity {
         Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup (cluster-conditional semantic dedup, after Abbas et al.
+    * 2023, arXiv:2303.09540): a trained k-means (IVF) codebook partitions
+    * the corpus into cells, and the quadratic pair search runs only
+    * WITHIN each cell — per-cell work is (n/cells)², and `cells` is sized
+    * with the corpus (at 100 TB: tens of thousands of cells of a few
+    * thousand vectors each, written partitioned by cell; the all-pairs
+    * term never sees the global n²). Within a cell, any vector with a
+    * smaller-id neighbor at cosine ≥ `threshold` is pruned — the greedy
+    * keep-earliest rule, deterministic and arrival-order-free (a refinement
+    * of the paper's keep-one-per-semantic-cluster).
+    *
+    * Physical shape: one broadcast-codebook argmin assignment (map-only),
+    * one within-cell self-join keyed on `cell`, and the dropped-id set
+    * joins back as an 8-byte-key anti probe. Vectors cross the wire once
+    * (the cell shuffle); scored pairs reduce to ids before the final join.
+    *
+    * Cross-engine determinism: assignment uses [[assignCells]]'s
+    * 9dp-rounded squared-L2 with cell-id tie-break, and the pair cosine is
+    * 9dp-rounded — both already replayed exactly by the DuckDB trained-IVF
+    * CTEs, so the whole operator sits in the hash gate.
+    *
+    * Returns (idCol, cell, keep) over every input vector.
+    */
+  def semDeDup(df: DataFrame, codebook: DataFrame, threshold: Double = 0.42,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = assignCells(df, codebook, idCol, vecCol).select(col(idCol), col("cell"))
+    val v = df.select(col(idCol), col(vecCol).as("v")).join(asg, Seq(idCol))
+      .withColumn("nn", norm(col("v")))
+    val dropped = v.select(col("cell"), col(idCol).as("id_a"), col("v").as("va"), col("nn").as("na"))
+      .join(v.select(col("cell"), col(idCol).as("id_b"), col("v").as("vb"), col("nn").as("nb")),
+            Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("dup", lit(true))
+    v.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup").isNull.as("keep"))
+  }
 }

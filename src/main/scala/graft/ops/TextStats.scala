@@ -63,6 +63,39 @@ object TextStats {
         lit(0.25) * (lit(1.0) - abs(col("stopword_ratio") - 0.4)))), 4))
   }
 
+  /** Per-document tf-idf top-k terms — the classic rarity-weighted term
+    * salience report (what is this document ABOUT), the feature a topic
+    * router or domain-mix auditor reads per doc. tf = in-document count,
+    * df = documents containing the term, idf = ln(N/df); the product
+    * rounds once at 6dp (the t11/p7 ln discipline: N/df is an exact
+    * double division identical in both engines, so only the final ulp of
+    * ln is at stake under the rounding) and rank ties break on the term
+    * string (binary collation both sides).
+    *
+    * Scale shape: tokens reduce to (doc, term, tf) with map-side combine;
+    * df is a second key-partial aggregate over rows already collapsed to
+    * one per (doc, term); the per-doc top-k window partitions by doc_id —
+    * bounded by document length, no hot key. N arrives as a literal
+    * (count once per corpus snapshot), not a cross-join.
+    */
+  def tfidfTopTerms(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val tf = df.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        Num.roundTo(col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Language-ID: character/stopword n-gram heuristic over a small profile
     * table per language. Scores each language by distinctive-marker hits
     * per token and takes the argmax (ties broken alphabetically).

@@ -341,4 +341,38 @@ class DedupSpec extends SparkSpec {
       Dedup.lshPlan(sigs, configs = Seq((7, 13)))
     }
   }
+
+  test("resolveBestByScore: highest-quality member keeps; score ties degrade to lowest id") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7))
+      .toDF("doc_id", "quality_score")
+    val out = Dedup.resolveBestByScore(docs, pairs, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // cluster {1,2}: 2 has the higher score -> 2 keeps, NOT the lower id
+    assert(out(1L) == (1L, false) && out(2L) == (1L, true))
+    // singleton keeps itself
+    assert(out(3L) == (3L, true))
+    // cluster {4,5}: tied scores -> lowest id keeps (resolveDuplicates' rule)
+    assert(out(4L) == (4L, true) && out(5L) == (4L, false))
+  }
+
+  test("resolveBestByScore: exactly one keeper per component, and it attains the component max score") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+    val scores = TextStats.qualityScore(docs).select("doc_id", "quality_score")
+    val out = Dedup.resolveBestByScore(docs, pairs, scores).cache()
+    try {
+      assert(out.count() == docs.count())
+      val perComp = out.groupBy("component")
+        .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+             max(col("quality_score")).as("mx"),
+             max(when(col("keep"), col("quality_score"))).as("kept_score"))
+        .collect()
+      assert(perComp.forall(_.getLong(1) == 1L))
+      assert(perComp.forall(r => r.getDouble(2) == r.getDouble(3)))
+    } finally out.unpersist()
+  }
 }

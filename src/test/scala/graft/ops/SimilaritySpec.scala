@@ -671,4 +671,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exactSet), "LSH must not emit a below-threshold pair")
   }
+
+  test("semDeDup: within-cell smaller-id neighbor above threshold prunes; cross-cell never pairs") {
+    import spark.implicits._
+    val codebook = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "cv")
+    val out = Similarity.semDeDup(vecs, codebook, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // cell 0: vectors 0, 1 (cos .9939), 4 (identical) -> 0 keeps, 1 and 4 prune
+    assert(out(0L) == (0L, true) && out(1L) == (0L, false) && out(4L) == (0L, false))
+    // cell 1: vectors 2 and 3 are orthogonal (cos 0 < .95) -> both keep,
+    // and 3 never pairs with its true opposite 0 (different cell)
+    assert(out(2L) == (1L, true) && out(3L) == (1L, true))
+  }
+
+  test("semDeDup: refines exact near-dup and is repartition-invariant on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val out = Similarity.semDeDup(emb, codebook, threshold = 0.42)
+    val pruned = out.filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // every input vector appears exactly once
+    assert(out.count() == emb.count())
+    // soundness: each pruned id has a TRUE >= threshold smaller-id
+    // neighbor (the cell restriction only removes candidates, never
+    // invents similarity)
+    val trueDups = Similarity.embeddingNearDupExact(emb, 0.42)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(trueDups))
+    val again = Similarity.semDeDup(emb.repartition(7), codebook, threshold = 0.42)
+      .filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pruned)
+  }
 }

@@ -645,4 +645,28 @@ class TextStatsSpec extends SparkSpec {
     assert(spans.head._1 == 0L && spans.last._2 == n - 1)
     spans.sliding(2).foreach { case Array((_, l), (f, _)) => assert(f == l + 1); case _ => }
   }
+
+  test("tfidfTopTerms: corpus-wide terms score 0, rare terms rank by tf*ln(N/df), ties on term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // banana: tf=2, df=1 -> 2*ln(3); apple: df=N -> ln(1)=0
+    assert(d1.head._3 == "banana")
+    assert(math.abs(d1.head._4 - 2.0 * math.log(3.0)) < 1e-6)
+    assert(d1.find(_._3 == "apple").get._4 == 0.0)
+    // doc 2: cherry (ln 3) outranks apple (0); both present, k respected
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.map(_._3).toSeq == Seq("cherry", "apple"))
+    // equal scores tie-break on the term string
+    val tie = TextStats.tfidfTopTerms(
+      Seq((1L, "zebra yak"), (2L, "other")).toDF("doc_id", "text"), k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .collect().map(_.getString(2)).toSeq
+    assert(tie == Seq("yak", "zebra"))
+  }
 }
