@@ -523,4 +523,13 @@ object Graft {
   /** Per-document tf-idf top-k terms ([[ops.TextStats.tfidfTopTerms]]). */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame =
     ops.TextStats.tfidfTopTerms(docs, k)
+
+  /** Incremental SemDeDup: a new batch dedups against an existing corpus
+    * inside corpus-trained IVF cells
+    * ([[ops.Similarity.semDeDupIncrement]]); streaming twin in
+    * [[streaming.Streams.streamSemDedupIncrement]]. */
+  def semDeDupIncrement(corpus: DataFrame, newBatch: DataFrame,
+                        codebook: DataFrame,
+                        threshold: Double = 0.42): DataFrame =
+    ops.Similarity.semDeDupIncrement(corpus, newBatch, codebook, threshold)
 }

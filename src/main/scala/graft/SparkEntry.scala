@@ -364,6 +364,19 @@ object SparkEntry {
       Similarity.semDeDup(emb, codebook, threshold = 0.42)
         .orderBy("vec_id")
     }),
+    // incremental SemDeDup — the daily-crawl flow: the odd-id half (the
+    // "new batch") dedups against the even-id half (the "corpus") inside
+    // corpus-trained cells. New-vs-new dups are a subsequent x12 pass BY
+    // DESIGN: each verdict depends only on the static corpus, which is
+    // what lets st15 share this oracle verbatim.
+    "x13_semdedup_increment" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+      Similarity.semDeDupIncrement(corpus, emb.filter(col("vec_id") % 2 === 1),
+          codebook, threshold = 0.42)
+        .orderBy("vec_id")
+    }),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -430,6 +443,24 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), col("source")),
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id")
+    }),
+    // streaming incremental SemDeDup shares x13's oracle: each verdict
+    // depends only on the static corpus (cell assignment is the map-only
+    // literal-codebook expression; survivors = one stream-static LEFT
+    // ANTI join), so micro-batch boundaries cannot change the answer
+    "st15_stream_semdedup" -> ((s, d) => {
+      val stage = stagedEmbeddings(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage).filter(col("vec_id") % 2 === 0)
+      val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val mem = s"st15_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamSemDedupIncrement(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("vec_id") % 2 === 1), corpus, codebook),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("vec_id")
     }),
     // streaming sliding windows share e5's oracle (identical grid/agg)
     "st6_stream_sliding" -> ((s, d) => {
@@ -1297,13 +1328,14 @@ object SparkEntry {
     * distances see bit-identical centroids. Yields `e(vec_id, v)` and
     * the final codebook `cb$iters(cell, cvd)` (double-promoted).
     */
-  private def trainedIvfCtes(cells: Int = 16, iters: Int = 3): String = {
+  private def trainedIvfCtes(cells: Int = 16, iters: Int = 3,
+                             where: String = ""): String = {
     val l2 = (v: String, c: String) => Num.sqlRoundTo(
       s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
     val init =
-      s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$where),
          |cb0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cvd FROM e
-         |        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $cells))""".stripMargin
+         |        WHERE vec_id IN (SELECT vec_id FROM embeddings$where ORDER BY vec_id LIMIT $cells))""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (SELECT w.vec_id, c.cell,
          |  ${l2("w.v", "c.cvd")} AS dist FROM e w, cb${i - 1} c),
@@ -1375,6 +1407,33 @@ object SparkEntry {
        |SELECT asg.vec_id, asg.cell, (drp.id_b IS NULL) AS keep
        |FROM asg LEFT JOIN drp ON drp.id_b = asg.vec_id
        |ORDER BY asg.vec_id""".stripMargin
+  }
+
+  /** x13/st15 — [[graft.ops.Similarity.semDeDupIncrement]] replay: the
+    * Lloyd's codebook trains on the CORPUS half only (even vec_ids), both
+    * halves argmin-assign against it, and a new (odd-id) vector survives
+    * iff no corpus cell-mate sits at 9dp cosine ≥ threshold. The
+    * streaming twin shares this SQL verbatim — its verdicts depend only
+    * on the static corpus, so micro-batching cannot change them.
+    */
+  private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
+       |en AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+       |ca AS (SELECT vec_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c) WHERE rn = 1),
+       |na AS (SELECT vec_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM en w, cb$iters c) WHERE rn = 1),
+       |dup AS (SELECT DISTINCT n.vec_id
+       |  FROM na n JOIN ca c ON n.cell = c.cell
+       |  JOIN en ev ON ev.vec_id = n.vec_id JOIN e cv ON cv.vec_id = c.vec_id
+       |  WHERE ${Num.sqlRoundTo("list_dot_product(ev.v, cv.v) / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(cv.v, cv.v)))", 9)} >= $threshold)
+       |SELECT na.vec_id, na.cell FROM na
+       |WHERE na.vec_id NOT IN (SELECT vec_id FROM dup)
+       |ORDER BY na.vec_id""".stripMargin
   }
 
   /** CTE-for-CTE replay of [[graft.ops.Similarity.pqCodebooks]] — the
@@ -3590,6 +3649,12 @@ object SparkEntry {
     // x12 — SemDeDup: the v4 trained-IVF assignment bounds the 9dp-cosine
     // pair search to within-cell; smaller-id neighbor >= 0.42 prunes
     "x12_semdedup" -> semDedupSql(),
+    // x13 — incremental SemDeDup: corpus-half-trained Lloyd's, new half
+    // survives iff no corpus cell-mate at 9dp cosine >= 0.42
+    "x13_semdedup_increment" -> semDedupIncrementSql(),
+    // st15 — the streaming twin: verdicts depend only on the static
+    // corpus, so the batch replay is the oracle verbatim
+    "st15_stream_semdedup" -> semDedupIncrementSql(),
     "v13_pq_err" -> pqErrSql(),
     "v14_pq_topk" -> pqTopKSql(),
     "v15_ivfpq_topk" -> ivfPqTopKSql(),

@@ -866,4 +866,59 @@ object Similarity {
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell"), col("dup").isNull.as("keep"))
   }
+
+  /** Incremental SemDeDup — the daily-crawl flow: a NEW batch of vectors
+    * dedups against an EXISTING corpus inside the corpus-trained IVF
+    * cells. Both sides argmin-assign to `codebook`; a new vector survives
+    * iff no corpus cell-mate sits at cosine ≥ `threshold`.
+    *
+    * New-vs-new duplicates are deliberately out of scope (run [[semDeDup]]
+    * over the survivors next): each verdict then depends only on the
+    * static corpus, never on batch-mates — which is what makes the
+    * operator stateless per vector, arrival-order free, and lets its
+    * streaming twin share this exact oracle. Cost is |new| × cell
+    * occupancy; the corpus is never compared against itself, so daily
+    * batches stay O(batch), independent of corpus age (the x6/x7
+    * economics, in embedding space).
+    *
+    * Returns the surviving (idCol, cell) rows.
+    */
+  def semDeDupIncrement(corpus: DataFrame, newBatch: DataFrame,
+                        codebook: DataFrame, threshold: Double = 0.42,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val ca = assignCells(corpus, codebook, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("cell"))
+    val cvecs = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .join(ca, Seq("corpus_id"))
+      .withColumn("cn", norm(col("cv")))
+    val nvecs = newBatch.select(col(idCol), col(vecCol).as("nv"))
+      .join(assignCells(newBatch, codebook, idCol, vecCol).select(col(idCol), col("cell")),
+            Seq(idCol))
+      .withColumn("nn", norm(col("nv")))
+    val dup = nvecs.join(cvecs, Seq("cell"))
+      .select(col(idCol),
+        Num.roundTo(dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(idCol).distinct()
+    nvecs.select(col(idCol), col("cell"))
+      .join(dup, Seq(idCol), "left_anti")
+  }
+
+  /** Map-only cell assignment against a DRIVER-HELD codebook: the same
+    * 9dp-rounded squared-L2 with cell-id tie-break as [[assignCells]],
+    * expressed as one array_min over literal (dist, cell) structs —
+    * no aggregation, so it runs inside a streaming micro-batch plan.
+    * (A k-row codebook is a model artifact; holding it on the driver is
+    * coordination, not data movement — the same standing as the staged
+    * PQ books.)
+    */
+  def assignCellExpr(codebook: Seq[(Long, Array[Float])], vecCol: Column): Column = {
+    require(codebook.nonEmpty, "codebook must be non-empty")
+    val entries = codebook.map { case (cell, cv) =>
+      val cvCol = typedLit(cv.toSeq)
+      struct(Num.roundTo(l2sq(vecCol, cvCol), 9).as("dist"), lit(cell).as("cell"))
+    }
+    array_min(array(entries: _*)).getField("cell")
+  }
 }

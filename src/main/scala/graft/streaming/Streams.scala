@@ -205,6 +205,36 @@ object Streams {
     fresh.unionByName(maybe)
   }
 
+  /** Streaming incremental SemDeDup: a stream of new embedding vectors
+    * dedups against a STATIC corpus inside corpus-trained IVF cells —
+    * the streaming twin of [[graft.ops.Similarity.semDeDupIncrement]],
+    * sharing its batch oracle. Cell assignment is the map-only
+    * [[graft.ops.Similarity.assignCellExpr]] (the codebook rides along
+    * as literals — no aggregation, so the plan stays stateless), and
+    * survivors fall out of one stream-static LEFT ANTI join on
+    * (same cell ∧ 9dp cosine ≥ threshold). Because each verdict depends
+    * only on the static corpus (new-vs-new is a later batch pass by
+    * design), micro-batch boundaries cannot change the answer, and a
+    * corpus refresh takes effect next batch without a restart.
+    */
+  def streamSemDedupIncrement(newVecs: DataFrame, corpus: DataFrame,
+                              codebook: Seq[(Long, Array[Float])],
+                              threshold: Double = 0.42,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.{Num, Similarity}
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("corpus_cell", Similarity.assignCellExpr(codebook, col("cv")))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val n = newVecs.select(col(idCol), col(vecCol).as("nv"))
+      .withColumn("cell", Similarity.assignCellExpr(codebook, col("nv")))
+      .withColumn("nn", Similarity.norm(col("nv")))
+    n.join(c, col("cell") === col("corpus_cell") &&
+        Num.roundTo(Similarity.dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 9)
+          >= threshold, "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Streaming similarity serving: a stream of query vectors scored
     * against a STATIC corpus — the online ANN-serving path. Each
     * micro-batch stream-static joins the queries to the corpus (corpus

@@ -704,4 +704,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == pruned)
   }
+
+  test("semDeDupIncrement: new vector with a corpus cell-mate above threshold drops; cross-cell twin survives") {
+    import spark.implicits._
+    val codebook = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "cv")
+    val corpus = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (1L, Array(0.99f, 0.01f, 0.0f)),   // cell 0, near corpus 0 -> drops
+      (3L, Array(-1.0f, 0.0f, 0.1f)),    // cell 1 (farther from e1 than e2? no: picks min L2) -> survives either way (cos <= 0)
+      (5L, Array(0.0f, 0.98f, 0.0f)))    // cell 1, near corpus 2 -> drops
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDeDupIncrement(corpus, fresh, codebook, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L))
+  }
+
+  test("assignCellExpr == assignCells on real embeddings (the streaming twin's map-only rule)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val lits = codebook.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val viaAgg = Similarity.assignCells(emb, codebook)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = emb.select(col("vec_id"),
+        Similarity.assignCellExpr(lits, col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
 }

@@ -479,4 +479,33 @@ class StreamsSpec extends SparkSpec {
       r.getAs[Long]("valid_from_us") < cutUs && r.getAs[Long]("valid_to_us") >= cutUs),
       "no interval spans the micro-batch cut — harness degenerate")
   }
+
+  test("streaming incremental SemDeDup == batch semDeDupIncrement across micro-batch boundaries") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val d = tmpDir("stream_semdedup").resolve("emb").toString
+    // two files -> two micro-batches with maxFilesPerTrigger=1; per-vector
+    // verdicts must be identical to the single-batch answer
+    emb.filter(col("vec_id") < 1000).write.mode("overwrite").parquet(d)
+    emb.filter(col("vec_id") >= 1000).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val corpus = all.filter(col("vec_id") % 2 === 0)
+    val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+    val lits = codebook.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Streams.runToMemory(
+      Streams.streamSemDedupIncrement(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+          .filter(col("vec_id") % 2 === 1), corpus, lits),
+      "semdedup_stream", OutputMode.Append())
+    val streamed = spark.table("semdedup_stream").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Similarity.semDeDupIncrement(corpus,
+        all.filter(col("vec_id") % 2 === 1), codebook)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the corpus must actually knock out some new vectors, or this is vacuous
+    assert(streamed.length < all.filter(col("vec_id") % 2 === 1).count(),
+      "no new vector near-duplicated a corpus vector - increment check is vacuous")
+  }
 }
