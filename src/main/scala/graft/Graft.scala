@@ -532,4 +532,10 @@ object Graft {
                         codebook: DataFrame,
                         threshold: Double = 0.42): DataFrame =
     ops.Similarity.semDeDupIncrement(corpus, newBatch, codebook, threshold)
+
+  /** Per-cell embedding outliers — the prune-list dual of [[semDeDup]]
+    * ([[ops.Similarity.cellOutliers]]): farthest decile from each trained
+    * centroid, integer-exact rank rule. */
+  def cellOutliers(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    ops.Similarity.cellOutliers(vectors, codebook)
 }

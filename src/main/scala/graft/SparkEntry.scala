@@ -377,6 +377,13 @@ object SparkEntry {
           codebook, threshold = 0.42)
         .orderBy("vec_id")
     }),
+    // per-cell embedding outliers — the prune list dual to x12: farthest
+    // decile from each trained centroid by integer-exact rank*10 <= |cell|
+    "v18_cell_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.cellOutliers(emb, codebook).orderBy("vec_id")
+    }),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -3655,6 +3662,23 @@ object SparkEntry {
     // st15 — the streaming twin: verdicts depend only on the static
     // corpus, so the batch replay is the oracle verbatim
     "st15_stream_semdedup" -> semDedupIncrementSql(),
+    // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
+    // by (dist DESC, id), integer-exact top-decile flag
+    "v18_cell_outliers" -> {
+      val l2 = Num.sqlRoundTo(
+        "list_dot_product(w.v, w.v) + list_dot_product(c.cvd, c.cvd) - 2.0 * list_dot_product(w.v, c.cvd)", 9)
+      s"""WITH ${trainedIvfCtes(16, 3)},
+         |asg AS (SELECT vec_id, cell, dist FROM (
+         |  SELECT w.vec_id, c.cell, $l2 AS dist,
+         |    row_number() OVER (PARTITION BY w.vec_id ORDER BY $l2, c.cell) AS rn
+         |  FROM e w, cb3 c) WHERE rn = 1),
+         |r AS (SELECT vec_id, cell, dist,
+         |  CAST(row_number() OVER (PARTITION BY cell ORDER BY dist DESC, vec_id) AS BIGINT) AS rank,
+         |  CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+         |  FROM asg)
+         |SELECT vec_id, cell, dist, rank, n_cell, (rank * 10 <= n_cell) AS is_outlier
+         |FROM r ORDER BY vec_id""".stripMargin
+    },
     "v13_pq_err" -> pqErrSql(),
     "v14_pq_topk" -> pqTopKSql(),
     "v15_ivfpq_topk" -> ivfPqTopKSql(),

@@ -905,6 +905,29 @@ object Similarity {
       .join(dup, Seq(idCol), "left_anti")
   }
 
+  /** Per-cell embedding OUTLIER report — the curation signal dual to
+    * [[semDeDup]]: where SemDeDup prunes over-represented prototypes,
+    * this flags the vectors FARTHEST from their trained centroid (noise,
+    * mislabeled modality, encoder failures — the D4-style prune list).
+    * Each vector gets its [[assignCells]] assignment (9dp squared-L2,
+    * cell-id tie-break), a within-cell rank by (dist DESC, id), and an
+    * integer-exact top-decile flag (rank·10 ≤ |cell| — no float
+    * quantile). The window partitions by cell, whose size is corpus/cells
+    * by construction — no hot key at any scale, and only (id, cell,
+    * dist) rows ever shuffle.
+    */
+  def cellOutliers(df: DataFrame, codebook: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = assignCells(df, codebook, idCol, vecCol)
+    val byDist = Window.partitionBy("cell").orderBy(col("dist").desc, col(idCol))
+    val cell = Window.partitionBy("cell")
+    asg.withColumn("rank", row_number().over(byDist).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(cell))
+      .withColumn("is_outlier", col("rank") * 10 <= col("n_cell"))
+  }
+
   /** Map-only cell assignment against a DRIVER-HELD codebook: the same
     * 9dp-rounded squared-L2 with cell-id tie-break as [[assignCells]],
     * expressed as one array_min over literal (dist, cell) structs —

@@ -734,4 +734,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr == viaAgg)
   }
+
+  test("cellOutliers: farthest decile per cell flags, exactly floor(n/10) outliers per cell") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val out = Similarity.cellOutliers(emb, codebook).cache()
+    try {
+      assert(out.count() == emb.count())
+      val perCell = out.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("is_outlier"), 1L).otherwise(0L)).as("flagged"),
+             max(when(col("is_outlier"), col("rank"))).as("max_out_rank"),
+             max(when(!col("is_outlier"), col("dist"))).as("max_in_dist"),
+             min(when(col("is_outlier"), col("dist"))).as("min_out_dist"))
+        .collect()
+      perCell.foreach { r =>
+        // integer-exact decile: exactly floor(n/10) flagged
+        assert(r.getLong(2) == r.getLong(1) / 10)
+        // flagged set = the TOP ranks (prefix of the dist-desc order)
+        if (r.getLong(2) > 0) assert(r.getLong(3) == r.getLong(2))
+        // every outlier at least as far as every inlier (rank order sound)
+        if (r.getLong(2) > 0 && !r.isNullAt(4) && !r.isNullAt(5))
+          assert(r.getDouble(5) >= r.getDouble(4))
+      }
+    } finally out.unpersist()
+  }
 }
