@@ -538,4 +538,17 @@ object Graft {
     * centroid, integer-exact rank rule. */
   def cellOutliers(vectors: DataFrame, codebook: DataFrame): DataFrame =
     ops.Similarity.cellOutliers(vectors, codebook)
+
+  /** DSIR importance resampling — keep docs with probability
+    * exp(lw − lw_max) from [[importanceWeights]]'s log-weights
+    * ([[ops.TextStats.importanceSample]]). */
+  def importanceSample(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    ops.TextStats.importanceSample(docs, targetLang)
+
+  /** Per-language quality-gate threshold table, staged once per corpus
+    * snapshot ([[ops.TextStats.qualityThresholds]]); feed it to
+    * [[streaming.Streams.streamQualityGate]] for the stateless
+    * streaming gate. */
+  def qualityThresholds(scored: DataFrame): DataFrame =
+    ops.TextStats.qualityThresholds(scored)
 }

@@ -451,6 +451,22 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id")
     }),
+    // streaming quality gate shares c6's oracle: thresholds staged from
+    // the same corpus snapshot the stream replays, the gate itself is a
+    // stateless map-only score + broadcast-threshold compare
+    "st16_stream_quality_gate" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val thresholds = TextStats.qualityThresholds(
+        TextStats.qualityScore(s.read.parquet(stage))
+          .select(col("doc_id"), col("lang"), col("quality_score")))
+      val mem = s"st16_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamQualityGate(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema), thresholds),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_id")
+    }),
     // streaming incremental SemDeDup shares x13's oracle: each verdict
     // depends only on the static corpus (cell assignment is the map-only
     // literal-codebook expression; survivors = one stream-static LEFT
@@ -694,6 +710,11 @@ object SparkEntry {
         .orderBy("doc_id")),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
+    // DSIR importance RESAMPLING — the t23 weights driving the t24-style
+    // coin: keep with probability exp(lw - lw_max), threshold under the
+    // floor discipline
+    "t28_importance_sample" -> ((s, d) =>
+      TextStats.importanceSample(Tables.documents(s, d))),
     "t24_weighted_sample" -> ((s, d) =>
       TextStats.weightedSample(Tables.documents(s, d))),
     // end-to-end curation funnel: normalize → dedup → model gate →
@@ -1184,6 +1205,20 @@ object SparkEntry {
     s"""$qualityCte
        |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio, quality_score
        |FROM qs ORDER BY doc_id""".stripMargin
+
+  /** c6's per-language median gate — shared verbatim by its streaming
+    * twin st16 (thresholds staged from the same snapshot, stateless
+    * map-only gate). */
+  private def qualityGateSql: String =
+    s"""$qualityCte,
+       |ql AS (SELECT qs.doc_id, d.lang, qs.quality_score
+       |       FROM qs JOIN documents d USING (doc_id)),
+       |th AS (SELECT lang, ${Num.sqlRoundTo("quantile_cont(quality_score, 0.5)", 6)} AS q_threshold
+       |       FROM ql GROUP BY lang)
+       |SELECT doc_id, lang, quality_score
+       |FROM ql JOIN th USING (lang)
+       |WHERE quality_score > q_threshold
+       |ORDER BY doc_id""".stripMargin
 
   private def cleanCorpusSql: String =
     s"""$qualityCte,
@@ -2127,24 +2162,47 @@ object SparkEntry {
     * multiplying — the p7 discipline) → per-doc exact-DECIMAL `n·w`
     * sums.
     */
-  private def importanceSql(targetLang: String = "en", nBuckets: Int = 256): String = {
+  /** t23's CTE chain WITHOUT the final SELECT, ending in
+    * `iw(doc_id, lang, n_tokens, log_weight)` — shared by t23 and t28's
+    * resampling composition. */
+  private def importanceCtes(targetLang: String = "en", nBuckets: Int = 256): String = {
     val b = nBuckets
     val h = fnv1a64Sql("tok")
     val lnArg = s"(CAST(n_t + 1 AS DOUBLE) * CAST(tr + $b AS DOUBLE)) / " +
       s"(CAST(n_r + 1 AS DOUBLE) * CAST(tt + $b AS DOUBLE))"
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang, ((($h) % $b + $b) % $b) AS bucket
+    s"""toks AS MATERIALIZED (SELECT doc_id, lang, ((($h) % $b + $b) % $b) AS bucket
        |  FROM (SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
        |        FROM documents WHERE text IS NOT NULL)),
        |db AS (SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2, 3),
        |bt AS (SELECT bucket, CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
        |       CAST(count(*) AS BIGINT) AS n_r FROM toks GROUP BY 1),
        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt, CAST(sum(n_r) AS BIGINT) AS tr FROM bt),
-       |w AS (SELECT bucket, ${Num.sqlRoundTo(s"ln($lnArg)", 6)} AS w FROM bt CROSS JOIN tot)
-       |SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |w AS (SELECT bucket, ${Num.sqlRoundTo(s"ln($lnArg)", 6)} AS w FROM bt CROSS JOIN tot),
+       |iw AS (SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_tokens,
        |  CAST(SUM(CAST(n AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
        |FROM db JOIN w USING (bucket)
-       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id, lang)""".stripMargin
   }
+
+  private def importanceSql(targetLang: String = "en", nBuckets: Int = 256): String =
+    s"""WITH ${importanceCtes(targetLang, nBuckets)}
+       |SELECT doc_id, lang, n_tokens, log_weight FROM iw ORDER BY doc_id""".stripMargin
+
+  /** t28 — [[graft.ops.TextStats.importanceSample]] replay: the t23
+    * chain, the corpus-max log-weight as the self-normalizing anchor,
+    * and the acceptance threshold floor(exp(lw − lw_max)·10⁹ + 0.5)
+    * against the domain-separated FNV coin — DSIR's importance
+    * RESAMPLING step with one exp per doc under the floor discipline.
+    */
+  private def importanceSampleSql(targetLang: String = "en", nBuckets: Int = 256): String =
+    s"""WITH ${importanceCtes(targetLang, nBuckets)},
+       |mx AS (SELECT max(log_weight) AS lw_max FROM iw),
+       |k AS (SELECT iw.doc_id, iw.lang, iw.n_tokens, iw.log_weight,
+       |        ((${fnv1a64Sql("'isample:' || d.text")}) % 1000000000 + 1000000000) % 1000000000 AS u,
+       |        CAST(floor(exp(iw.log_weight - mx.lw_max) * 1000000000.0 + 0.5) AS BIGINT) AS thr
+       |      FROM iw JOIN documents d USING (doc_id), mx)
+       |SELECT doc_id, lang, n_tokens, log_weight FROM k
+       |WHERE u < thr ORDER BY doc_id""".stripMargin
 
   /** Replay of [[graft.functions.ZOrder.interleave]]: the identical
     * mask-shift spread chain in BIGINT `&`/`|`/`<<` — safe in signed
@@ -3102,16 +3160,13 @@ object SparkEntry {
     },
     // per-language median gate: thresholds from quantile_cont over the
     // replayed quality scores, strict comparison
-    "c6_quality_gate" ->
-      s"""$qualityCte,
-         |ql AS (SELECT qs.doc_id, d.lang, qs.quality_score
-         |       FROM qs JOIN documents d USING (doc_id)),
-         |th AS (SELECT lang, ${Num.sqlRoundTo("quantile_cont(quality_score, 0.5)", 6)} AS q_threshold
-         |       FROM ql GROUP BY lang)
-         |SELECT doc_id, lang, quality_score
-         |FROM ql JOIN th USING (lang)
-         |WHERE quality_score > q_threshold
-         |ORDER BY doc_id""".stripMargin,
+    "c6_quality_gate" -> qualityGateSql,
+    // st16 — the streaming twin: thresholds staged from the same corpus
+    // snapshot, the gate itself stateless map-only — c6's oracle verbatim
+    "st16_stream_quality_gate" -> qualityGateSql,
+    // t28 — DSIR resampling: t23's chain + the self-normalized exp
+    // acceptance threshold vs the domain-separated FNV coin
+    "t28_importance_sample" -> importanceSampleSql(),
     // rolling anomaly grid: trailing-24-observed-hours moments from exact
     // integer sums; mean/var/z replayed as the identical double
     // expressions, full-lookback rows only

@@ -934,12 +934,18 @@ object TextStats {
   def qualityGateOn(scored: DataFrame, scoreCol: String, pct: Double = 0.5,
                     langCol: String = "lang"): DataFrame = {
     val s2 = scored.select(col("doc_id"), col(langCol), col(scoreCol))
-    val thresholds = s2.groupBy(col(langCol))
-      .agg(Num.roundTo(percentile(col(scoreCol), lit(pct)), 6).as("q_threshold"))
-    s2.join(broadcast(thresholds), Seq(langCol))
+    s2.join(broadcast(qualityThresholds(s2, scoreCol, pct, langCol)), Seq(langCol))
       .filter(col(scoreCol) > col("q_threshold"))
       .select(col("doc_id"), col(langCol), col(scoreCol))
   }
+
+  /** The gate's per-language threshold table on its own — a few rows,
+    * computed once per corpus snapshot and staged like any model
+    * artifact, so the STREAMING gate can apply it map-only. */
+  def qualityThresholds(scored: DataFrame, scoreCol: String = "quality_score",
+                        pct: Double = 0.5, langCol: String = "lang"): DataFrame =
+    scored.groupBy(col(langCol))
+      .agg(Num.roundTo(percentile(col(scoreCol), lit(pct)), 6).as("q_threshold"))
 
   /** Fixed-weight linear quality classifier — the production pattern the
     * heuristic [[qualityScore]] graduates to (fastText-style):
@@ -1138,6 +1144,37 @@ object TextStats {
       .agg(sum("n").as("n_tokens"),
            sum(col("n").cast("decimal(18,0)") * col("w").cast("decimal(18,6)"))
              .cast("double").as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance RESAMPLING — the step [[importanceWeights]] (t23)
+    * exists to feed: keep each document with probability
+    * exp(log_weight − max(log_weight)) — self-normalized against the
+    * corpus max so the best-matched doc is kept with certainty and the
+    * rest thin exponentially with distance from the target distribution.
+    *
+    * Determinism: the coin is a domain-separated content hash
+    * (`isample:`), and the acceptance threshold is
+    * floor(exp(lw − lw_max)·10⁹ + 0.5) — an integer both engines derive
+    * from the identical (decimal-exact) log-weight difference, the one
+    * exp per doc sitting under the same floor discipline as the t11/p7
+    * ln calls. Map-only after the t23 aggregates plus one broadcast
+    * one-row max; re-shard stable and replayable in SQL.
+    */
+  def importanceSample(docs: DataFrame, targetLang: String = "en",
+                       nBuckets: Int = 256,
+                       textCol: String = "text"): DataFrame = {
+    val w = importanceWeights(docs, targetLang, nBuckets, textCol)
+    val mx = w.agg(max(col("log_weight")).as("lw_max"))
+    val u = pmod(call_function("fnv1a64", concat(lit("isample:"), col(textCol))),
+                 lit(1000000000L))
+    val thr = floor(exp(col("log_weight") - col("lw_max")) * lit(1.0e9) + lit(0.5))
+      .cast("long")
+    docs.select(col("doc_id"), col(textCol))
+      .join(w, Seq("doc_id"))
+      .crossJoin(broadcast(mx))
+      .filter(u < thr)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("log_weight"))
       .orderBy("doc_id")
   }
 

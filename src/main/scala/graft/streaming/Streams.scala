@@ -205,6 +205,25 @@ object Streams {
     fresh.unionByName(maybe)
   }
 
+  /** Streaming per-language quality gate — c6's CCNet-style gate with
+    * the threshold table staged from a corpus snapshot: each streaming
+    * document scores map-only (the t1 features are codegen'd string
+    * expressions), then compares against its language's broadcast
+    * threshold. Stateless — no state store, no watermark; refreshing
+    * the thresholds (a few rows, recomputed per corpus snapshot like
+    * any model artifact) takes effect next micro-batch without a
+    * restart. Streamed over the same snapshot the thresholds came
+    * from, it shares c6's batch oracle verbatim.
+    */
+  def streamQualityGate(docs: DataFrame, thresholds: DataFrame): DataFrame = {
+    import graft.ops.TextStats
+    TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality_score") > col("q_threshold"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+  }
+
   /** Streaming incremental SemDeDup: a stream of new embedding vectors
     * dedups against a STATIC corpus inside corpus-trained IVF cells —
     * the streaming twin of [[graft.ops.Similarity.semDeDupIncrement]],

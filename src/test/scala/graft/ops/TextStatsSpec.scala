@@ -669,4 +669,23 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(_.getString(2)).toSeq
     assert(tie == Seq("yak", "zebra"))
   }
+
+  test("importanceSample: max-weight doc always kept, survivors subset of weighted docs, re-shard stable") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = TextStats.importanceWeights(docs).cache()
+    try {
+      val kept = TextStats.importanceSample(docs).collect().map(_.getLong(0)).toSet
+      val all = w.select("doc_id").collect().map(_.getLong(0)).toSet
+      // a sample, not a pass-through — and never inventing docs
+      assert(kept.nonEmpty && kept.size < all.size && kept.subsetOf(all))
+      // the best-matched doc has thr = 10^9 > any coin value: always kept
+      val best = w.orderBy(col("log_weight").desc).limit(1)
+        .collect().head.getLong(0)
+      assert(kept.contains(best))
+      // content-hash coin -> identical verdicts at any partitioning
+      val again = TextStats.importanceSample(docs.repartition(7))
+        .collect().map(_.getLong(0)).toSet
+      assert(again == kept)
+    } finally w.unpersist()
+  }
 }

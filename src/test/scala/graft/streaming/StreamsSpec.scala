@@ -508,4 +508,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length < all.filter(col("vec_id") % 2 === 1).count(),
       "no new vector near-duplicated a corpus vector - increment check is vacuous")
   }
+
+  test("streaming quality gate == batch c6 gate across micro-batch boundaries") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val d = tmpDir("stream_qgate").resolve("docs").toString
+    docs.filter(col("doc_id") < 100).write.mode("overwrite").parquet(d)
+    docs.filter(col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val thresholds = TextStats.qualityThresholds(
+      TextStats.qualityScore(all).select(col("doc_id"), col("lang"), col("quality_score")))
+    Streams.runToMemory(
+      Streams.streamQualityGate(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1), thresholds),
+      "qgate_stream", OutputMode.Append())
+    val streamed = spark.table("qgate_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = TextStats.qualityGate(all).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the gate must actually drop documents, or the twin check is vacuous
+    assert(streamed.length < all.count(), "quality gate dropped nothing - vacuous")
+  }
 }
