@@ -551,4 +551,10 @@ object Graft {
     * streaming gate. */
   def qualityThresholds(scored: DataFrame): DataFrame =
     ops.TextStats.qualityThresholds(scored)
+
+  /** RFM customer segmentation over an orders table
+    * ([[ops.Profiling.rfmSegments]]): quartile-scored recency (days) /
+    * frequency / monetary, aggregated to the 64-cell segment grid. */
+  def rfmSegments(orders: DataFrame): DataFrame =
+    ops.Profiling.rfmSegments(orders)
 }

@@ -258,6 +258,10 @@ object SparkEntry {
     // no global sort anywhere
     "p4_spend_buckets" -> ((s, d) =>
       Profiling.quantileBuckets(Tables.orders(s, d), "o_custkey", "o_totalprice")),
+    // RFM segmentation: integer-microsecond recency, quartile scores via
+    // the p4 broadcast-bounds discipline, 64-cell segment grid
+    "p9_rfm_segments" -> ((s, d) =>
+      Profiling.rfmSegments(Tables.orders(s, d))),
     // declarative data-quality validation: all row rules in one pass,
     // uniqueness as its own distinct aggregate
     "p6_constraints" -> ((s, d) =>
@@ -2493,6 +2497,41 @@ object SparkEntry {
          |              + CASE WHEN spend > q3 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
          |  count(*) AS n_keys, ${decSum("spend")} AS total_value
          |FROM spend, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // p9 — RFM: exact-integer recency micros, quartile_cont bounds
+    // rounded 6dp, strict-greater scores (the p4 replay × 3 dimensions)
+    "p9_rfm_segments" ->
+      s"""WITH per AS (SELECT o_custkey AS cust,
+         |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+         |    CAST(count(*) AS BIGINT) AS f, ${decSum("o_totalprice")} AS m
+         |  FROM orders GROUP BY 1),
+         |nr AS (SELECT max(last_us) AS now_us FROM per),
+         |wr AS (SELECT cust, CAST(floor((now_us - last_us) / 86400000000.0) AS BIGINT) AS r_days, f, m FROM per, nr),
+         |b AS (SELECT
+         |  ${Num.sqlRoundTo("quantile_cont(CAST(r_days AS DOUBLE), 0.25)", 6)} AS rq1,
+         |  ${Num.sqlRoundTo("quantile_cont(CAST(r_days AS DOUBLE), 0.5)", 6)} AS rq2,
+         |  ${Num.sqlRoundTo("quantile_cont(CAST(r_days AS DOUBLE), 0.75)", 6)} AS rq3,
+         |  ${Num.sqlRoundTo("quantile_cont(CAST(f AS DOUBLE), 0.25)", 6)} AS fq1,
+         |  ${Num.sqlRoundTo("quantile_cont(CAST(f AS DOUBLE), 0.5)", 6)} AS fq2,
+         |  ${Num.sqlRoundTo("quantile_cont(CAST(f AS DOUBLE), 0.75)", 6)} AS fq3,
+         |  ${Num.sqlRoundTo("quantile_cont(m, 0.25)", 6)} AS mq1,
+         |  ${Num.sqlRoundTo("quantile_cont(m, 0.5)", 6)} AS mq2,
+         |  ${Num.sqlRoundTo("quantile_cont(m, 0.75)", 6)} AS mq3
+         |  FROM wr),
+         |sc AS (SELECT
+         |  CAST(1 + CASE WHEN r_days > rq1 THEN 1 ELSE 0 END
+         |         + CASE WHEN r_days > rq2 THEN 1 ELSE 0 END
+         |         + CASE WHEN r_days > rq3 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+         |  CAST(1 + CASE WHEN f > fq1 THEN 1 ELSE 0 END
+         |         + CASE WHEN f > fq2 THEN 1 ELSE 0 END
+         |         + CASE WHEN f > fq3 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+         |  CAST(1 + CASE WHEN m > mq1 THEN 1 ELSE 0 END
+         |         + CASE WHEN m > mq2 THEN 1 ELSE 0 END
+         |         + CASE WHEN m > mq3 THEN 1 ELSE 0 END AS BIGINT) AS m_score,
+         |  m FROM wr, b)
+         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+         |  ${decSum("m")} AS total_spend
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
 
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -120,6 +120,53 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** RFM customer segmentation — the classic retention/marketing cut:
+    * per customer Recency (corpus-max order time − their last order, in
+    * exact integer microseconds — no date arithmetic), Frequency (order
+    * count) and Monetary (decimal-exact spend), each quartile-scored
+    * 1–4 against broadcast thresholds (the [[quantileBuckets]]
+    * discipline: 6dp-rounded percentile bounds, strict-greater compare),
+    * then aggregated to the 64-cell segment grid.
+    *
+    * Scale shape: one groupBy(customer) pass, two one-row broadcast
+    * aggregates (corpus max time, the 9 quartile bounds), one final
+    * 64-row aggregate — the corpus shuffles once, on the customer key.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String = "o_custkey",
+                  dateCol: String = "o_orderdate",
+                  valCol: String = "o_totalprice"): DataFrame = {
+    val per = orders.select(col(custCol).as("cust"),
+        unix_micros(col(dateCol)).as("us"), col(valCol).as("v"))
+      .groupBy("cust")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"),
+           Num.exactSum(col("v")).as("m"))
+    val nowRow = per.agg(max(col("last_us")).as("now_us"))
+    // recency in whole DAYS, not micros: the natural RFM unit — and the
+    // values stay small enough for Num.roundTo's floor(x·10⁶ + 0.5),
+    // whose Spark `floor` returns a LONG (a micros-scale quantile would
+    // overflow it at ×10⁶; DuckDB's floor stays double — divergence)
+    val withR = per.crossJoin(broadcast(nowRow))
+      .withColumn("r_days",
+        floor((col("now_us") - col("last_us")) / lit(86400000000.0)).cast("long"))
+    def q(c: String, p: Double, as: String) =
+      Num.roundTo(percentile(col(c), lit(p)), 6).as(as)
+    val bounds = withR.agg(
+      q("r_days", 0.25, "rq1"), q("r_days", 0.5, "rq2"), q("r_days", 0.75, "rq3"),
+      q("f", 0.25, "fq1"), q("f", 0.5, "fq2"), q("f", 0.75, "fq3"),
+      q("m", 0.25, "mq1"), q("m", 0.5, "mq2"), q("m", 0.75, "mq3"))
+    def score(c: String, q1: String, q2: String, q3: String) =
+      (lit(1) + (col(c) > col(q1)).cast("int")
+              + (col(c) > col(q2)).cast("int")
+              + (col(c) > col(q3)).cast("int")).cast("long")
+    withR.crossJoin(broadcast(bounds))
+      .withColumn("r_score", score("r_days", "rq1", "rq2", "rq3"))
+      .withColumn("f_score", score("f", "fq1", "fq2", "fq3"))
+      .withColumn("m_score", score("m", "mq1", "mq2", "mq3"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), Num.exactSum(col("m")).as("total_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Pairwise Pearson correlations over numeric columns, in ONE
     * aggregation pass: every Σx, Σx², Σxy accumulates in the same
     * partial-aggregate buffer (DECIMAL(38,6) — exact, so the result is

@@ -171,4 +171,24 @@ class ProfilingSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "partitioning must not change the exact statistic")
     assert(a.getAs[Double]("ks_d") < 0.1, "same distribution → small D")
   }
+
+  test("rfmSegments: scores in 1..4, customers conserved, spend conserved, quartile marginals balanced") {
+    val orders = Tables.orders(spark, sfDir)
+    val out = Profiling.rfmSegments(orders).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.forall(r => (1L to 4L).contains(r.getLong(0)) &&
+        (1L to 4L).contains(r.getLong(1)) && (1L to 4L).contains(r.getLong(2))))
+      val nCust = orders.select("o_custkey").distinct().count()
+      assert(rows.map(_.getLong(3)).sum == nCust)
+      // spend conserved through the decimal-exact sums
+      val total = orders.agg(Num.exactSum(col("o_totalprice"))).head.getDouble(0)
+      assert(math.abs(rows.map(_.getDouble(4)).sum - total) < 1e-3)
+      // each monetary quartile holds 15-35% of customers (balanced-ish:
+      // spend is near-continuous so quartiles split cleanly)
+      val mMarg = rows.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+      mMarg.values.foreach(v =>
+        assert(v > nCust * 0.15 && v < nCust * 0.35, s"m marginal $v of $nCust"))
+    } finally out.unpersist()
+  }
 }
