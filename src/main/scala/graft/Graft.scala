@@ -557,4 +557,9 @@ object Graft {
     * frequency / monetary, aggregated to the 64-cell segment grid. */
   def rfmSegments(orders: DataFrame): DataFrame =
     ops.Profiling.rfmSegments(orders)
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * part co-purchase graph ([[ops.Graph.partLocalClustering]]). */
+  def partLocalClustering(spark: SparkSession, dir: String): DataFrame =
+    ops.Graph.partLocalClustering(spark, dir)
 }

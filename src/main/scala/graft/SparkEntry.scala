@@ -210,6 +210,9 @@ object SparkEntry {
     // degree-ordered triangle count: each triangle counted once at its
     // min-(degree,id) vertex; wedge fan-out capped at O(sqrt E)
     "n2_triangles" -> (Graph.partTriangles(_, _)),
+    // per-node triangles + local clustering coefficient (n2 broken out
+    // per vertex; same catalog-slice bound)
+    "n3_local_clustering" -> (Graph.partLocalClustering(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -2849,6 +2852,35 @@ object SparkEntry {
                 "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)", 6)}
          |  AS clustering_coeff
          |FROM tri, st""".stripMargin,
+    // n3 — per-node triangles: n2's canonical machinery, but the closed
+    // wedges keep their triples and explode to the 3 member nodes;
+    // local cc = 2·tri/(d·(d−1)) 6dp, NULL below degree 2
+    "n3_local_clustering" ->
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |            WHERE l_partkey < 20000),
+         |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+         |deg AS (SELECT v, count(*) AS d FROM
+         |        (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         |o AS (SELECT
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst
+         |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+         |w AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+         |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+         |tri AS (SELECT x, y, z FROM w
+         |        WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.y AND und.b = w.z)),
+         |tn AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM
+         |       (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |        UNION ALL SELECT z FROM tri) GROUP BY v)
+         |SELECT deg.v AS l_partkey, deg.d AS degree,
+         |  COALESCE(tn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN deg.d >= 2 THEN
+         |    ${Num.sqlRoundTo(
+                "2.0 * CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE)", 6)}
+         |  END AS local_cc
+         |FROM deg LEFT JOIN tn ON tn.v = deg.v
+         |ORDER BY l_partkey""".stripMargin,
     // theta intersection: common k-min hashes below θ are a uniform
     // θ/M-rate sample of |A ∩ B|; a not-full sketch's threshold is M
     "d6_kmv_intersect" ->

@@ -175,4 +175,52 @@ object Graph {
               Num.roundTo(lit(3.0) * col("n_triangles").cast("double") /
                 col("n_wedges").cast("double"), 6).as("clustering_coeff"))
   }
+
+  /** PER-NODE triangle counts + local clustering coefficient — n2's
+    * global summary broken out per vertex: how clique-like is each
+    * part's co-purchase neighborhood (the community-structure signal a
+    * recommender reads per item). Same canonical-edge + degree-ordered
+    * wedge machinery as [[partTriangles]], but the closure join keeps
+    * the triangle TRIPLES, which explode to 3 (node, 1) rows each and
+    * reduce with map-side combine; local cc = 2·tri / (d·(d−1)),
+    * 6dp-rounded, null where degree < 2 (no wedge to close).
+    * The per-node fan-out is 3 rows per triangle — O(triangles) total,
+    * the same bound the count itself already pays.
+    */
+  def partLocalClustering(spark: SparkSession, dir: String,
+                          maxPart: Long = 20000L): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") < maxPart)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val und = Iterate.materialize(
+      lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct())
+    val deg = Iterate.materialize(
+      und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    val oriented = Iterate.materialize(
+      und.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val triangleNodes = oriented
+      .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
+      .filter(col("dst") < col("dst2"))
+      .join(und, col("dst") === col("a") && col("dst2") === col("b"), "left_semi")
+      .select(explode(array(col("src"), col("dst"), col("dst2"))).as("v"))
+    val perNode = triangleNodes.groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("l_partkey"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          Num.roundTo(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"), 6)).as("local_cc"))
+      .orderBy("l_partkey")
+  }
 }

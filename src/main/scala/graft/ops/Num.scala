@@ -35,6 +35,13 @@ object Num {
     * representable .5 midpoint; this single IEEE expression is evaluated
     * identically by both engines given bit-identical input. Halves round
     * toward +∞ (same on both sides; all call sites are ≥ −1 values).
+    *
+    * PRECONDITION: |x|·10^d must stay below 2^63 — Spark's `floor` on a
+    * double returns a LONG, so a larger product silently wraps while
+    * DuckDB's floor stays double (caught live by the p9 RFM gate when
+    * recency was first scored in microseconds: micros-scale quantiles
+    * ×10⁶ ≈ 10¹⁹ > 2^63). Rescale the operand to a smaller unit (p9 uses
+    * days) rather than rounding huge magnitudes at fine precision.
     */
   def roundTo(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits.toDouble)

@@ -81,4 +81,20 @@ class GraphSpec extends SparkSpec {
     assert(ranks == ranks.sorted.reverse, "sorted by rank desc")
     assert(ranks.forall(_ >= 150000000000L), "every rank ≥ floor(0.15·S)")
   }
+
+  test("partLocalClustering: per-node triangles sum to 3x the global count, cc bounded and null below degree 2") {
+    val local = Graph.partLocalClustering(spark, sfDir).cache()
+    try {
+      val global = Graph.partTriangles(spark, sfDir).collect().head
+      val triSum = local.agg(sum("n_triangles")).head.getLong(0)
+      assert(triSum == 3L * global.getLong(2),
+        s"per-node sum $triSum != 3 * ${global.getLong(2)}")
+      assert(local.count() == global.getLong(0)) // one row per node
+      val rows = local.collect()
+      rows.foreach { r =>
+        val (d, cc) = (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        if (d < 2) assert(cc.isEmpty) else assert(cc.exists(v => v >= 0.0 && v <= 1.0))
+      }
+    } finally local.unpersist()
+  }
 }
