@@ -562,4 +562,10 @@ object Graft {
     * part co-purchase graph ([[ops.Graph.partLocalClustering]]). */
   def partLocalClustering(spark: SparkSession, dir: String): DataFrame =
     ops.Graph.partLocalClustering(spark, dir)
+
+  /** Audio near-dup pairs by the PCM-energy perceptual hash
+    * ([[ops.Multimodal.audioHashes]] + the modality-agnostic
+    * chunk-blocked Hamming join). */
+  def audioNearDup(media: DataFrame, maxDist: Int = 4): DataFrame =
+    ops.Multimodal.nearDupImages(ops.Multimodal.audioHashes(media), maxDist)
 }

@@ -1069,6 +1069,13 @@ object SparkEntry {
       Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
+    // audio near-dup by the PCM-energy aHash — the audio sibling of m5,
+    // riding the same modality-agnostic chunk-blocked Hamming join
+    "m6_audio_neardup" -> ((s, d) => {
+      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 2)
+      Multimodal.nearDupImages(Multimodal.audioHashes(media), maxDist = 4)
+        .orderBy("id_a", "id_b")
+    }),
     "m3_features" -> ((s, d) => {
       val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 =!= 1)
       Multimodal.extractFeatures(media, dim = 12).toDF()
@@ -3932,8 +3939,44 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
          |FROM ah a JOIN ah b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // m6 — all-pairs Hamming over the replayed AUDIO energy hashes: the
+    // WAV fixture's sample rule (seed·31 + i·997) mod 2^15 drives the
+    // same integer cross-multiply bit rule as the image aHash
+    "m6_audio_neardup" ->
+      s"""$audioHashCte
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
          |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.audioHash64]]
+    * over the WAV fixture rows (doc_id % 3 = 2): the generator's sample
+    * rule (seed·31 + i·997) mod 2^15 feeds 64 energy windows, each bit
+    * by the exact cross-multiply ws·n > totalS·wn; channels = 1 + id%2
+    * double the sample count. */
+  private def audioHashCte: String =
+    """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+      |dims AS (SELECT id, 64 * (1 + id % 2) AS n FROM ids),
+      |win AS (SELECT id, n, w, (w*n)//64 AS s0,
+      |          greatest((w*n)//64 + 1, ((w+1)*n)//64) AS s1
+      |        FROM dims, LATERAL (SELECT unnest(range(0,64)) AS w) ws),
+      |sm AS (SELECT id, w,
+      |         sum(((id*31 + i*997) % 32768) * ((id*31 + i*997) % 32768)) AS ws,
+      |         count(*) AS wn
+      |       FROM win, LATERAL (SELECT unnest(range(s0, least(s1, n))) AS i) si
+      |       GROUP BY id, w),
+      |tot AS (SELECT id, sum(ws) AS ts, sum(wn) AS tn FROM sm GROUP BY id),
+      |bits AS (SELECT s.id, s.w AS idx,
+      |           CASE WHEN s.ws * t.tn > t.ts * s.wn THEN 1 ELSE 0 END AS bit
+      |         FROM sm s JOIN tot t USING (id)),
+      |hv AS (SELECT id, sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << idx)) AS u
+      |       FROM bits GROUP BY id),
+      |ah AS (SELECT id AS media_id,
+      |         CAST(u - CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS ahash
+      |       FROM hv)""".stripMargin
 
   /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.aHash64]] over
     * the PNG fixture rows — shared by the m4 and m5 oracles. */

@@ -242,6 +242,49 @@ object Multimodal {
       }
     }
 
+    /** 64-bit audio perceptual hash — [[aHash64]]'s integer bit rule on
+      * PCM ENERGY: the 16-bit samples split into 64 equal windows, each
+      * window's squared-sample sum compares against the track mean by
+      * exact cross-multiplication (ws·n > totalS·wn — no float RMS, no
+      * division), so the hash is bit-replayable in SQL from the sample
+      * values. Near-identical audio (same content, small level/offset
+      * changes) differs in few bits — the audio sibling of the image
+      * aHash. None for non-WAV payloads or tracks under 64 samples.
+      * Overflow bound: ws·n < 2^63 needs n ≲ 2M samples (≈ 45 s at
+      * 44.1 kHz); hash longer audio in segments.
+      */
+    def audioHash64(bytes: Array[Byte]): Option[Long] =
+      wavMeta(bytes).flatMap { _ =>
+        val n = (bytes.length - 44) / 2
+        if (n < 64) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ws = new Array[Long](64)
+          val wn = new Array[Long](64)
+          var totalS = 0L
+          var w = 0
+          while (w < 64) {
+            val s0 = w.toLong * n / 64
+            val s1 = math.max(s0 + 1, (w + 1).toLong * n / 64)
+            var i = s0
+            while (i < s1 && i < n) {
+              val v = bb.getShort(44 + 2 * i.toInt).toLong
+              ws(w) += v * v; wn(w) += 1
+              i += 1
+            }
+            totalS += ws(w)
+            w += 1
+          }
+          var hash = 0L
+          var idx = 0
+          while (idx < 64) {
+            if (wn(idx) > 0 && ws(idx) * n > totalS * wn(idx)) hash |= 1L << idx
+            idx += 1
+          }
+          Some(hash)
+        }
+      }
+
     /** Real audio features for canonical (44-byte-header) WAVs: RMS
       * energy of the 16-bit LE PCM samples over `dim` equal windows,
       * each in [0,1]. */
@@ -423,6 +466,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         ImageCodec.aHash64(bytes).map(h => (id, h))
+      })
+      .toDF("media_id", "ahash")
+  }
+
+  /** Audio hashes per media row ([[ImageCodec.audioHash64]]) — rows
+    * whose payload is not decodable WAV drop out. Feeds
+    * [[nearDupImages]], whose chunk-blocked Hamming join is
+    * modality-agnostic (it sees only (media_id, ahash)).
+    */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.audioHash64(bytes).map(h => (id, h))
       })
       .toDF("media_id", "ahash")
   }

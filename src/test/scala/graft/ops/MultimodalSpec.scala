@@ -201,4 +201,38 @@ class MultimodalSpec extends SparkSpec {
       case _ => false
     }, s"expected UnsupportedMediaException(99) in cause chain: $e")
   }
+
+  test("audioHash64: identical PCM -> identical hash, WAV-only, blocked audio join == brute force") {
+    import spark.implicits._
+    import Multimodal.ImageCodec
+    // identical samples, different header rates -> identical energy hash
+    val a = ImageCodec.encodeWav(8000, 1, 256, seed = 7L)
+    val b = ImageCodec.encodeWav(16000, 1, 256, seed = 7L)
+    val c = ImageCodec.encodeWav(8000, 1, 256, seed = 9999L)
+    assert(ImageCodec.audioHash64(a) == ImageCodec.audioHash64(b))
+    assert(ImageCodec.audioHash64(a).isDefined)
+    assert(ImageCodec.audioHash64(a) != ImageCodec.audioHash64(c))
+    // non-WAV payloads drop out of audioHashes
+    val png = ImageCodec.synthPayload(0L) // id % 3 == 0 -> png
+    val media = Seq((1L, a), (2L, b), (3L, c), (4L, png)).toDF("media_id", "payload")
+    val hashes = Multimodal.audioHashes(media)
+    assert(hashes.count() == 3)
+    // the modality-agnostic blocked join finds the planted identical pair
+    val pairs = Multimodal.nearDupImages(hashes, maxDist = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // blocked == brute force over the real WAV fixture slice
+    val fixture = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 2)
+    val fh = Multimodal.audioHashes(fixture).cache()
+    try {
+      val blocked = Multimodal.nearDupImages(fh, maxDist = 4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ha = fh.select(col("media_id").as("id_a"), col("ahash").as("hA"))
+      val hb = fh.select(col("media_id").as("id_b"), col("ahash").as("hB"))
+      val brute = ha.crossJoin(hb).filter(col("id_a") < col("id_b"))
+        .filter(bit_count(col("hA").bitwiseXOR(col("hB"))) <= 4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute && blocked.nonEmpty)
+    } finally fh.unpersist()
+  }
 }
