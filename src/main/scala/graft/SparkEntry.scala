@@ -715,13 +715,13 @@ object SparkEntry {
           Map("en" -> 40))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
-    // probability-proportional-to-size sampling: integer cross-multiply
-    // coin, broadcast max-weight bounds row, map-only
     // DSIR importance RESAMPLING — the t23 weights driving the t24-style
     // coin: keep with probability exp(lw - lw_max), threshold under the
     // floor discipline
     "t28_importance_sample" -> ((s, d) =>
       TextStats.importanceSample(Tables.documents(s, d))),
+    // probability-proportional-to-size sampling: integer cross-multiply
+    // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
       TextStats.weightedSample(Tables.documents(s, d))),
     // end-to-end curation funnel: normalize → dedup → model gate →
@@ -1442,19 +1442,33 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The v4 argmin cell-assignment rule as a CTE `outName(vec_id, cell
+    * [, dist])`: row_number over 9dp-rounded squared L2 against
+    * cb`iters`, cell-id tie-break — ONE definition for the
+    * x12/x13/st15/v18 oracle family, so the tie-break or rounding can
+    * never silently diverge between them. */
+  private def assignedCte(srcCte: String, outName: String, iters: Int = 3,
+                          withDist: Boolean = false,
+                          materialized: Boolean = false): String = {
+    val l2 = Num.sqlRoundTo(
+      "list_dot_product(w.v, w.v) + list_dot_product(c.cvd, c.cvd) - 2.0 * list_dot_product(w.v, c.cvd)", 9)
+    val distSel = if (withDist) s", $l2 AS dist" else ""
+    val distOut = if (withDist) ", dist" else ""
+    val mat = if (materialized) " MATERIALIZED" else ""
+    s"""$outName AS$mat (SELECT vec_id, cell$distOut FROM (
+       |  SELECT w.vec_id, c.cell$distSel, row_number() OVER (PARTITION BY w.vec_id ORDER BY $l2, c.cell) AS rn
+       |  FROM $srcCte w, cb$iters c) WHERE rn = 1)""".stripMargin
+  }
+
   /** x12 — [[graft.ops.Similarity.semDeDup]] replay: the trained-IVF
     * corpus assignment (v4's argmin rule over [[trainedIvfCtes]]'s final
     * codebook), within-cell (a < b) pairs scored with the 9dp cosine, and
     * the greedy keep-earliest prune — any vector with a smaller-id
     * cell-mate at sim ≥ threshold drops.
     */
-  private def semDedupSql(threshold: Double = 0.42, iters: Int = 3): String = {
-    val l2 = (v: String, c: String) => Num.sqlRoundTo(
-      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+  private def semDedupSql(threshold: Double = 0.42, iters: Int = 3): String =
     s"""WITH ${trainedIvfCtes(16, iters)},
-       |asg AS MATERIALIZED (SELECT vec_id, cell FROM (
-       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
-       |  FROM e w, cb$iters c) WHERE rn = 1),
+       |${assignedCte("e", "asg", iters, materialized = true)},
        |p AS (SELECT b.vec_id AS id_b,
        |  ${Num.sqlRoundTo("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))", 9)} AS sim
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1463,7 +1477,6 @@ object SparkEntry {
        |SELECT asg.vec_id, asg.cell, (drp.id_b IS NULL) AS keep
        |FROM asg LEFT JOIN drp ON drp.id_b = asg.vec_id
        |ORDER BY asg.vec_id""".stripMargin
-  }
 
   /** x13/st15 — [[graft.ops.Similarity.semDeDupIncrement]] replay: the
     * Lloyd's codebook trains on the CORPUS half only (even vec_ids), both
@@ -1472,17 +1485,11 @@ object SparkEntry {
     * streaming twin shares this SQL verbatim — its verdicts depend only
     * on the static corpus, so micro-batching cannot change them.
     */
-  private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String = {
-    val l2 = (v: String, c: String) => Num.sqlRoundTo(
-      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+  private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String =
     s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
        |en AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
-       |ca AS (SELECT vec_id, cell FROM (
-       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
-       |  FROM e w, cb$iters c) WHERE rn = 1),
-       |na AS (SELECT vec_id, cell FROM (
-       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
-       |  FROM en w, cb$iters c) WHERE rn = 1),
+       |${assignedCte("e", "ca", iters)},
+       |${assignedCte("en", "na", iters)},
        |dup AS (SELECT DISTINCT n.vec_id
        |  FROM na n JOIN ca c ON n.cell = c.cell
        |  JOIN en ev ON ev.vec_id = n.vec_id JOIN e cv ON cv.vec_id = c.vec_id
@@ -1490,7 +1497,6 @@ object SparkEntry {
        |SELECT na.vec_id, na.cell FROM na
        |WHERE na.vec_id NOT IN (SELECT vec_id FROM dup)
        |ORDER BY na.vec_id""".stripMargin
-  }
 
   /** CTE-for-CTE replay of [[graft.ops.Similarity.pqCodebooks]] — the
     * trained-IVF replay ([[trainedIvfCtes]]) keyed by (sub, cell): the
@@ -3798,13 +3804,8 @@ object SparkEntry {
     // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
     // by (dist DESC, id), integer-exact top-decile flag
     "v18_cell_outliers" -> {
-      val l2 = Num.sqlRoundTo(
-        "list_dot_product(w.v, w.v) + list_dot_product(c.cvd, c.cvd) - 2.0 * list_dot_product(w.v, c.cvd)", 9)
       s"""WITH ${trainedIvfCtes(16, 3)},
-         |asg AS (SELECT vec_id, cell, dist FROM (
-         |  SELECT w.vec_id, c.cell, $l2 AS dist,
-         |    row_number() OVER (PARTITION BY w.vec_id ORDER BY $l2, c.cell) AS rn
-         |  FROM e w, cb3 c) WHERE rn = 1),
+         |${assignedCte("e", "asg", 3, withDist = true)},
          |r AS (SELECT vec_id, cell, dist,
          |  CAST(row_number() OVER (PARTITION BY cell ORDER BY dist DESC, vec_id) AS BIGINT) AS rank,
          |  CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell

@@ -669,11 +669,17 @@ object Dedup {
   def resolveBestByScore(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
                          idCol: String = "doc_id",
                          scoreCol: String = "quality_score"): DataFrame = {
+    // LEFT join: a doc the scorer skipped must still come out (the
+    // resolveDuplicates family's one-row-per-input-doc contract). An
+    // unscored doc ranks as -inf — never elected over any scored
+    // cluster-mate, and an all-unscored cluster degrades to
+    // resolveDuplicates' lowest-id rule exactly.
     val scored = resolveDuplicates(docs, pairs, idCol)
       .select(col(idCol), col("component"))
-      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+    val rankScore = coalesce(col(scoreCol), lit(Double.NegativeInfinity))
     val best = scored.groupBy("component")
-      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("m"))
+      .agg(max(struct(rankScore.as("s"), (-col(idCol)).as("negid"))).as("m"))
       .select(col("component"), (-col("m.negid")).as("best_id"))
     scored.join(best, Seq("component"))
       .select(col(idCol), col("component"), col(scoreCol),

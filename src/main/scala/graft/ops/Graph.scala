@@ -104,6 +104,38 @@ object Graph {
       .limit(topN)
   }
 
+  /** Shared graph construction for [[partTriangles]] and
+    * [[partLocalClustering]]: canonical undirected co-purchase edges
+    * (a < b), per-node degrees (broadcastable — node count capped by
+    * maxPart), and the (degree, id)-oriented edge set. One definition so
+    * the orientation rule can never diverge between the global and the
+    * per-node triangle plans.
+    */
+  private def orientedCoPurchase(spark: SparkSession, dir: String, maxPart: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lp = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") < maxPart)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val und = Iterate.materialize(
+      lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct())
+    val deg = Iterate.materialize(
+      und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    val oriented = Iterate.materialize(
+      und.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    (und, deg, oriented)
+  }
+
   /** TRIANGLE COUNT over the part co-purchase graph via DEGREE-ORDERED
     * orientation — the standard trick that makes distributed triangle
     * counting tractable: direct every undirected edge from its
@@ -130,30 +162,7 @@ object Graph {
     */
   def partTriangles(spark: SparkSession, dir: String,
                     maxPart: Long = 20000L): DataFrame = {
-    val lp = Tables.lineitem(spark, dir)
-      .filter(col("l_partkey") < maxPart)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    // canonical undirected edges (a < b), one row per co-purchased pair
-    val und = Iterate.materialize(
-      lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct())
-    // node count is capped by maxPart, so the degree table broadcasts —
-    // the orientation pass is map-side, no shuffle of the edge set
-    val deg = Iterate.materialize(
-      und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d")))
-    // orient by (degree, id): lower endpoint → higher endpoint
-    val oriented = Iterate.materialize(
-      und.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
-        .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
-        .select(
-          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("src"), col("b").as("dst")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val (und, deg, oriented) = orientedCoPurchase(spark, dir, maxPart)
     // wedges at the pivot (two out-edges), closed iff the endpoint pair
     // is itself an edge — each triangle counted once at its min vertex.
     // Wedge endpoints keep (dst < dst2) canonical id order, so the
@@ -189,26 +198,7 @@ object Graph {
     */
   def partLocalClustering(spark: SparkSession, dir: String,
                           maxPart: Long = 20000L): DataFrame = {
-    val lp = Tables.lineitem(spark, dir)
-      .filter(col("l_partkey") < maxPart)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val und = Iterate.materialize(
-      lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct())
-    val deg = Iterate.materialize(
-      und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d")))
-    val oriented = Iterate.materialize(
-      und.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
-        .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
-        .select(
-          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("src"), col("b").as("dst")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val (und, deg, oriented) = orientedCoPurchase(spark, dir, maxPart)
     val triangleNodes = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))

@@ -250,8 +250,9 @@ object Multimodal {
       * values. Near-identical audio (same content, small level/offset
       * changes) differs in few bits — the audio sibling of the image
       * aHash. None for non-WAV payloads or tracks under 64 samples.
-      * Overflow bound: ws·n < 2^63 needs n ≲ 2M samples (≈ 45 s at
-      * 44.1 kHz); hash longer audio in segments.
+      * Overflow bound: the cross-multiply totalS·wn ≲ (n·2^30)·(n/64)
+      * must stay under 2^63, i.e. n ≲ 740k full-scale samples (≈ 17 s
+      * at 44.1 kHz); hash longer audio in segments.
       */
     def audioHash64(bytes: Array[Byte]): Option[Long] =
       wavMeta(bytes).flatMap { _ =>

@@ -75,21 +75,23 @@ object TextStats {
     * Scale shape: tokens reduce to (doc, term, tf) with map-side combine;
     * df is a second key-partial aggregate over rows already collapsed to
     * one per (doc, term); the per-doc top-k window partitions by doc_id —
-    * bounded by document length, no hot key. N arrives as a literal
-    * (count once per corpus snapshot), not a cross-join.
+    * bounded by document length, no hot key. N arrives as a broadcast
+    * one-row aggregate (the histogram-bounds pattern), so the whole
+    * operator stays LAZY — no job at plan-construction time.
     */
   def tfidfTopTerms(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count()
+    val nDocs = broadcast(df.agg(count(lit(1)).cast("double").as("nd")))
     val tf = df.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(nDocs)
       .select(col(idCol), col("term"), col("tf"), col("df"),
         Num.roundTo(col("tf").cast("double") *
-          log(lit(nDocs.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+          log(col("nd") / col("df").cast("double")), 6).as("tfidf"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -356,6 +356,15 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (3L, true))
     // cluster {4,5}: tied scores -> lowest id keeps (resolveDuplicates' rule)
     assert(out(4L) == (4L, true) && out(5L) == (4L, false))
+    // a doc the scorer skipped still comes out (one row per input doc),
+    // ranks below any scored cluster-mate, and an all-unscored cluster
+    // degrades to the lowest-id rule
+    val partial = Seq((1L, 0.1)).toDF("doc_id", "quality_score")
+    val out2 = Dedup.resolveBestByScore(docs, pairs, partial)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out2.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out2(1L) && !out2(2L)) // scored 1 beats unscored 2
+    assert(out2(4L) && !out2(5L)) // all-unscored cluster: lowest id
   }
 
   test("resolveBestByScore: exactly one keeper per component, and it attains the component max score") {
