@@ -568,4 +568,11 @@ object Graft {
     * chunk-blocked Hamming join). */
   def audioNearDup(media: DataFrame, maxDist: Int = 4): DataFrame =
     ops.Multimodal.nearDupImages(ops.Multimodal.audioHashes(media), maxDist)
+
+  /** End-to-end embedding curation funnel: outliers pruned first, then
+    * SemDeDup over the survivors, per-label report
+    * ([[ops.Similarity.embCurationReport]]). */
+  def embCurationReport(vectors: DataFrame, codebook: DataFrame,
+                        threshold: Double = 0.42): DataFrame =
+    ops.Similarity.embCurationReport(vectors, codebook, threshold)
 }

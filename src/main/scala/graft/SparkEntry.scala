@@ -391,6 +391,14 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
       Similarity.cellOutliers(emb, codebook).orderBy("vec_id")
     }),
+    // end-to-end EMBEDDING curation funnel (the c9 analog): outliers
+    // pruned first (v18's rank rule), SemDeDup over the survivors
+    // (x12's rule), per-label report — ONE composed lazy plan
+    "c15_emb_curation" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.embCurationReport(emb, codebook, threshold = 0.42)
+    }),
     "z1_asof_join" -> (AsOf.eventsWithLastOrder(_, _)),
     // binned range join: interval containment as an equi-join on bins —
     // no nested loop (plan spec-asserted in RangeJoinSpec)
@@ -3798,6 +3806,29 @@ object SparkEntry {
     // x13 — incremental SemDeDup: corpus-half-trained Lloyd's, new half
     // survives iff no corpus cell-mate at 9dp cosine >= 0.42
     "x13_semdedup_increment" -> semDedupIncrementSql(),
+    // c15 — the embedding curation funnel: v18's outlier rank rule, then
+    // x12's within-cell prune over the survivors, per-label tallies
+    "c15_emb_curation" ->
+      s"""WITH ${trainedIvfCtes(16, 3)},
+         |${assignedCte("e", "asg", 3, withDist = true)},
+         |r AS (SELECT vec_id, cell,
+         |  CAST(row_number() OVER (PARTITION BY cell ORDER BY dist DESC, vec_id) AS BIGINT) AS rank,
+         |  CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+         |  FROM asg),
+         |fl AS (SELECT vec_id, cell, (rank * 10 <= n_cell) AS is_outlier FROM r),
+         |sv AS (SELECT vec_id, cell FROM fl WHERE NOT is_outlier),
+         |p AS (SELECT b.vec_id AS id_b,
+         |  ${Num.sqlRoundTo("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))", 9)} AS sim
+         |  FROM sv a JOIN sv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         |dup AS (SELECT DISTINCT id_b FROM p WHERE sim >= 0.42)
+         |SELECT emb.label, count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN fl.is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(sum(CASE WHEN NOT fl.is_outlier AND dup.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST(sum(CASE WHEN NOT fl.is_outlier AND dup.id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM embeddings emb JOIN fl ON fl.vec_id = emb.vec_id
+         |LEFT JOIN dup ON dup.id_b = emb.vec_id
+         |GROUP BY emb.label ORDER BY emb.label""".stripMargin,
     // st15 — the streaming twin: verdicts depend only on the static
     // corpus, so the batch replay is the oracle verbatim
     "st15_stream_semdedup" -> semDedupIncrementSql(),

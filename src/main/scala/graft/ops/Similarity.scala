@@ -928,6 +928,54 @@ object Similarity {
       .withColumn("is_outlier", col("rank") * 10 <= col("n_cell"))
   }
 
+  /** END-TO-END embedding curation funnel — the embedding-side analog of
+    * the c9 text pipeline, as ONE composed lazy plan: assign every vector
+    * to its trained cell, prune the farthest decile per cell
+    * ([[cellOutliers]]'s integer rank rule — noise and encoder failures
+    * go first, the D4 ordering), then SemDeDup the SURVIVORS
+    * ([[semDeDup]]'s greedy keep-earliest within-cell prune), and report
+    * per label: total, outliers pruned, duplicates pruned among the
+    * remainder, and kept. The assignment computes once and feeds both
+    * stages; only (id, cell, dist) rows and the O(labels) report shuffle
+    * beyond the stages' own documented shapes.
+    */
+  def embCurationReport(df: DataFrame, codebook: DataFrame,
+                        threshold: Double = 0.42,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = assignCells(df, codebook, idCol, vecCol)
+    val byDist = Window.partitionBy("cell").orderBy(col("dist").desc, col(idCol))
+    val cellW = Window.partitionBy("cell")
+    val flagged = asg
+      .withColumn("rank", row_number().over(byDist).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(cellW))
+      .withColumn("is_outlier", col("rank") * 10 <= col("n_cell"))
+      .select(col(idCol), col("cell"), col("is_outlier"))
+    val survivors = df.select(col(idCol), col(vecCol).as("v"))
+      .join(flagged.filter(!col("is_outlier")).select(col(idCol), col("cell")), Seq(idCol))
+      .withColumn("nn", norm(col("v")))
+    val dups = survivors
+      .select(col("cell"), col(idCol).as("id_a"), col("v").as("va"), col("nn").as("na"))
+      .join(survivors.select(col("cell"), col(idCol).as("id_b"), col("v").as("vb"), col("nn").as("nb")),
+            Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        Num.roundTo(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+    df.select(col(idCol), col(labelCol).as("label"))
+      .join(flagged.select(col(idCol), col("is_outlier")), Seq(idCol))
+      .join(dups, Seq(idCol), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+           sum(when(!col("is_outlier") && col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dups"),
+           sum(when(!col("is_outlier") && col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** Map-only cell assignment against a DRIVER-HELD codebook: the same
     * 9dp-rounded squared-L2 with cell-id tie-break as [[assignCells]],
     * expressed as one array_min over literal (dist, cell) structs —

@@ -760,4 +760,24 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("embCurationReport: per-label tallies conserve, outlier stage matches cellOutliers") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+    val rep = Similarity.embCurationReport(emb, codebook, threshold = 0.42).collect()
+    // every vector lands in exactly one of the three buckets
+    rep.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4)))
+    assert(rep.map(_.getLong(1)).sum == emb.count())
+    // the funnel's outlier stage IS the standalone v18 rule
+    val flagged = Similarity.cellOutliers(emb, codebook)
+      .filter(col("is_outlier")).count()
+    assert(rep.map(_.getLong(2)).sum == flagged)
+    // duplicates only counted among survivors: dup stage is a refinement
+    // of running semDeDup over the outlier-free subset
+    val survivorIds = Similarity.cellOutliers(emb, codebook)
+      .filter(!col("is_outlier")).select("vec_id")
+    val standaloneDups = Similarity.semDeDup(emb.join(survivorIds, "vec_id"), codebook, 0.42)
+      .filter(!col("keep")).count()
+    assert(rep.map(_.getLong(3)).sum == standaloneDups)
+  }
 }
