@@ -780,4 +780,57 @@ class SimilaritySpec extends SparkSpec {
       .filter(!col("keep")).count()
     assert(rep.map(_.getLong(3)).sum == standaloneDups)
   }
+
+  test("random vectors: semDeDup == driver-side reference prune (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // reference re-derives the semantics in plain Scala: the same
+    // sequential-fold double dot, the same floor(x*1e9+0.5)/1e9 rounding,
+    // the same (dist, cell) argmin and greedy keep-earliest rule
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def refKeep(vs: Seq[(Long, Array[Float])], cb: Seq[(Long, Array[Float])],
+                thr: Double): Map[Long, (Long, Boolean)] = {
+      val cells = vs.map { case (id, v) =>
+        val best = cb.map { case (c, cv) =>
+          (r9(dotd(v, v) + dotd(cv, cv) - 2.0 * dotd(v, cv)), c)
+        }.min
+        id -> best._2
+      }.toMap
+      vs.map { case (id, v) =>
+        val dropped = vs.exists { case (oid, ov) =>
+          oid < id && cells(oid) == cells(id) && {
+            val sim = r9(dotd(ov, v) / (math.sqrt(dotd(ov, ov)) * math.sqrt(dotd(v, v))))
+            sim >= thr
+          }
+        }
+        id -> (cells(id), !dropped)
+      }.toMap
+    }
+    val fvec: Gen[Array[Float]] = Gen.listOfN(4,
+      Gen.choose(-4, 4).map(x => x / 2.0f)).map(_.toArray)
+        .suchThat(v => v.exists(_ != 0.0f)) // zero vector has undefined cosine
+    val corpus: Gen[(List[Array[Float]], List[Array[Float]])] = for {
+      n <- Gen.choose(2, 12)
+      k <- Gen.choose(1, 3)
+      vs <- Gen.listOfN(n, fvec)
+      cb <- Gen.listOfN(k, fvec)
+    } yield (vs, cb)
+    val prop = Prop.forAll(corpus) { case (vsL, cbL) =>
+      val spark2 = spark; import spark2.implicits._
+      val vs = vsL.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val cb = cbL.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = Similarity.semDeDup(vs.toDF("vec_id", "embedding"),
+          cb.toDF("cell", "cv"), threshold = 0.42)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      got == refKeep(vs, cb, 0.42)
+    }
+    // few samples — every sample runs Spark jobs; the grid values (halves
+    // in [-2, 2]) exercise exact ties in both the argmin and the cosine
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
