@@ -575,4 +575,9 @@ object Graft {
   def embCurationReport(vectors: DataFrame, codebook: DataFrame,
                         threshold: Double = 0.42): DataFrame =
     ops.Similarity.embCurationReport(vectors, codebook, threshold)
+
+  /** Top session event-type trigram paths
+    * ([[ops.EventWindows.sessionPaths]]). */
+  def sessionPaths(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    ops.EventWindows.sessionPaths(spark, dir, topN = topN)
 }

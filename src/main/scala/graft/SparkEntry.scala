@@ -301,6 +301,9 @@ object SparkEntry {
     // per-user inter-event cadence (lag gaps + exact-integer mean)
     "e8_gaps" -> (EventWindows.interEventGaps(_, _)),
     "e15_transitions" -> (EventWindows.transitions(_, _)),
+    // session-bounded event-type trigram paths (the navigation routes
+    // behind e15's bigram transitions), fully tie-broken top-20
+    "e20_session_paths" -> (EventWindows.sessionPaths(_, _)),
     // DAU / trailing-7-day WAU / stickiness on integer epoch days
     "e9_active_users" -> (EventWindows.activeUsers(_, _)),
     // rolling z-score anomaly flags over the hourly volume grid
@@ -3008,6 +3011,21 @@ object SparkEntry {
     "st7_stream_scrub" -> scrubSql,
     "e2_sessions" ->
       s"""$sessionsCte SELECT * FROM g ORDER BY user_id, session_id""",
+    // e20 — session trigrams: the e2 sessionization rule (with
+    // event_type carried), two leads over the (user, session) window,
+    // fully tie-broken top-20
+    "e20_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m),
+        |t AS (SELECT event_type AS step1,
+        |        lead(event_type, 1) OVER sw AS step2,
+        |        lead(event_type, 2) OVER sw AS step3
+        |      FROM s WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY us, event_id))
+        |SELECT step1, step2, step3, count(*) AS n FROM t
+        |WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "z1_asof_join" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
         |             FROM orders GROUP BY o_custkey, o_orderdate)

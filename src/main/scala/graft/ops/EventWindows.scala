@@ -402,6 +402,44 @@ object EventWindows {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top session PATHS — the navigation-mining report: event-type
+    * TRIGRAMS within a session (same 30-minute-gap sessionization as
+    * [[userSessions]], exact integer micros), counted corpus-wide with
+    * a fully tie-broken top-N. [[transitions]] (e15) says which step
+    * follows which; this exposes the common three-step ROUTES through
+    * them — the what-do-users-actually-do report behind funnel design.
+    *
+    * Plan shape: ONE exchange on user_id serves both window passes (the
+    * (user, session) window's clustering is satisfied by the user hash),
+    * then the trigram space (|event_types|³ at most) aggregates with
+    * map-side combine and TakeOrdered bounds the result — no global
+    * sort.
+    */
+  def sessionPaths(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                   topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("us"), col("event_id"))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"), col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topN)
+  }
+
   /** SCD TYPE-2 history build: compress each user's event-time-ordered
     * stream of states (event_type here standing in for any mutable
     * attribute feed) into validity intervals — one row per state CHANGE,

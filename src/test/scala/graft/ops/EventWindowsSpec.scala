@@ -321,4 +321,20 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("credit_bp")).sum == 10000L * nConvs)
     assert(math.abs(rows.map(_.getAs[Double]("credit_share")).sum - 1.0) < 1e-4)
   }
+
+  test("sessionPaths: trigram mass == sum over sessions of max(0, n_events - 2)") {
+    // every session of length L contributes exactly L-2 trigrams (L >= 2
+    // -> 0), so the unbounded path counts must conserve session sizes —
+    // pinning both the shared sessionization rule and the window leads
+    val sess = EventWindows.userSessions(spark, sfDir)
+    val expected = sess.select(greatest(col("n_events") - 2L, lit(0L)).as("t"))
+      .agg(sum("t")).head.getLong(0)
+    val paths = EventWindows.sessionPaths(spark, sfDir, topN = 1000000)
+    assert(paths.agg(sum("n")).head.getLong(0) == expected)
+    assert(expected > 0, "fixture has no session of length >= 3 - vacuous")
+    // top-N ordering is total: counts desc, then the full path
+    val rows = paths.limit(50).collect()
+      .map(r => (r.getLong(3), r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.sortBy(t => (-t._1, t._2, t._3, t._4)).toSeq == rows.toSeq)
+  }
 }
