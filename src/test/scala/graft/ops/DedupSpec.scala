@@ -384,4 +384,47 @@ class DedupSpec extends SparkSpec {
       assert(perComp.forall(r => r.getDouble(2) == r.getDouble(3)))
     } finally out.unpersist()
   }
+
+  test("random graphs + partial scores: resolveBestByScore == union-find + argmax reference (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def ref(nDocs: Int, edges: Seq[(Long, Long)],
+            scores: Map[Long, Double]): Map[Long, (Long, Boolean)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val px = parent.getOrElse(x, x)
+        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val docs = (0L until nDocs.toLong).toSeq
+      val comp = docs.map(d => d -> find(d)).toMap
+      val best = docs.groupBy(comp).map { case (c, members) =>
+        c -> members.maxBy(d =>
+          (scores.getOrElse(d, Double.NegativeInfinity), -d))
+      }
+      docs.map(d => d -> (comp(d), best(comp(d)) == d)).toMap
+    }
+    val gen = for {
+      n <- Gen.choose(2, 20)
+      m <- Gen.choose(0, 25)
+      raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+      // quantized scores force ties; each doc scored with prob ~2/3
+      scored <- Gen.listOfN(n, Gen.option(Gen.choose(0, 4).map(_ / 4.0)))
+    } yield (n,
+      raw.collect { case (a, b) if a != b => (a.toLong, b.toLong) },
+      scored.zipWithIndex.collect { case (Some(v), i) => (i.toLong, v) }.toMap)
+    val prop = Prop.forAll(gen) { case (n, edges, scores) =>
+      val spark2 = spark; import spark2.implicits._
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val scoreDf = scores.toSeq.toDF("doc_id", "quality_score")
+      val got = Dedup.resolveBestByScore(docs, pairs, scoreDf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+      got == ref(n, edges, scores)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
