@@ -688,4 +688,36 @@ class TextStatsSpec extends SparkSpec {
       assert(again == kept)
     } finally w.unpersist()
   }
+
+  test("random corpora: tfidfTopTerms == driver-side reference (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def ref(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, String, Long, Long, Double)] = {
+      def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = docs.size.toDouble
+      val tf = docs.flatMap { case (id, t) => toks(t).map(id -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dfq = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      tf.toSeq.map { case ((id, term), f) =>
+        (id, term, f, dfq(term), r6(f.toDouble * math.log(n / dfq(term).toDouble)))
+      }.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+        rows.sortBy(r => (-r._5, r._2)).zipWithIndex.take(k).map {
+          case ((i, term, f, d, sc), rank) => (i, rank + 1L, term, f, d, sc)
+        }
+      }.toSet
+    }
+    val word = Gen.oneOf("apple", "banana", "cherry", "dog", "emu", "fig")
+    val doc = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = Prop.forAll(corpus) { docs =>
+      val spark2 = spark; import spark2.implicits._
+      val got = TextStats.tfidfTopTerms(docs.toDF("doc_id", "text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      got == ref(docs, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
