@@ -580,4 +580,9 @@ object Graft {
     * ([[ops.EventWindows.sessionPaths]]). */
   def sessionPaths(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
     ops.EventWindows.sessionPaths(spark, dir, topN = topN)
+
+  /** Theta-sketch Jaccard between two key sets from their KMV sketches
+    * alone ([[ops.Analytics.kmvJaccard]]). */
+  def kmvJaccard(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    ops.Analytics.kmvJaccard(spark, dir, k)
 }

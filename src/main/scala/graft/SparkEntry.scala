@@ -204,6 +204,10 @@ object SparkEntry {
     "d5_kmv_union" -> (Analytics.kmvUnion(_, _)),
     // theta-sketch set op: |A ∩ B| from the two sketches alone
     "d6_kmv_intersect" -> (Analytics.kmvIntersect(_, _)),
+    // theta-sketch Jaccard from two KMV sketches alone — the sampling
+    // rate cancels in the ratio, so every cell but one division is an
+    // exact integer set property
+    "d7_kmv_jaccard" -> (Analytics.kmvJaccard(_, _)),
     // integer-exact PageRank over the part co-purchase graph, 3
     // synchronous iterations — the third iterative-DataFrame-loop family
     "n1_part_pagerank" -> (Graph.partPageRank(_, _)),
@@ -2927,6 +2931,30 @@ object SparkEntry {
          |  ${Num.sqlRoundTo(
                 "CAST(common AS DOUBLE) * 2305843009213693952.0 / CAST(theta AS DOUBLE)", 4)}
          |  AS est_intersect
+         |FROM cm, th""".stripMargin,
+    // d7 — theta-sketch Jaccard: d6's coordinated sub-theta samples,
+    // intersection AND union counted over them, one 6dp division
+    "d7_kmv_jaccard" ->
+      s"""WITH ua AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem
+         |           WHERE l_returnflag = 'A'),
+         |ka AS (SELECT u FROM ua ORDER BY u LIMIT 256),
+         |sa AS (SELECT count(*) AS n, max(u) AS kth FROM ka),
+         |ub AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem
+         |           WHERE l_returnflag = 'R'),
+         |kb AS (SELECT u FROM ub ORDER BY u LIMIT 256),
+         |sb AS (SELECT count(*) AS n, max(u) AS kth FROM kb),
+         |th AS (SELECT least(
+         |    CASE WHEN sa.n < 256 THEN 2305843009213693952 ELSE sa.kth END,
+         |    CASE WHEN sb.n < 256 THEN 2305843009213693952 ELSE sb.kth END) AS theta
+         |  FROM sa, sb),
+         |fa AS (SELECT u FROM ka, th WHERE u < theta),
+         |fb AS (SELECT u FROM kb, th WHERE u < theta),
+         |cm AS (SELECT
+         |  (SELECT count(*) FROM fa JOIN fb USING (u)) AS n_inter,
+         |  (SELECT count(*) FROM (SELECT u FROM fa UNION SELECT u FROM fb)) AS n_union)
+         |SELECT 'A' AS group_a, 'R' AS group_b, CAST(256 AS BIGINT) AS k,
+         |  theta, CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union,
+         |  ${Num.sqlRoundTo("CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)", 6)} AS est_jaccard
          |FROM cm, th""".stripMargin,
     "q6_forecast" ->
       s"""SELECT ${decSum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows

@@ -434,6 +434,41 @@ object Analytics {
                 col("theta").cast("double"), 4).as("est_intersect"))
   }
 
+  /** Sketch-only JACCARD between two sets — what the d4–d6 KMV family
+    * builds toward: below the common threshold θ each sketch holds
+    * EVERY hash of its set (a pure set property), so the sub-θ samples
+    * are uniform coordinated samples of both sets and
+    * |A∩B|/|A∪B| over them is the standard theta-sketch Jaccard
+    * estimator. No rescaling by M — the θ/M sampling rate cancels in
+    * the ratio — so besides the one 6dp-rounded division every output
+    * cell is an exact integer set property, fully in the hash gate.
+    * Two sketches (a few KB each) answer similarity between sets of ANY
+    * size without re-touching the data — the cross-snapshot /
+    * cross-source overlap probe.
+    */
+  def kmvJaccard(spark: SparkSession, dir: String, k: Int = 256,
+                 flagA: String = "A", flagB: String = "R"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+              pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+    def sketch(flag: String, as: String) =
+      li.filter(col("l_returnflag") === flag)
+        .agg(call_function("kmv_sketch", col("u"), lit(k)).as(as))
+    def thresholdOf(sk: Column): Column =
+      when(size(sk) < k, lit(KmvM)).otherwise(element_at(sk, size(sk)))
+    sketch(flagA, "ska").crossJoin(sketch(flagB, "skb"))
+      .withColumn("theta", least(thresholdOf(col("ska")), thresholdOf(col("skb"))))
+      .withColumn("sa", filter(col("ska"), x => x < col("theta")))
+      .withColumn("sb", filter(col("skb"), x => x < col("theta")))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .select(lit(flagA).as("group_a"), lit(flagB).as("group_b"),
+              lit(k).cast("long").as("k"), col("theta"),
+              col("n_inter"), col("n_union"),
+              Num.roundTo(col("n_inter").cast("double") /
+                col("n_union").cast("double"), 6).as("est_jaccard"))
+  }
+
   /** Hash domain: splitmix64 folded to [0, 2^61) — 2^64 is an exact
     * multiple, so pmod keeps the uniformity the estimator needs, and
     * (k−1)·M fits double-exactly for the one final division. */

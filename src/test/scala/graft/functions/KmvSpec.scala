@@ -78,4 +78,30 @@ class KmvSpec extends SparkSpec {
     assert(disjoint.getAs[Long]("n_common") == 0L)
     assert(disjoint.getAs[Double]("est_intersect") == 0.0)
   }
+
+  test("theta Jaccard estimate tracks the exact order-set Jaccard; identical sets give exactly 1.0") {
+    val li = Tables.lineitem(spark, sfDir)
+    def keys(f: String) =
+      li.filter(col("l_returnflag") === f).select("l_orderkey").distinct()
+    val inter = keys("A").intersect(keys("R")).count().toDouble
+    val union = keys("A").union(keys("R")).distinct().count().toDouble
+    val row = Analytics.kmvJaccard(spark, sfDir).collect().head
+    val est = row.getAs[Double]("est_jaccard")
+    assert(math.abs(est - inter / union) < 6.0 / math.sqrt(256.0),
+      s"est=$est exact=${inter / union}")
+    // identical sets: sketches coincide -> Jaccard exactly 1.0
+    val same = Analytics.kmvJaccard(spark, sfDir, flagA = "A", flagB = "A")
+      .collect().head
+    assert(same.getAs[Double]("est_jaccard") == 1.0)
+    assert(same.getAs[Long]("n_inter") == same.getAs[Long]("n_union"))
+    // disjoint tiny sets degrade to exact 0.0
+    import spark.implicits._
+    val d = tmpDir("kmvjac")
+    (1L to 100L).map(i => (i, if (i <= 50) "A" else "R"))
+      .toDF("l_orderkey", "l_returnflag")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val disjoint = Analytics.kmvJaccard(spark, d.toString).collect().head
+    assert(disjoint.getAs[Long]("n_inter") == 0L)
+    assert(disjoint.getAs[Double]("est_jaccard") == 0.0)
+  }
 }
