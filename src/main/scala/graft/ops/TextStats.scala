@@ -1129,24 +1129,35 @@ object TextStats {
       .withColumn("bucket", pmod(call_function("fnv1a64", col("tok")), lit(nBuckets.toLong)))
     val docBuckets = toks.groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("n"))
-    val tallies = toks.groupBy("bucket")
-      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_t"),
-           count(lit(1)).as("n_r"))
-    val totals = tallies.agg(sum("n_t").as("tt"), sum("n_r").as("tr"))
-    // each factor goes to double BEFORE the multiply: counts at corpus
-    // scale overflow a long product, and double mul/div are correctly
-    // rounded so both engines see the identical ln argument
-    val w = tallies.crossJoin(totals).select(col("bucket"),
-      Num.roundTo(log(
-        ((col("n_t") + lit(1L)).cast("double") * (col("tr") + lit(nBuckets.toLong)).cast("double")) /
-        ((col("n_r") + lit(1L)).cast("double") * (col("tt") + lit(nBuckets.toLong)).cast("double"))), 6)
-        .as("w"))
-    docBuckets.join(w, "bucket")
+    docBuckets.join(bucketWeights(docs, targetLang, nBuckets, textCol), "bucket")
       .groupBy("doc_id", "lang")
       .agg(sum("n").as("n_tokens"),
            sum(col("n").cast("decimal(18,0)") * col("w").cast("decimal(18,6)"))
              .cast("double").as("log_weight"))
       .orderBy("doc_id")
+  }
+
+  /** The DSIR per-BUCKET log-ratio weight table on its own — `nBuckets`
+    * rows, computed once per corpus snapshot and staged like any model
+    * artifact (the streaming twin bakes it into a literal map). Each
+    * factor goes to double BEFORE the multiply: counts at corpus scale
+    * overflow a long product, and double mul/div are correctly rounded
+    * so both engines see the identical ln argument. */
+  def bucketWeights(docs: DataFrame, targetLang: String = "en",
+                    nBuckets: Int = 256, textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col("lang"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+      .withColumn("bucket", pmod(call_function("fnv1a64", col("tok")), lit(nBuckets.toLong)))
+    val tallies = toks.groupBy("bucket")
+      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_t"),
+           count(lit(1)).as("n_r"))
+    val totals = tallies.agg(sum("n_t").as("tt"), sum("n_r").as("tr"))
+    tallies.crossJoin(totals).select(col("bucket"),
+      Num.roundTo(log(
+        ((col("n_t") + lit(1L)).cast("double") * (col("tr") + lit(nBuckets.toLong)).cast("double")) /
+        ((col("n_r") + lit(1L)).cast("double") * (col("tt") + lit(nBuckets.toLong)).cast("double"))), 6)
+        .as("w"))
   }
 
   /** DSIR importance RESAMPLING — the step [[importanceWeights]] (t23)

@@ -224,6 +224,41 @@ object Streams {
       .select(col("doc_id"), col("lang"), col("quality_score"))
   }
 
+  /** Streaming DSIR importance RESAMPLING — t28's stateless stream form:
+    * the per-bucket log-ratio weights ([[graft.ops.TextStats.bucketWeights]],
+    * ≤ nBuckets rows) and the corpus-max log-weight are staged from a
+    * corpus snapshot like any model artifact and ride the plan as a
+    * literal MAP, so each document's log-weight is ONE map-only
+    * higher-order fold — tokens look up their bucket weight and
+    * accumulate in DECIMAL(38,6), the same exact arithmetic as the batch
+    * per-bucket n·w sum, so emitted log_weights are bit-identical and
+    * the twin shares t28's oracle verbatim. The acceptance coin and
+    * threshold are the same content-hash / floor(exp·10⁹+0.5) rule.
+    * No state store, no aggregation — a weight refresh lands next
+    * micro-batch without restart.
+    */
+  def streamImportanceSample(docs: DataFrame, weights: Seq[(Long, Double)],
+                             lwMax: Double, nBuckets: Int = 256,
+                             textCol: String = "text"): DataFrame = {
+    import graft.ops.Num
+    require(weights.nonEmpty, "staged bucket weights must be non-empty")
+    val m = map(weights.flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val lw = aggregate(toks,
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+      (acc, t) => (acc + coalesce(
+          element_at(m, pmod(call_function("fnv1a64", t), lit(nBuckets.toLong))),
+          lit(0.0)).cast("decimal(18,6)")).cast("decimal(38,6)"))
+      .cast("double")
+    val u = pmod(call_function("fnv1a64", concat(lit("isample:"), col(textCol))),
+                 lit(1000000000L))
+    val thr = floor(exp(lw - lit(lwMax)) * lit(1.0e9) + lit(0.5)).cast("long")
+    docs.filter(col(textCol).isNotNull && size(toks) > 0)
+      .filter(u < thr)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"), lw.as("log_weight"))
+  }
+
   /** Streaming incremental SemDeDup: a stream of new embedding vectors
     * dedups against a STATIC corpus inside corpus-trained IVF cells —
     * the streaming twin of [[graft.ops.Similarity.semDeDupIncrement]],

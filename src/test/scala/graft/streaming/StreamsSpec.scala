@@ -530,4 +530,29 @@ class StreamsSpec extends SparkSpec {
     // the gate must actually drop documents, or the twin check is vacuous
     assert(streamed.length < all.count(), "quality gate dropped nothing - vacuous")
   }
+
+  test("streaming DSIR resample == batch t28 across micro-batch boundaries") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val d = tmpDir("stream_isample").resolve("docs").toString
+    docs.filter(col("doc_id") < 100).write.mode("overwrite").parquet(d)
+    docs.filter(col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val weights = TextStats.bucketWeights(all)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lwMax = TextStats.importanceWeights(all)
+      .agg(max(col("log_weight"))).head().getDouble(0)
+    Streams.runToMemory(
+      Streams.streamImportanceSample(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1),
+        weights, lwMax),
+      "isample_stream", OutputMode.Append())
+    val streamed = spark.table("isample_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = TextStats.importanceSample(all).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // resampling must actually thin the corpus, or the twin check is vacuous
+    assert(streamed.length < all.count(), "importance resample dropped nothing - vacuous")
+  }
 }
