@@ -473,6 +473,26 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id")
     }),
+    // streaming DSIR resampling shares t28's oracle: bucket weights and
+    // the corpus-max log-weight staged from the snapshot ride the plan
+    // as a literal map; the per-doc decimal fold reproduces the batch
+    // log-weights bit for bit, stateless
+    "st17_stream_importance" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val statics = s.read.parquet(stage)
+      val weights = TextStats.bucketWeights(statics)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val lwMax = TextStats.importanceWeights(statics)
+        .agg(max(col("log_weight"))).head().getDouble(0)
+      val mem = s"st17_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamImportanceSample(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema),
+          weights, lwMax),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_id")
+    }),
     // streaming quality gate shares c6's oracle: thresholds staged from
     // the same corpus snapshot the stream replays, the gate itself is a
     // stateless map-only score + broadcast-threshold compare
@@ -862,6 +882,11 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "x4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+    // doc-inside-doc containment dedup — x4's pair plan, the
+    // shared/min(|A|,|B|) measure Broder pairs with resemblance
+    "x14_containment" -> ((s, d) =>
+      Dedup.shingleContainment(Tables.documents(s, d), threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
     // incremental dedup: odd doc_ids play the "new batch", even the
     // existing corpus — cross pairs only, never old×old
@@ -3305,6 +3330,10 @@ object SparkEntry {
     // t28 — DSIR resampling: t23's chain + the self-normalized exp
     // acceptance threshold vs the domain-separated FNV coin
     "t28_importance_sample" -> importanceSampleSql(),
+    // st17 — the streaming twin: staged weights + decimal token fold
+    // reproduce the batch log-weights exactly, so t28's replay is the
+    // oracle verbatim
+    "st17_stream_importance" -> importanceSampleSql(),
     // rolling anomaly grid: trailing-24-observed-hours moments from exact
     // integer sums; mean/var/z replayed as the identical double
     // expressions, full-lookback rows only
@@ -3720,6 +3749,27 @@ object SparkEntry {
          |      FROM pairs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x14 — same pair CTEs as x4, containment measure + contained side
+    "x14_containment" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |       ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) ix),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 64),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM f a JOIN f b USING (s) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |c AS (SELECT doc_a, doc_b,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / least(za.n_sh, zb.n_sh)", 6)} AS containment,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard,
+         |        CASE WHEN za.n_sh <= zb.n_sh THEN doc_a ELSE doc_b END AS contained_id
+         |      FROM pairs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, containment, jaccard, contained_id FROM c
+         |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     // benchmark decontamination: distinct shared shingles per train doc
     // against the benchmark subset (string shingles here, hashed in
     // Spark — counts agree exactly under x4's collision-free premise)

@@ -703,7 +703,29 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    w: Int = 3, threshold: Double = 0.6,
-                   maxDocFreq: Long = 64): DataFrame = {
+                   maxDocFreq: Long = 64): DataFrame =
+    sharedShinglePairs(df, textCol, idCol, w, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"),
+        Num.roundTo(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared pair machinery under [[ngramJaccard]] and
+    * [[shingleContainment]]: (doc_a, doc_b, shared, na, nb) for every
+    * ordered doc pair sharing at least one df-guarded shingle.
+    *
+    * Scale shape: exactly TWO shuffles — (1) group by shingle (values are
+    * (doc_id, n_sh) structs, 16 bytes), (2) group by pair. The df guard is
+    * the size filter on the collected list: shingles in more than
+    * `maxDocFreq` docs are dropped (stopword shingles would otherwise
+    * create quadratic bucket blowup — same reasoning as prefix filtering),
+    * which also caps both the collect_list buffer and the in-group pair
+    * fan-out at maxDocFreq²/2. A self-join formulation would instead
+    * recompute the shingle pipeline per branch and move every (shingle,
+    * doc) row through three shuffles.
+    */
+  private def sharedShinglePairs(df: DataFrame, textCol: String, idCol: String,
+                                 w: Int, maxDocFreq: Long): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol), w).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
     // Pair generation carries ONLY doc ids (8 bytes) — set sizes join back
@@ -734,11 +756,40 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        Num.roundTo(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** Shingle CONTAINMENT near-dup — the doc-inside-doc detector Jaccard
+    * structurally misses: containment C = shared / min(|A|, |B|) is high
+    * when the smaller document's shingle set sits inside the larger one
+    * (a quoted article, a page concatenated into a crawl dump), even
+    * though Jaccard = shared/union is diluted by the larger side's bulk.
+    * Broder's containment measure; the standard companion to
+    * resemblance in near-dup literature.
+    *
+    * Emits the flagged pairs with both measures plus `contained_id` —
+    * the smaller-set side (ties break to the lower doc_id), i.e. the
+    * candidate the dedup policy would drop as redundant against its
+    * container.
+    *
+    * Scale shape: identical to [[ngramJaccard]] (the same two-shuffle
+    * [[sharedShinglePairs]] plan — only the final projection differs),
+    * so the df guard bounds fan-out the same way. At 100 TB this runs
+    * AS the same job as Jaccard dedup when both are wanted: one pair
+    * table, two measures.
+    */
+  def shingleContainment(df: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", w: Int = 3,
+                         threshold: Double = 0.8,
+                         maxDocFreq: Long = 64): DataFrame =
+    sharedShinglePairs(df, textCol, idCol, w, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"),
+        Num.roundTo(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"),
+        Num.roundTo(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+      .filter(col("containment") >= threshold)
 
   /** Benchmark decontamination: flag training docs sharing >= `minShared`
     * distinct w-shingles with ANY doc of an evaluation benchmark — the

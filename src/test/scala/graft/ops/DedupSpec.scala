@@ -291,6 +291,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(docs, threshold = 0.0, maxDocFreq = 0).count() == 0)
   }
 
+  test("shingleContainment: doc-inside-doc flagged where jaccard misses; contained side is the smaller set") {
+    // doc 6 is doc 5's prefix: every shingle of 6 appears in 5, but 5 has
+    // ~3x the shingles, so jaccard is diluted while containment is 1.0
+    val longDoc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega")
+    val shortDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val cd = Seq((5L, longDoc), (6L, shortDoc), (7L, docC)).toDF("doc_id", "text")
+    val out = Dedup.shingleContainment(cd, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val ((cont, jac, containedId)) = out((5L, 6L))
+    assert(cont == 1.0 && jac < 0.8 && containedId == 6L)
+    assert(out.keySet.forall { case (a, b) => a != 7L && b != 7L })
+    // containment >= jaccard pointwise: at threshold 0, every jaccard pair
+    // appears in the containment pair set with containment >= its jaccard
+    val both = Dedup.shingleContainment(docs, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+    assert(both.nonEmpty && both.forall { case (_, (c, j)) => c >= j })
+    // exact dup (1,4): containment == jaccard == 1.0, tie → lower id contained
+    val exact = Dedup.shingleContainment(docs, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(exact((1L, 4L)) == 1L)
+  }
+
   /** Recall gates for the approximate dedup family vs the exact-Jaccard
     * twin on the real documents corpus: the approximate ops have no DuckDB
     * oracle (inherent), so without these floors a candidate-generation
