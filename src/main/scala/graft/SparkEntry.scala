@@ -398,6 +398,11 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
       Similarity.cellOutliers(emb, codebook).orderBy("vec_id")
     }),
+    // greedy k-center coreset (farthest-point traversal): deterministic
+    // diversity selection — k linear passes, argmax tie-break to low id,
+    // replayed in SQL as a recursive CTE carrying the center lists
+    "v19_coreset" -> ((s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 8)),
     // end-to-end EMBEDDING curation funnel (the c9 analog): outliers
     // pruned first (v18's rank rule), SemDeDup over the survivors
     // (x12's rule), per-label report — ONE composed lazy plan
@@ -3947,6 +3952,32 @@ object SparkEntry {
     "v16_dim_recall" -> dimRecallSql(),
     // nprobe curve: one ranked assignment CTE serves all probe levels
     "v17_ivf_probe_curve" -> ivfProbeCurveSql(),
+    // v19 — greedy k-center: the recursive CTE carries the selected
+    // (ids, centers, radii) lists; each step's LATERAL argmax replays
+    // the 9dp-rounded min-squared-L2 with the low-id tie-break
+    "v19_coreset" -> {
+      val d2 = Num.sqlRoundTo(
+        "list_dot_product(v.dv, v.dv) + list_dot_product(c, c) - 2.0 * list_dot_product(v.dv, c)", 9)
+      s"""WITH RECURSIVE
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         |rec(r, ids, cvs, ds) AS (
+         |  SELECT 1, [vec_id], [dv], CAST([NULL] AS DOUBLE[])
+         |  FROM (SELECT vec_id, dv FROM vv ORDER BY vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT r + 1, list_append(ids, nxt.vec_id), list_append(cvs, nxt.dv),
+         |         list_append(ds, nxt.d)
+         |  FROM rec, LATERAL (
+         |    SELECT v.vec_id, v.dv,
+         |      list_min(list_transform(cvs, c -> $d2)) AS d
+         |    FROM vv v
+         |    ORDER BY d DESC, v.vec_id LIMIT 1) nxt
+         |  WHERE r < 8
+         |)
+         |SELECT CAST(i - 1 AS BIGINT) AS rank, ids[i] AS vec_id, ds[i] AS dist
+         |FROM (SELECT * FROM rec WHERE r = 8) last,
+         |     LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) ix
+         |ORDER BY rank""".stripMargin
+    },
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
     // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding
     // as Similarity.l2sq, cell-id tie-break

@@ -976,6 +976,64 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Greedy k-center CORESET selection — farthest-point traversal
+    * (Gonzalez's 2-approximation): seed with the lowest-id vector, then
+    * repeatedly pick the vector FARTHEST from everything selected so
+    * far. The canonical diversity-selection pass a training-data curator
+    * runs to pick maximally-spread exemplars (seed sets for active
+    * learning, probe sets for eval, diverse few-shot pools).
+    *
+    * Deterministic end to end: 9dp-rounded squared-L2 ([[l2sq]]'s
+    * |a|²+|b|²−2a·b formulation), argmax tie-breaks to the LOWEST
+    * vec_id, no RNG — so the whole selection sequence replays in SQL as
+    * a recursive CTE (the n1-PageRank discipline: fixed rounds, integer/
+    * rounded-double state). Returns one row per selected center:
+    * (rank, vec_id, dist) where `dist` is the coverage radius at
+    * selection time — the min squared-L2 to the previously selected
+    * set (NULL for the seed). The dist sequence is non-increasing; its
+    * last value bounds how far any corpus vector sits from the coreset
+    * (the 2-approx guarantee's witness).
+    *
+    * Scale shape: k rounds, each ONE map-only pass against a broadcast
+    * 1-row center plus a scalar argmax (partial max(struct) — no
+    * shuffle of vectors, O(partitions) rows move). State is (id, d)
+    * pairs refreshed per round via [[Iterate.materialize]] (lineage
+    * capped, constant per-round stats). Total cost k linear passes —
+    * the textbook trade for exact farthest-point at 100 TB; k is a
+    * model-size constant (10s), never data-scale.
+    */
+  def kCenterCoreset(df: DataFrame, k: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val seed = Iterate.materialize(
+      vecs.orderBy("vec_id").limit(1)
+        .select(lit(0L).as("rank"), col("vec_id"),
+          lit(null).cast("double").as("dist"), col("v")))
+    var centers = Seq(seed)
+    var state = Iterate.materialize(
+      vecs.crossJoin(broadcast(seed.select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"),
+          Num.roundTo(l2sq(col("v"), col("cv")), 9).as("d")))
+    var r = 1L
+    while (r < k) {
+      val nxt = state
+        .agg(max(struct(col("d"), (-col("vec_id")).as("negid"))).as("m"))
+        .select((-col("m.negid")).as("vec_id"), col("m.d").as("dist"), lit(r).as("rank"))
+      val center = Iterate.materialize(
+        nxt.join(vecs, "vec_id").select(col("rank"), col("vec_id"), col("dist"), col("v")))
+      centers = centers :+ center
+      state = Iterate.materialize(
+        state.crossJoin(broadcast(center.select(col("v").as("cv"))))
+          .select(col("vec_id"), col("v"),
+            least(col("d"), Num.roundTo(l2sq(col("v"), col("cv")), 9)).as("d")))
+      r += 1
+    }
+    centers.reduce(_ unionByName _)
+      .select(col("rank"), col("vec_id"), col("dist"))
+      .orderBy("rank")
+  }
+
   /** Map-only cell assignment against a DRIVER-HELD codebook: the same
     * 9dp-rounded squared-L2 with cell-id tie-break as [[assignCells]],
     * expressed as one array_min over literal (dist, cell) structs —

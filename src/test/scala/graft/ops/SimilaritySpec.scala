@@ -833,4 +833,45 @@ class SimilaritySpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("kCenterCoreset: seed is lowest id, radii non-increasing, selection is the true farthest point") {
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val sel = Similarity.kCenterCoreset(emb, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(sel.map(_._1).toSeq == (0L until 6L).toSeq)
+    assert(sel.map(_._2).distinct.length == 6)
+    val seedId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    assert(sel.head._2 == seedId && sel.head._3.isNaN)
+    val radii = sel.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    // coverage/greedy invariant vs a driver-side reference on the same data
+    val vs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      val raw = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+      math.floor(raw * 1e9 + 0.5) / 1e9
+    }
+    var chosen = Vector(vs.minBy(_._1))
+    var refRadii = Vector.empty[Double]
+    while (chosen.length < 6) {
+      val next = vs.map { case (id, v) =>
+        (chosen.map(c => d2(v, c._2)).min, id, v)
+      }.maxBy { case (dd, id, _) => (dd, -id) }
+      refRadii :+= next._1
+      chosen :+= ((next._2, next._3))
+    }
+    assert(sel.map(_._2).toSeq == chosen.map(_._1).toSeq)
+    assert(radii.toSeq == refRadii.toSeq)
+  }
+
+  test("kCenterCoreset: repartition-invariant; k=1 returns just the seed") {
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val a = Similarity.kCenterCoreset(emb, k = 4).collect().map(_.toSeq).toSeq
+    val b = Similarity.kCenterCoreset(emb.repartition(7), k = 4).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val one = Similarity.kCenterCoreset(emb, k = 1).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 0L && one.head.isNullAt(2))
+  }
 }
