@@ -403,6 +403,14 @@ object SparkEntry {
     // replayed in SQL as a recursive CTE carrying the center lists
     "v19_coreset" -> ((s, d) =>
       Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 8)),
+    // MMR diversified re-ranking over the v1 query set: top-16 relevance
+    // pool, greedy λ·rel − (1−λ)·max-sim selection of 8 — the same
+    // recursive-CTE replay discipline as v19, per query
+    "v20_mmr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb, Similarity.querySet(emb, "vec_id", 20),
+        poolK = 16, k = 8, lam = 0.7)
+    }),
     // end-to-end EMBEDDING curation funnel (the c9 analog): outliers
     // pruned first (v18's rank rule), SemDeDup over the survivors
     // (x12's rule), per-label report — ONE composed lazy plan
@@ -3977,6 +3985,45 @@ object SparkEntry {
          |FROM (SELECT * FROM rec WHERE r = 8) last,
          |     LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) ix
          |ORDER BY rank""".stripMargin
+    },
+    // v20 — MMR: per-query recursive CTE carrying the selected lists;
+    // each step's LATERAL argmax replays λ·rel − (1−λ)·max-sim with the
+    // shared 9dp cosine and the low-id tie-break. The μ literal is
+    // interpolated from Scala's 1.0−λ so both engines bind the exact
+    // same double (0.3 parsed from a short literal would differ).
+    "v20_mmr" -> {
+      val lamS = 0.7.toString
+      val muS = (1.0 - 0.7).toString
+      val rel = Num.sqlRoundTo(
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)
+      val simSel = Num.sqlRoundTo(
+        "list_dot_product(pp.cv, sv) / (sqrt(list_dot_product(pp.cv, pp.cv)) * sqrt(list_dot_product(sv, sv)))", 9)
+      val score = Num.sqlRoundTo(
+        s"$lamS * pp.rel - $muS * list_max(list_transform(cvs, sv -> $simSel))", 9)
+      val first = Num.sqlRoundTo(s"$lamS * rel", 9)
+      s"""WITH RECURSIVE
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, $rel AS rel, cv FROM q, c WHERE query_id <> neighbor_id),
+         |pool AS (SELECT query_id, neighbor_id, rel, cv,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS prank FROM s),
+         |p AS (SELECT * FROM pool WHERE prank <= 16),
+         |rec(query_id, r, ids, cvs, rels, scores) AS (
+         |  SELECT query_id, 1, [neighbor_id], [cv], [rel], [$first]
+         |  FROM p WHERE prank = 1
+         |  UNION ALL
+         |  SELECT rec.query_id, r + 1, list_append(ids, nxt.neighbor_id), list_append(cvs, nxt.cv),
+         |         list_append(rels, nxt.rel), list_append(scores, nxt.score)
+         |  FROM rec, LATERAL (
+         |    SELECT pp.neighbor_id, pp.cv, pp.rel, $score AS score
+         |    FROM p pp
+         |    WHERE pp.query_id = rec.query_id AND NOT list_contains(ids, pp.neighbor_id)
+         |    ORDER BY score DESC, pp.neighbor_id LIMIT 1) nxt
+         |  WHERE r < 8
+         |)
+         |SELECT query_id, CAST(i AS BIGINT) AS rank, ids[i] AS neighbor_id, rels[i] AS rel, scores[i] AS mmr_score
+         |FROM (SELECT * FROM rec WHERE r = 8) f, LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) ix
+         |ORDER BY query_id, rank""".stripMargin
     },
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
     // centroid vectors; same |a|²+|b|²−2a·b formulation and 9dp rounding

@@ -1034,6 +1034,78 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: from each query's top-`poolK` relevance
+    * candidates, greedily select `k` results maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the standard
+    * redundancy-penalized retrieval pass (diverse few-shot pools,
+    * dedup'd search results, coverage-first RAG context).
+    *
+    * Deterministic: relevance and pairwise similarity are the shared
+    * 9dp-rounded cosine, the combined score re-rounds at 9dp, argmax
+    * tie-breaks to the LOWEST neighbor id, and the first pick is the
+    * plain relevance argmax (λ·rel ordering ≡ rel ordering) — so the
+    * whole greedy sequence replays in SQL as a per-query recursive CTE.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopKAgg]]'s
+    * map-side-bounded heap (swap in any ANN variant at scale — the
+    * re-rank only sees (query, poolK) rows). The greedy loop runs k−1
+    * rounds over state of O(queries·poolK) rows — pool-sized, never
+    * corpus-sized; each round is one per-query argmax aggregate plus a
+    * broadcast-sized join against the per-query pick. k and poolK are
+    * result-page constants, so rounds don't grow with data.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, poolK: Int = 16,
+                k: Int = 8, lam: Double = 0.7, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolK >= k, "need 1 <= k <= poolK")
+    require(lam >= 0.0 && lam <= 1.0, "lambda in [0,1]")
+    val mu = 1.0 - lam
+    val pool = bruteForceTopKAgg(corpus, queries, poolK, idCol, vecCol)
+    val vecsN = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nn"))
+    val cand = pool.join(vecsN, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"),
+        col("v"), col("nn"))
+    def pairSim(sv: Column, snn: Column): Column =
+      Num.roundTo(dot(col("v"), sv) / (col("nn") * snn), 9)
+    val firstPick = Iterate.materialize(
+      pool.filter(col("rank") === 1).join(vecsN, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"),
+          col("v"), col("nn")))
+    var selected = Seq(firstPick.select(col("query_id"), lit(1L).as("rank"),
+      col("neighbor_id"), col("rel"),
+      Num.roundTo(lit(lam) * col("rel"), 9).as("mmr_score")))
+    var state = Iterate.materialize(
+      cand.join(firstPick.select(col("query_id"), col("neighbor_id").as("sid"),
+          col("v").as("sv"), col("nn").as("snn")), Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("sid"))
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("v"), col("nn"),
+          pairSim(col("sv"), col("snn")).as("msim")))
+    var r = 2L
+    while (r <= k) {
+      val pick = Iterate.materialize(
+        state.withColumn("score",
+            Num.roundTo(lit(lam) * col("rel") - lit(mu) * col("msim"), 9))
+          .groupBy("query_id")
+          .agg(max(struct(col("score"), (-col("neighbor_id")).as("negid"))).as("m"))
+          .select(col("query_id"), (-col("m.negid")).as("neighbor_id"),
+            col("m.score").as("mmr_score"))
+          .join(state.select(col("query_id"), col("neighbor_id"), col("rel"),
+            col("v").as("sv"), col("nn").as("snn")), Seq("query_id", "neighbor_id")))
+      selected = selected :+ pick.select(col("query_id"), lit(r).as("rank"),
+        col("neighbor_id"), col("rel"), col("mmr_score"))
+      state = Iterate.materialize(
+        state.join(pick.select(col("query_id"), col("neighbor_id").as("sid"),
+            col("sv"), col("snn")), Seq("query_id"))
+          .filter(col("neighbor_id") =!= col("sid"))
+          .select(col("query_id"), col("neighbor_id"), col("rel"), col("v"), col("nn"),
+            greatest(col("msim"), pairSim(col("sv"), col("snn"))).as("msim")))
+      r += 1
+    }
+    selected.reduce(_ unionByName _).orderBy("query_id", "rank")
+  }
+
   /** Map-only cell assignment against a DRIVER-HELD codebook: the same
     * 9dp-rounded squared-L2 with cell-id tie-break as [[assignCells]],
     * expressed as one array_min over literal (dist, cell) structs —

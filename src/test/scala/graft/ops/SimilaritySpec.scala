@@ -866,6 +866,44 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.toSeq == refRadii.toSeq)
   }
 
+  test("mmrRerank == driver-side greedy MMR reference; scores non-increasing; rank 1 is the relevance top-1") {
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.querySet(emb, "vec_id", 100) // 5 queries at sf0.001+
+    val out = Similarity.mmrRerank(emb, queries, poolK = 12, k = 5, lam = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // driver reference
+    val vs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    def dotd(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def cos(a: Array[Double], b: Array[Double]) =
+      r9(dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b))))
+    val lam = 0.7; val mu = 1.0 - lam
+    val ref = queries.select("vec_id").collect().map(_.getLong(0)).sorted.flatMap { qid =>
+      val pool = vs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(vs(qid), v), v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }.take(12)
+      var sel = Vector(pool.head)
+      var scores = Vector(r9(lam * pool.head._2))
+      while (sel.length < 5) {
+        val rest = pool.filterNot(p => sel.exists(_._1 == p._1))
+        val best = rest.map { case (id, rel, v) =>
+          (r9(lam * rel - mu * sel.map(s => cos(v, s._3)).max), id, rel, v)
+        }.minBy { case (sc, id, _, _) => (-sc, id) }
+        sel :+= ((best._2, best._3, best._4)); scores :+= best._1
+      }
+      sel.zipWithIndex.map { case ((id, rel, _), i) =>
+        (qid, (i + 1).toLong, id, rel, scores(i)) }
+    }
+    assert(out.toSeq == ref.toSeq)
+    // greedy scores never increase within a query (the penalty only grows)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ss = rows.sortBy(_._2).map(_._5)
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("kCenterCoreset: repartition-invariant; k=1 returns just the seed") {
     val emb = graft.ops.Tables.embeddings(spark, sfDir)
     val a = Similarity.kCenterCoreset(emb, k = 4).collect().map(_.toSeq).toSeq
