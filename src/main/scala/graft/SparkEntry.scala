@@ -217,6 +217,9 @@ object SparkEntry {
     // per-node triangles + local clustering coefficient (n2 broken out
     // per vertex; same catalog-slice bound)
     "n3_local_clustering" -> (Graph.partLocalClustering(_, _)),
+    // market-basket association rules on co-purchased part pairs:
+    // support/confidence/lift, min-support pruning before any join
+    "n4_assoc_rules" -> (Analytics.assocRules(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -2893,6 +2896,25 @@ object SparkEntry {
          |  ${kmvEstSql(256)} AS est_distinct
          |FROM uni ORDER BY scope""".stripMargin,
     "n1_part_pagerank" -> pagerankSql(),
+    // n4 — association rules: pair counts from distinct (order, part)
+    // baskets, min-support 3, both rule directions; support/confidence/
+    // lift replay as the identical double expressions
+    "n4_assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+         |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+         |ic AS (SELECT item, count(*) AS n_item FROM items GROUP BY item),
+         |pr AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_pair
+         |       FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+         |       GROUP BY 1, 2 HAVING count(*) >= 3),
+         |rules AS (SELECT ia AS antecedent, ib AS consequent, n_pair FROM pr
+         |          UNION ALL SELECT ib, ia, n_pair FROM pr)
+         |SELECT antecedent, consequent, n_pair, na.n_item AS n_ant, nc.n_item AS n_con,
+         |  ${Num.sqlRoundTo("CAST(n_pair AS DOUBLE) / n_orders", 9)} AS support,
+         |  ${Num.sqlRoundTo("CAST(n_pair AS DOUBLE) / na.n_item", 9)} AS confidence,
+         |  ${Num.sqlRoundTo(
+                "(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)) / (CAST(na.n_item AS DOUBLE) * CAST(nc.n_item AS DOUBLE))", 9)} AS lift
+         |FROM rules JOIN ic na ON na.item = antecedent JOIN ic nc ON nc.item = consequent, tot
+         |ORDER BY antecedent, consequent""".stripMargin,
     // degree-ordered triangle replay: same orientation, wedge join,
     // and EXISTS closure — all exact integers
     "n2_triangles" ->

@@ -911,6 +911,52 @@ object Analytics {
       .orderBy("s_name")
   }
 
+  /** Market-basket ASSOCIATION RULES over 2-itemsets: for part pairs
+    * co-purchased in at least `minSupport` orders, emit both directed
+    * rules with support (pair freq / orders), confidence
+    * (pair freq / antecedent freq) and lift (confidence over the
+    * consequent's base rate) — the classic cross-sell report.
+    *
+    * Scale shape: ONE shuffle keys baskets by order (values are 8-byte
+    * part ids), pairs explode in-group via the shared `pair_longs`
+    * generator (fan-out bounded by basket size², and baskets are
+    * order-line counts — single digits), then the pair aggregation
+    * prunes by `minSupport` BEFORE the per-item frequency joins, so
+    * only surviving rules join. Totals ride as a broadcast 1-row
+    * cross join, never a collect. Lift multiplies in DOUBLE — at
+    * corpus scale n_pair·n_orders overflows a long product, and
+    * double mul/div are correctly rounded so both engines agree.
+    */
+  def assocRules(spark: SparkSession, dir: String, minSupport: Long = 3): DataFrame =
+    assocRulesFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")), minSupport)
+
+  /** [[assocRules]] body over any (ok, item) basket membership table. */
+  def assocRulesFrom(rawItems: DataFrame, minSupport: Long): DataFrame = {
+    val items = rawItems.select(col("ok"), col("item")).distinct()
+    val baskets = items.groupBy("ok")
+      .agg(array_sort(collect_list(col("item"))).as("its"))
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCounts = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(call_function("pair_longs", col("its"))).as("p"))
+      .select(col("p.doc_a").as("ia"), col("p.doc_b").as("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    val rules = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"), col("n_pair"))
+      .unionAll(pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"), col("n_pair")))
+    rules
+      .join(itemCounts.select(col("item").as("antecedent"), col("n_item").as("n_ant")), Seq("antecedent"))
+      .join(itemCounts.select(col("item").as("consequent"), col("n_item").as("n_con")), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_pair"), col("n_ant"), col("n_con"),
+        roundTo(col("n_pair").cast("double") / col("n_orders"), 9).as("support"),
+        roundTo(col("n_pair").cast("double") / col("n_ant"), 9).as("confidence"),
+        roundTo((col("n_pair").cast("double") * col("n_orders").cast("double")) /
+          (col("n_ant").cast("double") * col("n_con").cast("double")), 9).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame =
     q2MinCostSupplier(Tables.load(spark, dir, "partsupp"), Tables.part(spark, dir),
       Tables.supplier(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))

@@ -97,4 +97,24 @@ class GraphSpec extends SparkSpec {
       }
     } finally local.unpersist()
   }
+
+  test("assocRules: hand-computed support/confidence/lift; min-support prunes; duplicate lines collapse") {
+    import spark.implicits._
+    // baskets: 1={10,20,30}, 2={10,20}, 3={10,20}, 4={30}; line-level dup of (1,10)
+    val items = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L), (4L, 30L)).toDF("ok", "item")
+    val out = Analytics.assocRulesFrom(items, minSupport = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    // only {10,20} reaches support 3; both directions emitted
+    assert(out.keySet == Set((10L, 20L), (20L, 10L)))
+    val (nPair, nAnt, nCon, supp, conf, lift) = out((10L, 20L))
+    assert(nPair == 3L && nAnt == 3L && nCon == 3L)
+    assert(supp == 0.75 && conf == 1.0)
+    assert(math.abs(lift - math.floor(4.0 / 3.0 * 1e9 + 0.5) / 1e9) < 1e-12)
+    // min-support 2 admits the {10,30}/{20,30} pairs from basket 1
+    val loose = Analytics.assocRulesFrom(items, minSupport = 1)
+    assert(loose.count() == 6L)
+  }
 }
