@@ -293,6 +293,11 @@ object SparkEntry {
     "p8_ks_drift" -> ((s, d) =>
       Profiling.ksDrift(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", "A", "R")),
+    // categorical drift: chi-square homogeneity of event_type across
+    // the p7 time cut — exact counts, one O(categories) shuffle
+    "p10_chisq_drift" -> ((s, d) =>
+      Profiling.chiSquareDrift(Tables.events(s, d), "event_type",
+        "ts", "2024-01-16 00:00:00")),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -3217,6 +3222,27 @@ object SparkEntry {
                 "CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))", 6)}
          |  AS ks_d
          |FROM d""".stripMargin,
+    // p10 — chi-square homogeneity: exact counts per (category, slice),
+    // expecteds and terms as the identical product-before-quotient
+    // double expressions
+    "p10_chisq_drift" ->
+      s"""WITH s AS (SELECT event_type AS category,
+         |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_base
+         |  FROM events),
+         |c AS (SELECT category, CAST(sum(is_base) AS BIGINT) AS n_base,
+         |        CAST(count(*) - sum(is_base) AS BIGINT) AS n_cur FROM s GROUP BY category),
+         |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+         |x AS (SELECT category, n_base, n_cur,
+         |        CAST(tb AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS eb,
+         |        CAST(tc AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS ec
+         |      FROM c, t)
+         |SELECT category, n_base, n_cur,
+         |  ${Num.sqlRoundTo("eb", 6)} AS exp_base,
+         |  ${Num.sqlRoundTo("ec", 6)} AS exp_cur,
+         |  ${Num.sqlRoundTo(
+                "(CAST(n_base AS DOUBLE) - eb) * (CAST(n_base AS DOUBLE) - eb) / eb + (CAST(n_cur AS DOUBLE) - ec) * (CAST(n_cur AS DOUBLE) - ec) / ec", 6)}
+         |  AS chisq_term
+         |FROM x ORDER BY category""".stripMargin,
     // funnel timing: same chained min-ts CTEs as e6, each stage carrying
     // its anchor; mean gap = exact integer micros sum / count
     "e13_funnel_timing" ->

@@ -298,4 +298,42 @@ object Profiling {
               Num.roundTo(col("num").cast("double") /
                 (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_d"))
   }
+
+  /** CHI-SQUARE homogeneity drift for a CATEGORICAL column between two
+    * time slices — the third leg of the drift triad: [[psiDrift]] (binned
+    * numeric, smoothed), [[ksDrift]] (bin-free numeric, exact), and this
+    * (categorical, exact counts). Emits one row per category with the
+    * observed counts, expected-under-homogeneity counts, and the
+    * category's χ² contribution (Σ over the output is the statistic;
+    * dof = categories − 1 for the two-slice table).
+    *
+    * Determinism: counts are exact integers from one map-side-combined
+    * aggregation; expecteds and terms are fixed-shape double expressions
+    * (products before quotients, 6dp-rounded on OUTPUT only) the oracle
+    * replays verbatim. Totals ride as a broadcast 1-row cross join.
+    * Scale: one shuffle keyed by category — O(categories) rows move.
+    * Precondition: both slices non-empty (a zero slice total makes the
+    * expecteds zero and the test undefined).
+    */
+  def chiSquareDrift(df: DataFrame, catCol: String, tsCol: String,
+                     cutTs: String): DataFrame = {
+    val s = df.select(col(catCol).as("category"),
+      when(col(tsCol) < lit(cutTs).cast("timestamp"), 1L).otherwise(0L).as("is_base"))
+    val counts = s.groupBy("category")
+      .agg(sum(col("is_base")).as("n_base"),
+           (count(lit(1)) - sum(col("is_base"))).as("n_cur"))
+    val totals = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val n = (col("tb") + col("tc")).cast("double")
+    val rowT = (col("n_base") + col("n_cur")).cast("double")
+    val eb = col("tb").cast("double") * rowT / n
+    val ec = col("tc").cast("double") * rowT / n
+    val db = col("n_base").cast("double") - eb
+    val dc = col("n_cur").cast("double") - ec
+    counts.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        Num.roundTo(eb, 6).as("exp_base"),
+        Num.roundTo(ec, 6).as("exp_cur"),
+        Num.roundTo(db * db / eb + dc * dc / ec, 6).as("chisq_term"))
+      .orderBy("category")
+  }
 }

@@ -191,4 +191,35 @@ class ProfilingSpec extends SparkSpec {
         assert(v > nCust * 0.15 && v < nCust * 0.35, s"m marginal $v of $nCust"))
     } finally out.unpersist()
   }
+
+  test("chiSquareDrift: hand-computed 2x2 table; proportional halves score exactly 0; terms non-negative") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // base: 30 a, 10 b; cur: 10 a, 30 b → classic 2x2, expected 20 each
+    val rows = (1 to 30).map(i => (i.toLong, ts("2024-01-10 00:00:00"), "a")) ++
+      (31 to 40).map(i => (i.toLong, ts("2024-01-10 00:00:00"), "b")) ++
+      (41 to 50).map(i => (i.toLong, ts("2024-01-20 00:00:00"), "a")) ++
+      (51 to 80).map(i => (i.toLong, ts("2024-01-20 00:00:00"), "b"))
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val out = Profiling.chiSquareDrift(df, "event_type", "ts", "2024-01-16 00:00:00")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // exp = 40*40/80 = 20 per cell; term per category = 100/20 + 100/20 = 10
+    assert(out("a") == ((30L, 10L, 20.0, 20.0, 10.0)))
+    assert(out("b") == ((10L, 30L, 20.0, 20.0, 10.0)))
+    // proportional halves (same distribution, different sizes) → 0 terms
+    val prop = ((1 to 20).map(i => (i.toLong, ts("2024-01-10 00:00:00"), "a")) ++
+      (21 to 30).map(i => (i.toLong, ts("2024-01-10 00:00:00"), "b")) ++
+      (31 to 70).map(i => (i.toLong, ts("2024-01-20 00:00:00"), "a")) ++
+      (71 to 90).map(i => (i.toLong, ts("2024-01-20 00:00:00"), "b")))
+      .toDF("event_id", "ts", "event_type")
+    val zero = Profiling.chiSquareDrift(prop, "event_type", "ts", "2024-01-16 00:00:00").collect()
+    assert(zero.forall(_.getDouble(5) == 0.0), "homogeneous slices must score exactly 0")
+    // real fixture: one row per event_type, all terms finite and >= 0
+    val real = Profiling.chiSquareDrift(Tables.events(spark, sfDir),
+      "event_type", "ts", "2024-01-16 00:00:00").collect()
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(real.length == types)
+    assert(real.forall(r => r.getDouble(5) >= 0.0 && !r.getDouble(5).isNaN))
+  }
 }
