@@ -298,6 +298,29 @@ object SparkEntry {
     "p10_chisq_drift" -> ((s, d) =>
       Profiling.chiSquareDrift(Tables.events(s, d), "event_type",
         "ts", "2024-01-16 00:00:00")),
+    // streaming drift monitor — p10's twin: base counts staged from the
+    // snapshot, current slice counted in one Complete-mode aggregate,
+    // terms computed on the sink's final snapshot; shares p10's oracle
+    "st18_stream_drift" -> ((s, d) => {
+      import s.implicits._
+      val cut = "2024-01-16 00:00:00"
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      val base = s.read.parquet(stage)
+        .filter(col("ts") < lit(cut).cast("timestamp"))
+        .groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("n_base"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val mem = s"st18_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamCategoryCounts(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema), cut),
+        mem, org.apache.spark.sql.streaming.OutputMode.Complete())
+      val counts = base.toDF("category", "n_base")
+        .join(s.table(mem), Seq("category"), "full_outer")
+        .na.fill(0L, Seq("n_base", "n_cur"))
+      Profiling.chiSquareTerms(counts)
+    }),
 
     // --- event-time windows (batch twins of graft.streaming) ---
     "e1_hourly" -> (EventWindows.hourlyByType(_, _)),
@@ -1227,6 +1250,26 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Shared by p10 (batch) and st18 (streaming drift monitor twin). */
+  private def chisqDriftSql: String =
+    s"""WITH s AS (SELECT event_type AS category,
+       |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_base
+       |  FROM events),
+       |c AS (SELECT category, CAST(sum(is_base) AS BIGINT) AS n_base,
+       |        CAST(count(*) - sum(is_base) AS BIGINT) AS n_cur FROM s GROUP BY category),
+       |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+       |x AS (SELECT category, n_base, n_cur,
+       |        CAST(tb AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS eb,
+       |        CAST(tc AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS ec
+       |      FROM c, t)
+       |SELECT category, n_base, n_cur,
+       |  ${Num.sqlRoundTo("eb", 6)} AS exp_base,
+       |  ${Num.sqlRoundTo("ec", 6)} AS exp_cur,
+       |  ${Num.sqlRoundTo(
+              "(CAST(n_base AS DOUBLE) - eb) * (CAST(n_base AS DOUBLE) - eb) / eb + (CAST(n_cur AS DOUBLE) - ec) * (CAST(n_cur AS DOUBLE) - ec) / ec", 6)}
+       |  AS chisq_term
+       |FROM x ORDER BY category""".stripMargin
 
   private def decSum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -3225,24 +3268,11 @@ object SparkEntry {
     // p10 — chi-square homogeneity: exact counts per (category, slice),
     // expecteds and terms as the identical product-before-quotient
     // double expressions
-    "p10_chisq_drift" ->
-      s"""WITH s AS (SELECT event_type AS category,
-         |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_base
-         |  FROM events),
-         |c AS (SELECT category, CAST(sum(is_base) AS BIGINT) AS n_base,
-         |        CAST(count(*) - sum(is_base) AS BIGINT) AS n_cur FROM s GROUP BY category),
-         |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
-         |x AS (SELECT category, n_base, n_cur,
-         |        CAST(tb AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS eb,
-         |        CAST(tc AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS ec
-         |      FROM c, t)
-         |SELECT category, n_base, n_cur,
-         |  ${Num.sqlRoundTo("eb", 6)} AS exp_base,
-         |  ${Num.sqlRoundTo("ec", 6)} AS exp_cur,
-         |  ${Num.sqlRoundTo(
-                "(CAST(n_base AS DOUBLE) - eb) * (CAST(n_base AS DOUBLE) - eb) / eb + (CAST(n_cur AS DOUBLE) - ec) * (CAST(n_cur AS DOUBLE) - ec) / ec", 6)}
-         |  AS chisq_term
-         |FROM x ORDER BY category""".stripMargin,
+    "p10_chisq_drift" -> chisqDriftSql,
+    // st18 — the streaming monitor lands on the identical contingency
+    // table (staged base + Complete-mode cur counts), so p10's replay
+    // is the oracle verbatim
+    "st18_stream_drift" -> chisqDriftSql,
     // funnel timing: same chained min-ts CTEs as e6, each stage carrying
     // its anchor; mean gap = exact integer micros sum / count
     "e13_funnel_timing" ->

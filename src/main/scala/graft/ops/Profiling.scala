@@ -319,9 +319,17 @@ object Profiling {
                      cutTs: String): DataFrame = {
     val s = df.select(col(catCol).as("category"),
       when(col(tsCol) < lit(cutTs).cast("timestamp"), 1L).otherwise(0L).as("is_base"))
-    val counts = s.groupBy("category")
+    chiSquareTerms(s.groupBy("category")
       .agg(sum(col("is_base")).as("n_base"),
-           (count(lit(1)) - sum(col("is_base"))).as("n_cur"))
+           (count(lit(1)) - sum(col("is_base"))).as("n_cur")))
+  }
+
+  /** [[chiSquareDrift]]'s expected-count/term stage over a prepared
+    * (category, n_base, n_cur) contingency table — split out so the
+    * streaming twin can feed it the sink's count snapshot joined with
+    * staged base counts and land on the identical output rows.
+    */
+  def chiSquareTerms(counts: DataFrame): DataFrame = {
     val totals = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
     val n = (col("tb") + col("tc")).cast("double")
     val rowT = (col("n_base") + col("n_cur")).cast("double")

@@ -259,6 +259,24 @@ object Streams {
         size(toks).cast("long").as("n_tokens"), lw.as("log_weight"))
   }
 
+  /** Streaming DRIFT MONITOR, current-slice counting stage: one
+    * Complete-mode count aggregate per category over events at or after
+    * the drift cut — the live half of the p10 chi-square contingency
+    * table. The BASE half is a per-category count list staged from the
+    * baseline snapshot (a model artifact like st17's bucket weights);
+    * the consumer full-outer-joins the sink's latest snapshot with the
+    * staged base and feeds [[graft.ops.Profiling.chiSquareTerms]], so
+    * the monitor's rows are bit-identical to the batch p10 report at
+    * every micro-batch boundary. State is O(categories) counters —
+    * constant, watermark-free, runs forever.
+    */
+  def streamCategoryCounts(events: DataFrame, cutTs: String,
+                           catCol: String = "event_type",
+                           tsCol: String = "ts"): DataFrame =
+    events.filter(col(tsCol) >= lit(cutTs).cast("timestamp"))
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+
   /** Streaming incremental SemDeDup: a stream of new embedding vectors
     * dedups against a STATIC corpus inside corpus-trained IVF cells —
     * the streaming twin of [[graft.ops.Similarity.semDeDupIncrement]],

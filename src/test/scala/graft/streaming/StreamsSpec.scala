@@ -531,6 +531,29 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length < all.count(), "quality gate dropped nothing - vacuous")
   }
 
+  test("streaming chi-square drift == batch p10 across micro-batch boundaries") {
+    import graft.ops.Profiling
+    val cut = "2024-01-16 00:00:00"
+    val schema = spark.read.parquet(eventsDir).schema
+    val base = spark.read.parquet(eventsDir)
+      .filter(col("ts") < lit(cut).cast("timestamp"))
+      .groupBy(col("event_type").as("category"))
+      .agg(count(lit(1)).as("n_base"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Streams.runToMemory(
+      Streams.streamCategoryCounts(
+        Streams.parquetDirStream(spark, eventsDir, schema, maxFilesPerTrigger = 1), cut),
+      "drift_stream", OutputMode.Complete())
+    import spark.implicits._
+    val counts = base.toDF("category", "n_base")
+      .join(spark.table("drift_stream"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val streamed = Profiling.chiSquareTerms(counts).collect().map(_.toSeq).toSeq
+    val batch = Profiling.chiSquareDrift(spark.read.parquet(eventsDir),
+      "event_type", "ts", cut).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming DSIR resample == batch t28 across micro-batch boundaries") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
