@@ -799,6 +799,10 @@ object SparkEntry {
     // floor discipline
     "t28_importance_sample" -> ((s, d) =>
       TextStats.importanceSample(Tables.documents(s, d))),
+    // PMI collocation mining: exact bigram/unigram counts, min-count
+    // prune before the joins, fixed-shape probability-ratio ln
+    "t29_collocations" -> ((s, d) =>
+      TextStats.collocations(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -3421,6 +3425,23 @@ object SparkEntry {
     // t28 — DSIR resampling: t23's chain + the self-normalized exp
     // acceptance threshold vs the domain-separated FNV coin
     "t28_importance_sample" -> importanceSampleSql(),
+    // t29 — PMI collocations: bigram/unigram counts over the shared
+    // whitespace tokenization; quotients before the multiply, ln at 6dp
+    "t29_collocations" ->
+      s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+         |       FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+         |       WHERE len(t) >= 2),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |cbg AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2 HAVING count(*) >= 25),
+         |cuni AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+         |tot AS (SELECT (SELECT count(*) FROM uni) AS nuni, (SELECT count(*) FROM bg) AS nbi)
+         |SELECT w1, w2, n_ab, na.n_w AS n_a, nb.n_w AS n_b,
+         |  ${Num.sqlRoundTo(
+              "ln((CAST(n_ab AS DOUBLE) / CAST(nbi AS DOUBLE)) / ((CAST(na.n_w AS DOUBLE) / CAST(nuni AS DOUBLE)) * (CAST(nb.n_w AS DOUBLE) / CAST(nuni AS DOUBLE))))", 6)} AS pmi
+         |FROM cbg JOIN cuni na ON na.w = w1 JOIN cuni nb ON nb.w = w2, tot
+         |ORDER BY w1, w2""".stripMargin,
     // st17 — the streaming twin: staged weights + decimal token fold
     // reproduce the batch log-weights exactly, so t28's replay is the
     // oracle verbatim

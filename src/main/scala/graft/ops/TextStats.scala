@@ -815,6 +815,52 @@ object TextStats {
            Num.roundTo(-Num.exactAvg(col("lp")), 4).as("cross_entropy"))
   }
 
+  /** COLLOCATION mining via pointwise mutual information: for adjacent
+    * token bigrams seen at least `minCount` times,
+    * PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with bigram probability over
+    * the corpus bigram total and unigram probabilities over the corpus
+    * token total — the classic measure separating true multi-word
+    * units ("new york") from frequent-but-independent neighbors. High
+    * PMI + high count = phrase-vocabulary candidates for tokenizers
+    * (t22/t25's input view) and stop-phrase lists.
+    *
+    * Determinism: exact integer counts from map-side-combined
+    * aggregations; the probability ratio is a fixed-shape double
+    * expression (each quotient before the multiply, 6dp-rounded on
+    * output) the oracle replays verbatim. Totals ride as broadcast
+    * 1-row cross joins. Scale: two token-keyed shuffles (bigram and
+    * unigram counts), both pre-aggregated map-side; the `minCount`
+    * prune lands BEFORE the unigram joins so only surviving bigrams
+    * join.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 25,
+                   textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = docs.filter(col(textCol).isNotNull).select(toks.as("t"))
+    val bg = base.filter(size(col("t")) >= 2).select(
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = base.select(explode(col("t")).as("w"))
+    val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val cUni = uni.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = uni.agg(count(lit(1)).as("nuni"))
+      .crossJoin(bg.agg(count(lit(1)).as("nbi")))
+    val ratio = (col("n_ab").cast("double") / col("nbi").cast("double")) /
+      ((col("n_a").cast("double") / col("nuni").cast("double")) *
+       (col("n_b").cast("double") / col("nuni").cast("double")))
+    cBg
+      .join(cUni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(cUni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        Num.roundTo(log(ratio), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   /** Cross-split near-dup contamination report — the leakage a
     * content-hash split canNOT prevent (exact dups co-locate by
     * construction; near-dups hash independently): near-dup pairs whose

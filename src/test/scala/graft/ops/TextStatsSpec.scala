@@ -720,4 +720,26 @@ class TextStatsSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    // bigrams: (x,y)x3, (y,x)x2, nbi=5; unigrams: x:3 y:3, nuni=6
+    val byName = TextStats.collocations(docs, minCount = 1).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("pmi")))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(byName(("x", "y"))._1 == 3L)
+    assert(byName(("x", "y"))._2 == r6(math.log((3.0 / 5.0) / ((3.0 / 6.0) * (3.0 / 6.0)))))
+    assert(byName(("y", "x"))._2 == r6(math.log((2.0 / 5.0) / ((3.0 / 6.0) * (3.0 / 6.0)))))
+    // min-count prune: threshold 3 keeps only (x,y)
+    val pruned = TextStats.collocations(docs, minCount = 3).collect()
+    assert(pruned.length == 1 && pruned.head.getAs[String]("w1") == "x")
+    // dependent pair scores high, anti-correlated pair scores negative
+    val mix = Seq((1L, "a b a b a b a b"), (2L, "c d c d c d c d"),
+      (3L, "a d c b a d c b")).toDF("doc_id", "text")
+    val m = TextStats.collocations(mix, minCount = 2).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")), r.getAs[Double]("pmi"))).toMap
+    assert(m(("a", "b")) > 0.0 && m(("c", "d")) > 0.0)
+  }
 }
