@@ -343,6 +343,9 @@ object SparkEntry {
     "e9_active_users" -> (EventWindows.activeUsers(_, _)),
     // rolling z-score anomaly flags over the hourly volume grid
     "e10_anomaly" -> ((s, d) => EventWindows.hourlyAnomalies(s, d)),
+    // CUSUM drift per type: integer-exact centered cumsum with running
+    // extrema (the reset recursion in closed form), λ·mean drift flag
+    "e21_cusum" -> ((s, d) => EventWindows.hourlyCusum(s, d)),
     // dense hourly spine with zero-filled gaps (calendar gap-fill)
     "e12_gapfill" -> (EventWindows.hourlySpine(_, _)),
     // EWMA as a weighted fan-out (no recursion) with decimal-exact sums
@@ -3449,6 +3452,26 @@ object SparkEntry {
     // rolling anomaly grid: trailing-24-observed-hours moments from exact
     // integer sums; mean/var/z replayed as the identical double
     // expressions, full-lookback rows only
+    // e21 — CUSUM: the same integer centered-deviation cumsum and
+    // running extrema; divisions only on output, flag fully integer
+    "e21_cusum" ->
+      s"""WITH h AS (SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+         |             event_type, count(*) AS n_events
+         |           FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS s_tot,
+         |        count(*) AS h_tot FROM h GROUP BY 1),
+         |x AS (SELECT window_start_us, h.event_type, n_events, s_tot, h_tot,
+         |        n_events * h_tot - s_tot AS d FROM h JOIN t USING (event_type)),
+         |c AS (SELECT *, CAST(sum(d) OVER w AS BIGINT) AS cum FROM x
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us)),
+         |m AS (SELECT *, CAST(min(cum) OVER w AS BIGINT) AS runmin,
+         |               CAST(max(cum) OVER w AS BIGINT) AS runmax FROM c
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us))
+         |SELECT window_start_us, event_type, n_events,
+         |  ${Num.sqlRoundTo("CAST(cum - runmin AS DOUBLE) / h_tot", 6)} AS cusum_pos,
+         |  ${Num.sqlRoundTo("CAST(runmax - cum AS DOUBLE) / h_tot", 6)} AS cusum_neg,
+         |  ((cum - runmin) > 3 * s_tot OR (runmax - cum) > 3 * s_tot) AS is_drift
+         |FROM m ORDER BY window_start_us, event_type""".stripMargin,
     "e10_anomaly" ->
       s"""WITH h AS (
          |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,

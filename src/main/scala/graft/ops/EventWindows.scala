@@ -361,6 +361,52 @@ object EventWindows {
       .orderBy("window_start_us", "event_type")
   }
 
+  /** CUSUM changepoint detection over the hourly series, per event
+    * type — the sequential-drift companion to [[hourlyAnomalies]]'s
+    * pointwise z-score: a level shift too small to trip any single
+    * hour's z accumulates in the CUSUM excursion within a few hours.
+    *
+    * INTEGER-exact internals: with S = the type's total events and
+    * H = its hour count, the centered deviation n·H − S is an exact
+    * long (n − mean scaled by H), so the cumulative sum and its
+    * running extrema never touch a double; the classic reset-at-zero
+    * recursion s_t = max(0, s_{t−1} + d_t) is re-expressed closed-form
+    * as cum_t − min_{τ≤t} cum_τ (and the downward side via the running
+    * max), which distributes as plain window aggregates. Excursions
+    * divide by H only on OUTPUT (6dp); the drift flag compares
+    * integers: excursion > λ·mean ⇔ s_int > λ·S. Overflow bound:
+    * n·H ≤ 2^63 needs hourly-count · hour-count < 9e18 — petabyte-safe
+    * for any real retention window.
+    *
+    * Scale: one hourly pre-aggregation (map-side combined), a
+    * broadcast-sized totals join, and windows partitioned BY TYPE over
+    * O(hours) rows — the series length is calendar-bounded, not
+    * data-bounded, same standing as [[hourlyEwma]].
+    */
+  def hourlyCusum(spark: SparkSession, dir: String, lambda: Long = 3L): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = hourly.groupBy("event_type")
+      .agg(sum(col("n_events")).as("s_tot"), count(lit(1)).as("h_tot"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("window_start_us"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourly.join(totals, Seq("event_type"))
+      .withColumn("d", col("n_events") * col("h_tot") - col("s_tot"))
+      .withColumn("cum", sum(col("d")).over(byType))
+      .withColumn("runmin", min(col("cum")).over(byType))
+      .withColumn("runmax", max(col("cum")).over(byType))
+      .select(col("window_start_us"), col("event_type"), col("n_events"),
+        Num.roundTo((col("cum") - col("runmin")).cast("double") / col("h_tot"), 6)
+          .as("cusum_pos"),
+        Num.roundTo((col("runmax") - col("cum")).cast("double") / col("h_tot"), 6)
+          .as("cusum_neg"),
+        ((col("cum") - col("runmin")) > lit(lambda) * col("s_tot") ||
+         (col("runmax") - col("cum")) > lit(lambda) * col("s_tot")).as("is_drift"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** Per-user inter-event cadence: gap statistics between consecutive
     * events (lag over the user's timeline). The mean accumulates as an
     * exact integer sum of micros (no floating drift), emitted as one

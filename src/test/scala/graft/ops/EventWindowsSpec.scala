@@ -337,4 +337,37 @@ class EventWindowsSpec extends SparkSpec {
       .map(r => (r.getLong(3), r.getString(0), r.getString(1), r.getString(2)))
     assert(rows.sortBy(t => (-t._1, t._2, t._3, t._4)).toSeq == rows.toSeq)
   }
+
+  test("hourlyCusum: hand-computed excursions for a level shift; flat series stays at zero; fixture flags both states") {
+    import spark.implicits._
+    val d = tmpDir("cusum")
+    var id = 0L
+    val rows = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def hour(h: Int) = ts(f"2024-01-01 ${h}%02d:30:00")
+    // type "g": 4 hours of 10, then 4 hours of 20 — mean 15, H=8, S=120
+    for (h <- 0 until 8; _ <- 0 until (if (h < 4) 10 else 20)) {
+      id += 1; rows += ((id, hour(h), 1L, "g", 0.0, "{}"))
+    }
+    // type "f": 6 flat hours of 5 — every excursion exactly 0
+    for (h <- 0 until 6; _ <- 0 until 5) {
+      id += 1; rows += ((id, hour(h), 2L, "f", 0.0, "{}"))
+    }
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val out = EventWindows.hourlyCusum(spark, d.toString).collect()
+      .map(r => (r.getString(1), r.getLong(0))
+        -> (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val g = (0 until 8).map(h =>
+      out(("g", ts(f"2024-01-01 ${h}%02d:00:00").getTime * 1000L)))
+    // d = n·8 − 120 = ∓40; cum −40..−160 then back to 0; excursions/H:
+    assert(g.map(_._2).toSeq == Seq(0.0, 0.0, 0.0, 0.0, 5.0, 10.0, 15.0, 20.0))
+    assert(g.map(_._3).toSeq == Seq(0.0, 5.0, 10.0, 15.0, 10.0, 5.0, 0.0, 0.0))
+    assert(g.forall(!_._4)) // max integer excursion 160 < 3·S = 360
+    val f = out.filter(_._1._1 == "f").values
+    assert(f.size == 6 && f.forall(v => v._2 == 0.0 && v._3 == 0.0 && !v._4))
+    // real fixture: drift flags fire somewhere AND not everywhere
+    val real = EventWindows.hourlyCusum(spark, sfDir).collect()
+    assert(real.exists(_.getBoolean(5)) && real.exists(!_.getBoolean(5)))
+  }
 }
