@@ -822,6 +822,10 @@ object SparkEntry {
     // the per-shard manifest a training job reads before touching data
     "c11_shard_manifest" -> ((s, d) =>
       TextStats.shardManifest(Tables.documents(s, d), nShards = 8)),
+    // per-language hard cap: seeded splitmix survivors, distributed
+    // rank — the anti-domination pass before corpus mixing
+    "c16_group_cap" -> ((s, d) =>
+      TextStats.groupCap(Tables.documents(s, d), k = 40)),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -3605,6 +3609,14 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS rank,
          |  CAST(ntile(8) OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shard
          |FROM k ORDER BY doc_id""".stripMargin,
+    // c16 — per-group cap: same splitmix key, per-lang rank < k
+    "c16_group_cap" ->
+      s"""WITH k AS (SELECT doc_id, lang, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) - 1 AS BIGINT) AS cap_rank
+         | FROM k)
+         |SELECT doc_id, lang, cap_rank FROM r WHERE cap_rank < 40
+         |ORDER BY doc_id""".stripMargin,
     // token-budget fill: same splitmix permutation key as c10, per-lang
     // prefix sum strictly BEFORE the row, kept while under the budget
     "t26_token_budget_mix" ->

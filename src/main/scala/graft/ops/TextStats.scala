@@ -394,6 +394,46 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Deterministic per-GROUP cap — keep at most `k` documents per group,
+    * chosen by the seeded splitmix permutation (the c10 shuffle key), so
+    * the survivors are an unbiased-but-reproducible sample and a re-run
+    * (any partitioning, any engine) keeps the identical set. The
+    * balanced-corpus counterpart to [[tokenBudgetMix]]: that fills a
+    * token budget, this hard-caps the head classes (the standard
+    * anti-domination pass before mixing a multilingual corpus).
+    *
+    * Scale shape: the [[tokenBudgetMix]] distributed-rank discipline —
+    * range-exchange on (group, skey, id), per-partition row_number +
+    * broadcast per-(partition, group) offsets. No per-group single-task
+    * window; a billion-doc language costs one range shuffle. Emits
+    * (id, group, cap_rank) for survivors; cap_rank < k is the keep rule
+    * replayed verbatim by the oracle.
+    */
+  def groupCap(df: DataFrame, k: Long, seed: Long = 42L,
+               groupCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 0L, "cap must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol), col(groupCol),
+      call_function("splitmix64",
+        call_function("splitmix64", col(idCol).cast("long")).bitwiseXOR(lit(seed)))
+        .as("skey"))
+    val sorted = keyed.repartitionByRange(col(groupCol), col("skey"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid", groupCol).agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(
+        sum("pn").over(Window.partitionBy(groupCol).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col(groupCol), col("poff"))
+    val within = Window.partitionBy(col("pid"), col(groupCol))
+      .orderBy(col("skey"), col(idCol))
+    sorted.join(broadcast(offsets), Seq("pid", groupCol))
+      .withColumn("cap_rank", (col("poff") + row_number().over(within) - 1).cast("long"))
+      .filter(col("cap_rank") < k)
+      .select(col(idCol), col(groupCol), col("cap_rank"))
+      .orderBy(idCol)
+  }
+
   /** Conservative patterns shared (verbatim) by the Spark queries and the
     * DuckDB oracle — kept to syntax both Java regex and RE2 read
     * identically: char classes, +, explicit {m,n}, no backrefs, no

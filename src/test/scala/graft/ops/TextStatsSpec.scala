@@ -721,6 +721,32 @@ class TextStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("groupCap: k survivors per group matching the driver-side splitmix order; repartition-invariant") {
+    import spark.implicits._
+    import graft.functions.Splitmix
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.groupCap(docs, k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // at most 7 per group, rank dense from 0 within each group
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= 7)
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong).toSeq)
+    }
+    // driver-side reference: per group, k smallest (mix(mix(id)^42), id)
+    val ref = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        rows.map { case (id, _) => (Splitmix.mix(Splitmix.mix(id) ^ 42L), id) }
+          .sorted.take(7).zipWithIndex
+          .map { case ((_, id), i) => (id, lang, i.toLong) }
+      }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == ref.toSeq)
+    // partitioning must not change the survivor set
+    val re = TextStats.groupCap(docs.repartition(13), k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
