@@ -298,6 +298,15 @@ object SparkEntry {
     "p10_chisq_drift" -> ((s, d) =>
       Profiling.chiSquareDrift(Tables.events(s, d), "event_type",
         "ts", "2024-01-16 00:00:00")),
+    // shuffle-key skew profile for the two events join keys: exact
+    // counts, decimal-exact entropy, TakeOrdered top-10 — the report
+    // behind every salting/AQE-skew decision
+    "p11_key_skew" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Profiling.keySkew(ev, "user_id")
+        .unionByName(Profiling.keySkew(ev, "event_type"))
+        .orderBy("key_col")
+    }),
     // streaming drift monitor — p10's twin: base counts staged from the
     // snapshot, current slice counted in one Complete-mode aggregate,
     // terms computed on the sink's final snapshot; shares p10's oracle
@@ -3284,6 +3293,30 @@ object SparkEntry {
     // table (staged base + Complete-mode cur counts), so p10's replay
     // is the oracle verbatim
     "st18_stream_drift" -> chisqDriftSql,
+    // p11 — key skew: per-column replay of the same count/entropy/top10
+    // reductions, unioned; entropy under the decimal-exact sum
+    "p11_key_skew" -> {
+      def one(colName: String) =
+        s"""SELECT '$colName' AS key_col, n_rows, n_keys, max_count,
+           |  ${Num.sqlRoundTo("CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS skew_factor,
+           |  ${Num.sqlRoundTo("CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS top10_share,
+           |  ${Num.sqlRoundTo("entropy_raw", 6)} AS entropy,
+           |  CASE WHEN n_keys > 1 THEN ${Num.sqlRoundTo("entropy_raw / ln(CAST(n_keys AS DOUBLE))", 6)} END AS entropy_ratio
+           |FROM
+           |  (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |          CAST(max(c) AS BIGINT) AS max_count,
+           |          CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS entropy_raw
+           |   FROM (SELECT k, c, sum(c) OVER () AS tot
+           |         FROM (SELECT CAST($colName AS VARCHAR) AS k, count(*) AS c FROM events
+           |               WHERE $colName IS NOT NULL GROUP BY 1))),
+           |  (SELECT CAST(sum(c) AS BIGINT) AS top10 FROM
+           |    (SELECT count(*) AS c, CAST($colName AS VARCHAR) AS k FROM events
+           |     WHERE $colName IS NOT NULL GROUP BY 2 ORDER BY c DESC, k LIMIT 10))""".stripMargin
+      s"""${one("user_id")}
+         |UNION ALL
+         |${one("event_type")}
+         |ORDER BY key_col""".stripMargin
+    },
     // funnel timing: same chained min-ts CTEs as e6, each stage carrying
     // its anchor; mean gap = exact integer micros sum / count
     "e13_funnel_timing" ->

@@ -192,6 +192,27 @@ class ProfilingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("keySkew: uniform keys score skew 1 / ratio ~1; a hot key inflates skew and depresses entropy") {
+    import spark.implicits._
+    val uniform = (1 to 8).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "k")
+    val u = Profiling.keySkew(uniform, "k").collect().head
+    assert(u.getLong(1) == 8L && u.getLong(2) == 2L && u.getLong(3) == 4L)
+    assert(u.getDouble(4) == 1.0) // skew factor: max/mean exactly 1
+    assert(u.getDouble(5) == 1.0) // 2 keys, top10 covers everything
+    assert(math.abs(u.getDouble(6) - math.log(2)) < 1e-4)
+    assert(math.abs(u.getDouble(7) - 1.0) < 1e-4)
+    val skewed = ((1 to 90).map(i => (i.toLong, "hot")) ++
+      (91 to 100).map(i => (i.toLong, s"k$i"))).toDF("event_id", "k")
+    val s = Profiling.keySkew(skewed, "k").collect().head
+    assert(s.getLong(2) == 11L && s.getLong(3) == 90L)
+    assert(s.getDouble(4) == math.floor(90.0 * 11.0 / 100.0 * 1e6 + 0.5) / 1e6)
+    assert(s.getDouble(7) < 0.25, "hot key must depress the entropy ratio")
+    // real fixture: both profiled key columns report, ratios in (0, 1]
+    val real = Profiling.keySkew(Tables.events(spark, sfDir), "user_id").collect().head
+    assert(real.getLong(2) > 1L && real.getDouble(7) > 0.0 && real.getDouble(7) <= 1.0 + 1e-6)
+  }
+
   test("chiSquareDrift: hand-computed 2x2 table; proportional halves score exactly 0; terms non-negative") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
