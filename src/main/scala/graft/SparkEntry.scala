@@ -298,6 +298,11 @@ object SparkEntry {
     "p10_chisq_drift" -> ((s, d) =>
       Profiling.chiSquareDrift(Tables.events(s, d), "event_type",
         "ts", "2024-01-16 00:00:00")),
+    // robust clipping report: exact rank-percentile bounds (integer
+    // rational targets) via the c4 distributed prefix sum, per flag
+    "p12_winsorize" -> ((s, d) =>
+      Profiling.winsorizeReport(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice")),
     // shuffle-key skew profile for the two events join keys: exact
     // counts, decimal-exact entropy, TakeOrdered top-10 — the report
     // behind every salting/AQE-skew decision
@@ -3293,6 +3298,25 @@ object SparkEntry {
     // table (staged base + Complete-mode cur counts), so p10's replay
     // is the oracle verbatim
     "st18_stream_drift" -> chisqDriftSql,
+    // p12 — winsorize: per-value cumsum ranks, integer-rational targets,
+    // strict-inequality clip counts, decimal-exact means
+    "p12_winsorize" ->
+      s"""WITH v AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |pv AS (SELECT grp, x, count(*) AS c FROM v GROUP BY 1, 2),
+         |cumt AS (SELECT grp, x, CAST(sum(c) OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS cum FROM pv),
+         |nn AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM pv GROUP BY 1),
+         |b AS (SELECT cumt.grp, n,
+         |        min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN x END) AS lo,
+         |        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN x END) AS hi
+         |      FROM cumt JOIN nn USING (grp) GROUP BY cumt.grp, n)
+         |SELECT v.grp, n, lo AS p_low_value, hi AS p_high_value,
+         |  CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+         |  CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("x"), 6)} AS mean_before,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("greatest(lo, least(hi, x))"), 6)} AS mean_after
+         |FROM v JOIN b USING (grp)
+         |GROUP BY v.grp, n, lo, hi ORDER BY v.grp""".stripMargin,
     // p11 — key skew: per-column replay of the same count/entropy/top10
     // reductions, unioned; entropy under the decimal-exact sum
     "p11_key_skew" -> {

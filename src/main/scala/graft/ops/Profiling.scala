@@ -324,6 +324,64 @@ object Profiling {
            (count(lit(1)) - sum(col("is_base"))).as("n_cur")))
   }
 
+  /** WINSORIZATION report — per-group robust clipping at exact rank
+    * percentiles: the clip bounds are the values at 1-based ranks
+    * ceil(pLow·n) and ceil(pHigh·n) within each group's sorted values,
+    * and the report carries the bounds, how many rows each tail clips,
+    * and the mean before/after (the magnitude a tail-trim moves the
+    * statistic). Percentiles are INTEGER RATIONALS (numerator/denominator)
+    * so the rank targets are exact integer arithmetic — no FP product
+    * deciding a boundary rank differently across engines.
+    *
+    * Scale shape: quantiles by rank over per-(group, value) COUNTS with
+    * the c4/ksDrift distributed prefix sum — range exchange on
+    * (group, value), per-partition cumsums, broadcast offsets; no
+    * per-group single-task sort. Bounds are O(groups) rows and broadcast
+    * back for the one-pass clip report. Ties are safe: equal values
+    * share a rank range but the bound VALUE is identical whichever
+    * instance the target rank lands on, and the clip counts compare
+    * strictly against the bound.
+    */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+                      lowNum: Long = 1L, highNum: Long = 99L,
+                      den: Long = 100L): DataFrame = {
+    require(den > 0 && lowNum >= 0 && highNum <= den && lowNum <= highNum,
+      "need 0 <= lowNum <= highNum <= den")
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val perV = s.groupBy("grp", "x").agg(count(lit(1)).as("c"))
+    val sorted = perV.repartitionByRange(col("grp"), col("x"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid", "grp").agg(sum(col("c")).as("pc"))
+      .withColumn("off", coalesce(
+        sum(col("pc")).over(Window.partitionBy("grp").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("grp"), col("off"))
+    val within = Window.partitionBy(col("pid"), col("grp")).orderBy(col("x"))
+    val cum = sorted.join(broadcast(offsets), Seq("pid", "grp"))
+      .withColumn("cum", col("off") + sum(col("c")).over(within))
+    val totals = perV.groupBy("grp").agg(sum(col("c")).as("n"))
+    val bounds = cum.join(broadcast(totals), Seq("grp"))
+      .withColumn("lo_t", expr(s"(n * $lowNum + ${den - 1}) div $den"))
+      .withColumn("hi_t", expr(s"(n * $highNum + ${den - 1}) div $den"))
+      .groupBy("grp", "n")
+      .agg(min(when(col("cum") >= col("lo_t"), col("x"))).as("lo"),
+           min(when(col("cum") >= col("hi_t"), col("x"))).as("hi"))
+    s.join(broadcast(bounds), Seq("grp"))
+      .groupBy("grp", "n", "lo", "hi")
+      .agg(sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+           sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+           Num.roundTo(Num.exactAvg(col("x")), 6).as("mean_before"),
+           Num.roundTo(Num.exactAvg(greatest(col("lo"), least(col("hi"), col("x")))), 6)
+             .as("mean_after"))
+      .select(col("grp"), col("n"), col("lo").as("p_low_value"),
+        col("hi").as("p_high_value"), col("n_clipped_low"), col("n_clipped_high"),
+        col("mean_before"), col("mean_after"))
+      .orderBy("grp")
+  }
+
   /** KEY-SKEW profile for a prospective shuffle/join key — the report an
     * engineer reads BEFORE keying a 100 TB shuffle on a column: row and
     * distinct-key totals, the heaviest key's count, skew factor

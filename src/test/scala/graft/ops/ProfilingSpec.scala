@@ -192,6 +192,23 @@ class ProfilingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("winsorizeReport: hand-computed rank bounds and clipped mean; constant group clips nothing; repartition-invariant") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("g", i.toDouble)) ++
+      (1 to 5).map(_ => ("k", 7.0))).toDF("flag", "v")
+    val out = Profiling.winsorizeReport(df, "flag", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+         r.getDouble(6), r.getDouble(7))).toMap
+    // g: targets rank 1 and 99 → bounds 1.0 / 99.0; only 100.0 clips high
+    assert(out("g") == ((100L, 1.0, 99.0, 0L, 1L, 50.5, 50.49)))
+    // k: constant values → bounds equal the constant, nothing clips
+    assert(out("k") == ((5L, 7.0, 7.0, 0L, 0L, 7.0, 7.0)))
+    val re = Profiling.winsorizeReport(df.repartition(11), "flag", "v")
+      .collect().map(_.toSeq).toSeq
+    assert(re == Profiling.winsorizeReport(df, "flag", "v").collect().map(_.toSeq).toSeq)
+  }
+
   test("keySkew: uniform keys score skew 1 / ratio ~1; a hot key inflates skew and depresses entropy") {
     import spark.implicits._
     val uniform = (1 to 8).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
