@@ -141,6 +141,18 @@ object SparkEntry {
     // the interleave expression, and the layout (tight per-file min/max
     // on BOTH keys — the two-sided file-skipping story) is pinned by
     // ZOrderSpec. Like k3, the layout must never change results.
+    // hive-style partitioned write + pruned read-back: the scan of one
+    // lang touches ONE directory (PartitionPruneSpec pins the plan);
+    // the registered query proves write→prune→read round-trip parity
+    "k5_partition_prune" -> ((s, d) => {
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/k5_${Integer.toHexString(d.hashCode)}"
+      Load.replaceParquetPartitioned(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        tmp, Seq("lang"))
+      s.read.parquet(tmp).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
     "k4_zorder" -> ((s, d) => {
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/k4_${Integer.toHexString(d.hashCode)}"
       Load.replaceZOrdered(Tables.lineitem(s, d), tmp, "l_partkey", "l_suppkey")
@@ -2627,6 +2639,11 @@ object SparkEntry {
     // layout is result-invisible: oracle replays only the zval morton
     // chain (same mask-shift spread over signed-safe 31-bit inputs)
     "k4_zorder" -> zorderSql,
+    // k5 — the pruned read-back must equal a plain filtered scan of the
+    // source table (write → partition prune → read loses nothing)
+    "k5_partition_prune" ->
+      """SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
+        | ORDER BY doc_id""".stripMargin,
     "e11_incremental_hourly" -> hourlySql,
     "p4_spend_buckets" ->
       s"""WITH spend AS (
