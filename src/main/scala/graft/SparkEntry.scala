@@ -832,6 +832,9 @@ object SparkEntry {
     // prune before the joins, fixed-shape probability-ratio ln
     "t29_collocations" -> ((s, d) =>
       TextStats.collocations(Tables.documents(s, d))),
+    // Flesch reading ease from three exact regexp counts — map-only
+    "t30_readability" -> ((s, d) =>
+      TextStats.readability(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -3506,6 +3509,18 @@ object SparkEntry {
     // t28 — DSIR resampling: t23's chain + the self-normalized exp
     // acceptance threshold vs the domain-separated FNV coin
     "t28_importance_sample" -> importanceSampleSql(),
+    // t30 — readability: the same three regexp counts and the Flesch
+    // constants as decimal literals both engines parse identically
+    "t30_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_words,
+         |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  ${Num.sqlRoundTo(
+              "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))", 6)} AS flesch
+         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // t29 — PMI collocations: bigram/unigram counts over the shared
     // whitespace tokenization; quotients before the multiply, ln at 6dp
     "t29_collocations" ->

@@ -394,6 +394,39 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** READABILITY scoring — Flesch reading ease from three exact integer
+    * counts: words (whitespace tokens), sentences (runs of [.!?], floor
+    * 1 so headline-style fragments don't divide by zero), and syllables
+    * approximated as VOWEL GROUPS (maximal [aeiouy]+ runs — the
+    * standard dictionary-free estimator; whitespace breaks groups, so
+    * the whole-text count equals the per-word sum). Flesch = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), the score
+    * quality filters bucket on (very low ⇒ boilerplate/code; very
+    * high ⇒ fragment soup).
+    *
+    * Map-only: three regexp counts + one fixed-shape double formula
+    * (6dp on output), no shuffle at all — the cheapest per-doc scorer
+    * in the t-family. Both regexes stay in the Java∩RE2 common subset
+    * so the oracle replays them verbatim.
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val words = tokenCount(col(textCol)).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables = size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("flesch", Num.roundTo(
+        lit(206.835) -
+        lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+        lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 6))
+      .orderBy(idCol)
+  }
+
   /** Deterministic per-GROUP cap — keep at most `k` documents per group,
     * chosen by the seeded splitmix permutation (the c10 shuffle key), so
     * the survivors are an unbiased-but-reproducible sample and a re-run

@@ -721,6 +721,26 @@ class TextStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("readability: hand-counted words/sentences/vowel groups; sentence floor; harder text scores lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world. Foo!"),              // 3 words, 2 sentences, 4 vowel groups
+      (2L, "no terminal punctuation here"),   // sentence floor = 1
+      (3L, "The cat sat. The dog ran. It was fun."), // easy: short words/sentences
+      (4L, "Extraordinarily complicated administrative bureaucratization prevails.")
+    ).toDF("doc_id", "text")
+    val out = TextStats.readability(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def flesch(w: Long, s: Long, sy: Long) = math.floor(
+      (206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)) * 1e6 + 0.5) / 1e6
+    assert(out(1L) == ((3L, 2L, 4L, flesch(3, 2, 4))))
+    assert(out(2L)._2 == 1L) // floor guards the fragment
+    assert(out(3L)._4 > out(4L)._4, "polysyllabic prose must score harder")
+    // real fixture: every doc scored, counts positive
+    val real = TextStats.readability(Tables.documents(spark, sfDir)).collect()
+    assert(real.nonEmpty && real.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+  }
+
   test("groupCap: k survivors per group matching the driver-side splitmix order; repartition-invariant") {
     import spark.implicits._
     import graft.functions.Splitmix
