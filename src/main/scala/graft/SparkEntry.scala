@@ -193,6 +193,22 @@ object SparkEntry {
     // full-outer coverage with genuinely unmatched keys on both sides
     "j4_full_outer" -> (Analytics.nationCoverage(_, _)),
     "r1_rollup" -> (Analytics.orderRollup(_, _)),
+    // explicit GROUPING SETS (the shapes rollup/cube can't pick): each
+    // single-dimension margin plus the grand total in ONE pass, with
+    // grouping_id disambiguating real NULL keys from aggregated-out
+    "g3_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          Num.exactSum(col("o_totalprice")).as("sum_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
     "r2_cube" -> ((s, d) =>
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -3646,6 +3662,15 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // g3 — explicit grouping sets; GROUPING() bitmask matches Spark's
+    // grouping_id (leftmost column = most significant bit)
+    "g3_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  count(*) AS n_orders, ${decSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "t1_quality" -> qualitySql,
     // sigmoid(w·x + b) over the 4dp-rounded t1 features; weights/bias are
     // the literal defaultClassifierWeights. keep decides on the ROUNDED
