@@ -187,6 +187,9 @@ object SparkEntry {
     "w1_top_orders" -> (Analytics.topOrdersPerCustomer(_, _)),
     // bounded-heap top-k per group (map-side k-reduction, no window sort)
     "w5_topk_per_group" -> (Analytics.topCustomersPerNation(_, _)),
+    // customer-spend ECDF via the distributed per-value prefix sum —
+    // no single-task global window
+    "w6_spend_ecdf" -> (Analytics.spendPercentiles(_, _)),
     "j1_semi_urgent" -> (Analytics.customersWithUrgentOrders(_, _)),
     "j2_anti_no_orders" -> (Analytics.customersWithoutOrders(_, _)),
     "j3_anti_no_urgent" -> (Analytics.customersWithoutUrgentOrders(_, _)),
@@ -3821,6 +3824,14 @@ object SparkEntry {
          |          ORDER BY spend DESC, c_custkey) AS BIGINT) AS rank FROM j)
          |SELECT n_name, rank, c_custkey, spend FROM r WHERE rank <= 3
          |ORDER BY n_name, rank""".stripMargin,
+    // w6 — spend ECDF: cume_dist ties-share-a-value semantics equals
+    // the per-value cumulative count over n
+    "w6_spend_ecdf" ->
+      s"""WITH s AS (SELECT o_custkey, ${decSum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT o_custkey, spend,
+         |  ${Num.sqlRoundTo("cume_dist() OVER (ORDER BY spend)", 6)} AS cume_dist
+         |FROM s ORDER BY o_custkey""".stripMargin,
     // novelty: string shingles replay the hashed-shingle join (same
     // distinct-set equivalence t13 relies on)
     "t21_novelty" ->

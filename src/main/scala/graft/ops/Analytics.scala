@@ -911,6 +911,42 @@ object Analytics {
       .orderBy("s_name")
   }
 
+  /** Customer-spend ECDF — every customer's lifetime spend with its
+    * exact cumulative-distribution position (cume_dist = rows-with-
+    * spend-≤-mine / rows, tie rows sharing one value), the "which
+    * percentile is this account" column a CRM export carries.
+    *
+    * Scale shape: a global ORDER BY window would sort every customer in
+    * ONE task; instead the ECDF runs over per-VALUE counts with the
+    * c4/ksDrift distributed prefix sum (range exchange on spend,
+    * per-partition cumsums, broadcast offsets), then joins back by
+    * value — the spend totals are decimal-exact doubles, so the value
+    * join is exact. Two shuffles total (custkey agg, spend range).
+    */
+  def spendPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(exactSum(col("o_totalprice")).as("spend"))
+    val perV = spend.groupBy("spend").agg(count(lit(1)).as("c"))
+    val sorted = perV.repartitionByRange(col("spend"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid").agg(sum(col("c")).as("pc"))
+      .withColumn("off", coalesce(
+        sum(col("pc")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val within = Window.partitionBy(col("pid")).orderBy(col("spend"))
+    val cum = sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("off") + sum(col("c")).over(within))
+      .select(col("spend"), col("cum"))
+    val total = spend.agg(count(lit(1)).as("n"))
+    spend.join(cum, Seq("spend")).crossJoin(broadcast(total))
+      .select(col("o_custkey"), col("spend"),
+        roundTo(col("cum").cast("double") / col("n").cast("double"), 6).as("cume_dist"))
+      .orderBy("o_custkey")
+  }
+
   /** Market-basket ASSOCIATION RULES over 2-itemsets: for part pairs
     * co-purchased in at least `minSupport` orders, emit both directed
     * rules with support (pair freq / orders), confidence
