@@ -1212,6 +1212,16 @@ object SparkEntry {
       Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
+    // image dup-cluster RESOLUTION — the end-to-end multimodal dedup
+    // action: m5's aHash pairs feed the x5 pointer-jumping CC and the
+    // min-id canonical rule; singletons keep themselves
+    "m7_image_dup_resolve" -> ((s, d) => {
+      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
+      val pairs = Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.resolveDuplicates(media.select(col("media_id")), pairs, idCol = "media_id")
+        .orderBy("media_id")
+    }),
     // audio near-dup by the PCM-energy aHash — the audio sibling of m5,
     // riding the same modality-agnostic chunk-blocked Hamming join
     "m6_audio_neardup" -> ((s, d) => {
@@ -4405,6 +4415,23 @@ object SparkEntry {
          |FROM ah a JOIN ah b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
          |ORDER BY id_a, id_b""".stripMargin,
+    // m7 — m5's pair CTEs + the x5 recursive transitive closure and
+    // min-id component rule over every image in the slice
+    "m7_image_dup_resolve" ->
+      s"""$aHashCte,
+         |p0 AS (SELECT a.media_id AS va, b.media_id AS vb
+         |       FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 4),
+         |edges AS (SELECT va AS v, vb AS w FROM p0 UNION SELECT vb, va FROM p0),
+         |rec AS (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT media_id, media_id FROM ah
+         |    UNION
+         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
+         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
+         |)
+         |SELECT v AS media_id, component, CAST(v = component AS BOOLEAN) AS keep
+         |FROM rec ORDER BY media_id""".stripMargin,
     // m6 — all-pairs Hamming over the replayed AUDIO energy hashes: the
     // WAV fixture's sample rule (seed·31 + i·997) mod 2^15 drives the
     // same integer cross-multiply bit rule as the image aHash

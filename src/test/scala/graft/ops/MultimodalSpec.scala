@@ -235,4 +235,24 @@ class MultimodalSpec extends SparkSpec {
       assert(blocked == brute && blocked.nonEmpty)
     } finally fh.unpersist()
   }
+
+  test("image dup resolution: pair endpoints share a component, roots are minima, singletons keep themselves") {
+    val media = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    val hashes = Multimodal.imageHashes(media)
+    val pairs = Multimodal.nearDupImages(hashes, maxDist = 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val resolved = graft.ops.Dedup.resolveDuplicates(
+        media.select(col("media_id")), pairs, idCol = "media_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(resolved.size == media.count())
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture must contain image near-dups or the test is vacuous")
+    ps.foreach { case (a, b) => assert(resolved(a)._1 == resolved(b)._1) }
+    resolved.foreach { case (id, (comp, keep)) =>
+      assert(comp <= id && keep == (comp == id))
+    }
+    // exactly one keeper per component
+    val perComp = resolved.values.groupBy(_._1)
+    perComp.foreach { case (_, ms) => assert(ms.count(_._2) == 1) }
+  }
 }
