@@ -51,6 +51,23 @@ object SparkEntry {
       s.read.schema(nation.schema).json(tmp).orderBy("n_nationkey")
     }),
     // ORC source path: parquet → ORC → read-back (same contract as s8)
+    // schema-evolution read: two pipeline "versions" write disjoint
+    // column sets into one landing dir; mergeSchema reads the union
+    // with null padding (MergeSchemaSpec pins schema + pruning)
+    "s10_merge_schema" -> ((s, d) => {
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s10_${Integer.toHexString(d.hashCode)}"
+      val docs = Tables.documents(s, d)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(tmp)
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+          .coalesce(1).write.mode("append").parquet(tmp)
+      }
+      Ingest.parquetMerged(s, tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "s9_orc_roundtrip" -> ((s, d) => {
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s9_${Integer.toHexString(d.hashCode)}"
       val nation = Tables.nation(s, d)
@@ -2607,6 +2624,13 @@ object SparkEntry {
     "s5_synthetic" -> s"$syntheticCte SELECT * FROM p ORDER BY id",
     "s8_json_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "s9_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    // s10 — merged read equals the union schema with per-version nulls
+    "s10_merge_schema" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s6_list_files" ->
       """SELECT * FROM (VALUES ('a.csv', CAST(100 AS BIGINT), CAST(0.0 AS DOUBLE)),
         | ('b.csv', CAST(2048 AS BIGINT), CAST(0.0 AS DOUBLE))) t(filename, size_bytes, size_mb)

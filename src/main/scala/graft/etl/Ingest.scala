@@ -165,4 +165,16 @@ object Ingest {
         }
     rows.toDF("filename", "path", "size_bytes", "size_mb")
   }
+
+  /** SCHEMA-EVOLUTION read: a parquet directory whose files were written
+    * by different pipeline versions (columns added/dropped over time)
+    * reads back under the UNION schema, absent columns null-padded —
+    * `mergeSchema` makes Spark reconcile per-file footers instead of
+    * trusting the first one. The option costs a footer read per file at
+    * planning time (why it's off by default); turning it on here is the
+    * correct trade for evolving landing zones, and column pruning /
+    * predicate pushdown still apply per file.
+    */
+  def parquetMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
 }
