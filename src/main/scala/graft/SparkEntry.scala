@@ -871,6 +871,9 @@ object SparkEntry {
     // Flesch reading ease from three exact regexp counts — map-only
     "t30_readability" -> ((s, d) =>
       TextStats.readability(Tables.documents(s, d))),
+    // Zipf slope + Heaps exponent: the corpus power-law health row
+    "t31_zipf" -> ((s, d) =>
+      TextStats.zipfReport(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -3562,6 +3565,23 @@ object SparkEntry {
     // t28 — DSIR resampling: t23's chain + the self-normalized exp
     // acceptance threshold vs the domain-separated FNV coin
     "t28_importance_sample" -> importanceSampleSql(),
+    // t31 — Zipf/Heaps: exact term counts, top-100 rank fit with
+    // decimal-exact sums, one fixed-shape closed-form slope
+    "t31_zipf" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_vocab FROM counts),
+         |top AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank
+         |        FROM counts ORDER BY c DESC, tok LIMIT 100),
+         |pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |        ${decSum("x")} AS sx, ${decSum("y")} AS sy,
+         |        ${decSum("x * y")} AS sxy, ${decSum("x * x")} AS sxx FROM pts)
+         |SELECT n_tokens, n_vocab, CAST(n AS BIGINT) AS n_fit_terms,
+         |  ${Num.sqlRoundTo("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope,
+         |  ${Num.sqlRoundTo("ln(CAST(n_vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))", 6)} AS heaps_beta
+         |FROM s, tot""".stripMargin,
     // t30 — readability: the same three regexp counts and the Flesch
     // constants as decimal literals both engines parse identically
     "t30_readability" ->

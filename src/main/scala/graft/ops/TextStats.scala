@@ -394,6 +394,45 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** ZIPF / HEAPS corpus diagnostics — the two power laws a healthy
+    * natural-language corpus obeys and synthetic or templated text
+    * visibly violates: the rank-frequency slope (OLS fit of ln freq on
+    * ln rank over the top `topN` terms; natural text sits near −1) and
+    * the Heaps exponent proxy ln V / ln N (vocabulary growth rate;
+    * natural text ~0.4–0.6, templated corpora collapse toward 0).
+    * One row — the corpus-health dashboard entry t4's profile feeds.
+    *
+    * Determinism: term counts are exact; the regression runs over a
+    * CONSTANT topN rows (TakeOrderedAndProject — per-partition heads,
+    * no global sort), with every Σ under the [[Num.exactAvg]] decimal
+    * discipline and the closed-form slope (n·Σxy − Σx·Σy)/(n·Σx² −
+    * Σx·Σx) as one fixed-shape double expression. The tiny row_number
+    * window ranks topN rows, not the corpus.
+    */
+  def zipfReport(docs: DataFrame, topN: Int = 100,
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+    val pts = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val sums = pts.agg(count(lit(1)).cast("double").as("n"),
+      Num.exactSum(col("x")).as("sx"), Num.exactSum(col("y")).as("sy"),
+      Num.exactSum(col("x") * col("y")).as("sxy"),
+      Num.exactSum(col("x") * col("x")).as("sxx"))
+    sums.crossJoin(broadcast(totals))
+      .select(col("n_tokens"), col("n_vocab"), col("n").cast("long").as("n_fit_terms"),
+        Num.roundTo((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        Num.roundTo(log(col("n_vocab").cast("double")) /
+          log(col("n_tokens").cast("double")), 6).as("heaps_beta"))
+  }
+
   /** READABILITY scoring — Flesch reading ease from three exact integer
     * counts: words (whitespace tokens), sentences (runs of [.!?], floor
     * 1 so headline-style fragments don't divide by zero), and syllables

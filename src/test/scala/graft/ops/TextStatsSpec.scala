@@ -721,6 +721,25 @@ class TextStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("zipfReport: planted 1/rank corpus fits slope ~ -1; fixture row sane; repartition-invariant") {
+    import spark.implicits._
+    // term_i occurs floor(600/i) times, i = 1..40 → an exact-ish Zipf curve
+    val planted = (1 to 40).flatMap(i => Seq.fill(600 / i)(f"w$i%02d"))
+    val docs = planted.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val r = TextStats.zipfReport(docs, topN = 40).collect().head
+    val slope = r.getDouble(3)
+    assert(slope < -0.9 && slope > -1.1, s"planted 1/rank corpus must fit ~ -1, got $slope")
+    assert(r.getLong(2) == 40L)
+    // fixture: slope negative, heaps exponent strictly inside (0, 1)
+    val f = TextStats.zipfReport(Tables.documents(spark, sfDir)).collect().head
+    assert(f.getDouble(3) < 0.0)
+    assert(f.getDouble(4) > 0.0 && f.getDouble(4) < 1.0)
+    // partitioning must not wiggle the decimal-exact sums
+    val re = TextStats.zipfReport(docs.repartition(9), topN = 40).collect().head
+    assert(re.toSeq == r.toSeq)
+  }
+
   test("readability: hand-counted words/sentences/vowel groups; sentence floor; harder text scores lower") {
     import spark.implicits._
     val docs = Seq(
