@@ -248,6 +248,26 @@ object SparkEntry {
     // k smallest distinct hashes are a pure set property of the input,
     // so unlike d2/d3 these two sit in the full hash gate
     "d4_kmv_distinct" -> (Analytics.kmvDistinct(_, _)),
+    // per-hour distinct-user KMV sketches: the sketch family meeting
+    // the event-time axis; exact k-min replay per hour
+    "e22_kmv_hourly" -> (Analytics.kmvHourlyUsers(_, _)),
+    // streaming twin: the same TypedImperativeAggregate runs as
+    // Complete-mode streaming state; the sink snapshot feeds the same
+    // stat projection, sharing e22's oracle verbatim
+    "st19_stream_kmv" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st19_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .select(unix_micros(date_trunc("hour", col("ts"))).as("scope"),
+            pmod(call_function("splitmix64", col("user_id")),
+              lit(1L << 61)).as("u"))
+          .groupBy("scope")
+          .agg(call_function("kmv_sketch", col("u"), lit(256)).as("sk")),
+        mem, org.apache.spark.sql.streaming.OutputMode.Complete())
+      Analytics.kmvStatsOf(s.table(mem), 256).orderBy("scope")
+    }),
     // per-flag sketches + array-op union merge = whole-table sketch
     "d5_kmv_union" -> (Analytics.kmvUnion(_, _)),
     // theta-sketch set op: |A ∩ B| from the two sketches alone
@@ -2223,6 +2243,16 @@ object SparkEntry {
     s"((${SqlHash.mix(c)}) % $m + $m) % $m"
   }
 
+  /** Shared by e22 (batch) and st19 (streaming KMV twin). */
+  private def kmvHourlySql: String =
+    s"""WITH h AS (SELECT DISTINCT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws,
+       |             ${kmvUSql("user_id")} AS u FROM events),
+       |g AS (SELECT ws, u, row_number() OVER (PARTITION BY ws ORDER BY u) AS rn FROM h),
+       |kg AS (SELECT ws, count(*) AS n, max(u) AS kth FROM g WHERE rn <= 256 GROUP BY ws)
+       |SELECT ws AS scope, CAST(256 AS BIGINT) AS k, n AS n_kept, kth AS kth_min,
+       |  ${kmvEstSql(256)} AS est_distinct
+       |FROM kg ORDER BY scope""".stripMargin
+
   /** KMV estimate row from (n, kth) — CASE mirrors the Spark branch:
     * fewer than k kept ⇒ the sketch is the exact distinct set. */
   private def kmvEstSql(k: Int): String =
@@ -3027,6 +3057,10 @@ object SparkEntry {
          |SELECT 'lineitem.l_orderkey' AS scope, CAST(256 AS BIGINT) AS k,
          |  n AS n_kept, kth AS kth_min, ${kmvEstSql(256)} AS est_distinct
          |FROM s""".stripMargin,
+    // e22/st19 — per-hour k-min replay: the sketch content is a pure
+    // set property of the hour's distinct folded user hashes
+    "e22_kmv_hourly" -> kmvHourlySql,
+    "st19_stream_kmv" -> kmvHourlySql,
     // per-flag sketches + union: any global k-minimum is inside its
     // group's k minima, so the ALL row reads off the global distinct set
     "d5_kmv_union" ->

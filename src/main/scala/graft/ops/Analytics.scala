@@ -474,6 +474,33 @@ object Analytics {
     * (k−1)·M fits double-exactly for the one final division. */
   private val KmvM: Long = 1L << 61
 
+  /** Per-HOUR distinct users as KMV sketches — the sketch family meeting
+    * the event-time axis: one mergeable ≤k-long sketch per hour answers
+    * "distinct users in any hour range" by merging kilobytes instead of
+    * re-scanning events (the d5 union property applied to time slices).
+    * Shares the streaming twin st19 via [[kmvWindowStats]]: the
+    * TypedImperativeAggregate's serialized buffer IS valid streaming
+    * state, so the stream lands on identical sketches.
+    */
+  def kmvHourlyUsers(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    kmvWindowStats(Tables.events(spark, dir), k).orderBy("scope")
+
+  /** The shared body: hour bucket + splitmix-folded user hash →
+    * `kmv_sketch` per bucket → stat row. Batch calls it directly; the
+    * streaming twin runs the same aggregate in Complete mode and feeds
+    * the sink snapshot through [[kmvStatsOf]].
+    */
+  def kmvWindowStats(events: DataFrame, k: Int): DataFrame =
+    kmvStatsOf(
+      events.select(
+          unix_micros(date_trunc("hour", col("ts"))).as("scope"),
+          pmod(call_function("splitmix64", col("user_id")), lit(KmvM)).as("u"))
+        .groupBy("scope")
+        .agg(call_function("kmv_sketch", col("u"), lit(k)).as("sk")), k)
+
+  /** Public stat projection over any (scope, sk) sketch table. */
+  def kmvStatsOf(sketches: DataFrame, k: Int): DataFrame = kmvStats(sketches, k)
+
   private def kmvStats(sketches: DataFrame, k: Int): DataFrame = {
     val nKept = size(col("sk"))
     // empty sketch (empty table/group): element_at(_, 0) would throw —

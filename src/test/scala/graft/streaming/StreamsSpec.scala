@@ -531,6 +531,23 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length < all.count(), "quality gate dropped nothing - vacuous")
   }
 
+  test("streaming KMV sketches == batch e22 across micro-batch boundaries (typed aggregate as stream state)") {
+    import graft.ops.Analytics
+    val schema = spark.read.parquet(eventsDir).schema
+    Streams.runToMemory(
+      Streams.parquetDirStream(spark, eventsDir, schema, maxFilesPerTrigger = 1)
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("scope"),
+          pmod(call_function("splitmix64", col("user_id")), lit(1L << 61)).as("u"))
+        .groupBy("scope")
+        .agg(call_function("kmv_sketch", col("u"), lit(256)).as("sk")),
+      "kmv_stream", OutputMode.Complete())
+    val streamed = Analytics.kmvStatsOf(spark.table("kmv_stream"), 256)
+      .orderBy("scope").collect().map(_.toSeq).toSeq
+    val batch = Analytics.kmvWindowStats(spark.read.parquet(eventsDir), 256)
+      .orderBy("scope").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming chi-square drift == batch p10 across micro-batch boundaries") {
     import graft.ops.Profiling
     val cut = "2024-01-16 00:00:00"
