@@ -1154,6 +1154,18 @@ object SparkEntry {
       Similarity.ivfTopKTrained(emb, Similarity.querySet(emb, "vec_id", 20), codebook)
         .orderBy("query_id", "rank")
     }),
+    // the at-rest serving path: corpus written hive-partitioned BY CELL,
+    // probe reads prune to cell directories — identical results to v4
+    // (its oracle gates this too), but the scan touches probed cells only
+    "v21_ivf_layout" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/v21_${Integer.toHexString(d.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS")))
+        Similarity.writeIvfLayout(emb, codebook, tmp)
+      Similarity.ivfTopKFromLayout(s, tmp, Similarity.querySet(emb, "vec_id", 20), codebook)
+        .orderBy("query_id", "rank")
+    }),
     // multi-probe IVF: each query probes its 4 nearest cells — the
     // nprobe recall/cost knob; corpus-side layout unchanged. Hash-gated
     // since round 12 like v4 (row_number <= nprobe replays the bounded
@@ -4250,6 +4262,9 @@ object SparkEntry {
     // replayed CTE-for-CTE, then single-probe (v4) / 4-probe (v12)
     // in-cell scoring with bruteTopKSql's rank rule
     "v4_ivf_topk" -> trainedIvfTopKSql(nprobe = 1),
+    // v21 — the at-rest layout changes the SCAN, not the math: v4's
+    // single-probe replay is the oracle verbatim
+    "v21_ivf_layout" -> trainedIvfTopKSql(nprobe = 1),
     "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
     // PQ family, hash-gated since round 12: per-subspace Lloyd's
     // replayed CTE-for-CTE keyed by (sub, cell); v13 folds the

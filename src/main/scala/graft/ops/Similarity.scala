@@ -346,6 +346,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** AT-REST IVF layout — the claim every v-family scaladoc makes
+    * ("at 100 TB the corpus is written partitioned by cell once and
+    * queries touch one partition each"), MATERIALIZED: assign each
+    * corpus vector to its trained cell and write hive-partitioned by
+    * `cell`, so serving reads prune at the DIRECTORY level before any
+    * footer is touched. Write once per codebook generation.
+    */
+  def writeIvfLayout(corpus: DataFrame, codebook: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val asg = assignCells(corpus, codebook, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    corpus.join(asg, Seq(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+  }
+
+  /** Serve top-k FROM the at-rest layout: assign queries to cells, prune
+    * the corpus scan to exactly the probed cell DIRECTORIES (an `isin`
+    * partition filter — the query batch's probe list is O(queries) cell
+    * ids, serving coordination on the same standing as a staged
+    * codebook), then the [[ivfTopKTrained]] scoring verbatim. Results
+    * are identical to the in-memory single-probe path row for row —
+    * v4's oracle gates this query too — but the SCAN now touches only
+    * probed cells, which is the entire point at 100 TB.
+    */
+  def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, codebook: DataFrame, k: Int = 10,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val qAssign = assignCells(queries, codebook, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val probed = qAssign.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val c = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+      .withColumn("cn", norm(col("cv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qAssign, "query_id")
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Multi-probe cell assignment: the `nprobe` nearest centroids per
     * vector, by the same 9dp-rounded squared-L2 (with cell-id tie-break)
     * as [[assignCells]]. The bounded-heap `topk_by_score` aggregate

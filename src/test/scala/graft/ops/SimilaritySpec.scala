@@ -904,6 +904,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf at-rest layout: pruned scan touches only probed cell dirs; results == in-memory single-probe path") {
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val codebook = Similarity.trainIvfCodebook(emb, cells = 8, iters = 2)
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_test_ivflayout"
+    Similarity.writeIvfLayout(emb, codebook, dir)
+    val queries = Similarity.querySet(emb, "vec_id", 100)
+    val fromLayout = Similarity.ivfTopKFromLayout(spark, dir, queries, codebook, k = 5)
+      .orderBy("query_id", "rank")
+    val inMemory = Similarity.ivfTopKTrained(emb, queries, codebook, k = 5)
+      .orderBy("query_id", "rank")
+    assert(fromLayout.collect().map(_.toSeq).toSeq == inMemory.collect().map(_.toSeq).toSeq)
+    // the pruned scan only ever READS files under probed cell dirs
+    val probed = Similarity.assignCells(queries, codebook).select("cell")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val files = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(p => probed.exists(c => p.contains(s"cell=$c"))),
+      s"scan must touch only probed cells $probed: ${files.mkString(", ")}")
+    // vacuity guard: some cell of the layout is NOT probed by this query set
+    val allCells = Similarity.assignCells(emb, codebook).select("cell")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(probed.size < allCells.size,
+      "query set probes every cell - pruning assertion is vacuous")
+  }
+
   test("kCenterCoreset: repartition-invariant; k=1 returns just the seed") {
     val emb = graft.ops.Tables.embeddings(spark, sfDir)
     val a = Similarity.kCenterCoreset(emb, k = 4).collect().map(_.toSeq).toSeq
