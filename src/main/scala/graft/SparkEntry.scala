@@ -1055,6 +1055,18 @@ object SparkEntry {
     // kept, later occurrences drop their covered tokens, text rebuilt
     "c13_span_scrub" -> ((s, d) =>
       Dedup.scrubDupSpans(Tables.documents(s, d))),
+    // snapshot diff between two synthetic corpus generations: old drops
+    // every 7th doc, new drops every 11th and mutates every 5th — the
+    // report only moves (id, 8-byte hash) pairs
+    "c17_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      TextStats.snapshotDiff(oldSnap, newSnap)
+    }),
     // quality-aware canonical selection: within each x4/x5 near-dup
     // cluster keep the highest-QUALITY member (ties -> lowest id), not
     // the lowest id — the dedup action a production corpus runs (the
@@ -3611,6 +3623,21 @@ object SparkEntry {
     // t28 — DSIR resampling: t23's chain + the self-normalized exp
     // acceptance threshold vs the domain-separated FNV coin
     "t28_importance_sample" -> importanceSampleSql(),
+    // c17 — snapshot diff: status from the same old/new membership and
+    // content-equality rules (text compares directly; Spark's 8-byte
+    // hash stands in under the established collision-free premise)
+    "c17_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // t31 — Zipf/Heaps: exact term counts, top-100 rank fit with
     // decimal-exact sums, one fixed-shape closed-form slope
     "t31_zipf" ->

@@ -394,6 +394,28 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Corpus SNAPSHOT DIFF — the incremental-crawl report between two
+    * corpus generations: per document, `added` (new id), `removed`
+    * (gone id), `changed` (same id, different content hash) or
+    * `unchanged`. Content compares by xxhash64 of the text (the x1
+    * exact-dedup identity), so two 100 TB snapshots diff by moving
+    * (id, 8-byte hash) pairs through ONE full-outer join — text never
+    * shuffles. The report that sizes an incremental re-process run
+    * (only `added` + `changed` re-enter the pipeline).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(idCol), xxhash64(col(textCol)).as(h))
+    hashed(oldDocs, "h_old").join(hashed(newDocs, "h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy(idCol)
+  }
+
   /** ZIPF / HEAPS corpus diagnostics — the two power laws a healthy
     * natural-language corpus obeys and synthetic or templated text
     * visibly violates: the rank-frequency slope (OLS fit of ln freq on

@@ -721,6 +721,15 @@ class TextStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("snapshotDiff: all four statuses classified; text never needs to match row content beyond the hash") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = TextStats.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("zipfReport: planted 1/rank corpus fits slope ~ -1; fixture row sane; repartition-invariant") {
     import spark.implicits._
     // term_i occurs floor(600/i) times, i = 1..40 → an exact-ish Zipf curve
