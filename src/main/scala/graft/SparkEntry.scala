@@ -288,6 +288,8 @@ object SparkEntry {
     // market-basket association rules on co-purchased part pairs:
     // support/confidence/lift, min-support pruning before any join
     "n4_assoc_rules" -> (Analytics.assocRules(_, _)),
+    // k-core peeling (fixed 10 rounds, monotone → exact past fixpoint)
+    "n5_kcore" -> (Graph.partKCore(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -3122,6 +3124,28 @@ object SparkEntry {
                 "(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)) / (CAST(na.n_item AS DOUBLE) * CAST(nc.n_item AS DOUBLE))", 9)} AS lift
          |FROM rules JOIN ic na ON na.item = antecedent JOIN ic nc ON nc.item = consequent, tot
          |ORDER BY antecedent, consequent""".stripMargin,
+    // n5 — k-core: the peel round unrolled 10× (monotone, so rounds
+    // past the fixpoint are no-ops — GraphSpec pins convergence ≤ 10)
+    "n5_kcore" -> {
+      // every round CTE is MATERIALIZED: e_i references e_{i-1} three
+      // times, so inlining would expand the base scan 3^10-fold (DuckDB
+      // actually hit the file-handle ceiling before the compute)
+      val base =
+        """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+          |            WHERE l_partkey < 20000),
+          |und AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+          |        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+          |e0 AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
+      val rounds = (1 to 10).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT v FROM e${i - 1} GROUP BY v HAVING count(*) >= 80),
+           |e$i AS MATERIALIZED (SELECT e.v, e.w FROM e${i - 1} e
+           |        JOIN a$i av ON av.v = e.v JOIN a$i aw ON aw.v = e.w)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT v AS node, count(*) AS core_degree FROM e10
+         |GROUP BY v ORDER BY node""".stripMargin
+    },
     // degree-ordered triangle replay: same orientation, wedge join,
     // and EXISTS closure — all exact integers
     "n2_triangles" ->

@@ -213,4 +213,72 @@ object Graph {
             (col("d") * (col("d") - 1)).cast("double"), 6)).as("local_cc"))
       .orderBy("l_partkey")
   }
+
+  /** K-CORE decomposition of the co-purchase graph — iterative peeling:
+    * drop every node whose degree falls below `k`, recompute, repeat.
+    * The survivors are the maximal subgraph where everyone keeps ≥ k
+    * neighbors (the standard cohesion filter: "parts that co-sell with
+    * at least k other heavily-co-sold parts"), with their within-core
+    * degree.
+    *
+    * Runs a FIXED `rounds` count on both engines — peeling is monotone,
+    * so once the fixpoint is reached every further round is a no-op and
+    * a fixed bound ≥ the convergence round count is exact (the n1
+    * fixed-iteration discipline; GraphSpec pins that the fixture
+    * converges well inside the bound). Per round: one degree
+    * aggregation + two semi joins, all keyed on node ids — 8-byte rows,
+    * [[Iterate.materialize]] capping lineage. At 100 TB the edge set
+    * shrinks monotonically, so rounds get cheaper as they go.
+    */
+  def partKCore(spark: SparkSession, dir: String, k: Long = 80L,
+                rounds: Int = 10, maxPart: Long = 20000L): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val (und, _, _) = orientedCoPurchase(spark, dir, maxPart)
+    var edges = Iterate.materialize(
+      und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
+    var r = 0
+    while (r < rounds) {
+      val alive = edges.groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v")
+      edges = Iterate.materialize(
+        edges.join(alive, Seq("v"), "left_semi")
+          .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
+          .select("v", "w"))
+      r += 1
+    }
+    edges.groupBy("v").agg(count(lit(1)).as("core_degree"))
+      .select(col("v").as("node"), col("core_degree"))
+      .orderBy("node")
+  }
+
+  /** Instrumented twin of [[partKCore]] for the convergence spec: the
+    * round index after which the alive-node count stopped changing
+    * (must sit strictly inside the fixed bound for the oracle's no-op
+    * premise to hold).
+    */
+  private[graft] def kCoreConvergenceRound(spark: SparkSession, dir: String,
+                                           k: Long = 80L, rounds: Int = 10,
+                                           maxPart: Long = 20000L): Int = {
+    val (und, _, _) = orientedCoPurchase(spark, dir, maxPart)
+    var edges = Iterate.materialize(
+      und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
+    var prev = edges.select("v").distinct().count()
+    var r = 0
+    var converged = -1
+    while (r < rounds) {
+      val alive = edges.groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v")
+      edges = Iterate.materialize(
+        edges.join(alive, Seq("v"), "left_semi")
+          .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
+          .select("v", "w"))
+      val cur = edges.select("v").distinct().count()
+      if (converged < 0 && cur == prev) converged = r
+      prev = cur
+      r += 1
+    }
+    if (converged < 0) rounds else converged
+  }
 }

@@ -98,6 +98,26 @@ class GraphSpec extends SparkSpec {
     } finally local.unpersist()
   }
 
+  test("partKCore: fixture converges inside the fixed bound; every survivor keeps >= k core neighbors; peeling is non-trivial") {
+    // k = 65 peels 12 of 200 nodes over 4 rounds at this fixture scale
+    // (the registered query's k = 80 does the same shape at sf0.01);
+    // k = 70 collapses the whole uniform graph — the all-or-nothing
+    // cascade — which the last assert also pins
+    val converged = Graph.kCoreConvergenceRound(spark, sfDir, k = 65L)
+    assert(converged >= 0 && converged < 10,
+      s"fixture must converge strictly inside the 10-round bound, got $converged")
+    val core = Graph.partKCore(spark, sfDir, k = 65L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty, "65-core empty - pick a smaller k for this fixture")
+    assert(core.values.forall(_ >= 65L), "every survivor keeps >= k neighbors in the core")
+    // vacuity: the peel must actually remove someone
+    val allNodes = graft.ops.Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") < 20000).select("l_partkey").distinct().count()
+    assert(core.size < allNodes, "nothing peeled - the k-core check is vacuous")
+    // uniform-graph cascade: k just above the core threshold empties it
+    assert(Graph.partKCore(spark, sfDir, k = 70L).count() == 0L)
+  }
+
   test("assocRules: hand-computed support/confidence/lift; min-support prunes; duplicate lines collapse") {
     import spark.implicits._
     // baskets: 1={10,20,30}, 2={10,20}, 3={10,20}, 4={30}; line-level dup of (1,10)
