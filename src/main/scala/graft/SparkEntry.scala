@@ -430,6 +430,9 @@ object SparkEntry {
     // CUSUM drift per type: integer-exact centered cumsum with running
     // extrema (the reset recursion in closed form), λ·mean drift flag
     "e21_cusum" -> ((s, d) => EventWindows.hourlyCusum(s, d)),
+    // session concurrency sweep line: two running counts on ONE
+    // distributed prefix sum over distinct boundary instants
+    "e23_concurrency" -> ((s, d) => EventWindows.sessionConcurrency(s, d)),
     // dense hourly spine with zero-filled gaps (calendar gap-fill)
     "e12_gapfill" -> (EventWindows.hourlySpine(_, _)),
     // EWMA as a weighted fan-out (no recursion) with decimal-exact sums
@@ -3330,6 +3333,19 @@ object SparkEntry {
     "st7_stream_scrub" -> scrubSql,
     "e2_sessions" ->
       s"""$sessionsCte SELECT * FROM g ORDER BY user_id, session_id""",
+    // e23 — sweep line over the same session CTEs: starts-inclusive,
+    // ends-strictly-before running counts per distinct instant
+    "e23_concurrency" ->
+      s"""$sessionsCte,
+         |pts AS (SELECT us, CAST(sum(cs) AS BIGINT) AS n_starts, CAST(sum(ce) AS BIGINT) AS n_ends FROM (
+         |    SELECT session_start_us AS us, 1 AS cs, 0 AS ce FROM g
+         |    UNION ALL SELECT session_end_us, 0, 1 FROM g) GROUP BY us),
+         |c AS (SELECT us, n_starts, n_ends,
+         |        CAST(sum(n_starts) OVER w AS BIGINT) AS starts_cum,
+         |        CAST(sum(n_ends) OVER w AS BIGINT) - n_ends AS ends_before
+         |      FROM pts WINDOW w AS (ORDER BY us ROWS UNBOUNDED PRECEDING))
+         |SELECT us, n_starts, n_ends, starts_cum - ends_before AS n_active
+         |FROM c ORDER BY us""".stripMargin,
     // e20 — session trigrams: the e2 sessionization rule (with
     // event_type carried), two leads over the (user, session) window,
     // fully tie-broken top-20

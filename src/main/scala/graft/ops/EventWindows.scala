@@ -86,6 +86,45 @@ object EventWindows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session CONCURRENCY profile — the sweep line over session
+    * intervals: at every distinct boundary instant, how many sessions
+    * are simultaneously open (start ≤ t AND end ≥ t — a session is
+    * active through its last event, so ends count strictly-before).
+    * The capacity-planning curve ("peak concurrent sessions") every
+    * serving team reads.
+    *
+    * Scale shape: boundaries aggregate per instant first (map-side
+    * combined), then BOTH running counts ride ONE c4-style distributed
+    * prefix sum over the distinct-instant rows — range exchange,
+    * per-partition cumsums, broadcast offsets; no single-task global
+    * window, and the row count is O(distinct boundaries), not events.
+    */
+  def sessionConcurrency(spark: SparkSession, dir: String,
+                         gapMinutes: Int = 30): DataFrame = {
+    val s = userSessions(spark, dir, gapMinutes)
+      .select(col("session_start_us").as("s"), col("session_end_us").as("e"))
+    val pts = s.select(col("s").as("us"), lit(1L).as("cs"), lit(0L).as("ce"))
+      .unionAll(s.select(col("e").as("us"), lit(0L).as("cs"), lit(1L).as("ce")))
+      .groupBy("us").agg(sum(col("cs")).as("n_starts"), sum(col("ce")).as("n_ends"))
+    val sorted = pts.repartitionByRange(col("us"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy("pid")
+      .agg(sum(col("n_starts")).as("ps"), sum(col("n_ends")).as("pe"))
+      .withColumn("offs", coalesce(sum(col("ps")).over(byPid), lit(0L)))
+      .withColumn("offe", coalesce(sum(col("pe")).over(byPid), lit(0L)))
+      .select(col("pid"), col("offs"), col("offe"))
+    val within = Window.partitionBy(col("pid")).orderBy(col("us"))
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("starts_cum", col("offs") + sum(col("n_starts")).over(within))
+      .withColumn("ends_before",
+        col("offe") + sum(col("n_ends")).over(within) - col("n_ends"))
+      .select(col("us"), col("n_starts"), col("n_ends"),
+        (col("starts_cum") - col("ends_before")).as("n_active"))
+      .orderBy("us")
+  }
+
   /** Session summary per user — rides on userSessions' partitioning. */
   def sessionStats(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
     userSessions(spark, dir, gapMinutes)

@@ -338,6 +338,31 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows.sortBy(t => (-t._1, t._2, t._3, t._4)).toSeq == rows.toSeq)
   }
 
+  test("sessionConcurrency: hand-computed sweep line with inclusive ends; fixture conserves starts and peaks above 1") {
+    import spark.implicits._
+    val d = tmpDir("concurrency")
+    def t(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // three single-session users: [0,10], [5,15], [10,20] seconds
+    val rows = Seq(
+      (1L, t(0), 1L, "a", 0.0, "{}"), (2L, t(10), 1L, "a", 0.0, "{}"),
+      (3L, t(5), 2L, "a", 0.0, "{}"), (4L, t(15), 2L, "a", 0.0, "{}"),
+      (5L, t(10), 3L, "a", 0.0, "{}"), (6L, t(20), 3L, "a", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val out = EventWindows.sessionConcurrency(spark, d.toString).collect()
+      .map(r => (r.getLong(0) / 1000000L, (r.getLong(1), r.getLong(2), r.getLong(3))))
+    // at t=10 user1 ends AND user3 starts: ends count strictly-before,
+    // so all three overlap at that instant
+    assert(out.toSeq == Seq(
+      0L -> ((1L, 0L, 1L)), 5L -> ((1L, 0L, 2L)), 10L -> ((1L, 1L, 3L)),
+      15L -> ((0L, 1L, 2L)), 20L -> ((0L, 1L, 1L))))
+    // real fixture: starts conserve to the session count, peak > 1
+    val sessions = EventWindows.userSessions(spark, sfDir).count()
+    val real = EventWindows.sessionConcurrency(spark, sfDir).collect()
+    assert(real.map(_.getLong(1)).sum == sessions)
+    assert(real.map(_.getLong(3)).max > 1L)
+  }
+
   test("hourlyCusum: hand-computed excursions for a level shift; flat series stays at zero; fixture flags both states") {
     import spark.implicits._
     val d = tmpDir("cusum")
