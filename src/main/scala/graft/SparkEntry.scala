@@ -1283,9 +1283,14 @@ object SparkEntry {
     }),
     // image dup-cluster RESOLUTION — the end-to-end multimodal dedup
     // action: m5's aHash pairs feed the x5 pointer-jumping CC and the
-    // min-id canonical rule; singletons keep themselves
+    // min-id canonical rule; singletons keep themselves. The gate slice
+    // carries the x9-style id cap: the OPERATOR (pointer jumping) is
+    // cluster-size-safe, but the oracle's transitive-closure replay is
+    // quadratic per cluster, and the synthetic fixture's near-dup
+    // density at sf1 (922k pairs / 16.7k images) would grind it
     "m7_image_dup_resolve" -> ((s, d) => {
-      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
+      val media = Multimodal.imageTable(s, d)
+        .filter(col("media_id") % 3 === 0 && col("media_id") < 5000)
       val pairs = Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.resolveDuplicates(media.select(col("media_id")), pairs, idCol = "media_id")
@@ -4575,10 +4580,11 @@ object SparkEntry {
          |FROM ah a JOIN ah b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
          |ORDER BY id_a, id_b""".stripMargin,
-    // m7 — m5's pair CTEs + the x5 recursive transitive closure and
+    // m7 — m5's pair CTEs (id-capped like x9: the closure replay is
+    // quadratic per cluster) + the x5 recursive transitive closure and
     // min-id component rule over every image in the slice
     "m7_image_dup_resolve" ->
-      s"""$aHashCte,
+      s"""${aHashCte.replace("WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 0 AND doc_id < 5000")},
          |p0 AS (SELECT a.media_id AS va, b.media_id AS vb
          |       FROM ah a JOIN ah b ON a.media_id < b.media_id
          |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 4),
