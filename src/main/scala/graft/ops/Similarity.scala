@@ -346,6 +346,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** TOP PRINCIPAL COMPONENT by distributed POWER ITERATION — the
+    * first step of PCA/whitening an embedding store: w ← normalize(
+    * Σ_v (v·w)·v) for a fixed round count from the deterministic
+    * e₀ = (1,0,…,0) start. Every round is ONE map pass (projection
+    * against the broadcast 64-double w — a model artifact on the same
+    * driver-held standing as PQ codebooks) plus a per-dimension
+    * decimal-exact sum, so partial-aggregation order can't wiggle a
+    * coordinate; the 64-row normalize runs driver-side in strict index
+    * order, matching the oracle's sequential list fold, and each new
+    * coordinate rounds at 9dp (the n1 fixed-iteration discipline).
+    * Returns (dim, loading, eigenvalue): the unit component and the
+    * final pre-normalization magnitude — the dominant-eigenvalue
+    * estimate.
+    *
+    * Scale: rounds are a constant (5); each is O(n·dim) map work and an
+    * O(dim) shuffle. No matrix ever materializes.
+    */
+  def powerIteration(df: DataFrame, iters: Int = 5, dim: Int = 64,
+                     vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && dim >= 1)
+    val spark = df.sparkSession
+    var w: Array[Double] = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    var eig = 0.0
+    for (_ <- 1 to iters) {
+      val wLit = array(w.map(lit).toIndexedSeq: _*)
+      val proj = aggregate(
+        zip_with(col("v"), wLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val sums = df.select(col(vecCol).as("v"))
+        .withColumn("d", proj)
+        .select(posexplode(col("v")).as(Seq("dim", "x")), col("d"))
+        .groupBy("dim")
+        .agg(sum((col("x") * col("d")).cast("decimal(18,6)")).cast("double").as("sv"))
+        .orderBy("dim")
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      val s = Array.fill(dim)(0.0)
+      sums.foreach { case (i, v) => s(i) = v }
+      var nsq = 0.0
+      var i = 0
+      while (i < dim) { nsq += s(i) * s(i); i += 1 }
+      eig = math.sqrt(nsq)
+      w = s.map(x => math.floor(x / eig * 1e9 + 0.5) / 1e9)
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v, math.floor(eig * 1e9 + 0.5) / 1e9)
+    }.toSeq.toDF("dim", "loading", "eigenvalue")
+  }
+
   /** AT-REST IVF layout — the claim every v-family scaladoc makes
     * ("at 100 TB the corpus is written partitioned by cell once and
     * queries touch one partition each"), MATERIALIZED: assign each

@@ -904,6 +904,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("powerIteration: planted dominant axis recovered, unit norm, repartition-invariant") {
+    import spark.implicits._
+    // 40 vectors hugging axis 2 (+noise on axis 0), 4 orthogonal strays
+    val vs = ((0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        if (j == 2) 10.0f else if (j == 0) (i % 3 - 1) * 0.5f else 0.0f))
+    } ++ (40 until 44).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == 5) 1.0f else 0.0f))
+    }).toDF("vec_id", "embedding")
+    val out = Similarity.powerIteration(vs, iters = 5, dim = 8)
+      .orderBy("dim").collect()
+    val loading = out.map(_.getDouble(1))
+    assert(math.abs(math.abs(loading(2)) - 1.0) < 1e-3,
+      s"dominant axis 2 must carry ~all the loading: ${loading.toSeq}")
+    assert(math.abs(loading.map(x => x * x).sum - 1.0) < 1e-6, "unit norm")
+    assert(out.head.getDouble(2) > 0.0, "eigenvalue estimate positive")
+    val re = Similarity.powerIteration(vs.repartition(7), iters = 5, dim = 8)
+      .orderBy("dim").collect().map(_.toSeq).toSeq
+    assert(re == out.map(_.toSeq).toSeq)
+  }
+
   test("ivf at-rest layout: pruned scan touches only probed cell dirs; results == in-memory single-probe path") {
     val emb = graft.ops.Tables.embeddings(spark, sfDir)
     val codebook = Similarity.trainIvfCodebook(emb, cells = 8, iters = 2)
