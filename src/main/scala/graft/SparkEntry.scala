@@ -1175,6 +1175,9 @@ object SparkEntry {
     // rounds, decimal-exact per-dim sums, 9dp re-normalization
     "v22_power_iteration" -> ((s, d) =>
       Similarity.powerIteration(Tables.embeddings(s, d))),
+    // per-vector projection onto the learned component — map-only
+    "v23_pca_project" -> ((s, d) =>
+      Similarity.pcaProject(Tables.embeddings(s, d))),
     // the at-rest serving path: corpus written hive-partitioned BY CELL,
     // probe reads prune to cell directories — identical results to v4
     // (its oracle gates this too), but the scan touches probed cells only
@@ -1397,6 +1400,34 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Power-iteration replay shared by v22 and v23: 5 unrolled rounds,
+    * every CTE MATERIALIZED (each round references the previous twice —
+    * inlining would re-expand the scan exponentially, the n5 lesson),
+    * ending in w5 (the 9dp unit component) and n5 (its pre-normalization
+    * magnitude). */
+  private def powerIterationCtes: String = {
+    val base =
+      """WITH vv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |w0 AS MATERIALIZED (SELECT i AS dim,
+        |    CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wv
+        |  FROM (SELECT unnest(range(1, 65)) AS i))""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT list(wv ORDER BY dim) AS wl FROM w${r - 1}),
+         |p$r AS MATERIALIZED (SELECT dv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> dv[i] * wl[i])), (a, b) -> a + b) AS d
+         |  FROM vv, l$r),
+         |s$r AS MATERIALIZED (SELECT i AS dim,
+         |    CAST(SUM(CAST(dv[i] * d AS DECIMAL(18,6))) AS DOUBLE) AS sv
+         |  FROM p$r, LATERAL (SELECT unnest(range(1, 65)) AS i) ii GROUP BY i),
+         |n$r AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list(sv ORDER BY dim), x -> x * x)), (a, b) -> a + b)) AS nrm FROM s$r),
+         |w$r AS MATERIALIZED (SELECT dim,
+         |    floor(sv / nrm * 1000000000.0 + 0.5) / 1000000000.0 AS wv FROM s$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
 
   /** Shared by p10 (batch) and st18 (streaming drift monitor twin). */
   private def chisqDriftSql: String =
@@ -4344,32 +4375,21 @@ object SparkEntry {
     // v22 — power iteration unrolled 5×, MATERIALIZED per round: the
     // projection and norm are sequential index-order list folds, the
     // per-dim sums decimal-exact, coordinates re-rounded at 9dp
-    "v22_power_iteration" -> {
-      val base =
-        """WITH vv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-          |w0 AS MATERIALIZED (SELECT i AS dim,
-          |    CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wv
-          |  FROM (SELECT unnest(range(1, 65)) AS i))""".stripMargin
-      val rounds = (1 to 5).map { r =>
-        s"""l$r AS MATERIALIZED (SELECT list(wv ORDER BY dim) AS wl FROM w${r - 1}),
-           |p$r AS MATERIALIZED (SELECT dv,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list_transform(range(1, 65), i -> dv[i] * wl[i])), (a, b) -> a + b) AS d
-           |  FROM vv, l$r),
-           |s$r AS MATERIALIZED (SELECT i AS dim,
-           |    CAST(SUM(CAST(dv[i] * d AS DECIMAL(18,6))) AS DOUBLE) AS sv
-           |  FROM p$r, LATERAL (SELECT unnest(range(1, 65)) AS i) ii GROUP BY i),
-           |n$r AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |    list_transform(list(sv ORDER BY dim), x -> x * x)), (a, b) -> a + b)) AS nrm FROM s$r),
-           |w$r AS MATERIALIZED (SELECT dim,
-           |    floor(sv / nrm * 1000000000.0 + 0.5) / 1000000000.0 AS wv FROM s$r, n$r)""".stripMargin
-      }.mkString(",\n")
-      s"""$base,
-         |$rounds
+    "v22_power_iteration" ->
+      s"""$powerIterationCtes
          |SELECT CAST(w5.dim - 1 AS BIGINT) AS dim, w5.wv AS loading,
          |  floor(n5.nrm * 1000000000.0 + 0.5) / 1000000000.0 AS eigenvalue
-         |FROM w5, n5 ORDER BY dim""".stripMargin
-    },
+         |FROM w5, n5 ORDER BY dim""".stripMargin,
+    // v23 — the same CTEs re-derive the component; per-vector score is
+    // the identical index-order fold, 9dp on output
+    "v23_pca_project" ->
+      s"""$powerIterationCtes,
+         |lw AS MATERIALIZED (SELECT list(wv ORDER BY dim) AS wl FROM w5),
+         |iv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+         |SELECT vec_id,
+         |  ${Num.sqlRoundTo(
+              "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> dv[i] * wl[i])), (a, b) -> a + b)", 9)} AS pc1_score
+         |FROM iv, lw ORDER BY vec_id""".stripMargin,
     "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
     // PQ family, hash-gated since round 12: per-subspace Lloyd's
     // replayed CTE-for-CTE keyed by (sub, cell); v13 folds the

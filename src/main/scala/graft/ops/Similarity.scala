@@ -395,6 +395,23 @@ object Similarity {
     }.toSeq.toDF("dim", "loading", "eigenvalue")
   }
 
+  /** Project every vector onto the [[powerIteration]] component — the
+    * "use the PCA" step (1-d compression, outlier axes, whitening's
+    * first coordinate). The learned 64-double component is a staged
+    * model artifact; the per-vector score is the same index-order fold
+    * as training's projection pass, 9dp on output. Map-only.
+    */
+  def pcaProject(df: DataFrame, iters: Int = 5, dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val comp = powerIteration(df, iters, dim, vecCol)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val wLit = array(comp.map(lit).toIndexedSeq: _*)
+    df.select(col(idCol),
+      Num.roundTo(aggregate(zip_with(col(vecCol), wLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 9).as("pc1_score"))
+      .orderBy(idCol)
+  }
+
   /** AT-REST IVF layout — the claim every v-family scaladoc makes
     * ("at 100 TB the corpus is written partitioned by cell once and
     * queries touch one partition each"), MATERIALIZED: assign each
