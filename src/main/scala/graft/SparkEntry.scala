@@ -1178,6 +1178,20 @@ object SparkEntry {
     // per-vector projection onto the learned component — map-only
     "v23_pca_project" -> ((s, d) =>
       Similarity.pcaProject(Tables.embeddings(s, d))),
+    // streaming twin: the staged component scores the vector stream
+    // statelessly, sharing v23's oracle
+    "st20_stream_pca" -> ((s, d) => {
+      val stage = stagedEmbeddings(s, d)
+      val schema = s.read.parquet(stage).schema
+      val comp = Similarity.powerIteration(s.read.parquet(stage))
+        .orderBy("dim").collect().map(_.getDouble(1))
+      val mem = s"st20_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamPcaProject(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema), comp),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("vec_id")
+    }),
     // the at-rest serving path: corpus written hive-partitioned BY CELL,
     // probe reads prune to cell directories — identical results to v4
     // (its oracle gates this too), but the scan touches probed cells only
@@ -1428,6 +1442,16 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$rounds"
   }
+
+  /** Shared by v23 (batch) and st20 (streaming PCA scorer twin). */
+  private def pcaProjectSql: String =
+    s"""$powerIterationCtes,
+       |lw AS MATERIALIZED (SELECT list(wv ORDER BY dim) AS wl FROM w5),
+       |iv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+       |SELECT vec_id,
+       |  ${Num.sqlRoundTo(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> dv[i] * wl[i])), (a, b) -> a + b)", 9)} AS pc1_score
+       |FROM iv, lw ORDER BY vec_id""".stripMargin
 
   /** Shared by p10 (batch) and st18 (streaming drift monitor twin). */
   private def chisqDriftSql: String =
@@ -4380,16 +4404,12 @@ object SparkEntry {
          |SELECT CAST(w5.dim - 1 AS BIGINT) AS dim, w5.wv AS loading,
          |  floor(n5.nrm * 1000000000.0 + 0.5) / 1000000000.0 AS eigenvalue
          |FROM w5, n5 ORDER BY dim""".stripMargin,
+    // st20 — stateless stream projection with the staged component:
+    // v23's replay verbatim
+    "st20_stream_pca" -> pcaProjectSql,
     // v23 — the same CTEs re-derive the component; per-vector score is
     // the identical index-order fold, 9dp on output
-    "v23_pca_project" ->
-      s"""$powerIterationCtes,
-         |lw AS MATERIALIZED (SELECT list(wv ORDER BY dim) AS wl FROM w5),
-         |iv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
-         |SELECT vec_id,
-         |  ${Num.sqlRoundTo(
-              "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> dv[i] * wl[i])), (a, b) -> a + b)", 9)} AS pc1_score
-         |FROM iv, lw ORDER BY vec_id""".stripMargin,
+    "v23_pca_project" -> pcaProjectSql,
     "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
     // PQ family, hash-gated since round 12: per-subspace Lloyd's
     // replayed CTE-for-CTE keyed by (sub, cell); v13 folds the

@@ -277,6 +277,25 @@ object Streams {
       .groupBy(col(catCol).as("category"))
       .agg(count(lit(1)).as("n_cur"))
 
+  /** Streaming PCA scoring — v23's stateless stream form: the component
+    * trained once on the corpus snapshot ([[graft.ops.Similarity
+    * .powerIteration]]) rides the plan as a 64-double literal array, and
+    * each arriving vector's score is the same index-order zip-fold as
+    * the batch projection, 9dp on output — so the twin shares v23's
+    * oracle verbatim. Map-only, no state; a component refresh lands
+    * next micro-batch without restart.
+    */
+  def streamPcaProject(vectors: DataFrame, component: Array[Double],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.Num
+    require(component.nonEmpty, "staged component must be non-empty")
+    val wLit = array(component.map(lit).toIndexedSeq: _*)
+    vectors.select(col(idCol),
+      Num.roundTo(aggregate(zip_with(col(vecCol), wLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 9).as("pc1_score"))
+  }
+
   /** Streaming incremental SemDeDup: a stream of new embedding vectors
     * dedups against a STATIC corpus inside corpus-trained IVF cells —
     * the streaming twin of [[graft.ops.Similarity.semDeDupIncrement]],

@@ -531,6 +531,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length < all.count(), "quality gate dropped nothing - vacuous")
   }
 
+  test("streaming PCA scoring == batch v23 across micro-batch boundaries") {
+    import graft.ops.{Similarity, Tables}
+    val d = tmpDir("stream_pca").resolve("emb").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") < 100).write.mode("overwrite").parquet(d)
+    emb.filter(col("vec_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val comp = Similarity.powerIteration(all)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    Streams.runToMemory(
+      Streams.streamPcaProject(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1), comp),
+      "pca_stream", OutputMode.Append())
+    val streamed = spark.table("pca_stream").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.pcaProject(all).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming KMV sketches == batch e22 across micro-batch boundaries (typed aggregate as stream state)") {
     import graft.ops.Analytics
     val schema = spark.read.parquet(eventsDir).schema
