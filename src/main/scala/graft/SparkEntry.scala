@@ -248,6 +248,9 @@ object SparkEntry {
     // k smallest distinct hashes are a pure set property of the input,
     // so unlike d2/d3 these two sit in the full hash gate
     "d4_kmv_distinct" -> (Analytics.kmvDistinct(_, _)),
+    // Count-Min frequency sketch from plain group-bys: integer matrix
+    // + min-over-rows probes, both exactly replayed
+    "d8_countmin" -> (Analytics.countMinUsers(_, _)),
     // per-hour distinct-user KMV sketches: the sketch family meeting
     // the event-time axis; exact k-min replay per hour
     "e22_kmv_hourly" -> (Analytics.kmvHourlyUsers(_, _)),
@@ -3150,6 +3153,23 @@ object SparkEntry {
          |SELECT 'lineitem.l_orderkey' AS scope, CAST(256 AS BIGINT) AS k,
          |  n AS n_kept, kth AS kth_min, ${kmvEstSql(256)} AS est_distinct
          |FROM s""".stripMargin,
+    // d8 — Count-Min: cells and min-over-rows probes are pure integer
+    // functions of the data; both replay exactly
+    "d8_countmin" -> {
+      val b = s"((${SqlHash.mix(s"xor(${SqlHash.mix("u")}, r)")}) % 256 + 256) % 256"
+      s"""WITH ev AS (SELECT user_id AS u FROM events),
+         |cells AS (SELECT r, $b AS bucket, count(*) AS c
+         |          FROM ev, LATERAL (SELECT unnest(range(0, 4)) AS r) rr
+         |          GROUP BY 1, 2),
+         |top AS (SELECT u, count(*) AS n_exact FROM ev GROUP BY u
+         |        ORDER BY n_exact DESC, u LIMIT 10),
+         |probe AS (SELECT u, n_exact, r, $b AS bucket
+         |          FROM top, LATERAL (SELECT unnest(range(0, 4)) AS r) rr),
+         |est AS (SELECT u, n_exact, CAST(min(c) AS BIGINT) AS n_est
+         |        FROM probe JOIN cells USING (r, bucket) GROUP BY u, n_exact)
+         |SELECT u AS user_id, n_exact, n_est, n_est - n_exact AS overestimate
+         |FROM est ORDER BY user_id""".stripMargin
+    },
     // e22/st19 — per-hour k-min replay: the sketch content is a pure
     // set property of the hour's distinct folded user hashes
     "e22_kmv_hourly" -> kmvHourlySql,

@@ -474,6 +474,43 @@ object Analytics {
     * (k−1)·M fits double-exactly for the one final division. */
   private val KmvM: Long = 1L << 61
 
+  /** COUNT-MIN sketch frequency estimates — the d-family's FREQUENCY
+    * member beside the distinct sketches: a depth×width integer matrix
+    * where row r counts keys by hash h_r(u) = splitmix64(splitmix64(u)
+    * xor r) mod width, and a key's estimate is the min over rows of its
+    * cell. The matrix is built by PLAIN group-bys (depth rows exploded
+    * per event, map-side combined), so the sketch is mergeable integer
+    * state and — like KMV — its content is a pure function of the
+    * data: the oracle replays cells AND estimates exactly. Emits the
+    * top `topN` keys by exact count with their estimate and the
+    * guaranteed-non-negative overestimate (CMS never undercounts).
+    *
+    * Scale: sketch build shuffles O(depth·width) cells; probing joins
+    * the tiny top-N key set against the broadcastable cell matrix.
+    */
+  def countMinUsers(spark: SparkSession, dir: String, width: Int = 256,
+                    depth: Int = 4, topN: Int = 10): DataFrame = {
+    require(width > 0 && depth > 0 && topN > 0)
+    def bucket(u: Column, r: Column): Column =
+      pmod(call_function("splitmix64",
+        call_function("splitmix64", u).bitwiseXOR(r)), lit(width.toLong))
+    val ev = Tables.events(spark, dir).select(col("user_id").as("u"))
+    val cells = ev
+      .select(col("u"), explode(sequence(lit(0L), lit(depth - 1L))).as("r"))
+      .select(col("r"), bucket(col("u"), col("r")).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val top = ev.groupBy("u").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("u")).limit(topN)
+    top.select(col("u"), col("n_exact"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("r"))
+      .withColumn("bucket", bucket(col("u"), col("r")))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("u", "n_exact").agg(min(col("c")).as("n_est"))
+      .select(col("u").as("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy("user_id")
+  }
+
   /** Per-HOUR distinct users as KMV sketches — the sketch family meeting
     * the event-time axis: one mergeable ≤k-long sketch per hour answers
     * "distinct users in any hour range" by merging kilobytes instead of

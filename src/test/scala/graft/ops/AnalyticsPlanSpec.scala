@@ -289,4 +289,24 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(Analytics.orderRollup(spark, sfDir).count() == 19)
     assert(Analytics.topOrdersPerCustomer(spark, sfDir).count() > 0)
   }
+
+  test("countMinUsers: never undercounts on the fixture; a lone key estimates exactly") {
+    import spark.implicits._
+    val rows = Analytics.countMinUsers(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "CMS must never undercount")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1) && r.getLong(3) >= 0L)
+    }
+    // single-user corpus: every cell the key touches holds only its own
+    // count, so the min-over-rows estimate is exact
+    val d = tmpDir("cms_single")
+    (1 to 37).map(i => (i.toLong, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        9L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val one = Analytics.countMinUsers(spark, d.toString).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 37L &&
+      one.head.getLong(2) == 37L && one.head.getLong(3) == 0L)
+  }
 }
