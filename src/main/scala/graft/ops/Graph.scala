@@ -237,6 +237,10 @@ object Graph {
     var edges = Iterate.materialize(
       und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
+    // early-exit at the fixpoint is EXACT (peeling is monotone, so the
+    // remaining bounded rounds are no-ops the oracle replays literally);
+    // the count probe is one cheap job over the materialized edge set
+    var prev = edges.count()
     var r = 0
     while (r < rounds) {
       val alive = edges.groupBy("v").agg(count(lit(1)).as("d"))
@@ -246,6 +250,9 @@ object Graph {
           .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
           .select("v", "w"))
       r += 1
+      val cur = edges.count()
+      if (cur == prev) r = rounds
+      prev = cur
     }
     edges.groupBy("v").agg(count(lit(1)).as("core_degree"))
       .select(col("v").as("node"), col("core_degree"))
