@@ -1033,7 +1033,11 @@ object Analytics {
 
   /** [[assocRules]] body over any (ok, item) basket membership table. */
   def assocRulesFrom(rawItems: DataFrame, minSupport: Long): DataFrame = {
+    // the distinct membership set feeds THREE consumers (baskets→pairs,
+    // item frequencies, totals); materialize it once so the source
+    // scans once, not per branch (the keySkew discipline)
     val items = rawItems.select(col("ok"), col("item")).distinct()
+      .localCheckpoint()
     val baskets = items.groupBy("ok")
       .agg(array_sort(collect_list(col("item"))).as("its"))
     val totals = baskets.agg(count(lit(1)).as("n_orders"))
