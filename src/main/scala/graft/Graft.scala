@@ -362,6 +362,21 @@ object Graft {
                       nFiles: Int = 8): Unit =
     graft.etl.Load.replaceZOrdered(df, path, c1, c2, nFiles)
 
+  /** BPE merge training at production merge counts (t32): parallel-BPE
+    * rounds of up-to-m symbol-disjoint merges — ~m× fewer driver
+    * round-trips than textbook sequential BPE. THE default for real
+    * vocab sizes; [[bpeMergesSequential]] is its exactness anchor.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 4, m: Int = 8): DataFrame =
+    graft.ops.TextStats.bpeMergesBatched(docs, rounds, m)
+
+  /** Textbook one-merge-per-round BPE (t22) — exact argmax chain, one
+    * driver round-trip per merge; use for small k or as the reference
+    * the batched trainer is spec'd against (they coincide at m = 1).
+    */
+  def bpeMergesSequential(docs: DataFrame, k: Int = 8): DataFrame =
+    graft.ops.TextStats.bpeMerges(docs, k)
+
   /** Tokenizer encode with a learned BPE merge table (c8): per-doc
     * subword counts; merges apply to the distinct-token vocab, never
     * rewriting the corpus k times.
@@ -404,6 +419,20 @@ object Graft {
     * the kilobyte-sized sketch-merge path for any-range cardinality. */
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
     ops.Analytics.kmvDistinct(spark, dir, k)
+
+  /** Per-group KMV distinct estimate with the exact count and relative
+    * error beside it ([[ops.Analytics.kmvAccuracy]]) — the sketch-
+    * parameter audit; [[ops.Analytics.approxDistinct]] is the HLL++
+    * engine-native form (estimates are engine-internal, accuracy
+    * spec'd). */
+  def kmvAccuracy(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    ops.Analytics.kmvAccuracy(spark, dir, k)
+
+  /** Mergeable-sketch union with per-row merge-exactness proof
+    * ([[ops.Analytics.kmvMergeHalves]]); [[ops.Analytics.hllUnionDistinct]]
+    * is the HLL++ engine-native form. */
+  def kmvMergeHalves(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    ops.Analytics.kmvMergeHalves(spark, dir, k)
 
   /** SCD TYPE-2 validity-interval history from an event stream
     * ([[ops.EventWindows.scd2History]]). */

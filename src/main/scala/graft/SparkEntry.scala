@@ -55,14 +55,27 @@ object SparkEntry {
     // column sets into one landing dir; mergeSchema reads the union
     // with null padding (MergeSchemaSpec pins schema + pruning)
     "s10_merge_schema" -> ((s, d) => {
+      // build both "pipeline versions" in a staging dir and promote it
+      // with ONE atomic rename: the first write already drops _SUCCESS,
+      // so probing the final dir between the two writes would read a
+      // half-built (even-ids-only) fixture forever after a crash
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s10_${Integer.toHexString(d.hashCode)}"
       val docs = Tables.documents(s, d)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        val stage = tmp + ".stage"
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
-          .write.mode("overwrite").parquet(tmp)
+          .write.mode("overwrite").parquet(stage)
         docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
-          .coalesce(1).write.mode("append").parquet(tmp)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p)) { // stale half-build from a pre-fix crash
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.move(java.nio.file.Paths.get(stage), p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       Ingest.parquetMerged(s, tmp)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -241,9 +254,12 @@ object SparkEntry {
     "g2_unpivot" -> (Analytics.orderStatusUnpivot(_, _)),
     // ratio-to-parent without windows: re-aggregate the tiny parent level
     "w3_revenue_share" -> (Analytics.regionRevenueShare(_, _)),
-    // mergeable HLL sketches (sketch-union = incremental distinct) —
-    // engine-specific estimates, rows-only like d2; accuracy spec'd
-    "d3_hll_union" -> (Analytics.hllUnionDistinct(_, _)),
+    // mergeable-sketch union with merge-exactness proved in-query (the
+    // d3 graduation: KMV halves merge by array union-trim and the row
+    // carries merged == one-pass equality — hash-gated since round 13;
+    // the HLL form hllUnionDistinct stays as the accuracy-spec'd
+    // engine-native utility)
+    "d3_sketch_union" -> (Analytics.kmvMergeHalves(_, _)),
     // KMV k-minimum-values sketch: the EXACT-replayable sketch — the
     // k smallest distinct hashes are a pure set property of the input,
     // so unlike d2/d3 these two sit in the full hash gate
@@ -324,8 +340,34 @@ object SparkEntry {
     "q21_waiting" -> (Analytics.q21WaitingSuppliers(_, _)),
     // global scalar subquery + anti-join (Q22)
     "q22_idle_bal" -> ((s, d) => Analytics.q22IdleBalances(s, d)),
-    // HLL++ sketch — engine-specific estimates, rows-only check (no oracle)
-    "d2_approx_distinct" -> (Analytics.approxDistinct(_, _)),
+    // --- partsupp quartet (Q2/Q11/Q16/Q20 shapes) over the DERIVED
+    // partsupp (Analytics.partsuppDerived: splitmix64-keyed, oracle
+    // replays it cell-exactly via SqlHash.mix — the driver fixtures
+    // ship no partsupp parquet, so the table is built in-query from
+    // part × {0..3} on BOTH engines)
+    // correlated min-cost-in-region subquery → groupBy + equi-join back (Q2)
+    "q2_min_cost_supp" -> ((s, d) => Analytics.q2MinCostSupplier(
+      Analytics.partsuppDerived(s, d), Tables.part(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d), Tables.region(s, d), sizeMax = 25)),
+    // group HAVING over a global scalar: national stock shares (Q11)
+    "q11_important_stock" -> ((s, d) => Analytics.q11ImportantStock(
+      Analytics.partsuppDerived(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+      nationName = "NATION_7", fraction = 0.001)),
+    // NOT IN → broadcast anti-join + countDistinct buckets (Q16)
+    "q16_supplier_cnt" -> ((s, d) => Analytics.q16SupplierCount(
+      Analytics.partsuppDerived(s, d), Tables.part(s, d), Tables.supplier(s, d))),
+    // nested IN with a correlated half-year-quantity threshold (Q20)
+    "q20_promo_suppliers" -> ((s, d) => Analytics.q20PromotionSuppliers(
+      Analytics.partsuppDerived(s, d), Tables.part(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d), Tables.lineitem(s, d),
+      // 'small' exists in BOTH the driver fixtures' adjective set
+      // (blue/cold/hot/large/new/old/red/small) and GenData's
+      namePrefix = "small", nationName = None)),
+    // per-group approx distinct + exact accuracy audit (the d2
+    // graduation: KMV estimate beside the exact count, 6dp rel_err —
+    // hash-gated since round 13; the HLL++ form approxDistinct stays
+    // as the accuracy-spec'd engine-native utility)
+    "d2_approx_distinct" -> (Analytics.kmvAccuracy(_, _)),
 
     // --- profiling ---
     "p1_column_profile" -> ((s, d) =>
@@ -853,6 +895,12 @@ object SparkEntry {
     // |-delimited symbol strings — integer-exact, oracle-replayable
     "t22_bpe_merges" -> ((s, d) =>
       TextStats.bpeMerges(Tables.documents(s, d))),
+    // parallel-BPE merge training: per round, up-to-m symbol-disjoint
+    // pairs from the ranked candidates apply together — one driver
+    // round-trip buys m merges (the 50k-merge production-vocab path;
+    // sequential t22 stays as its exactness anchor and the m=1 spec)
+    "t32_bpe_batched" -> ((s, d) =>
+      TextStats.bpeMergesBatched(Tables.documents(s, d), rounds = 4, m = 8)),
     // tokenizer ENCODE with the learned t22 merges (staged once per
     // corpus): k replace passes over the distinct-token vocab, one
     // broadcast join back to the token stream — the corpus is never
@@ -1307,14 +1355,13 @@ object SparkEntry {
     }),
     // image dup-cluster RESOLUTION — the end-to-end multimodal dedup
     // action: m5's aHash pairs feed the x5 pointer-jumping CC and the
-    // min-id canonical rule; singletons keep themselves. The gate slice
-    // carries the x9-style id cap: the OPERATOR (pointer jumping) is
-    // cluster-size-safe, but the oracle's transitive-closure replay is
-    // quadratic per cluster, and the synthetic fixture's near-dup
-    // density at sf1 (922k pairs / 16.7k images) would grind it
+    // min-id canonical rule; singletons keep themselves. UNCAPPED since
+    // round 13: the oracle now replays the pointer-jumping rounds
+    // (linear in pairs) instead of the per-cluster-quadratic transitive
+    // closure, so the gate runs the full fixture — 922k pairs / 16.7k
+    // images at sf1 — end to end
     "m7_image_dup_resolve" -> ((s, d) => {
-      val media = Multimodal.imageTable(s, d)
-        .filter(col("media_id") % 3 === 0 && col("media_id") < 5000)
+      val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
       val pairs = Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.resolveDuplicates(media.select(col("media_id")), pairs, idCol = "media_id")
@@ -1477,6 +1524,25 @@ object SparkEntry {
        |FROM x ORDER BY category""".stripMargin
 
   private def decSum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** CTE replaying [[graft.ops.Analytics.partsuppDerived]] cell-exactly:
+    * part × {0..3} with the collision-free suppkey stride (pure integer
+    * arithmetic), availqty/supplycost from the splitmix64 finalizer
+    * ([[SqlHash.mix]] — the same mod-2^64 replay every LSH oracle uses),
+    * and cost = integer cents / 100.0 (one IEEE division of the same
+    * integer on both engines — bit-identical doubles). nSupp rides as a
+    * one-row CROSS JOIN, mirroring the Spark side's dimension count.
+    */
+  private def partsuppCte: String = {
+    def pm(e: String, m: Long) = s"((($e) % $m + $m) % $m)"
+    val id = "(p_partkey * 4 + ii.i)"
+    s"""ns AS (SELECT count(*) AS n FROM supplier),
+       |ps AS MATERIALIZED (SELECT p_partkey AS ps_partkey,
+       |  (p_partkey + 1 + ii.i * greatest(1, ns.n // 4)) % ns.n AS ps_suppkey,
+       |  CAST(${pm(SqlHash.mix(s"$id * 2"), 9999L)} + 1 AS INT) AS ps_availqty,
+       |  CAST(${pm(SqlHash.mix(s"$id * 2 + 1"), 99900L)} + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+       |  FROM part CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii CROSS JOIN ns)""".stripMargin
+  }
 
   /** DuckDB SQL mirroring TextStats.detectLang/langScore exactly. */
   private def langSql: String = {
@@ -2190,10 +2256,64 @@ object SparkEntry {
       |      count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |      FROM s GROUP BY user_id, session_id)""".stripMargin
 
-  /** x4's pair pipeline + transitive closure (recursive CTE) + min-id per
-    * component — the oracle core for resolveDuplicates' iterative
-    * min-label propagation, ending in CTE `rec(v, component)` over every
-    * doc (singletons map to themselves). Shared by x5 and t12.
+  /** Unrolled replay of [[graft.ops.Dedup.connectedComponents]]'s
+    * pointer-jumping rounds — the LINEAR-cost oracle for the min-id
+    * connected-component rule, replacing the recursive-CTE transitive
+    * closure (whose `reach` table is quadratic PER CLUSTER: a c-member
+    * near-dup clique emits c² reach rows, so the 99%-near-dup sf1 image
+    * fixture ground it to a halt and forced id caps on the gate slices).
+    *
+    * Requires a symmetrized `edges(v, w)` CTE already in scope. Emits,
+    * per round r: `nbR` (neighbor-min — one hash aggregate over the
+    * directed edge list), `ttR` (tentative = least(own, neighbor-min)),
+    * `lR` (pointer jump comp := comp(comp) — a self-join on the label
+    * table), each AS MATERIALIZED (the n5 lesson: every round references
+    * the previous one 2-3×, so inlining would expand the base scan
+    * 3^rounds-fold — `BENCH_NOTES.md` round-12 close). Ends in
+    * `rec(v, component)` over `vertsSql`'s one-column (`v`) vertex set;
+    * vertices with no edges label themselves.
+    *
+    * Round count — the honest story, measured not assumed: on a PATH
+    * graph the jump really does cover ~2^r vertices per r rounds (a
+    * 2000-vertex path converges in 12 rounds, not 8 — calibrated in
+    * DuckDB directly). But on a sparse RANDOM graph the exponential
+    * story breaks: random vertex ids create many LOCAL minima, each a
+    * jump-stable label basin (comp(comp)=comp at a non-global min), and
+    * a basin only absorbs a smaller label by plain one-edge-per-round
+    * propagation across its ridge — adding a second jump per round
+    * changed NOTHING on the failing fixture (identical diff counts),
+    * proving the bottleneck is basin merging, not pointer depth. The
+    * x9 sf1 embedding graph (6.2k edges / 5k vertices, giant random
+    * component) needs 32 rounds; 16 left 1446 of 5000 labels above the
+    * component min. 48 = measured worst case × 1.5 margin. Rounds past
+    * the fixpoint are exact no-ops (comp is monotone non-increasing,
+    * bounded below by the component min — same argument as the
+    * operator, `ops/Dedup.scala:554`, which iterates to an explicit
+    * fixpoint probe and is therefore exact at any diameter), so extra
+    * rounds only burn oracle time, linear in the pair count — still
+    * nothing like the closure's per-cluster quadratics.
+    */
+  private def ccRoundsSql(vertsSql: String, rounds: Int = 48): String = {
+    val body = (1 to rounds).map { i =>
+      s"""nb$i AS MATERIALIZED (SELECT e.v, min(l.comp) AS nc
+         |  FROM edges e JOIN l${i - 1} l ON l.v = e.w GROUP BY e.v),
+         |tt$i AS MATERIALIZED (SELECT l.v, least(l.comp, coalesce(nb.nc, l.comp)) AS comp
+         |  FROM l${i - 1} l LEFT JOIN nb$i nb ON nb.v = l.v),
+         |l$i AS MATERIALIZED (SELECT t.v, coalesce(t2.comp, t.comp) AS comp
+         |  FROM tt$i t LEFT JOIN tt$i t2 ON t2.v = t.comp)""".stripMargin
+    }.mkString(",\n")
+    s"""lv AS MATERIALIZED (SELECT DISTINCT v FROM edges),
+       |l0 AS MATERIALIZED (SELECT v, v AS comp FROM lv),
+       |$body,
+       |rec AS MATERIALIZED (SELECT d.v, coalesce(l$rounds.comp, d.v) AS component
+       |  FROM ($vertsSql) d LEFT JOIN l$rounds ON l$rounds.v = d.v)""".stripMargin
+  }
+
+  /** x4's pair pipeline + pointer-jumping component replay
+    * ([[ccRoundsSql]]) + min-id per component — the oracle core for
+    * resolveDuplicates' iterative min-label propagation, ending in CTE
+    * `rec(v, component)` over every doc (singletons map to themselves).
+    * Shared by x5 and t12.
     */
   private def dupComponentsCte: String =
     s"""WITH toks AS (SELECT doc_id,
@@ -2212,14 +2332,8 @@ object SparkEntry {
        |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
        |      FROM prs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
        |edges0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-       |edges AS (SELECT doc_a AS v, doc_b AS w FROM edges0 UNION SELECT doc_b, doc_a FROM edges0),
-       |rec AS (
-       |  WITH RECURSIVE reach(v, r) AS (
-       |    SELECT doc_id, doc_id FROM documents
-       |    UNION
-       |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
-       |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
-       |)""".stripMargin
+       |edges AS MATERIALIZED (SELECT doc_a AS v, doc_b AS w FROM edges0 UNION SELECT doc_b, doc_a FROM edges0),
+       |${ccRoundsSql("SELECT doc_id AS v FROM documents")}""".stripMargin
 
   /** Cross-corpus pairs: per-side df caps, shingle must appear on BOTH
     * sides — mirrors ngramJaccardCross exactly (different guard than x4).
@@ -2476,6 +2590,72 @@ object SparkEntry {
     val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
     s"""${bpeReplayCtes(k, finalAdvance = false)}
        |SELECT merge_rank, lhs, rhs, pair_count FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Unrolled replay of [[graft.ops.TextStats.bpeMergesBatched]] — the
+    * parallel-BPE round structure in static SQL. Per round: pair counts
+    * (`bp$i`, same formulation as t22), a ranked top-(4m+8) candidate
+    * slice (`br$i`), the GREEDY SYMBOL-DISJOINT selection as a recursive
+    * CTE walking the candidates in rank order carrying (used-symbol
+    * list, chosen list) — selection is inherently sequential, but over
+    * ≤ 4m+8 rows, driver-side on the Spark side and a tiny recursion
+    * here — then one fold applying the chosen merges in rank order
+    * (`list_reduce` over candidate INDEXES: v1.0 has no seeded fold, so
+    * the accumulator rides as the string and indexes address the chosen
+    * structs). merge_rank numbers (round, within-round idx) globally,
+    * exactly the Spark side's selection order.
+    */
+  private def bpeBatchedCtes(rounds: Int, m: Int): String = {
+    val cand = 4 * m + 8
+    val base =
+      s"""WITH bw AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
+         |    FROM documents WHERE text IS NOT NULL) WHERE tok NOT LIKE '%|%' GROUP BY tok),
+         |bs0 AS MATERIALIZED (SELECT tok, '|' || array_to_string(list_filter(string_split(tok, ''), c -> c <> ''), '|') || '|' AS ss, n FROM bw)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s"""bp$i AS MATERIALIZED (SELECT sy[j] AS lhs, sy[j + 1] AS rhs, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT list_filter(string_split(ss, '|'), x -> x <> '') AS sy, n FROM bs$i) t,
+         |       LATERAL (SELECT unnest(range(1, len(sy))) AS j) ix
+         |  GROUP BY 1, 2),
+         |br$i AS MATERIALIZED (SELECT * FROM (
+         |  SELECT lhs, rhs, c, CAST(row_number() OVER (ORDER BY c DESC, lhs, rhs) AS BIGINT) AS rk
+         |  FROM bp$i) WHERE rk <= $cand),
+         |sel$i AS MATERIALIZED (
+         |  WITH RECURSIVE gg(rk, used, chosen) AS (
+         |    SELECT CAST(0 AS BIGINT), CAST([] AS VARCHAR[]),
+         |           CAST([] AS STRUCT(lhs VARCHAR, rhs VARCHAR, c BIGINT)[])
+         |    UNION ALL
+         |    SELECT r.rk,
+         |      CASE WHEN len(chosen) < $m AND NOT list_contains(used, r.lhs)
+         |                AND NOT list_contains(used, r.rhs)
+         |           THEN used || [r.lhs, r.rhs] ELSE used END,
+         |      CASE WHEN len(chosen) < $m AND NOT list_contains(used, r.lhs)
+         |                AND NOT list_contains(used, r.rhs)
+         |           THEN chosen || [{'lhs': r.lhs, 'rhs': r.rhs, 'c': r.c}] ELSE chosen END
+         |    FROM gg JOIN br$i r ON r.rk = gg.rk + 1)
+         |  SELECT chosen FROM gg ORDER BY rk DESC LIMIT 1),
+         |ms$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS round, CAST(ii.i AS BIGINT) AS idx,
+         |    chosen[CAST(ii.i AS INT)].lhs AS lhs, chosen[CAST(ii.i AS INT)].rhs AS rhs,
+         |    chosen[CAST(ii.i AS INT)].c AS pair_count
+         |  FROM sel$i, LATERAL (SELECT unnest(range(1, len(chosen) + 1)) AS i) ii),
+         |bs${i + 1} AS MATERIALIZED (SELECT tok,
+         |  list_reduce(
+         |    list_prepend(ss, list_transform(range(1, len(chosen) + 1),
+         |                                    x -> CAST(x AS VARCHAR))),
+         |    (acc, ix) -> replace(acc,
+         |      '|' || chosen[CAST(ix AS INT)].lhs || '|' || chosen[CAST(ix AS INT)].rhs || '|',
+         |      '|' || chosen[CAST(ix AS INT)].lhs || chosen[CAST(ix AS INT)].rhs || '|')) AS ss,
+         |  n FROM bs$i CROSS JOIN sel$i)""".stripMargin
+    }
+    s"$base,\n${steps.mkString(",\n")}"
+  }
+
+  private def bpeBatchedSql(rounds: Int = 4, m: Int = 8): String = {
+    val union = (0 until rounds).map(i => s"SELECT * FROM ms$i").mkString(" UNION ALL ")
+    s"""${bpeBatchedCtes(rounds, m)}
+       |SELECT CAST(row_number() OVER (ORDER BY round, idx) - 1 AS BIGINT) AS merge_rank,
+       |  lhs, rhs, pair_count
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
   /** Replay of [[graft.ops.TextStats.bpeEncode]]: re-learn the k merges
@@ -3153,6 +3333,44 @@ object SparkEntry {
          |SELECT 'lineitem.l_orderkey' AS scope, CAST(256 AS BIGINT) AS k,
          |  n AS n_kept, kth AS kth_min, ${kmvEstSql(256)} AS est_distinct
          |FROM s""".stripMargin,
+    // d2 — per-flag KMV estimate + exact count + 6dp rel error; the
+    // estimate stages in a CTE so rel_err rounds the already-rounded
+    // value, exactly as the Spark expression tree does
+    "d2_approx_distinct" ->
+      s"""WITH b AS (SELECT l_returnflag AS flag, l_orderkey FROM lineitem),
+         |ex AS (SELECT flag, count(DISTINCT l_orderkey) AS n_exact FROM b GROUP BY flag),
+         |h AS (SELECT DISTINCT flag, ${kmvUSql("l_orderkey")} AS u FROM b),
+         |g AS (SELECT flag, u, row_number() OVER (PARTITION BY flag ORDER BY u) AS rn FROM h),
+         |kg AS (SELECT flag, count(*) AS n, max(u) AS kth FROM g WHERE rn <= 256 GROUP BY flag),
+         |es AS (SELECT flag, ${kmvEstSql(256)} AS est FROM kg)
+         |SELECT es.flag AS l_returnflag, CAST(ex.n_exact AS BIGINT) AS n_orders_exact,
+         |  es.est AS n_orders_approx,
+         |  ${Num.sqlRoundTo("abs(es.est - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE)", 6)} AS rel_err
+         |FROM es JOIN ex ON ex.flag = es.flag ORDER BY l_returnflag""".stripMargin,
+    // d3 — KMV half-sketches, array union-trim merge, and the
+    // merge_exact equality against the one-pass whole-flag sketch (the
+    // mergeability theorem asserted per row on both engines)
+    "d3_sketch_union" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey % 2 AS half, u FROM
+         |       (SELECT l_returnflag, l_orderkey, ${kmvUSql("l_orderkey")} AS u FROM lineitem)),
+         |g AS (SELECT flag, half, u,
+         |        row_number() OVER (PARTITION BY flag, half ORDER BY u) AS rn FROM h),
+         |kept AS (SELECT flag, half, u FROM g WHERE rn <= 256),
+         |kh AS (SELECT flag, CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_h0,
+         |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1
+         |       FROM kept GROUP BY flag),
+         |m AS (SELECT flag, u, row_number() OVER (PARTITION BY flag ORDER BY u) AS rn
+         |      FROM (SELECT DISTINCT flag, u FROM kept)),
+         |mk AS (SELECT flag, list(u ORDER BY u) AS sk, count(*) AS n, max(u) AS kth
+         |       FROM m WHERE rn <= 256 GROUP BY flag),
+         |w AS (SELECT flag, u, row_number() OVER (PARTITION BY flag ORDER BY u) AS rn
+         |      FROM (SELECT DISTINCT flag, u FROM h)),
+         |wk AS (SELECT flag, list(u ORDER BY u) AS skw FROM w WHERE rn <= 256 GROUP BY flag)
+         |SELECT mk.flag AS l_returnflag, kh.n_h0 AS n_kept_h0, kh.n_h1 AS n_kept_h1,
+         |  CAST(mk.n AS BIGINT) AS n_kept_merged, ${kmvEstSql(256)} AS n_orders_approx,
+         |  mk.sk = wk.skw AS merge_exact
+         |FROM mk JOIN kh ON kh.flag = mk.flag JOIN wk ON wk.flag = mk.flag
+         |ORDER BY l_returnflag""".stripMargin,
     // d8 — Count-Min: cells and min-over-rows probes are pure integer
     // functions of the data; both replay exactly
     "d8_countmin" -> {
@@ -3345,6 +3563,63 @@ object SparkEntry {
          | count(*) AS n_lineitems
          | FROM lineitem JOIN part ON l_partkey = p_partkey
          | GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // q2 — min-cost supplier in region: the correlated scalar subquery
+    // in its literal TPC-H form, over the derived partsupp (partsuppCte)
+    "q2_min_cost_supp" ->
+      s"""WITH $partsuppCte
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+         |FROM ps, part, supplier, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size <= 25 AND p_type = 'STANDARD'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND ps_supplycost = (
+         |    SELECT min(ps2.ps_supplycost)
+         |    FROM ps ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = ps.ps_partkey
+         |      AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey
+         |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    // q11 — national stock shares with the HAVING-over-global-scalar
+    "q11_important_stock" ->
+      s"""WITH $partsuppCte,
+         |nat AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |        WHERE n_name = 'NATION_7'),
+         |pp AS (SELECT ps_partkey, ${decSum("ps_supplycost * ps_availqty")} AS stock_value
+         |       FROM ps JOIN nat ON ps_suppkey = s_suppkey GROUP BY ps_partkey)
+         |SELECT ps_partkey, stock_value FROM pp
+         |WHERE stock_value > (SELECT ${decSum("stock_value")} * 0.001 FROM pp)
+         |ORDER BY stock_value DESC, ps_partkey""".stripMargin,
+    // q16 — supplier counts per (brand, type, size) with the NOT IN
+    // exclusion (negative-balance suppliers; fixtures carry no comments)
+    "q16_supplier_cnt" ->
+      s"""WITH $partsuppCte
+         |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+         |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // q20 — promotion suppliers: nested IN with a correlated
+    // half-year-quantity threshold (decimal-exact sum, one double mul)
+    "q20_promo_suppliers" ->
+      s"""WITH $partsuppCte
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (
+         |    SELECT ps_suppkey FROM ps
+         |    WHERE ps_partkey IN (
+         |      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |    AND CAST(ps_availqty AS DOUBLE) > (
+         |      SELECT ${decSum("l_quantity")} * 0.5
+         |      FROM lineitem
+         |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_shipdate < TIMESTAMP '1997-01-01'))
+         |ORDER BY s_name""".stripMargin,
     "w2_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
         | o_totalprice,
@@ -3990,7 +4265,8 @@ object SparkEntry {
     "t26_token_budget_mix" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
-         |  ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
+         |  ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey
+         |  FROM documents WHERE text IS NOT NULL),
          |c AS (SELECT doc_id, lang, n_tokens,
          |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tk)
@@ -4017,6 +4293,7 @@ object SparkEntry {
     // DP pass (16 levels) segments every distinct word, char fallback
     "c12_unigram_encode" -> unigramEncodeSql(),
     "t22_bpe_merges" -> bpeMergesSql(),
+    "t32_bpe_batched" -> bpeBatchedSql(rounds = 4, m = 8),
     "c8_bpe_encode" -> bpeEncodeSql(),
     "t23_importance" -> importanceSql(),
     "c1_clean_corpus" -> cleanCorpusSql,
@@ -4334,32 +4611,20 @@ object SparkEntry {
          |        ${Num.sqlRoundTo("list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv)))", 9)} AS sim
          |       FROM vv a JOIN vv b ON a.vec_id < b.vec_id),
          |edges0 AS (SELECT ia, ib FROM sc WHERE sim >= 0.42),
-         |edges AS (SELECT ia AS v, ib AS w FROM edges0 UNION SELECT ib, ia FROM edges0),
-         |rec AS (
-         |  WITH RECURSIVE reach(v, r) AS (
-         |    SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 5000
-         |    UNION
-         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
-         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
-         |)
+         |edges AS MATERIALIZED (SELECT ia AS v, ib AS w FROM edges0 UNION SELECT ib, ia FROM edges0),
+         |${ccRoundsSql("SELECT vec_id AS v FROM embeddings WHERE vec_id < 5000")}
          |SELECT v AS vec_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY vec_id""".stripMargin,
     // x10 — the flagship semantic-dedup SCALE path, hash-gated since
     // round 12: multi-table sign-LSH candidates (the v2/v11 splitmix
     // hyperplane replay × 4 seeded tables, integer-exact auto nbits,
-    // splitmix sampling coin) → exact-cosine verify → x9's recursive-CTE
-    // connected components over the FULL vertex set
+    // splitmix sampling coin) → exact-cosine verify → pointer-jumping
+    // component replay (ccRoundsSql) over the FULL vertex set
     "x10_emb_dup_scale" ->
       s"""WITH ${embNearDupPairCtes(0.42)},
-         |edges AS (SELECT id_a AS v, id_b AS w FROM kept
+         |edges AS MATERIALIZED (SELECT id_a AS v, id_b AS w FROM kept
          |          UNION SELECT id_b, id_a FROM kept),
-         |rec AS (
-         |  WITH RECURSIVE reach(v, r) AS (
-         |    SELECT vec_id, vec_id FROM embeddings
-         |    UNION
-         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
-         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
-         |)
+         |${ccRoundsSql("SELECT vec_id AS v FROM embeddings")}
          |SELECT v AS vec_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY vec_id""".stripMargin,
     // v3 — the pair stage of x10 on its own, at the looser 0.35 bar
@@ -4549,7 +4814,10 @@ object SparkEntry {
          |  WHERE r < 8
          |)
          |SELECT query_id, CAST(i AS BIGINT) AS rank, ids[i] AS neighbor_id, rels[i] AS rel, scores[i] AS mmr_score
-         |FROM (SELECT * FROM rec WHERE r = 8) f, LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) ix
+         |FROM (SELECT * FROM (SELECT rec.*,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY r DESC) AS lastr
+         |      FROM rec) WHERE lastr = 1) f,
+         |     LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) ix
          |ORDER BY query_id, rank""".stripMargin
     },
     // IVF assignment: argmin over squared L2 to the 16 lowest-id
@@ -4673,22 +4941,18 @@ object SparkEntry {
          |FROM ah a JOIN ah b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
          |ORDER BY id_a, id_b""".stripMargin,
-    // m7 — m5's pair CTEs (id-capped like x9: the closure replay is
-    // quadratic per cluster) + the x5 recursive transitive closure and
-    // min-id component rule over every image in the slice
+    // m7 — m5's pair CTEs, UNCAPPED since round 13 (the r12 id cap
+    // existed only for the quadratic recursive-CTE closure; the
+    // pointer-jumping round replay is linear in the pair count, so the
+    // gate now runs every image — 16.7k images / 922k pairs at sf1),
+    // then the min-id component rule over the full slice
     "m7_image_dup_resolve" ->
-      s"""${aHashCte.replace("WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 0 AND doc_id < 5000")},
-         |p0 AS (SELECT a.media_id AS va, b.media_id AS vb
+      s"""$aHashCte,
+         |p0 AS MATERIALIZED (SELECT a.media_id AS va, b.media_id AS vb
          |       FROM ah a JOIN ah b ON a.media_id < b.media_id
          |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 4),
-         |edges AS (SELECT va AS v, vb AS w FROM p0 UNION SELECT vb, va FROM p0),
-         |rec AS (
-         |  WITH RECURSIVE reach(v, r) AS (
-         |    SELECT media_id, media_id FROM ah
-         |    UNION
-         |    SELECT e.v, reach.r FROM edges e JOIN reach ON e.w = reach.v
-         |  ) SELECT v, min(r) AS component FROM reach GROUP BY v
-         |)
+         |edges AS MATERIALIZED (SELECT va AS v, vb AS w FROM p0 UNION SELECT vb, va FROM p0),
+         |${ccRoundsSql("SELECT media_id AS v FROM ah")}
          |SELECT v AS media_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY media_id""".stripMargin,
     // m6 — all-pairs Hamming over the replayed AUDIO energy hashes: the

@@ -469,6 +469,81 @@ object Analytics {
                 col("n_union").cast("double"), 6).as("est_jaccard"))
   }
 
+  /** Per-group approximate distinct with an exact accuracy audit — the
+    * ROUND-13 GRADUATION of d2: the question [[approxDistinct]] answers
+    * (distinct orders per return flag, sketched) re-asked through the
+    * KMV sketch, whose every byte is a pure set property of the input —
+    * so the ESTIMATE hash-gates cross-engine, where HLL's buffer is
+    * engine-internal and could only ever be rows-checked. Emits, per
+    * flag, the exact distinct count alongside the sketch estimate and
+    * the 6dp relative error — the sketch-parameter validation a user
+    * runs before trusting k. [[approxDistinct]] (HLL++) stays the
+    * engine-native facade utility, accuracy-spec'd.
+    *
+    * Scale: the KMV aggregate ships ≤ k longs per partial and the exact
+    * count is the same shuffle — one pass, map-side partials for both.
+    */
+  def kmvAccuracy(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val sk = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"),
+              pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("kmv_sketch", col("u"), lit(k)).as("sk"),
+           countDistinct(col("l_orderkey")).as("n_orders_exact"))
+    val nKept = size(col("sk"))
+    val kth = when(nKept > 0, element_at(col("sk"), nKept))
+    val est = when(nKept < k, nKept.cast("double"))
+      .otherwise(Num.roundTo(lit((k - 1).toDouble) * lit(KmvM.toDouble) /
+        kth.cast("double"), 4))
+    sk.select(col("l_returnflag"), col("n_orders_exact"),
+        est.as("n_orders_approx"),
+        Num.roundTo(abs(est - col("n_orders_exact").cast("double")) /
+          col("n_orders_exact").cast("double"), 6).as("rel_err"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Mergeable-sketch union with the merge-exactness PROVED in-query —
+    * the ROUND-13 GRADUATION of d3 ([[hllUnionDistinct]]'s shape): each
+    * half of the keyspace builds its own KMV sketch, the halves merge
+    * by plain array ops (flatten → distinct → sort → first k — the same
+    * union-trim the aggregate's own merge performs), and the output
+    * carries `merge_exact`, the cell-level equality of the merged
+    * sketch against the one-pass whole-flag sketch. That equality is
+    * the mergeability theorem (any global k-minimum is inside its
+    * half's k minima) asserted cross-engine per row, not just argued —
+    * and every column is an integer set property, so d3 now sits in the
+    * full hash gate. The 100 TB pattern is unchanged: keep per-shard /
+    * per-day sketches (k longs each), answer any-range distinct counts
+    * by merging kilobytes instead of rescanning.
+    */
+  def kmvMergeHalves(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val hashed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), (col("l_orderkey") % 2).as("half"),
+              pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+    val per = hashed
+      .groupBy(col("l_returnflag"), col("half"))
+      .agg(call_function("kmv_sketch", col("u"), lit(k)).as("sk"))
+    val merged = per
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("half") === 0, size(col("sk"))).otherwise(0)).cast("long").as("n_kept_h0"),
+           sum(when(col("half") === 1, size(col("sk"))).otherwise(0)).cast("long").as("n_kept_h1"),
+           slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+    val whole = hashed
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("kmv_sketch", col("u"), lit(k)).as("skw"))
+    val nKept = size(col("sk"))
+    val kth = when(nKept > 0, element_at(col("sk"), nKept))
+    val est = when(nKept < k, nKept.cast("double"))
+      .otherwise(Num.roundTo(lit((k - 1).toDouble) * lit(KmvM.toDouble) /
+        kth.cast("double"), 4))
+    merged.join(whole, "l_returnflag")
+      .select(col("l_returnflag"), col("n_kept_h0"), col("n_kept_h1"),
+              nKept.cast("long").as("n_kept_merged"),
+              est.as("n_orders_approx"),
+              (col("sk") === col("skw")).as("merge_exact"))
+      .orderBy("l_returnflag")
+  }
+
   /** Hash domain: splitmix64 folded to [0, 2^61) — 2^64 is an exact
     * multiple, so pmod keeps the uniformity the estimator needs, and
     * (k−1)·M fits double-exactly for the one final division. */
@@ -869,9 +944,13 @@ object Analytics {
     */
   def q2MinCostSupplier(partsupp: DataFrame, part: DataFrame, supplier: DataFrame,
                         nation: DataFrame, region: DataFrame,
-                        size: Int = 15, ptype: String = "STANDARD",
+                        sizeMax: Int = 15, ptype: String = "STANDARD",
                         regionName: String = "EUROPE", k: Int = 100): DataFrame = {
-    val parts = part.filter(col("p_size") === size && col("p_type") === ptype)
+    // size as a BOUND, not TPC-H's equality: the fixtures' size domain
+    // (1..50 × 6 types) makes the equality slice a handful of parts at
+    // oracle scale, and a 1-row gate proves nothing — the bound keeps
+    // the query shape (pushed part-slice predicate) with a real answer
+    val parts = part.filter(col("p_size") <= sizeMax && col("p_type") === ptype)
       .select("p_partkey", "p_name")
     val regionSupp = supplier
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
@@ -953,7 +1032,7 @@ object Analytics {
   def q20PromotionSuppliers(partsupp: DataFrame, part: DataFrame, supplier: DataFrame,
                             nation: DataFrame, lineitem: DataFrame,
                             namePrefix: String = "green",
-                            nationName: String = "NATION_3"): DataFrame = {
+                            nationName: Option[String] = Some("NATION_3")): DataFrame = {
     val parts = part.filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
     val shipped = lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -967,11 +1046,16 @@ object Analytics {
         col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty").cast("double") > col("year_qty") * 0.5)
       .select(col("ps_suppkey")).distinct()
+    // nationName None = the whole-world view (the driver-fixture gate:
+    // one nation's 4-supplier slice intersects the promotion set in ~1
+    // row at oracle scale, so the registered form reports every nation
+    // with n_name in the output instead — same nested-IN shape)
+    val nat = nation.select(col("n_nationkey"), col("n_name"))
+    val natF = nationName.fold(nat)(n => nat.filter(col("n_name") === n))
     supplier
-      .join(broadcast(nation.filter(col("n_name") === nationName).select("n_nationkey")),
-            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(natF), col("s_nationkey") === col("n_nationkey"))
       .join(heavy, col("s_suppkey") === col("ps_suppkey"), "left_semi")
-      .select(col("s_suppkey"), col("s_name"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_name")
   }
 
@@ -1059,6 +1143,38 @@ object Analytics {
         roundTo((col("n_pair").cast("double") * col("n_orders").cast("double")) /
           (col("n_ant").cast("double") * col("n_con").cast("double")), 9).as("lift"))
       .orderBy("antecedent", "consequent")
+  }
+
+  /** Deterministic partsupp DERIVED from the sf-dir's own part/supplier
+    * tables — the driver fixtures ship no partsupp parquet, so the
+    * quartet's ORACLE-gated registrations build one in-query: 4
+    * suppliers per part via the same collision-free stride as
+    * [[graft.tools.GenData.partsupp]] (pure integer arithmetic), and
+    * availqty/supplycost keyed by the repo's own splitmix64 Catalyst
+    * expression rather than GenData's xxhash64 — splitmix is the hash
+    * the DuckDB oracles already replay bit-exactly (`SqlHash.mix`), so
+    * every derived cell hash-gates cross-engine. Supply cost is integer
+    * CENTS divided by 100.0: one IEEE division of the same integer on
+    * both engines — bit-identical, no decimal-rounding question.
+    *
+    * Scale shape: one narrow projection of part exploded ×4 — no
+    * shuffle, no driver data; the single scalar pulled is the supplier
+    * COUNT (dimension-table cardinality, the nSupp modulus), same
+    * coordination class as the documented model-artifact pulls.
+    */
+  def partsuppDerived(spark: SparkSession, dir: String): DataFrame = {
+    val nSupp = Tables.supplier(spark, dir).count()
+    val stride = math.max(1L, nSupp / 4L)
+    val id = col("p_partkey") * 4L + col("i")
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .select(col("p_partkey"), explode(array((0L to 3L).map(lit): _*)).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        pmod(col("p_partkey") + 1L + col("i") * stride, lit(nSupp)).as("ps_suppkey"),
+        (pmod(call_function("splitmix64", id * 2L), lit(9999L)) + 1L)
+          .cast("int").as("ps_availqty"),
+        ((pmod(call_function("splitmix64", id * 2L + 1L), lit(99900L)) + 100L)
+          .cast("double") / 100.0).as("ps_supplycost"))
   }
 
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame =

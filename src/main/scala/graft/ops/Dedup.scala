@@ -559,9 +559,16 @@ object Dedup {
     * (1) neighbor-min — join labels to edges, groupBy v (one shuffle on
     * the edge list, which for dedup graphs is orders of magnitude
     * smaller than the corpus); (2) pointer jump comp := comp(comp) — a
-    * self-join that halves label-tree depth, so convergence is
-    * O(log diameter) rounds, not O(diameter); LSH/blocking pair graphs
-    * are locally dense (bucket near-cliques), so 3-5 rounds in practice.
+    * self-join that halves label-tree depth. Convergence is
+    * O(log diameter) on gradient-like graphs (paths, trees toward the
+    * min) but NOT in general: random vertex ids create jump-stable
+    * local-minimum basins that merge only by one-edge-per-round
+    * propagation across their ridges, so sparse random graphs take
+    * ~diameter rounds (the sf1 x9 embedding graph needed 32; measured
+    * while calibrating the oracle replay, round 13). The fixpoint probe
+    * below makes the OPERATOR exact at any round count; LSH/blocking
+    * dedup graphs are locally dense (bucket near-cliques), so 3-5
+    * rounds in practice.
     * Each round ends in localCheckpoint: without it the plan DAG doubles
     * per iteration and the job would replan from raw edges every round
     * (on a cluster, use a checkpoint dir / persist with eviction).
@@ -584,10 +591,13 @@ object Dedup {
       pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 64): (DataFrame, Int) = {
     // maxIter is a runaway safety cap, not a budget — the loop exits at
-    // convergence (typically 3-5 rounds). 64 covers the adversarial
-    // worst case: an all-one-path graph of 2^64 nodes needs ~log2(diam)
-    // rounds with pointer jumping. Hitting the cap would return labels
-    // mid-merge; at 64 that cannot happen for any physical graph.
+    // convergence (typically 3-5 rounds on dedup graphs; 32 on the
+    // worst measured fixture, the sf1 random embedding graph — see the
+    // basin analysis in the scaladoc). Hitting the cap would return
+    // labels mid-merge; 64 = 2× the measured worst case. A graph deep
+    // enough to exceed it would need ridge chains past 64 edges — at
+    // that point raise maxIter or switch to the large-star/small-star
+    // contraction noted above.
     val edgesAll = pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
       .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
       .distinct()

@@ -945,9 +945,15 @@ object Similarity {
     * with the corpus (at 100 TB: tens of thousands of cells of a few
     * thousand vectors each, written partitioned by cell; the all-pairs
     * term never sees the global n²). Within a cell, any vector with a
-    * smaller-id neighbor at cosine ≥ `threshold` is pruned — the greedy
-    * keep-earliest rule, deterministic and arrival-order-free (a refinement
-    * of the paper's keep-one-per-semantic-cluster).
+    * smaller-id neighbor at cosine ≥ `threshold` is pruned — the
+    * TRANSITIVE smaller-id-neighbor rule: the neighbor prunes you even
+    * if it was itself pruned, so a chain A~B, B~C (A≁C) keeps only A.
+    * Deterministic and arrival-order-free — and deliberately NOT the
+    * sequential kept-set-conditional greedy (which would keep C above):
+    * conditioning on the kept set would make each verdict depend on
+    * every earlier verdict in id order, serializing the cell; this rule
+    * is one self-join, embarrassingly parallel, and prunes a superset
+    * of the paper's keep-one-per-semantic-cluster.
     *
     * Physical shape: one broadcast-codebook argmin assignment (map-only),
     * one within-cell self-join keyed on `cell`, and the dropped-id set
@@ -1105,7 +1111,10 @@ object Similarity {
     * selection time — the min squared-L2 to the previously selected
     * set (NULL for the seed). The dist sequence is non-increasing; its
     * last value bounds how far any corpus vector sits from the coreset
-    * (the 2-approx guarantee's witness).
+    * (the 2-approx guarantee's witness). If the coverage radius hits 0
+    * before k centers are chosen (k exceeds the DISTINCT vector count),
+    * selection stops — the output never repeats a vec_id, it just has
+    * fewer than k rows.
     *
     * Scale shape: k rounds, each ONE map-only pass against a broadcast
     * 1-row center plus a scalar argmax (partial max(struct) — no
@@ -1129,18 +1138,29 @@ object Similarity {
         .select(col("vec_id"), col("v"),
           Num.roundTo(l2sq(col("v"), col("cv")), 9).as("d")))
     var r = 1L
-    while (r < k) {
+    var exhausted = false
+    while (r < k && !exhausted) {
       val nxt = state
         .agg(max(struct(col("d"), (-col("vec_id")).as("negid"))).as("m"))
         .select((-col("m.negid")).as("vec_id"), col("m.d").as("dist"), lit(r).as("rank"))
       val center = Iterate.materialize(
         nxt.join(vecs, "vec_id").select(col("rank"), col("vec_id"), col("dist"), col("v")))
-      centers = centers :+ center
-      state = Iterate.materialize(
-        state.crossJoin(broadcast(center.select(col("v").as("cv"))))
-          .select(col("vec_id"), col("v"),
-            least(col("d"), Num.roundTo(l2sq(col("v"), col("cv")), 9)).as("d")))
-      r += 1
+      // coverage radius 0 ⇒ every remaining vector coincides with a
+      // selected center (k exceeds the distinct-vector count): stop
+      // instead of re-selecting the seed as a duplicate "center". The
+      // probe reads the 1-row argmax — same coordination class as the
+      // per-round scalar the loop already materializes.
+      val dmax = center.select(col("dist")).collect()
+      if (dmax.isEmpty || dmax(0).isNullAt(0) || dmax(0).getDouble(0) == 0.0)
+        exhausted = true
+      else {
+        centers = centers :+ center
+        state = Iterate.materialize(
+          state.crossJoin(broadcast(center.select(col("v").as("cv"))))
+            .select(col("vec_id"), col("v"),
+              least(col("d"), Num.roundTo(l2sq(col("v"), col("cv")), 9)).as("d")))
+        r += 1
+      }
     }
     centers.reduce(_ unionByName _)
       .select(col("rank"), col("vec_id"), col("dist"))

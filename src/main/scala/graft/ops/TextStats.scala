@@ -370,7 +370,11 @@ object TextStats {
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget): Column) {
       case (acc, (l, b)) => when(col(langCol) === l, lit(b)).otherwise(acc)
     }
-    val keyed = df.select(col(idCol), col(langCol),
+    // NULL text is excluded EXPLICITLY (matching the sibling TextStats
+    // operators): without the filter a null n_tokens would propagate
+    // into cum_before and silently null-drop the row at the budget
+    // comparison — same rows, but by accident instead of by contract
+    val keyed = df.filter(col(textCol).isNotNull).select(col(idCol), col(langCol),
       size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
       call_function("splitmix64",
         call_function("splitmix64", col(idCol).cast("long")).bitwiseXOR(lit(seed)))
@@ -1233,6 +1237,102 @@ object TextStats {
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy("merge_rank")
+  }
+
+  /** Parallel-BPE merge training — the production-scale twin of
+    * [[bpeMerges]]. Textbook BPE is one driver round-trip PER MERGE
+    * (inherent: merge k+1's pair counts depend on merge k), so a 50k-
+    * merge production vocab means 50k sequential Spark jobs. The
+    * standard parallel-BPE move: per ROUND, take the top candidate
+    * pairs and apply every pair whose symbols are DISJOINT from all
+    * higher-ranked selections — disjoint merges can't interact, so one
+    * round-trip buys up to `m` merges and the job count drops ~m×.
+    *
+    * Declared semantics (its own contract, NOT always equal to
+    * sequential BPE — counts of lower-ranked pairs may shift after a
+    * higher merge, which sequential BPE would observe and this batch
+    * doesn't): run exactly `rounds` rounds; each round ranks pair
+    * counts by (count DESC, lhs, rhs), scans the top `4·m + 8`
+    * candidates in rank order, greedily selecting pairs whose lhs and
+    * rhs both avoid every symbol already selected this round (capped
+    * at `m`), then applies the selections in rank order via the same
+    * greedy non-overlapping `replace` as [[bpeMerges]]. With m = 1 the
+    * selection is the sequential argmax, so `bpeMergesBatched(docs, k,
+    * 1) == bpeMerges(docs, k)` exactly — the equality the spec pins.
+    *
+    * Per round the driver pulls the top-candidate LIST (≤ 4m+8 rows —
+    * a model artifact, same coordination class as [[bpeMerges]]'s
+    * argmax row); selection runs on those rows driver-side. Output
+    * schema matches [[bpeMerges]]; merge_rank numbers selections in
+    * (round, within-round rank) order.
+    */
+  def bpeMergesBatched(docs: DataFrame, rounds: Int = 4, m: Int = 8,
+                       textCol: String = "text"): DataFrame =
+    bpeMergesBatchedWithJobs(docs, rounds, m, textCol)._1
+
+
+  /** Instrumented [[bpeMergesBatched]]: also returns the number of
+    * driver round-trips (pair-count collects — what the ≥m×-fewer-jobs
+    * spec asserts against sequential BPE's one-per-merge) and the
+    * per-round selection sizes (the spec's round boundaries for the
+    * within-round disjointness check).
+    */
+  private[graft] def bpeMergesBatchedWithJobs(
+      docs: DataFrame, rounds: Int, m: Int,
+      textCol: String = "text"): (DataFrame, Int, Seq[Int]) = {
+    require(rounds > 0 && m > 0, "rounds and m must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candLimit = 4 * m + 8
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "" && !col("tok").contains("|"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(concat(lit("|"), array_join(filter(split(col("tok"), ""), c => c =!= ""), "|"),
+                     lit("|")).as("ss"),
+              col("n"))
+    var cur = words
+    var jobs = 0
+    var rank = 0L
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val roundSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var exhausted = false
+    for (_ <- 0 until rounds if !exhausted) {
+      val syms = filter(split(col("ss"), "\\|"), c => c =!= "")
+      val pairsOf = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          j => struct(element_at(syms, j).as("lhs"),
+                      element_at(syms, j + 1).as("rhs"))))
+        .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+      val top = cur
+        .select(col("n"), explode(pairsOf).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(candLimit).collect()
+      jobs += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        for (r <- top if chosen.size < m) {
+          val (l, rr) = (r.getString(0), r.getString(1))
+          if (!used(l) && !used(rr)) {
+            used += l; used += rr
+            chosen += ((l, rr, r.getLong(2)))
+          }
+        }
+        roundSizes += chosen.size
+        for ((l, r, c) <- chosen) {
+          merges += ((rank, l, r, c))
+          rank += 1
+          cur = cur.withColumn("ss",
+            replace(col("ss"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
+        }
+      }
+    }
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank"), jobs, roundSizes.toSeq)
   }
 
   /** Apply a learned BPE merge table ([[bpeMerges]] output) to the corpus

@@ -29,12 +29,12 @@ class PartsuppSpec extends SparkSpec {
 
   test("q2: min-cost supplier matches the correlated-subquery reference") {
     val got = Analytics.q2MinCostSupplier(t("partsupp"), t("part"), t("supplier"),
-      t("nation"), t("region"), size = 15, ptype = "STANDARD")
+      t("nation"), t("region"), sizeMax = 15, ptype = "STANDARD")
     val ref = spark.sql(
       """SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
         |FROM partsupp, part, supplier, nation, region
         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND p_size <= 15 AND p_type = 'STANDARD'
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'EUROPE'
         |  AND ps_supplycost = (
@@ -88,9 +88,9 @@ class PartsuppSpec extends SparkSpec {
 
   test("q20: promotion suppliers match the nested-IN reference") {
     val got = Analytics.q20PromotionSuppliers(t("partsupp"), t("part"), t("supplier"),
-      t("nation"), t("lineitem"), namePrefix = "green", nationName = "NATION_3")
+      t("nation"), t("lineitem"), namePrefix = "green", nationName = Some("NATION_3"))
     val ref = spark.sql(
-      """SELECT s_suppkey, s_name
+      """SELECT s_suppkey, s_name, n_name
         |FROM supplier, nation
         |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
         |  AND s_suppkey IN (

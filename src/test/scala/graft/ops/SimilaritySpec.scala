@@ -959,4 +959,20 @@ class SimilaritySpec extends SparkSpec {
     val one = Similarity.kCenterCoreset(emb, k = 1).collect()
     assert(one.length == 1 && one.head.getLong(0) == 0L && one.head.isNullAt(2))
   }
+
+  test("kCenterCoreset: k past the distinct-vector count stops at radius 0, never repeats a center") {
+    import spark.implicits._
+    // 3 distinct vectors, ids 0..5 (ids 3..5 duplicate 0..2): k=6 must
+    // stop after the 3 distinct centers instead of re-selecting the
+    // seed with dist 0 forever
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)), (5L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterCoreset(dup, k = 6).collect()
+    assert(sel.length == 3, s"expected 3 centers, got ${sel.toSeq}")
+    val ids = sel.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, s"repeated center: ${ids.toSeq}")
+    assert(sel.forall(r => r.isNullAt(2) || r.getDouble(2) > 0.0))
+  }
 }

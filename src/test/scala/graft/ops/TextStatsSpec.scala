@@ -399,6 +399,47 @@ class TextStatsSpec extends SparkSpec {
     assert(reparted.toSeq == merges.toSeq)
   }
 
+  test("bpeMergesBatched: m=1 coincides with sequential BPE exactly") {
+    import spark.implicits._
+    val toy = Seq((0L, "aaab")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // one selection per round with the same (count DESC, lhs, rhs)
+    // argmax = the sequential chain, including the tie rounds
+    assert(rows(TextStats.bpeMergesBatched(toy, rounds = 3, m = 1)) ==
+           rows(TextStats.bpeMerges(toy, k = 3)))
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows(TextStats.bpeMergesBatched(docs, rounds = 6, m = 1)) ==
+           rows(TextStats.bpeMerges(docs, k = 6)))
+  }
+
+  test("bpeMergesBatched: disjoint selection, ≥10× fewer driver jobs at k=64") {
+    val docs = Tables.documents(spark, sfDir)
+    val (df, jobs, roundSizes) = TextStats.bpeMergesBatchedWithJobs(docs, rounds = 4, m = 16)
+    val merges = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(roundSizes.sum == merges.length && roundSizes.forall(_ <= 16))
+    // within a round, selected pairs share no symbol (the disjointness
+    // that makes simultaneous application order-free) — per-pair symbol
+    // SETS: a self-pair like (g,g) uses one symbol, not a reuse
+    var off = 0
+    for (sz <- roundSizes) {
+      val round = merges.slice(off, off + sz); off += sz
+      val syms = round.flatMap(t => Set(t._2, t._3).toSeq)
+      assert(syms.length == syms.distinct.length,
+        s"round reused a symbol: ${round.toSeq}")
+    }
+    assert(merges.nonEmpty)
+    // the headline: a 64-merge budget costs 4 pair-count collects, not
+    // 64 — one per ROUND (sequential BPE = one per MERGE)
+    assert(jobs == 4, s"expected 4 driver round-trips, got $jobs")
+    assert(merges.length > jobs, "each round should buy multiple merges")
+    // determinism under repartition (the t22 guarantee carries over)
+    val reparted = TextStats.bpeMergesBatched(docs.repartition(13), rounds = 4, m = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(reparted.toSeq == merges.toSeq)
+  }
+
   test("bpeEncode: toy exactness, zero-merge identity, determinism") {
     import spark.implicits._
     // tokens: "aaab" (x2), "cd" (x1). merge0 = (a,a,4); round 1 ties
@@ -456,6 +497,16 @@ class TextStatsSpec extends SparkSpec {
     // budget 0 keeps nothing; huge budget keeps everything
     assert(TextStats.tokenBudgetMix(corpus, Map.empty, defaultBudget = 0L).count() == 0L)
     assert(TextStats.tokenBudgetMix(corpus, Map.empty).count() == corpus.count())
+    // NULL text is excluded by contract (not by null-propagation): a
+    // null-text doc neither appears nor consumes budget
+    import spark.implicits._
+    val withNull = corpus.select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(Seq((-1L, "en", null: String)).toDF("doc_id", "lang", "text"))
+    val r3 = TextStats.tokenBudgetMix(withNull, budgets, defaultBudget = 300L).collect()
+    assert(!r3.exists(_.getLong(0) == -1L))
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(key(r3) == key(rows))
   }
 
   test("unigramEncode: ML segmentation, char fallback, determinism") {
