@@ -241,6 +241,13 @@ object Graft {
   /** Per-source exact-duplication profile ([[ops.Dedup.dupProfile]]). */
   def dupProfile(docs: DataFrame): DataFrame = ops.Dedup.dupProfile(docs)
 
+  /** Per-source curation report (c18): doc/token counts, dup rate,
+    * quality quartiles, corpus share and a max-share cap
+    * recommendation in one pass ([[ops.TextStats.curationReport]]) —
+    * the crawl-ops dashboard run before dedup or mixing. */
+  def curationReport(docs: DataFrame, maxShareBp: Long = 2500L): DataFrame =
+    ops.TextStats.curationReport(docs, maxShareBp)
+
   /** LSH banding planner — per-config candidate workload and S-curve
     * crossover from one signature table ([[ops.Dedup.lshPlan]]). */
   def lshPlan(docs: DataFrame, k: Int = 128): DataFrame =

@@ -970,6 +970,12 @@ object SparkEntry {
     // rank — the anti-domination pass before corpus mixing
     "c16_group_cap" -> ((s, d) =>
       TextStats.groupCap(Tables.documents(s, d), k = 40)),
+    // per-source crawl-ops report: t18 dup accounting + t1 quality
+    // quartiles + the c16 cap policy composed into ONE pass — doc/token
+    // counts, dup rate, quality quartiles, corpus share, max-share cap
+    // recommendation and what it would drop
+    "c18_curation_report" -> ((s, d) =>
+      TextStats.curationReport(Tables.documents(s, d))),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -4253,6 +4259,29 @@ object SparkEntry {
          |  CAST(ntile(8) OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shard
          |FROM k ORDER BY doc_id""".stripMargin,
     // c16 — per-group cap: same splitmix key, per-lang rank < k
+    // c18 — one pass composing the t18 dup CTE shape, the t1 quality
+    // CTEs and the c16 max-share cap rule; quartiles are quantile_cont
+    // (the p2 precedent), cap arithmetic stays integer
+    "c18_curation_report" ->
+      s"""WITH ${qualityCteBody()},
+         |j AS (SELECT d.source, d.text, qs.n_tokens, qs.quality_score
+         |      FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+         |      WHERE d.text IS NOT NULL),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    count(DISTINCT text) AS n_distinct_texts,
+         |    ${Num.sqlRoundTo("quantile_cont(quality_score, 0.25)", 6)} AS q25_quality,
+         |    ${Num.sqlRoundTo("quantile_cont(quality_score, 0.5)", 6)} AS median_quality,
+         |    ${Num.sqlRoundTo("quantile_cont(quality_score, 0.75)", 6)} AS q75_quality
+         |  FROM j GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+         |SELECT source, n_docs, n_tokens, n_distinct_texts,
+         |  ${Num.sqlRoundTo("CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS dup_rate,
+         |  q25_quality, median_quality, q75_quality,
+         |  ${Num.sqlRoundTo("CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)", 6)} AS share,
+         |  least(n_docs, (total_docs * 2500) // 10000) AS cap_recommended,
+         |  greatest(0, n_docs - least(n_docs, (total_docs * 2500) // 10000)) AS n_over_cap
+         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     "c16_group_cap" ->
       s"""WITH k AS (SELECT doc_id, lang, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
          |r AS (SELECT doc_id, lang,

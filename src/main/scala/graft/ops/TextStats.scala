@@ -532,6 +532,61 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Per-source CURATION REPORT (c18) — the crawl-ops dashboard a
+    * 100 TB ingest reads FIRST, before spending compute on pair
+    * generation or training mixes: it composes the t18 dup profile
+    * ([[Dedup.dupProfile]]'s distinct-text accounting), the t1 quality
+    * score ([[qualityScore]]) and the c16 cap policy ([[groupCap]]'s
+    * keep rule) into one pass over the corpus. Per source: doc and
+    * token counts, the exact-duplicate rate, interpolated quality
+    * quartiles (the p2 percentile definition), corpus share, and a cap
+    * recommendation — the largest doc count keeping the source at or
+    * under `maxShareBp` basis points of the CURRENT corpus (the
+    * first-order, one-shot recommendation: capping shrinks the total,
+    * so the post-cap shares differ — iterating to the water-filling
+    * fixpoint is a policy choice this report deliberately leaves to the
+    * operator), plus `n_over_cap`, exactly what [[groupCap]] at that k
+    * would drop. NULL-text docs are excluded by contract (the
+    * [[tokenBudgetMix]] rule).
+    *
+    * Scale shape: ONE aggregation keyed by source with map-side
+    * partials — the distinct-text term keys on xxhash64(text), 8 bytes,
+    * never the body; the corpus total rides back as a broadcast one-row
+    * join. Quartiles use the exact interpolated percentile (source
+    * cardinality is crawl-catalog-sized, and per-source value sets fit
+    * the aggregate buffers at report granularity); at extreme scale
+    * swap in [[Profiling.approxQuantilesByGroup]]'s t-digest. Output is
+    * one row per source — dashboard-sized at any corpus size.
+    */
+  def curationReport(docs: DataFrame, maxShareBp: Long = 2500L,
+                     sourceCol: String = "source", textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(maxShareBp > 0L && maxShareBp <= 10000L,
+      "maxShareBp is basis points in (0, 10000]")
+    val scored = qualityScore(docs.filter(col(textCol).isNotNull), textCol)
+    val per = scored.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           countDistinct(xxhash64(col(textCol))).as("n_distinct_texts"),
+           Num.roundTo(percentile(col("quality_score"), lit(0.25)), 6).as("q25_quality"),
+           Num.roundTo(percentile(col("quality_score"), lit(0.5)), 6).as("median_quality"),
+           Num.roundTo(percentile(col("quality_score"), lit(0.75)), 6).as("q75_quality"))
+    val tot = broadcast(per.agg(sum(col("n_docs")).as("total_docs")))
+    per.crossJoin(tot)
+      .withColumn("dup_rate", Num.roundTo(
+        (col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double"), 6))
+      .withColumn("share", Num.roundTo(
+        col("n_docs").cast("double") / col("total_docs").cast("double"), 6))
+      .withColumn("cap_recommended",
+        least(col("n_docs"), expr(s"(total_docs * $maxShareBp) div 10000")))
+      .withColumn("n_over_cap", greatest(lit(0L), col("n_docs") - col("cap_recommended")))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("n_distinct_texts"),
+        col("dup_rate"), col("q25_quality"), col("median_quality"), col("q75_quality"),
+        col("share"), col("cap_recommended"), col("n_over_cap"))
+      .orderBy(sourceCol)
+  }
+
   /** Conservative patterns shared (verbatim) by the Spark queries and the
     * DuckDB oracle — kept to syntax both Java regex and RE2 read
     * identically: char classes, +, explicit {m,n}, no backrefs, no

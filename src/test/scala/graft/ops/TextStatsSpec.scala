@@ -846,6 +846,49 @@ class TextStatsSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("curationReport: skewed fixture — dup accounting, cap math, share sums to 1, quartiles ordered") {
+    import spark.implicits._
+    // source A dominates (16 docs, half exact dups), B is clean (4), C
+    // tiny (2); one null-text row must neither count nor consume budget
+    val rows =
+      (0L until 16L).map(i => (i, s"alpha beta gamma doc ${i % 8}", "A")) ++
+      (16L until 20L).map(i => (i, s"unique text body number $i with words", "B")) ++
+      Seq((20L, "tiny one", "C"), (21L, "tiny two", "C"), (22L, null: String, "C"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val rep = TextStats.curationReport(docs, maxShareBp = 2500L).collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val byS = rep.map(r => r.getString(0) -> r).toMap
+    // A: 16 docs, 8 distinct texts -> dup_rate 0.5; total (non-null) = 22
+    assert(byS("A").getAs[Long]("n_docs") == 16L)
+    assert(byS("A").getAs[Long]("n_distinct_texts") == 8L)
+    assert(byS("A").getAs[Double]("dup_rate") == 0.5)
+    assert(byS("B").getAs[Double]("dup_rate") == 0.0)
+    // null-text row excluded: C has 2 docs, total 22
+    assert(byS("C").getAs[Long]("n_docs") == 2L)
+    // cap = floor(22 * 0.25) = 5: A is over by 11, B and C are under
+    assert(byS("A").getAs[Long]("cap_recommended") == 5L)
+    assert(byS("A").getAs[Long]("n_over_cap") == 11L)
+    assert(byS("B").getAs[Long]("cap_recommended") == 4L)
+    assert(byS("B").getAs[Long]("n_over_cap") == 0L)
+    assert(byS("C").getAs[Long]("n_over_cap") == 0L)
+    // shares sum to 1 (6dp rounding slack) and quartiles are ordered
+    val shareSum = rep.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
+    rep.foreach { r =>
+      assert(r.getAs[Double]("q25_quality") <= r.getAs[Double]("median_quality"))
+      assert(r.getAs[Double]("median_quality") <= r.getAs[Double]("q75_quality"))
+    }
+    // n_tokens matches a driver-side recount of the non-null texts
+    val expTok = rows.filter(r => r._2 != null && r._3 == "A")
+      .map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+    assert(byS("A").getAs[Long]("n_tokens") == expTok)
+    // cap keep-rule agreement: feeding the recommendation to groupCap
+    // keeps exactly cap_recommended docs of A
+    val capped = TextStats.groupCap(
+      docs.filter(col("text").isNotNull), k = 5, groupCol = "source")
+    assert(capped.filter(col("source") === "A").count() == 5L)
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
