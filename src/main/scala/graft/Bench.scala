@@ -16,7 +16,12 @@ object Bench {
     // any per-query timer. (See BENCH_NOTES.md, round 6.)
     spark.range(1000000L).selectExpr("sum(id) AS s").collect()
     graft.ops.Tables.documents(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated subset for targeted scaling probes
+    // (sf0.1-vs-sf1 per-query ratios); unset = the full driver protocol.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1380,6 +1380,17 @@ object SparkEntry {
       Multimodal.nearDupImages(Multimodal.audioHashes(media), maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
+    // m6 on the REALISTIC pair-density fixture (round-13 #8): white-
+    // noise PCM with a planted 1/25 re-recording rate — the original
+    // WAV fixture is 99% mutual near-dups, so its pair LIST grows ~n²
+    // and masks the operator's real (linear hash + blocked join)
+    // scaling; here output ≈ planted pairs and the sf1 row lands in
+    // the honest 1–3× band
+    "m8_audio_neardup_low" -> ((s, d) => {
+      val media = Multimodal.audioTableLowDup(s, d)
+      Multimodal.nearDupImages(Multimodal.audioHashes(media), maxDist = 4)
+        .orderBy("id_a", "id_b")
+    }),
     "m3_features" -> ((s, d) => {
       val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 =!= 1)
       Multimodal.extractFeatures(media, dim = 12).toDF()
@@ -4993,6 +5004,18 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
          |FROM ah a JOIN ah b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // m8 — the low-duplication audio fixture: splitmix white-noise PCM
+    // keyed by (content base, position), re-recorded tracks at the
+    // exact integer level drop v - v//16; the mix finalizer evaluates
+    // once per sample over a staged column (the v3 expression-blowup
+    // rule), then the same energy-window bit rule and Hamming join
+    "m8_audio_neardup_low" ->
+      s"""$audioLowDupHashCte
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
          |ORDER BY id_a, id_b""".stripMargin
   )
 
@@ -5021,6 +5044,38 @@ object SparkEntry {
       |ah AS (SELECT id AS media_id,
       |         CAST(u - CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS ahash
       |       FROM hv)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.audioHash64]]
+    * over the LOW-DUPLICATION WAV fixture
+    * ([[graft.ops.Multimodal.ImageCodec.synthAudioLowDup]]): content
+    * base = id − 6 for every 25th track else id, samples
+    * mix(base·131 + i) folded to [0, 2^15), re-recorded tracks at
+    * v − v//16 (non-negative, so // is the same floor as Scala int
+    * division), 64 energy windows of exactly n/64 samples, the same
+    * cross-multiply bit rule. */
+  private def audioLowDupHashCte: String = {
+    val vRaw = s"((${SqlHash.mix("base * 131 + i")}) % 32768 + 32768) % 32768"
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+       |bs AS (SELECT id,
+       |         CASE WHEN id >= 8 AND ((id - 2) // 3) % 25 = 24 THEN id - 6 ELSE id END AS base,
+       |         64 * (1 + id % 2) AS n FROM ids),
+       |si AS (SELECT id, base, n, i
+       |       FROM bs, LATERAL (SELECT unnest(range(0, n)) AS i) ii),
+       |mv AS (SELECT id, n, i, (base <> id) AS lvl, $vRaw AS v0 FROM si),
+       |sv AS (SELECT id, n, i,
+       |         CASE WHEN lvl THEN v0 - v0 // 16 ELSE v0 END AS v FROM mv),
+       |sm AS (SELECT id, (i * 64) // n AS w, sum(v * v) AS ws, count(*) AS wn
+       |       FROM sv GROUP BY 1, 2),
+       |tot AS (SELECT id, sum(ws) AS ts, sum(wn) AS tn FROM sm GROUP BY id),
+       |bits AS (SELECT s.id, s.w AS idx,
+       |           CASE WHEN s.ws * t.tn > t.ts * s.wn THEN 1 ELSE 0 END AS bit
+       |         FROM sm s JOIN tot t USING (id)),
+       |hv AS (SELECT id, sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << idx)) AS u
+       |       FROM bits GROUP BY id),
+       |ah AS (SELECT id AS media_id,
+       |         CAST(u - CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS ahash
+       |       FROM hv)""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.aHash64]] over
     * the PNG fixture rows — shared by the m4 and m5 oracles. */

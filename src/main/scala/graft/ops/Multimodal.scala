@@ -98,6 +98,56 @@ object Multimodal {
       bb.array()
     }
 
+    /** WAV encode from explicit samples (same canonical 44-byte header
+      * as [[encodeWav]]) — the low-duplication fixture's payload path. */
+    def encodeWavSamples(sampleRate: Int, channels: Int,
+                         samples: Array[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+
+    /** Content-source id for the LOW-DUPLICATION audio fixture: every
+      * 25th WAV track re-records its same-parity predecessor (id − 6 —
+      * same channel count, so the PCM layouts line up) at a slightly
+      * lower level; all other tracks are independent white noise. The
+      * original fixture's affine sample rule made nearly every track a
+      * near-dup of every other (pair list ~n² — a data artifact that
+      * masked m6's real scaling); here pair density is the planted 1/25,
+      * the regime real audio dedup runs in.
+      */
+    def lowDupBase(id: Long): Long = {
+      val t = (id - 2) / 3
+      if (id >= 8 && math.floorMod(t, 25L) == 24L) id - 6 else id
+    }
+
+    /** Low-duplication WAV payload: samples are splitmix white noise
+      * keyed by ([[lowDupBase]], position) — decorrelated across tracks,
+      * SQL-replayable by the same mix finalizer every LSH oracle uses —
+      * and re-recorded tracks apply the exact integer level drop
+      * v − v/16 (scales every energy window by the same factor, so the
+      * [[audioHash64]] bits survive: a planted pair sits within the
+      * Hamming radius while independent tracks land ~32 bits apart).
+      */
+    def synthAudioLowDup(id: Long): Array[Byte] = {
+      val base = lowDupBase(id)
+      val ch = wavChannels(id)
+      val samples = Array.tabulate(64 * ch) { i =>
+        val v = math.floorMod(
+          graft.functions.Splitmix.mix(base * 131L + i), 32768L).toInt
+        if (base != id) v - v / 16 else v
+      }
+      encodeWavSamples(wavRate(id), ch, samples)
+    }
+
     /** Header-only image identification: format + dimensions, no pixel
       * decode. Empty for anything ImageIO has no reader for. */
     def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
@@ -367,6 +417,21 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, ImageCodec.synthPayload(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Low-duplication audio fixture (WAV rows only): real encoded WAVs
+    * whose PCM follows [[ImageCodec.synthAudioLowDup]]'s white-noise +
+    * planted-1/25-re-recording rule — the realistic pair-density twin
+    * of the m6 fixture (whose affine samples made ~every track pair a
+    * near-dup and the pair LIST ~n²). Map-only generation, one tiny
+    * encode per row.
+    */
+  def audioTableLowDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 2)
+      .mapPartitions(_.map(id => (id, ImageCodec.synthAudioLowDup(id))))
       .toDF("media_id", "payload")
   }
 

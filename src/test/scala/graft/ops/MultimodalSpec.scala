@@ -236,6 +236,35 @@ class MultimodalSpec extends SparkSpec {
     } finally fh.unpersist()
   }
 
+  test("low-dup audio fixture: detected pairs are exactly the planted re-recordings, density ~1/25") {
+    val media = Multimodal.audioTableLowDup(spark, sfDir)
+    val nTracks = media.count()
+    val pairs = Multimodal.nearDupImages(Multimodal.audioHashes(media), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every detected pair is a planted (base, re-recording) pair: the
+    // white-noise tracks sit ~32 bits apart, so random collisions at
+    // Hamming<=4 have probability ~1e-14 per pair
+    pairs.foreach { case (a, b) =>
+      assert(b == a + 6 && Multimodal.ImageCodec.lowDupBase(b) == a,
+        s"non-planted pair detected: ($a, $b)")
+    }
+    // the planted 1/25 rate is substantially detected (the level drop
+    // shifts energy bits only at near-ties) and pair count is O(n),
+    // nothing like the old fixture's ~n²/2
+    val planted = media.select("media_id").collect().map(_.getLong(0))
+      .count(id => Multimodal.ImageCodec.lowDupBase(id) != id)
+    assert(planted > 0, "fixture too small to plant any dup")
+    assert(pairs.length >= (planted * 8) / 10,
+      s"only ${pairs.length} of $planted planted pairs detected")
+    assert(pairs.length <= planted, s"${pairs.length} pairs exceed the $planted planted")
+    assert(pairs.length.toLong < nTracks, s"pair list must stay O(n): ${pairs.length}")
+    // determinism under repartition
+    val re = Multimodal.nearDupImages(
+        Multimodal.audioHashes(media.repartition(13)), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.sorted.toSeq == pairs.sorted.toSeq)
+  }
+
   test("image dup resolution: pair endpoints share a component, roots are minima, singletons keep themselves") {
     val media = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
     val hashes = Multimodal.imageHashes(media)
