@@ -616,13 +616,19 @@ object SparkEntry {
           graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
       s.table(mem).orderBy("window_start_us", "event_type")
     }),
+    // per-user session state rides the ROCKSDB store (round-13 #4): the
+    // per-user-state family's key space tracks the user population, so
+    // the default heap-backed store is the 100 TB/day scale-killer;
+    // rows are provider-independent — the gate proves it
     "st2_stream_sessions" -> ((s, d) => {
       val stage = stagedEvents(s, d)
       val schema = s.read.parquet(stage).schema
       val mem = s"st2_mem_${Integer.toHexString(d.hashCode)}"
-      graft.streaming.Streams.runToMemory(
-        graft.streaming.Streams.userSessions(
-          graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      graft.streaming.Streams.withRocksDbState(s) {
+        graft.streaming.Streams.runToMemory(
+          graft.streaming.Streams.userSessions(
+            graft.streaming.Streams.parquetDirStream(s, stage, schema)), mem)
+      }
       s.table(mem).orderBy("user_id", "session_start_us")
     }),
     // streaming exact dedup shares x1's oracle: the aggregate's survivor
@@ -753,9 +759,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
                 unix_micros(col("ts")).as("us"), col("event_type"))
         .as[graft.streaming.Streams.FunnelEvent]
-      graft.streaming.Streams.runToMemory(
-        graft.streaming.Streams.streamFunnelStage(ev, stages).toDF(), mem,
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      // per-user funnel state → RocksDB (round-13 #4, the 6.3×-at-sf1 row)
+      graft.streaming.Streams.withRocksDbState(s) {
+        graft.streaming.Streams.runToMemory(
+          graft.streaming.Streams.streamFunnelStage(ev, stages).toDF(), mem,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
       val per = s.table(mem).groupBy("user_id").agg(max(col("max_stage")).as("ms"))
       stages.zipWithIndex.map { case (st, i) =>
         per.filter(col("ms") >= i + 1)
@@ -789,9 +798,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
                 unix_micros(col("ts")).as("us"), col("event_type"))
         .as[graft.streaming.Streams.FunnelEvent]
-      graft.streaming.Streams.runToMemory(
-        graft.streaming.Streams.streamScd2(ev).toDF(), mem,
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      // per-user interval-compression state → RocksDB (round-13 #4)
+      graft.streaming.Streams.withRocksDbState(s) {
+        graft.streaming.Streams.runToMemory(
+          graft.streaming.Streams.streamScd2(ev).toDF(), mem,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
       s.table(mem).orderBy("user_id", "valid_from_us", "state")
     }),
     // streaming attribution: per-conversion credit rows emitted at
@@ -865,8 +877,11 @@ object SparkEntry {
       val mem = s"st4_mem_${Integer.toHexString(d.hashCode)}"
       val qStream = graft.streaming.Streams.parquetDirStream(s, stage, schema)
         .filter(col("vec_id") % 20 === 0)
-      graft.streaming.Streams.runToMemory(
-        graft.streaming.Streams.streamTopK(qStream, Tables.embeddings(s, d)), mem)
+      // running top-k state per query → RocksDB (round-13 #4)
+      graft.streaming.Streams.withRocksDbState(s) {
+        graft.streaming.Streams.runToMemory(
+          graft.streaming.Streams.streamTopK(qStream, Tables.embeddings(s, d)), mem)
+      }
       s.table(mem).orderBy("query_id", "rank")
     }),
 

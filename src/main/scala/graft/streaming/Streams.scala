@@ -554,6 +554,35 @@ object Streams {
       }
   }
 
+  /** Run `body` with the RocksDB state-store provider (restoring the
+    * prior provider after). The default HDFS-backed store keeps every
+    * version of every key ON HEAP — for the per-user-state family
+    * (sessions, funnels, SCD2, running top-k) whose key space tracks
+    * the user population, that heap footprint is the scale-killer at
+    * 100 TB/day; RocksDB spills state to local SSD with a bounded block
+    * cache, the standard production choice. Correctness is
+    * provider-independent (same keys, same values, same watermark
+    * semantics) — the oracle rows are identical, which is exactly what
+    * the gate re-checks. Session-conf scoped: the provider is read at
+    * STREAM START, so wrapping the start call is sufficient, and
+    * restoring it leaves concurrently-defined batch queries untouched
+    * (Verify runs queries sequentially).
+    */
+  def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    // dev A/B knob: SPARK_GRAFT_HEAP_STATE=1 keeps the default heap
+    // store so provider cost can be measured same-code, same-box
+    if (sys.env.get("SPARK_GRAFT_HEAP_STATE").contains("1")) return body
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Drive any streaming frame to a named in-memory table until all
     * currently-available input is processed (test/dev harness; production
     * sinks go through [[runToParquet]] with checkpointing).

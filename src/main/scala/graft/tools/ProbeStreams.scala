@@ -15,7 +15,9 @@ object ProbeStreams {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id) AS s").collect()
     graft.ops.Tables.events(spark, sfDir).count()
-    val st = SparkEntry.queries.keys.filter(_.startsWith("st")).toSeq.sorted
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val st = SparkEntry.queries.keys.filter(_.startsWith("st"))
+      .filter(n => only.forall(_(n))).toSeq.sorted
     st.foreach { name =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

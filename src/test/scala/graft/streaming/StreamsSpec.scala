@@ -615,4 +615,29 @@ class StreamsSpec extends SparkSpec {
     // resampling must actually thin the corpus, or the twin check is vacuous
     assert(streamed.length < all.count(), "importance resample dropped nothing - vacuous")
   }
+
+  test("withRocksDbState: sets the RocksDB provider inside, restores the prior conf after, result identical") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val d = tmpDir("rocks_state").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    var insideProvider: Option[String] = None
+    Streams.withRocksDbState(spark) {
+      insideProvider = spark.conf.getOption(key)
+      Streams.runToMemory(
+        Streams.userSessions(Streams.parquetDirStream(spark, d, schema)),
+        "rocks_sessions")
+    }
+    assert(insideProvider.exists(_.contains("RocksDBStateStoreProvider")),
+      s"provider inside the block: $insideProvider")
+    assert(spark.conf.getOption(key) == before, "provider conf not restored")
+    // the session actually ran through the RocksDB store and produced
+    // the same row a heap-store run yields
+    val got = spark.table("rocks_sessions").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("user_id") == 7L)
+  }
 }
