@@ -248,6 +248,13 @@ object Graft {
   def curationReport(docs: DataFrame, maxShareBp: Long = 2500L): DataFrame =
     ops.TextStats.curationReport(docs, maxShareBp)
 
+  /** Training-epoch allocation plan (c19): fill a token budget with
+    * the best sources first, each repeating up to maxEpochs
+    * ([[ops.TextStats.epochPlan]]) — the data-constrained budgeting
+    * step after [[curationReport]]. */
+  def epochPlan(docs: DataFrame, budget: Long, maxEpochs: Long = 4L): DataFrame =
+    ops.TextStats.epochPlan(docs, budget, maxEpochs)
+
   /** LSH banding planner — per-config candidate workload and S-curve
     * crossover from one signature table ([[ops.Dedup.lshPlan]]). */
   def lshPlan(docs: DataFrame, k: Int = 128): DataFrame =

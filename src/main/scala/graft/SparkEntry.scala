@@ -991,6 +991,12 @@ object SparkEntry {
     // recommendation and what it would drop
     "c18_curation_report" -> ((s, d) =>
       TextStats.curationReport(Tables.documents(s, d))),
+    // training-epoch allocation: fill a token budget with the best
+    // sources first (median-quality rank), each repeating up to 4
+    // epochs; the marginal source splits into full epochs + remainder —
+    // the t26 take-until-full rule lifted to sources
+    "c19_epoch_plan" -> ((s, d) =>
+      TextStats.epochPlan(Tables.documents(s, d), budget = 400000L)),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -4308,6 +4314,29 @@ object SparkEntry {
          |  least(n_docs, (total_docs * 2500) // 10000) AS cap_recommended,
          |  greatest(0, n_docs - least(n_docs, (total_docs * 2500) // 10000)) AS n_over_cap
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // c19 — quality-ranked budget fill over sources: per-source tokens
+    // + median quality from the t1 CTEs, a prefix sum of 4x-token
+    // capacity in rank order, then integer epoch/remainder math
+    "c19_epoch_plan" ->
+      s"""WITH ${qualityCteBody()},
+         |j AS (SELECT d.source, qs.n_tokens, qs.quality_score
+         |      FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+         |      WHERE d.text IS NOT NULL),
+         |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    ${Num.sqlRoundTo("quantile_cont(quality_score, 0.5)", 6)} AS median_quality
+         |  FROM j GROUP BY source HAVING sum(n_tokens) > 0),
+         |r AS (SELECT source, n_tokens, median_quality,
+         |    CAST(row_number() OVER (ORDER BY median_quality DESC, source) AS BIGINT) AS quality_rank,
+         |    CAST(coalesce(sum(n_tokens * 4) OVER (ORDER BY median_quality DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM per),
+         |a AS (SELECT source, quality_rank, median_quality, n_tokens,
+         |    CAST(greatest(0, least(400000 - cum_before, n_tokens * 4)) AS BIGINT) AS alloc_tokens
+         |  FROM r)
+         |SELECT source, quality_rank, median_quality, n_tokens, alloc_tokens,
+         |  alloc_tokens // n_tokens AS epochs_full,
+         |  alloc_tokens % n_tokens AS rem_tokens
+         |FROM a ORDER BY quality_rank""".stripMargin,
     "c16_group_cap" ->
       s"""WITH k AS (SELECT doc_id, lang, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
          |r AS (SELECT doc_id, lang,

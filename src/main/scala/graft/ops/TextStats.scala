@@ -595,6 +595,55 @@ object TextStats {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   val phonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
+  /** TRAINING-EPOCH allocation plan (c19) — the data-constrained
+    * budgeting step after [[curationReport]]: given a total token
+    * budget and a repetition ceiling (the diminishing-returns cap on
+    * re-reading data, after Muennighoff et al. 2023, arXiv:2305.16264),
+    * fill the budget with the BEST sources first — sources rank by
+    * median quality (desc, source name tie-break), each contributes up
+    * to maxEpochs·tokens, and the marginal source splits into full
+    * epochs plus a remainder (integer division — every cell is exact).
+    * The same take-until-full prefix-sum rule as [[tokenBudgetMix]],
+    * lifted from documents to sources with an epochs multiplier.
+    *
+    * Output per source (quality order): n_tokens, median_quality,
+    * quality_rank, alloc_tokens (budget actually granted),
+    * epochs_full = alloc div tokens, rem_tokens = alloc mod tokens.
+    * Σ alloc_tokens = min(budget, maxEpochs·Σ tokens) by construction.
+    *
+    * Scale: per-source tokens + quality are one source-keyed aggregate
+    * (map-side partials); the ranking window runs over SOURCE rows —
+    * crawl-catalog-sized, thousands at most, the documented exception
+    * to the distributed-rank discipline (same class as the
+    * O(partitions) offset tables).
+    */
+  def epochPlan(docs: DataFrame, budget: Long, maxEpochs: Long = 4L,
+                sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budget >= 0L && maxEpochs >= 1L, "need budget >= 0 and maxEpochs >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScore(docs.filter(col(textCol).isNotNull), textCol)
+    val per = scored
+      .groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+           Num.roundTo(percentile(col("quality_score"), lit(0.5)), 6).as("median_quality"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.orderBy(col("median_quality").desc, col(sourceCol))
+    val ranked = per
+      .withColumn("quality_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens") * maxEpochs).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(lit(budget) - col("cum_before"),
+          col("n_tokens") * maxEpochs)))
+      .withColumn("epochs_full", expr("alloc_tokens div n_tokens"))
+      .withColumn("rem_tokens", col("alloc_tokens") % col("n_tokens"))
+      .select(col(sourceCol), col("quality_rank"), col("median_quality"),
+        col("n_tokens"), col("alloc_tokens"), col("epochs_full"), col("rem_tokens"))
+      .orderBy("quality_rank")
+  }
+
   /** PII scrub — the redaction pass a pipeline runs before training:
     * emails and phone-shaped numbers replaced with placeholder tokens,
     * with per-doc match counts for audit. Map-only (regexp_replace +

@@ -889,6 +889,34 @@ class TextStatsSpec extends SparkSpec {
     assert(capped.filter(col("source") === "A").count() == 5L)
   }
 
+  test("epochPlan: quality-ranked budget fill — clamp math, epoch/remainder identity, boundary budgets") {
+    val docs = Tables.documents(spark, sfDir)
+    val totalTokens = TextStats.qualityScore(docs)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val budget = totalTokens * 2 // mid-plan: some sources full, one marginal
+    val plan = TextStats.epochPlan(docs, budget).collect()
+    assert(plan.nonEmpty)
+    // rank order follows (median_quality desc, source)
+    val quals = plan.map(r => (r.getDouble(2), r.getString(0)))
+    assert(quals.sliding(2).forall { case Array((qa, sa), (qb, sb)) =>
+      qa > qb || (qa == qb && sa < sb) }, "rank order broken")
+    // per-row clamp identity recomputed from the output itself
+    var cum = 0L
+    plan.foreach { r =>
+      val (t, alloc, ef, rem) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val expect = math.max(0L, math.min(budget - cum, t * 4))
+      assert(alloc == expect, s"${r.getString(0)}: alloc $alloc != $expect")
+      assert(alloc == ef * t + rem && rem >= 0 && rem < t && ef <= 4)
+      cum += t * 4
+    }
+    // total granted = min(budget, 4 * total)
+    assert(plan.map(_.getLong(4)).sum == math.min(budget, totalTokens * 4))
+    // boundary budgets: zero grants nothing; huge grants 4 epochs everywhere
+    assert(TextStats.epochPlan(docs, 0L).collect().forall(_.getLong(4) == 0L))
+    val full = TextStats.epochPlan(docs, Long.MaxValue / 8).collect()
+    assert(full.forall(r => r.getLong(5) == 4L && r.getLong(6) == 0L))
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
