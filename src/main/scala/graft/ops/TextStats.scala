@@ -564,13 +564,17 @@ object TextStats {
     require(maxShareBp > 0L && maxShareBp <= 10000L,
       "maxShareBp is basis points in (0, 10000]")
     val scored = qualityScore(docs.filter(col(textCol).isNotNull), textCol)
-    val per = scored.groupBy(col(sourceCol))
+    // materialize the catalog-sized per-source table ONCE: the corpus
+    // total derives from it, and without the checkpoint Spark would
+    // re-run the full corpus scan + aggregation for the broadcast side
+    // (a 2× read at 100 TB for a kilobyte of output)
+    val per = Iterate.materialize(scored.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tokens")).as("n_tokens"),
            countDistinct(xxhash64(col(textCol))).as("n_distinct_texts"),
            Num.roundTo(percentile(col("quality_score"), lit(0.25)), 6).as("q25_quality"),
            Num.roundTo(percentile(col("quality_score"), lit(0.5)), 6).as("median_quality"),
-           Num.roundTo(percentile(col("quality_score"), lit(0.75)), 6).as("q75_quality"))
+           Num.roundTo(percentile(col("quality_score"), lit(0.75)), 6).as("q75_quality")))
     val tot = broadcast(per.agg(sum(col("n_docs")).as("total_docs")))
     per.crossJoin(tot)
       .withColumn("dup_rate", Num.roundTo(
