@@ -114,4 +114,31 @@ class PartsuppSpec extends SparkSpec {
     assert(ps.select("ps_partkey", "ps_suppkey").distinct().count() == 8000L)
     assert(ps.groupBy("ps_partkey").count().filter(col("count") =!= 4).count() == 0)
   }
+
+  test("quartet plans: dims broadcast, anti/semi shapes, no cartesian products") {
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // q2: nation/region/part-slice broadcast; the min-cost match is an
+    // equi-join, never a nested loop over partsupp
+    val p2 = plan(Analytics.q2MinCostSupplier(t("partsupp"), t("part"),
+      t("supplier"), t("nation"), t("region"), sizeMax = 15))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+    // q11: one partsupp shuffle; the grand total rides a one-row
+    // broadcast (nested-loop over ONE row, not a data-sized cartesian)
+    val p11 = plan(Analytics.q11ImportantStock(t("partsupp"), t("supplier"),
+      t("nation"), nationName = "NATION_7"))
+    assert(p11.contains("BroadcastHashJoin") && p11.contains("BroadcastNestedLoopJoin"), p11)
+    assert(!p11.contains("CartesianProduct"), p11)
+    // q16: the NOT IN is a broadcast LEFT ANTI
+    val p16 = plan(Analytics.q16SupplierCount(t("partsupp"), t("part"), t("supplier")))
+    assert(p16.contains("LeftAnti") && p16.contains("BroadcastHashJoin"), p16)
+    // q20: the nested IN ends as a LEFT SEMI into supplier, and the
+    // year-quantity aggregate sits BELOW the partsupp join (partial
+    // aggregation before the shuffle join, the z2 lever)
+    val p20 = plan(Analytics.q20PromotionSuppliers(t("partsupp"), t("part"),
+      t("supplier"), t("nation"), t("lineitem")))
+    assert(p20.contains("LeftSemi"), p20)
+    assert(!p20.contains("CartesianProduct"), p20)
+  }
 }
