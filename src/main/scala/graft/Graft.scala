@@ -255,6 +255,20 @@ object Graft {
   def epochPlan(docs: DataFrame, budget: Long, maxEpochs: Long = 4L): DataFrame =
     ops.TextStats.epochPlan(docs, budget, maxEpochs)
 
+  /** GPT-style context-window packing plan (c20): docs concatenate in
+    * seeded permutation order and split at contextLen boundaries; per
+    * doc the pack rank, start offset and window span
+    * ([[ops.TextStats.contextPack]]). */
+  def contextPack(docs: DataFrame, contextLen: Long, seed: Long = 42L): DataFrame =
+    ops.TextStats.contextPack(docs, contextLen, seed)
+
+  /** Hard-negative mining for contrastive training (v24): per anchor
+    * the k most-similar vectors inside the [lo, hi) cosine band
+    * ([[ops.Similarity.hardNegatives]]). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 8,
+                    lo: Double = 0.05, hi: Double = 0.42): DataFrame =
+    ops.Similarity.hardNegatives(corpus, queries, k, lo, hi)
+
   /** LSH banding planner — per-config candidate workload and S-curve
     * crossover from one signature table ([[ops.Dedup.lshPlan]]). */
   def lshPlan(docs: DataFrame, k: Int = 128): DataFrame =

@@ -997,6 +997,12 @@ object SparkEntry {
     // the t26 take-until-full rule lifted to sources
     "c19_epoch_plan" -> ((s, d) =>
       TextStats.epochPlan(Tables.documents(s, d), budget = 400000L)),
+    // GPT-style context packing: docs concatenate in seeded permutation
+    // order, split at 512-token boundaries; per doc the pack rank,
+    // start offset and window span (n_windows > 1 = boundary-split) —
+    // one global prefix sum via the distributed-rank discipline
+    "c20_context_pack" -> ((s, d) =>
+      TextStats.contextPack(Tables.documents(s, d), contextLen = 512L)),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -1334,6 +1340,15 @@ object SparkEntry {
     "v5_topk_agg" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopKAgg(emb, Similarity.querySet(emb, "vec_id", 20))
+        .orderBy("query_id", "rank")
+    }),
+    // hard-negative mining for contrastive training: per anchor the k
+    // most-similar vectors in the [lo, hi) cosine band — below the
+    // near-dup bar, above the trivially-easy floor; band filter BEFORE
+    // the bounded heap, so map-side partials stay <= k per query
+    "v24_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, Similarity.querySet(emb, "vec_id", 20))
         .orderBy("query_id", "rank")
     }),
     // dimension-truncation recall curve (Matryoshka storage knob): re-rank
@@ -4314,6 +4329,24 @@ object SparkEntry {
          |  least(n_docs, (total_docs * 2500) // 10000) AS cap_recommended,
          |  greatest(0, n_docs - least(n_docs, (total_docs * 2500) // 10000)) AS n_over_cap
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // c20 — pack offsets: one global prefix sum over token counts in
+    // (skey, id) order, then integer window division
+    "c20_context_pack" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |    ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT * FROM k WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pack_rank,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM f)
+         |SELECT doc_id, pack_rank, n_tokens, start_offset,
+         |  start_offset // 512 AS window_first,
+         |  (start_offset + n_tokens - 1) // 512 AS window_last,
+         |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_windows
+         |FROM c ORDER BY doc_id""".stripMargin,
     // c19 — quality-ranked budget fill over sources: per-source tokens
     // + median quality from the t1 CTEs, a prefix sum of 4x-token
     // capacity in rank order, then integer epoch/remainder math
@@ -4945,6 +4978,19 @@ object SparkEntry {
          |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // identical semantics, different physical plan (bounded-heap aggregate)
     "v5_topk_agg" -> bruteTopKSql,
+    // v24 — v5's pair scoring with the hard-negative cosine band
+    // applied before the per-query rank
+    "v24_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |        ${Num.sqlRoundTo("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))", 9)} AS sim
+         |      FROM q, c WHERE query_id <> neighbor_id),
+         |b AS (SELECT * FROM s WHERE sim >= 0.05 AND sim < 0.42),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM b)
+         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
     // identical semantics, streaming execution (stream-static join +
     // stateful bounded-heap aggregate)
     "st4_stream_topk" -> bruteTopKSql,

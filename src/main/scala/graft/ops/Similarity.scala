@@ -94,6 +94,34 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"), col("nb.score").as("sim"))
   }
 
+  /** HARD-NEGATIVE mining (v24) — the contrastive-training data op: per
+    * anchor/query, the k MOST similar corpus vectors whose cosine sits
+    * strictly below the near-duplicate bar `hi` and at or above the
+    * floor `lo` — similar enough to be hard (the negatives that carry
+    * gradient signal, cf. the in-batch-negatives literature), excluded
+    * from the band where they are really positives/duplicates, and with
+    * trivially-easy negatives floored out. The band filter applies
+    * BEFORE the bounded-heap aggregate, so the map-side partial phase
+    * still reduces every partition to ≤ k candidates per query — same
+    * shuffle volume as [[bruteForceTopKAgg]]. Swap the scored-pair
+    * source for an ANN variant (IVF/LSH candidates) at corpus scale;
+    * the band-then-heap shape is unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 8,
+                    lo: Double = 0.05, hi: Double = 0.42,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && lo < hi, "need k >= 1 and lo < hi")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+      .filter(col("sim") >= lo && col("sim") < hi)
+    rankTopK(scored, k)
+  }
+
   /** Rank scored (query_id, neighbor_id, sim) pairs to top-k per query via
     * the bounded-heap aggregate [[graft.functions.TopKByScore]]: the partial
     * (map-side) phase reduces every partition to ≤k candidates per query

@@ -964,6 +964,63 @@ object TextStats {
     * pure function of (N, nShards, rank) — re-sharding with a different
     * partition count reproduces the identical assignment (spec-pinned).
     */
+  /** CONTEXT-WINDOW packing plan (c20) — the GPT-style pretraining
+    * pack: documents concatenate in a seeded permutation order (the
+    * [[shuffleShard]] key: content-independent, seed-separable) into
+    * one token stream that splits at fixed `contextLen` boundaries.
+    * Emits, per document, its global pack rank, token start offset and
+    * the first/last window it lands in — `n_windows > 1` marks docs
+    * split across a context boundary (the fraction a curator watches
+    * when choosing contextLen vs document length distribution; window
+    * w's content = every doc with window_first <= w <= window_last).
+    * Zero-token and NULL-text docs are excluded by contract.
+    *
+    * Deterministic and engine-replayable: the offsets are one global
+    * prefix sum over integer token counts in (skey, id) order, and the
+    * window ids are integer divisions of those offsets.
+    *
+    * Scale shape: the [[tokenBudgetMix]]/[[shuffleShard]]
+    * distributed-rank discipline — range-exchange on (skey, id),
+    * per-partition token subtotals become a broadcast O(partitions)
+    * offsets table, each row's offset = partition offset + local
+    * prefix sum. No single-task data-sized window; one shuffle total.
+    */
+  def contextPack(df: DataFrame, contextLen: Long, seed: Long = 42L,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(contextLen >= 1L, "contextLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
+        call_function("splitmix64",
+          call_function("splitmix64", col(idCol).cast("long")).bitwiseXOR(lit(seed)))
+          .as("skey"))
+      .filter(col("n_tokens") > 0)
+    val sorted = keyed.repartitionByRange(col("skey"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid")
+      .agg(sum("n_tokens").as("ptok"), count(lit(1)).as("pn"))
+      .withColumn("toff", coalesce(
+        sum("ptok").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("roff", coalesce(
+        sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "toff", "roff")
+    val within = Window.partitionBy("pid").orderBy(col("skey"), col(idCol))
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("pack_rank", (col("roff") + row_number().over(within) - 1).cast("long"))
+      .withColumn("start_offset",
+        col("toff") + sum("n_tokens").over(within) - col("n_tokens"))
+      .withColumn("window_first", expr(s"start_offset div $contextLen"))
+      .withColumn("window_last", expr(s"(start_offset + n_tokens - 1) div $contextLen"))
+      .select(col(idCol), col("pack_rank"), col("n_tokens"), col("start_offset"),
+        col("window_first"), col("window_last"),
+        (col("window_last") - col("window_first") + 1L).as("n_windows"))
+      .orderBy(idCol)
+  }
+
   def shuffleShard(df: DataFrame, nShards: Int, seed: Long = 42L,
                    idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "nShards must be positive")

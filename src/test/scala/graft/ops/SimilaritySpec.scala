@@ -960,6 +960,33 @@ class SimilaritySpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(0) == 0L && one.head.isNullAt(2))
   }
 
+  test("hardNegatives: band respected, equals the filter-then-rank reference, heap == window formulation") {
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.querySet(emb, "vec_id", 20)
+    val (lo, hi, k) = (0.05, 0.42, 8)
+    val got = Similarity.hardNegatives(emb, queries, k, lo, hi).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, sim) =>
+      assert(sim >= lo && sim < hi, s"sim $sim escaped the band") }
+    // independent reference: full scored pairs (the v5 path), band
+    // filter, then window row_number — must match the heap row for row
+    import org.apache.spark.sql.expressions.Window
+    val ref = Similarity.bruteForceTopKAgg(emb, queries, k = emb.count().toInt)
+      .filter(col("sim") >= lo && col("sim") < hi)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(t => (t._1, t._3)).toSeq == ref.sortBy(t => (t._1, t._3)).toSeq)
+    // near-dups (sim >= hi) that the plain top-k WOULD return are
+    // absent, or the band does nothing on this fixture
+    val plain = Similarity.bruteForceTopKAgg(emb, queries, k).collect()
+      .map(_.getDouble(3))
+    assert(plain.exists(_ >= hi), "fixture has no near-dup sims - band check vacuous")
+  }
+
   test("kCenterCoreset: k past the distinct-vector count stops at radius 0, never repeats a center") {
     import spark.implicits._
     // 3 distinct vectors, ids 0..5 (ids 3..5 duplicate 0..2): k=6 must

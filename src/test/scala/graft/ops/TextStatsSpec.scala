@@ -917,6 +917,40 @@ class TextStatsSpec extends SparkSpec {
     assert(full.forall(r => r.getLong(5) == 4L && r.getLong(6) == 0L))
   }
 
+  test("contextPack: offsets are one contiguous stream in splitmix order; window math; repartition-invariant") {
+    import graft.functions.Splitmix
+    val docs = Tables.documents(spark, sfDir)
+    val L = 64L
+    val out = TextStats.contextPack(docs, contextLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // pack ranks are dense 0..n-1 and offsets are the running token sum
+    // in (skey, id) order — the stream is contiguous, no gaps/overlaps
+    val byRank = out.sortBy(_._2)
+    assert(byRank.map(_._2).toSeq == (0L until out.length.toLong).toSeq)
+    var off = 0L
+    byRank.foreach { case (_, _, nt, start, wf, wl, nw) =>
+      assert(start == off, s"gap at offset $off vs $start")
+      assert(wf == start / L && wl == (start + nt - 1) / L && nw == wl - wf + 1)
+      off += nt
+    }
+    // the order really is the seeded splitmix permutation
+    val refOrder = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (Splitmix.mix(Splitmix.mix(id) ^ 42L), id)).sorted.map(_._2)
+    assert(byRank.map(_._1).toSeq == refOrder.toSeq)
+    // boundary-split accounting: total windows = ceil(total/L) and every
+    // window id in [0, that) is covered by some doc span
+    val totalTok = byRank.map(_._3).sum
+    val nWindows = (totalTok + L - 1) / L
+    assert(byRank.map(_._6).max == nWindows - 1)
+    // determinism under repartition
+    val re = TextStats.contextPack(docs.repartition(13), contextLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
