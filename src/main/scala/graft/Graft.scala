@@ -494,6 +494,11 @@ object Graft {
   def partTriangles(spark: SparkSession, dir: String): DataFrame =
     ops.Graph.partTriangles(spark, dir)
 
+  /** Deterministic synchronous label-propagation communities over the
+    * part co-purchase graph ([[ops.Graph.partLabelProp]]). */
+  def partLabelProp(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame =
+    ops.Graph.partLabelProp(spark, dir, rounds)
+
   /** Probability-proportional-to-size document sampling
     * ([[ops.TextStats.weightedSample]]). */
   def weightedSample(docs: DataFrame): DataFrame =

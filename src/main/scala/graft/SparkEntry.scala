@@ -309,6 +309,9 @@ object SparkEntry {
     "n4_assoc_rules" -> (Analytics.assocRules(_, _)),
     // k-core peeling (fixed 10 rounds, monotone → exact past fixpoint)
     "n5_kcore" -> (Graph.partKCore(_, _)),
+    // synchronous majority-min label propagation (4 rounds — fixed by
+    // contract: sync LPA can 2-cycle, there is no monotone fixpoint)
+    "n6_label_prop" -> (Graph.partLabelProp(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -3503,6 +3506,30 @@ object SparkEntry {
          |$rounds
          |SELECT v AS node, count(*) AS core_degree FROM e10
          |GROUP BY v ORDER BY node""".stripMargin
+    },
+    // n6 — synchronous majority-min LPA, 4 unrolled MATERIALIZED rounds
+    // (the n5 discipline: each round reads the previous twice)
+    "n6_label_prop" -> {
+      val base =
+        """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+          |            WHERE l_partkey < 20000),
+          |und AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+          |        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+          |e0 AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+          |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM e0)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.v, l.lbl, count(*) AS c
+           |  FROM e0 e JOIN l${i - 1} l ON l.v = e.w GROUP BY e.v, l.lbl),
+           |l$i AS MATERIALIZED (SELECT v, lbl FROM (
+           |  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds,
+         |sz AS (SELECT lbl, count(*) AS n_members FROM l4 GROUP BY lbl)
+         |SELECT l.v AS l_partkey, l.lbl AS community, sz.n_members
+         |FROM l4 l JOIN sz ON sz.lbl = l.lbl
+         |ORDER BY l_partkey""".stripMargin
     },
     // degree-ordered triangle replay: same orientation, wedge join,
     // and EXISTS closure — all exact integers

@@ -288,4 +288,49 @@ object Graph {
     }
     if (converged < 0) rounds else converged
   }
+
+  /** Label-propagation COMMUNITIES (n6, after Raghavan et al. 2007,
+    * arXiv:0709.2938) over the part co-purchase graph — the
+    * community-detection member of the n-family beside components
+    * (which LPA refines: a community is a densely-linked region WITHIN
+    * a component). SYNCHRONOUS majority rule, made deterministic: labels
+    * start as node ids, and each round every node simultaneously adopts
+    * the label most frequent among its neighbors, ties broken to the
+    * SMALLEST label (the published async/random variant is
+    * arrival-order-dependent — useless for a replayable engine).
+    * Fixed `rounds` IS the operator contract ("labels after R
+    * synchronous rounds"): sync LPA can 2-cycle on bipartite-ish
+    * regions, so unlike k-core there is no monotone fixpoint to
+    * early-exit on, and a convergence loop might never terminate.
+    *
+    * Per round ONE shuffle — the (node, neighbor-label) count groupBy;
+    * the argmax is the same max(struct(count, −label)) partial-aggregate
+    * trick as kCenterCoreset (no window), and the label state broadcasts
+    * under the n-family node cap. Output: (l_partkey, community,
+    * n_members), community = the final label, sizes by one more
+    * aggregate on the catalog-sized label table.
+    */
+  def partLabelProp(spark: SparkSession, dir: String, rounds: Int = 4,
+                    maxPart: Long = 20000L): DataFrame = {
+    require(rounds >= 1)
+    val (und, _, _) = orientedCoPurchase(spark, dir, maxPart)
+    val edges = Iterate.materialize(
+      und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
+    var labels = Iterate.materialize(
+      edges.select(col("v")).distinct().select(col("v"), col("v").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(broadcast(labels.withColumnRenamed("v", "w")), Seq("w"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = Iterate.materialize(
+        votes.groupBy(col("v"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("v"), (-col("m.neg")).as("lbl")))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(broadcast(sizes), Seq("lbl"))
+      .select(col("v").as("l_partkey"), col("lbl").as("community"), col("n_members"))
+      .orderBy("l_partkey")
+  }
 }

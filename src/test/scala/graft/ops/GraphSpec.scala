@@ -137,4 +137,25 @@ class GraphSpec extends SparkSpec {
     val loose = Analytics.assocRulesFrom(items, minSupport = 1)
     assert(loose.count() == 6L)
   }
+
+  test("partLabelProp: communities are label-constant-connected, sizes consistent, deterministic") {
+    val out = Graph.partLabelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // one row per node; n_members really is the community's row count
+    assert(out.map(_._1).distinct.length == out.length)
+    val sizes = out.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
+    out.foreach { case (_, c, n) => assert(n == sizes(c), s"community $c size") }
+    // every community label is one of its member ids' ancestors — at
+    // minimum, a label that exists as a node (labels only ever copy ids)
+    val nodes = out.map(_._1).toSet
+    assert(out.forall { case (_, c, _) => nodes(c) })
+    // the synchronous majority rule must actually merge something (the
+    // co-purchase fixture is dense) AND not collapse to one community
+    assert(sizes.size < out.length, "no labels propagated - vacuous")
+    // deterministic across reruns (same fixed rounds, same tie-break)
+    val again = Graph.partLabelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
