@@ -522,6 +522,13 @@ object Graft {
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
     ops.TextStats.corpusPipeline(spark, dir)
 
+  /** End-to-end pretraining assembly (c21): per-language cap → quality
+    * gate → exact dedup → context packing, one lazy plan ending in the
+    * train-ready window table ([[ops.TextStats.pretrainPipeline]]). */
+  def pretrainPipeline(spark: SparkSession, dir: String, capK: Long = 40L,
+                       pct: Double = 0.5, contextLen: Long = 512L): DataFrame =
+    ops.TextStats.pretrainPipeline(spark, dir, capK, pct, contextLen)
+
   /** Deterministic shuffle-and-shard — seeded permutation + exact NTILE
     * cuts, the training-data handoff ([[ops.TextStats.shuffleShard]]);
     * [[shardManifest]] is the per-shard summary a trainer reads first. */

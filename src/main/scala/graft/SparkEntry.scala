@@ -1006,6 +1006,11 @@ object SparkEntry {
     // one global prefix sum via the distributed-rank discipline
     "c20_context_pack" -> ((s, d) =>
       TextStats.contextPack(Tables.documents(s, d), contextLen = 512L)),
+    // the end-to-end pretraining assembly: per-language cap → capped-
+    // corpus quality-median gate → exact dedup → context packing, one
+    // lazy plan; output = c20's pack table over the curated survivors
+    "c21_pretrain_pipeline" -> ((s, d) =>
+      TextStats.pretrainPipeline(s, d)),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -4374,6 +4379,37 @@ object SparkEntry {
          |  (start_offset + n_tokens - 1) // 512 AS window_last,
          |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_windows
          |FROM c ORDER BY doc_id""".stripMargin,
+    // c21 — the composed funnel: c16's cap rank, c6's capped-corpus
+    // median gate (strict above), x1's min-id dedup, then c20's
+    // prefix-sum pack over the survivors
+    "c21_pretrain_pipeline" ->
+      s"""WITH ${qualityCteBody()},
+         |ck AS (SELECT doc_id, lang, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),
+         |cr AS (SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |      row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) - 1 AS rk
+         |    FROM ck) WHERE rk < 40),
+         |th AS (SELECT c.lang, ${Num.sqlRoundTo("quantile_cont(qs.quality_score, 0.5)", 6)} AS thr
+         |       FROM cr c JOIN qs ON qs.doc_id = c.doc_id GROUP BY c.lang),
+         |g AS (SELECT c.doc_id, d.text, qs.n_tokens
+         |      FROM cr c JOIN qs ON qs.doc_id = c.doc_id
+         |      JOIN documents d ON d.doc_id = c.doc_id
+         |      JOIN th ON th.lang = c.lang
+         |      WHERE qs.quality_score > th.thr),
+         |dd AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
+         |sv AS (SELECT g.doc_id, g.n_tokens,
+         |         ${SqlHash.mix(s"xor(${SqlHash.mix("g.doc_id")}, 42)")} AS skey
+         |       FROM g JOIN dd ON dd.doc_id = g.doc_id WHERE g.n_tokens > 0),
+         |pk AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pack_rank,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM sv)
+         |SELECT doc_id, pack_rank, n_tokens, start_offset,
+         |  start_offset // 512 AS window_first,
+         |  (start_offset + n_tokens - 1) // 512 AS window_last,
+         |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_windows
+         |FROM pk ORDER BY doc_id""".stripMargin,
     // c19 — quality-ranked budget fill over sources: per-source tokens
     // + median quality from the t1 CTEs, a prefix sum of 4x-token
     // capacity in rank order, then integer epoch/remainder math

@@ -685,6 +685,36 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** END-TO-END pretraining assembly (c21) — the curation stages
+    * composed as ONE lazy plan: per-language cap ([[groupCap]], the
+    * anti-domination pass) → per-language quality-median gate
+    * ([[qualityGate]], thresholds computed over the CAPPED corpus —
+    * stage semantics, not global) → exact dedup (keep min doc_id per
+    * text hash, the x1 rule) → context-window packing
+    * ([[contextPack]]). The output IS c20's pack table computed over
+    * the curated survivors — the "raw crawl → train-ready windows"
+    * path a pretraining job actually runs, composed without any
+    * intermediate materialization.
+    *
+    * Scale: the cap and the pack are the distributed-rank shapes, the
+    * gate is a broadcast threshold comparison, dedup is one
+    * 8-byte-hash shuffle — four stages, four exchanges, corpus text
+    * crosses the wire only in the dedup hash grouping (as a hash) and
+    * never collects.
+    */
+  def pretrainPipeline(spark: SparkSession, dir: String, capK: Long = 40L,
+                       pct: Double = 0.5, contextLen: Long = 512L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val capped = docs.join(
+      groupCap(docs, capK).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val gated = capped.join(
+      qualityGate(capped, pct).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val keep = gated.groupBy(xxhash64(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = gated.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    contextPack(deduped, contextLen)
+  }
+
   /** Token-window document chunking — the pre-embedding/pre-training
     * splitter: overlapping windows of `chunkSize` tokens every `stride`
     * tokens. Pure per-row expression (no shuffle): chunk count

@@ -951,6 +951,29 @@ class TextStatsSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("pretrainPipeline: composed plan equals the standalone stages chained by hand; funnel monotone") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.pretrainPipeline(spark, sfDir, capK = 7L, contextLen = 64L)
+      .collect().map(_.toSeq)
+    assert(out.nonEmpty)
+    // hand-chain the standalone ops with the same parameters
+    val capped = docs.join(TextStats.groupCap(docs, 7L).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val gated = capped.join(TextStats.qualityGate(capped).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val keep = gated.groupBy(xxhash64(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = gated.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val ref = TextStats.contextPack(deduped, 64L).collect().map(_.toSeq)
+    assert(out.toSeq == ref.toSeq)
+    // funnel monotone and non-vacuous: each stage strictly shrank here
+    val (nDocs, nCap, nGate, nDedup) =
+      (docs.count(), capped.count(), gated.count(), deduped.count())
+    assert(nDocs >= nCap && nCap >= nGate && nGate >= nDedup)
+    assert(nGate < nCap, "quality gate dropped nothing - vacuous")
+    assert(out.length.toLong <= nDedup)
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
