@@ -216,6 +216,36 @@ class StreamsSpec extends SparkSpec {
     assert(finalIds == (1L to 100L), s"got ${finalIds.size} rows")
   }
 
+  test("durable dedup on ROCKSDB: checkpoint restart recovers RocksDB state — overlap emits exactly once") {
+    import spark.implicits._
+    // the RocksDB twin of the kill-and-resume proof above: state must
+    // come back from the checkpoint's RocksDB snapshot/changelog, not
+    // from heap — the recovery path the per-user-state family now
+    // ships on (round-13 #4)
+    val base = tmpDir("durable_dedup_rocks")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i * 1.0))
+      .toDF("event_id", "ts", "value")
+    rows(1 to 60).coalesce(2).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def dedupStream = Streams.dedupExact(
+      Streams.parquetDirStream(spark, in, schema), Seq("event_id"))
+    Streams.withRocksDbState(spark) {
+      Streams.runToParquet(dedupStream, out, ckpt)
+    }
+    assert(spark.read.parquet(out).count() == 60L)
+    rows(41 to 100).coalesce(2).write.mode("append").parquet(in)
+    Streams.withRocksDbState(spark) {
+      Streams.runToParquet(dedupStream, out, ckpt)
+    }
+    val finalIds = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalIds == (1L to 100L), s"got ${finalIds.size} rows")
+  }
+
   test("durable hourly agg: kill/resume over a file sink still equals the batch oracle") {
     import spark.implicits._
     val base = tmpDir("durable_hourly")
