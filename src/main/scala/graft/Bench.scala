@@ -42,8 +42,11 @@ object Bench {
     // numbers to front-truncation. Persist the complete JSON to a file so
     // per-query history survives every round (driver rounds run from the
     // repo root; fall back silently if the cwd isn't writable).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // Subset probes must NOT clobber the committed full-suite baseline —
+    // only a full run rewrites BENCH_LOCAL.json.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -56,26 +56,34 @@ object SparkEntry {
     // with null padding (MergeSchemaSpec pins schema + pruning)
     "s10_merge_schema" -> ((s, d) => {
       // build both "pipeline versions" in a staging dir and promote it
-      // with ONE atomic rename: the first write already drops _SUCCESS,
-      // so probing the final dir between the two writes would read a
-      // half-built (even-ids-only) fixture forever after a crash
+      // with ONE atomic rename. The completeness probe is our OWN
+      // sentinel written only after the rename commits — NOT Spark's
+      // _SUCCESS, which the FIRST write already drops, so a pre-fix
+      // crash between the two writes leaves a half-built (even-ids-only)
+      // dir that carries _SUCCESS and would pass that weaker probe
+      // forever. Dirs without the sentinel (any partial state from any
+      // crash window) are torn down and rebuilt.
       val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/s10_${Integer.toHexString(d.hashCode)}"
       val docs = Tables.documents(s, d)
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_GRAFT_COMPLETE"))) {
         val stage = tmp + ".stage"
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
           .write.mode("overwrite").parquet(stage)
         docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
           .coalesce(1).write.mode("append").parquet(stage)
-        val p = java.nio.file.Paths.get(tmp)
-        if (java.nio.file.Files.exists(p)) { // stale half-build from a pre-fix crash
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
-        java.nio.file.Files.move(java.nio.file.Paths.get(stage), p,
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+            } finally walk.close()
+          }
+        rmTree(java.nio.file.Paths.get(tmp)) // stale half-build, any vintage
+        java.nio.file.Files.move(java.nio.file.Paths.get(stage), java.nio.file.Paths.get(tmp),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_GRAFT_COMPLETE"))
       }
       Ingest.parquetMerged(s, tmp)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2346,7 +2354,12 @@ object SparkEntry {
     * proving the bottleneck is basin merging, not pointer depth. The
     * x9 sf1 embedding graph (6.2k edges / 5k vertices, giant random
     * component) needs 32 rounds; 16 left 1446 of 5000 labels above the
-    * component min. 48 = measured worst case × 1.5 margin. Rounds past
+    * component min. 64 = the measured worst case (32, on x9's sf1
+    * graph — the only consumer measured to the exact round) doubled:
+    * the other consumers (x5/t12/c14 shingle graphs, m7's near-clique
+    * image graph, x10's LSH graph) converge far faster by structure
+    * (locally dense), but they were not probed round-by-round, so the
+    * margin is 2× the worst measurement rather than 1.5×. Rounds past
     * the fixpoint are exact no-ops (comp is monotone non-increasing,
     * bounded below by the component min — same argument as the
     * operator, `ops/Dedup.scala:554`, which iterates to an explicit
@@ -2354,7 +2367,7 @@ object SparkEntry {
     * rounds only burn oracle time, linear in the pair count — still
     * nothing like the closure's per-cluster quadratics.
     */
-  private def ccRoundsSql(vertsSql: String, rounds: Int = 48): String = {
+  private def ccRoundsSql(vertsSql: String, rounds: Int = 64): String = {
     val body = (1 to rounds).map { i =>
       s"""nb$i AS MATERIALIZED (SELECT e.v, min(l.comp) AS nc
          |  FROM edges e JOIN l${i - 1} l ON l.v = e.w GROUP BY e.v),

@@ -1164,6 +1164,11 @@ object Analytics {
     */
   def partsuppDerived(spark: SparkSession, dir: String): DataFrame = {
     val nSupp = Tables.supplier(spark, dir).count()
+    // the 4-offsets-of-stride construction is collision-free only with
+    // at least 4 suppliers to spread over — fail loudly on a degenerate
+    // dir instead of silently collapsing the (partkey, suppkey) key
+    require(nSupp >= 4L,
+      s"partsuppDerived needs >= 4 suppliers for distinct suppkeys per part; got $nSupp")
     val stride = math.max(1L, nSupp / 4L)
     val id = col("p_partkey") * 4L + col("i")
     Tables.part(spark, dir).select(col("p_partkey"))

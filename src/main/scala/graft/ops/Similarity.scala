@@ -1140,9 +1140,13 @@ object Similarity {
     * set (NULL for the seed). The dist sequence is non-increasing; its
     * last value bounds how far any corpus vector sits from the coreset
     * (the 2-approx guarantee's witness). If the coverage radius hits 0
-    * before k centers are chosen (k exceeds the DISTINCT vector count),
-    * selection stops — the output never repeats a vec_id, it just has
-    * fewer than k rows.
+    * before k centers are chosen, selection stops — the output never
+    * repeats a vec_id, it just has fewer than k rows. Radius-0 means
+    * every remaining vector coincides with a selected center AT THE
+    * SHARED 9dp ROUNDING (k exceeding the distinct-vector count is the
+    * common cause; vectors within ~2e-5 L2 of a center are the same
+    * point to this operator's arithmetic, by design — the rounding is
+    * what makes the whole sequence SQL-replayable).
     *
     * Scale shape: k rounds, each ONE map-only pass against a broadcast
     * 1-row center plus a scalar argmax (partial max(struct) — no

@@ -693,14 +693,17 @@ object TextStats {
     * text hash, the x1 rule) → context-window packing
     * ([[contextPack]]). The output IS c20's pack table computed over
     * the curated survivors — the "raw crawl → train-ready windows"
-    * path a pretraining job actually runs, composed without any
-    * intermediate materialization.
+    * path a pretraining job actually runs.
     *
     * Scale: the cap and the pack are the distributed-rank shapes, the
     * gate is a broadcast threshold comparison, dedup is one
     * 8-byte-hash shuffle — four stages, four exchanges, corpus text
     * crosses the wire only in the dedup hash grouping (as a hash) and
-    * never collects.
+    * never collects. Note the stage discipline is NOT fully lazy: the
+    * cap and the pack each pin their permutation order with an eager
+    * localCheckpoint (exactly as their standalone forms do), so
+    * constructing this frame runs those stage jobs — the price of
+    * rank determinism, same as calling the stages by hand.
     */
   def pretrainPipeline(spark: SparkSession, dir: String, capK: Long = 40L,
                        pct: Double = 0.5, contextLen: Long = 512L): DataFrame = {
