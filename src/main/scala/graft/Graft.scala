@@ -283,6 +283,12 @@ object Graft {
   def quantileBuckets(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     ops.Profiling.quantileBuckets(df, keyCol, valueCol)
 
+  /** Tukey IQR-fence outlier report per group
+    * ([[ops.Profiling.outlierReport]]) — counts at value fences; the
+    * rank-fence clipping sibling is [[ops.Profiling.winsorizeReport]]. */
+  def outlierReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    ops.Profiling.outlierReport(df, groupCol, valueCol)
+
   /** Declarative data-quality validation — all row rules in one pass
     * ([[ops.Profiling.validate]]). */
   def validate(df: DataFrame, rowRules: Seq[(String, org.apache.spark.sql.Column)],

@@ -429,6 +429,11 @@ object SparkEntry {
     "p12_winsorize" -> ((s, d) =>
       Profiling.winsorizeReport(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice")),
+    // Tukey IQR fences per flag: quartiles (6dp), fence values from the
+    // rounded quartiles, strict outside-fence counts and share
+    "p13_outliers" -> ((s, d) =>
+      Profiling.outlierReport(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice")),
     // shuffle-key skew profile for the two events join keys: exact
     // counts, decimal-exact entropy, TakeOrdered top-10 — the report
     // behind every salting/AQE-skew decision
@@ -3390,6 +3395,26 @@ object SparkEntry {
          | ${Num.sqlRoundTo("quantile_cont(l_extendedprice, 0.75)", 6)} AS p75,
          | min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // p13 — fences from the 6dp-ROUNDED quartiles by the identical
+    // double expression, then strict outside-fence counts
+    "p13_outliers" ->
+      s"""WITH v AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |q AS (SELECT grp,
+         |        ${Num.sqlRoundTo("quantile_cont(x, 0.25)", 6)} AS q1,
+         |        ${Num.sqlRoundTo("quantile_cont(x, 0.75)", 6)} AS q3
+         |      FROM v GROUP BY grp),
+         |f AS (SELECT grp, q1, q3, q3 - q1 AS iqr,
+         |        q1 - 1.5 * (q3 - q1) AS lo_fence,
+         |        q3 + 1.5 * (q3 - q1) AS hi_fence FROM q),
+         |c AS (SELECT v.grp, count(*) AS n,
+         |        CAST(sum(CASE WHEN v.x < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |        CAST(sum(CASE WHEN v.x > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |      FROM v JOIN f ON f.grp = v.grp GROUP BY v.grp)
+         |SELECT c.grp AS l_returnflag, c.n, f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence,
+         |  c.n_low, c.n_high,
+         |  ${Num.sqlRoundTo("CAST(c.n_low + c.n_high AS DOUBLE) / CAST(c.n AS DOUBLE)", 6)} AS outlier_share
+         |FROM c JOIN f ON f.grp = c.grp ORDER BY l_returnflag""".stripMargin,
     "r1_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          | ${decSum("o_totalprice")} AS total_price

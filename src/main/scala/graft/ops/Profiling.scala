@@ -47,6 +47,43 @@ object Profiling {
         max(col(valueCol)).as("vmax"))
       .orderBy(groupCol)
 
+  /** IQR OUTLIER report (p13) — the Tukey-fence profile per group: the
+    * interquartile range from the same interpolated quartiles as
+    * [[quantilesByGroup]], fences at q1 − 1.5·IQR / q3 + 1.5·IQR, and
+    * the count/share of rows outside them — the per-column anomaly
+    * summary a data-quality pass reads next to [[winsorizeReport]]
+    * (which CLIPS at rank fences; this one COUNTS at value fences).
+    *
+    * Cross-engine determinism: both fences derive from the 6dp-ROUNDED
+    * quartiles by the identical double expression, so the strict
+    * comparisons classify every cell identically on both engines.
+    * Scale: two passes over the value column (one quartile aggregate,
+    * one broadcast-fence count), both map-side partial — no window, no
+    * sort of the data.
+    */
+  def outlierReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val q = s.groupBy("grp")
+      .agg(Num.roundTo(percentile(col("x"), lit(0.25)), 6).as("q1"),
+           Num.roundTo(percentile(col("x"), lit(0.75)), 6).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+    s.join(broadcast(q), Seq("grp"))
+      .groupBy(col("grp"), col("q1"), col("q3"), col("iqr"),
+               col("lo_fence"), col("hi_fence"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("x") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+           sum(when(col("x") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+      .withColumn("outlier_share", Num.roundTo(
+        (col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 6))
+      .select(col("grp").as(groupCol), col("n"), col("q1"), col("q3"), col("iqr"),
+        col("lo_fence"), col("hi_fence"), col("n_low"), col("n_high"),
+        col("outlier_share"))
+      .orderBy(groupCol)
+  }
+
   /** Approx sibling for the 100 TB path: t-digest, constant memory. */
   def approxQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol))

@@ -260,4 +260,28 @@ class ProfilingSpec extends SparkSpec {
     assert(real.length == types)
     assert(real.forall(r => r.getDouble(5) >= 0.0 && !r.getDouble(5).isNaN))
   }
+
+  test("outlierReport: hand-computed Tukey fences on a planted outlier; clean group reports zero") {
+    import spark.implicits._
+    // g1 = [1,2,3,4,100]: interpolated q1 = 2, q3 = 4, IQR = 2,
+    // fences (-1, 7) -> exactly the 100 is outside; g2 uniform = clean
+    val df = (Seq((1.0, "g1"), (2.0, "g1"), (3.0, "g1"), (4.0, "g1"), (100.0, "g1")) ++
+      (1 to 4).map(i => (i.toDouble, "g2"))).toDF("x", "grp")
+    val out = Profiling.outlierReport(df, "grp", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n") == 5L)
+    assert(g1.getAs[Double]("q1") == 2.0 && g1.getAs[Double]("q3") == 4.0)
+    assert(g1.getAs[Double]("lo_fence") == -1.0 && g1.getAs[Double]("hi_fence") == 7.0)
+    assert(g1.getAs[Long]("n_low") == 0L && g1.getAs[Long]("n_high") == 1L)
+    assert(g1.getAs[Double]("outlier_share") == 0.2)
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("n_low") == 0L && g2.getAs[Long]("n_high") == 0L)
+    assert(g2.getAs[Double]("outlier_share") == 0.0)
+    // null values are excluded, not counted as outliers
+    val withNull = df.unionByName(Seq((Option.empty[Double], "g1"))
+      .toDF("x", "grp"))
+    assert(Profiling.outlierReport(withNull, "grp", "x")
+      .filter(col("grp") === "g1").head().getAs[Long]("n") == 5L)
+  }
 }
