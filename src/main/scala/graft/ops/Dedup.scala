@@ -58,17 +58,42 @@ object Dedup {
     * DISTINCT documents — the repeated headers/footers/disclaimers a
     * training pipeline strips before dedup (near-dup scoring counts them
     * as similarity; quality scoring counts them as fluent text; both are
-    * wrong). One shuffle on the shingle string with map-side partials;
-    * output is df-bounded tiny. The readable string form is deliberate —
-    * the result is an action list for humans and strip rules, unlike the
-    * hashed pipelines.
+    * wrong). The readable string form of the OUTPUT is deliberate — the
+    * result is an action list for humans and strip rules — but no string
+    * crosses a shuffle to produce it: document frequency is aggregated
+    * on the codegen'd 8-byte [[shingleHashes]] keys (the only corpus-wide
+    * exchange), the df ≥ minDf survivor table (df-bounded tiny) is
+    * BROADCAST, and the readable strings are recovered by re-deriving
+    * each string shingle's hash with the same splitmix64∘fnv1a64
+    * arithmetic and broadcast-joining — so only survivor rows reach the
+    * final (still 8-byte-keyed) distinct exchange. At 100 TB the old
+    * formulation shuffled the whole corpus as w-word STRINGS for a tiny
+    * result; this one moves longs, and the string pass is map-side
+    * filtered before any exchange.
     */
   def boilerplate(docs: DataFrame, minDf: Int = 5, w: Int = 3,
-                  textCol: String = "text"): DataFrame =
-    docs.select(explode(shingles(col(textCol), w)).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
+                  textCol: String = "text"): DataFrame = {
+    // pass 1: df per hashed shingle — 8-byte shuffle keys, map-side partials
+    val dfs = docs.select(explode(shingleHashes(col(textCol), w)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+    // pass 2: recover the readable survivor strings. A string shingle is
+    // its lowercased tokens joined by a single space, so splitting on " "
+    // returns the exact token sequence; its hash is the same
+    // splitmix64(h ^ fnv1a64(token)) fold ShingleUtil runs (the dupSpans
+    // replay arithmetic). Zero-token docs yield the "" shingle whose hash
+    // is the fold seed 0 (split("", " ") would emit a phantom "" token).
+    val hashOfShingle =
+      when(col("shingle") === "", lit(0L))
+        .otherwise(aggregate(split(col("shingle"), " "), lit(0L),
+          (h, t) => call_function("splitmix64", h.bitwiseXOR(call_function("fnv1a64", t)))))
+    docs.select(explode(shingles(col(textCol), w)).as("shingle"))
+      .withColumn("h", hashOfShingle)
+      .join(broadcast(dfs), "h")
+      .groupBy(col("h"), col("df")).agg(max(col("shingle")).as("shingle"))
+      .select(col("shingle"), col("df"))
       .orderBy(col("df").desc, col("shingle"))
+  }
 
   /** Cross-document DUPLICATE-SPAN profile — the w-token-granular exact
     * substring dedup signal (the operator behind "deduplicating training

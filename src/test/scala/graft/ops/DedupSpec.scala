@@ -72,6 +72,33 @@ class DedupSpec extends SparkSpec {
       s"global-count side must reuse the span exchange:\n$plan")
   }
 
+  test("boilerplate: hash-first plan matches the naive string formulation") {
+    // fixture exercises every hash-recovery edge: repeated 3-gram shingles
+    // across >= minDf docs, a short doc (< w tokens → one all-token
+    // shingle), a repeated short doc, and blank docs (zero tokens → the
+    // "" shingle, whose hash is the fold seed 0, not fnv1a64(""))
+    val footer = "all rights reserved worldwide"
+    val fx = (1L to 6L).map(i => (i, s"unique body $i words here $footer")) ++
+      Seq((7L, "tiny doc"), (8L, "tiny doc"), (9L, "tiny doc"),
+          (10L, "tiny doc"), (11L, "tiny doc"),
+          (12L, ""), (13L, " "), (14L, ""), (15L, ""), (16L, "\t\n"))
+    val d = fx.toDF("doc_id", "text")
+    val out = Dedup.boilerplate(d, minDf = 5)
+    val naive = d.select(explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5).orderBy(col("df").desc, col("shingle"))
+    assert(out.collect().toSeq == naive.collect().toSeq)
+    // the blank docs must survive recovery as the "" shingle (df = 5)
+    assert(out.collect().exists(r => r.getString(0) == "" && r.getLong(1) == 5L))
+    // plan: df aggregation shuffles 8-byte hashes, survivors broadcast,
+    // and NO exchange is keyed on the shingle string
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"survivors must broadcast:\n$plan")
+    assert(!plan.contains("hashpartitioning(shingle"),
+      s"no string-keyed exchange allowed:\n$plan")
+  }
+
   test("dupSpans: within-doc repetition alone marks spans duplicated") {
     val rep = "a b c d e f g h a b c d e f g h" // 16 tokens, spans 1..9; span(1)=span(9)
     val one = Seq((1L, rep), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
