@@ -400,8 +400,13 @@ object Graft {
     * rounds of up-to-m symbol-disjoint merges — ~m× fewer driver
     * round-trips than textbook sequential BPE. THE default for real
     * vocab sizes; [[bpeMergesSequential]] is its exactness anchor.
+    * Named `Batched` (not plain `bpeMerges`) on purpose: the ops-layer
+    * sequential trainer takes a MERGE count `k` in the same position
+    * this takes a ROUND count, so sharing the short name would let a
+    * caller porting `TextStats.bpeMerges(docs, 50)` silently train
+    * 50 rounds × 8 merges instead of 50 merges.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 4, m: Int = 8): DataFrame =
+  def bpeMergesBatched(docs: DataFrame, rounds: Int = 4, m: Int = 8): DataFrame =
     graft.ops.TextStats.bpeMergesBatched(docs, rounds, m)
 
   /** Textbook one-merge-per-round BPE (t22) — exact argmax chain, one

@@ -2381,10 +2381,29 @@ object SparkEntry {
          |l$i AS MATERIALIZED (SELECT t.v, coalesce(t2.comp, t.comp) AS comp
          |  FROM tt$i t LEFT JOIN tt$i t2 ON t2.v = t.comp)""".stripMargin
     }.mkString(",\n")
+    // Convergence probe: the fixed unroll count is an empirical margin
+    // (2× the measured worst case), so a future fixture with longer
+    // basin-ridge chains must fail SELF-IDENTIFYING, not as a phantom
+    // operator bug — run ONE more nb/tt/l round and, if any label still
+    // moves, poison every component to the -1 sentinel (the operator
+    // iterates to an exact fixpoint probe, so a gate full of -1 reads
+    // unambiguously as "oracle did not converge; raise rounds").
+    val probe =
+      s"""pnb AS (SELECT e.v, min(l.comp) AS nc
+         |  FROM edges e JOIN l$rounds l ON l.v = e.w GROUP BY e.v),
+         |ptt AS (SELECT l.v, least(l.comp, coalesce(nb.nc, l.comp)) AS comp
+         |  FROM l$rounds l LEFT JOIN pnb nb ON nb.v = l.v),
+         |pl AS (SELECT t.v, coalesce(t2.comp, t.comp) AS comp
+         |  FROM ptt t LEFT JOIN ptt t2 ON t2.v = t.comp),
+         |chk AS MATERIALIZED (SELECT count(*) AS n_changed
+         |  FROM pl JOIN l$rounds l ON l.v = pl.v WHERE pl.comp <> l.comp)""".stripMargin
     s"""lv AS MATERIALIZED (SELECT DISTINCT v FROM edges),
        |l0 AS MATERIALIZED (SELECT v, v AS comp FROM lv),
        |$body,
-       |rec AS MATERIALIZED (SELECT d.v, coalesce(l$rounds.comp, d.v) AS component
+       |$probe,
+       |rec AS MATERIALIZED (SELECT d.v,
+       |  CASE WHEN (SELECT n_changed FROM chk) > 0 THEN -1
+       |       ELSE coalesce(l$rounds.comp, d.v) END AS component
        |  FROM ($vertsSql) d LEFT JOIN l$rounds ON l$rounds.v = d.v)""".stripMargin
   }
 
@@ -4972,7 +4991,13 @@ object SparkEntry {
     "v17_ivf_probe_curve" -> ivfProbeCurveSql(),
     // v19 — greedy k-center: the recursive CTE carries the selected
     // (ids, centers, radii) lists; each step's LATERAL argmax replays
-    // the 9dp-rounded min-squared-L2 with the low-id tie-break
+    // the 9dp-rounded min-squared-L2 with the low-id tie-break. The
+    // `nxt.d > 0` guard mirrors the operator's radius-0 early exit
+    // (ops/Similarity.scala kCenterCoreset): when every remaining vector
+    // coincides with a selected center the operator stops short of k
+    // rather than re-selecting a duplicate at distance 0, so the
+    // recursion must too — the final row is therefore read by max-r
+    // (the v17 last-row pattern), not `r = 8`.
     "v19_coreset" -> {
       val d2 = Num.sqlRoundTo(
         "list_dot_product(v.dv, v.dv) + list_dot_product(c, c) - 2.0 * list_dot_product(v.dv, c)", 9)
@@ -4989,10 +5014,10 @@ object SparkEntry {
          |      list_min(list_transform(cvs, c -> $d2)) AS d
          |    FROM vv v
          |    ORDER BY d DESC, v.vec_id LIMIT 1) nxt
-         |  WHERE r < 8
+         |  WHERE r < 8 AND nxt.d > 0
          |)
          |SELECT CAST(i - 1 AS BIGINT) AS rank, ids[i] AS vec_id, ds[i] AS dist
-         |FROM (SELECT * FROM rec WHERE r = 8) last,
+         |FROM (SELECT * FROM rec ORDER BY r DESC LIMIT 1) last,
          |     LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) ix
          |ORDER BY rank""".stripMargin
     },

@@ -1162,8 +1162,17 @@ object Analytics {
     * COUNT (dimension-table cardinality, the nSupp modulus), same
     * coordination class as the documented model-artifact pulls.
     */
+  /** Supplier cardinality per sf-dir, pulled once: the quartet's four
+    * registrations each construct partsupp, and without memoization every
+    * gate/bench pass would pay four identical count jobs over the same
+    * dimension table. Keyed by dir — the fixture dirs are immutable
+    * snapshots, so the count can never go stale within a run.
+    */
+  private val nSuppCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def partsuppDerived(spark: SparkSession, dir: String): DataFrame = {
-    val nSupp = Tables.supplier(spark, dir).count()
+    val nSupp: Long = nSuppCache.computeIfAbsent(dir,
+      d => Long.box(Tables.supplier(spark, d).count()))
     // the 4-offsets-of-stride construction is collision-free only with
     // at least 4 suppliers to spread over — fail loudly on a degenerate
     // dir instead of silently collapsing the (partkey, suppkey) key
