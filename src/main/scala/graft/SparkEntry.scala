@@ -320,6 +320,13 @@ object SparkEntry {
     // synchronous majority-min label propagation (4 rounds — fixed by
     // contract: sync LPA can 2-cycle, there is no monotone fixpoint)
     "n6_label_prop" -> (Graph.partLabelProp(_, _)),
+    // LPA at DOCUMENT scale: communities over x4/x5's near-dup pair
+    // graph with label updates as shuffle joins — no broadcast of
+    // per-vertex state, so the vertex set may be corpus-sized
+    "n7_doc_communities" -> ((s, d) =>
+      Graph.labelPropagation(stagedPairs(s, d))
+        .select(col("v").as("doc_id"), col("community"), col("n_members"))
+        .orderBy("doc_id")),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -2413,8 +2420,13 @@ object SparkEntry {
     * `rec(v, component)` over every doc (singletons map to themselves).
     * Shared by x5 and t12.
     */
-  private def dupComponentsCte: String =
-    s"""WITH toks AS (SELECT doc_id,
+  /** The x4 pair pipeline alone, ending in CTE `edges0(doc_a, doc_b)` —
+    * the distinct near-dup pairs at jaccard ≥ 0.5. Shared prefix of
+    * [[dupComponentsCte]] (components) and the n7 oracle (communities),
+    * so the pair semantics can never diverge between the two replays.
+    */
+  private def x4EdgesCtes: String =
+    s"""toks AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -2429,7 +2441,10 @@ object SparkEntry {
        |j AS (SELECT doc_a, doc_b,
        |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared)", 6)} AS jaccard
        |      FROM prs JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
-       |edges0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5)""".stripMargin
+
+  private def dupComponentsCte: String =
+    s"""WITH $x4EdgesCtes,
        |edges AS MATERIALIZED (SELECT doc_a AS v, doc_b AS w FROM edges0 UNION SELECT doc_b, doc_a FROM edges0),
        |${ccRoundsSql("SELECT doc_id AS v FROM documents")}""".stripMargin
 
@@ -3592,6 +3607,28 @@ object SparkEntry {
          |SELECT l.v AS l_partkey, l.lbl AS community, sz.n_members
          |FROM l4 l JOIN sz ON sz.lbl = l.lbl
          |ORDER BY l_partkey""".stripMargin
+    },
+    // n7 — the same 4 unrolled synchronous majority-min LPA rounds, but
+    // over the x4 near-dup pair graph (the shared x4EdgesCtes prefix, so
+    // pair semantics match x5/t9/t12 exactly); vertices = docs in >= 1
+    // pair, labels seeded with doc ids
+    "n7_doc_communities" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.v, l.lbl, count(*) AS c
+           |  FROM e0 e JOIN l${i - 1} l ON l.v = e.w GROUP BY e.v, l.lbl),
+           |l$i AS MATERIALIZED (SELECT v, lbl FROM (
+           |  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $x4EdgesCtes,
+         |e0 AS MATERIALIZED (SELECT doc_a AS v, doc_b AS w FROM edges0
+         |  UNION ALL SELECT doc_b, doc_a FROM edges0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM e0),
+         |$rounds,
+         |szc AS (SELECT lbl, count(*) AS n_members FROM l4 GROUP BY lbl)
+         |SELECT l.v AS doc_id, l.lbl AS community, szc.n_members
+         |FROM l4 l JOIN szc ON szc.lbl = l.lbl
+         |ORDER BY doc_id""".stripMargin
     },
     // degree-ordered triangle replay: same orientation, wedge join,
     // and EXISTS closure — all exact integers

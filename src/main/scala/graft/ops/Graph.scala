@@ -111,7 +111,7 @@ object Graph {
     * the orientation rule can never diverge between the global and the
     * per-node triangle plans.
     */
-  private def orientedCoPurchase(spark: SparkSession, dir: String, maxPart: Long)
+  private[ops] def orientedCoPurchase(spark: SparkSession, dir: String, maxPart: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     val lp = Tables.lineitem(spark, dir)
       .filter(col("l_partkey") < maxPart)
@@ -332,5 +332,66 @@ object Graph {
     labels.join(broadcast(sizes), Seq("lbl"))
       .select(col("v").as("l_partkey"), col("lbl").as("community"), col("n_members"))
       .orderBy("l_partkey")
+  }
+
+  /** Label-propagation communities over an arbitrary PAIR graph with
+    * label updates as SHUFFLE JOINS (n7) — the document-scale sibling of
+    * [[partLabelProp]]. Identical synchronous majority-min contract
+    * (labels start as vertex ids; each round every vertex adopts its
+    * neighbors' most frequent label, ties to the SMALLEST; fixed
+    * `rounds` IS the contract — sync LPA has no monotone fixpoint to
+    * probe), but NOTHING broadcasts per-vertex state: labels move by
+    * hash-partitioned joins keyed on the neighbor id, the
+    * [[Dedup.connectedComponents]] pointer-jumping discipline. That is
+    * the form that survives a corpus-sized vertex set — the natural
+    * input is x4/x5's near-dup pair table, where communities split a
+    * connected component into its densely-linked regions (template
+    * families inside one giant mutual-near-dup component).
+    *
+    * Per round TWO graph-sized shuffles (the neighbor-label join + the
+    * (v, lbl) vote count; the argmax is the max(struct) partial-agg
+    * trick, no window) over the PAIR graph — which for dedup graphs is
+    * orders of magnitude smaller than the corpus. Shuffle width is sized
+    * to the graph, not the session (the connectedComponents finding:
+    * 32-partition shuffles over a few hundred edges make the loop ~5×
+    * slower than the data justifies); each round materializes via
+    * [[Iterate.materialize]] so the plan DAG and stats stay constant.
+    *
+    * Output: (v, community, n_members) for every vertex in the pair
+    * graph — callers alias v to their id column.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String = "doc_a",
+                       bCol: String = "doc_b", rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val und = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .distinct()
+    val edgesAll = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true)
+    val parts = math.max(1, math.min(
+      edgesAll.sparkSession.sparkContext.defaultParallelism,
+      (edgesAll.count() / 100000L).toInt))
+    val edges = Iterate.materialize(edgesAll.repartition(parts, col("w")))
+    var labels = Iterate.materialize(
+      edges.select(col("v")).distinct().select(col("v"), col("v").as("lbl"))
+        .repartition(parts, col("v")))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("v").as("w"), col("lbl")), Seq("w"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = Iterate.materialize(
+        votes.groupBy(col("v"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("v"), (-col("m.neg")).as("lbl"))
+          .repartition(parts, col("v")))
+    }
+    // community sizes join WITHOUT a broadcast hint: the label table is
+    // vertex-sized here (unlike partLabelProp's catalog-capped one), so
+    // the engine must stay free to pick a shuffle join; AQE still
+    // broadcasts when the size table turns out small at runtime.
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("v"), col("lbl").as("community"), col("n_members"))
   }
 }

@@ -158,4 +158,36 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("labelPropagation (shuffle-join LPA) == partLabelProp on the catalog graph") {
+    // same synchronous majority-min contract, different movement plan
+    // (shuffle joins vs broadcast labels) — outputs must be identical
+    val (und, _, _) = Graph.orientedCoPurchase(spark, sfDir, 20000L)
+    val viaShuffle = Graph.labelPropagation(und, "a", "b", rounds = 4)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaBroadcast = Graph.partLabelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaShuffle == viaBroadcast)
+  }
+
+  test("labelPropagation: known communities on two triangles joined by a bridge") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12} bridged by 3-10. Hand-traced
+    // sync majority-min: round 1 seeds (1→2, 2→1, 3→1, 10→3, 11→10,
+    // 12→10); v10's min-tie pick of bridge label 3 then wins its
+    // triangle's majority, so the right community stabilizes on label 3
+    // (carried over the bridge) and the left on 1 — two communities of
+    // 3, split exactly at the bridge
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                    (10L, 11L), (10L, 12L), (11L, 12L),
+                    (3L, 10L)).toDF("doc_a", "doc_b")
+    val out = Graph.labelPropagation(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L).forall(v => out(v)._1 == 1L))
+    assert(Seq(10L, 11L, 12L).forall(v => out(v)._1 == 3L))
+    assert(out(1L)._2 == 3L && out(10L)._2 == 3L)
+    // no per-vertex broadcast hint anywhere in the loop's output plan
+    val analyzed = Graph.labelPropagation(pairs).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"no broadcast hints allowed:\n$analyzed")
+  }
 }
