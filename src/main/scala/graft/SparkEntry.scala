@@ -1379,6 +1379,16 @@ object SparkEntry {
       Similarity.hardNegatives(emb, Similarity.querySet(emb, "vec_id", 20))
         .orderBy("query_id", "rank")
     }),
+    // the corpus-scale form: IVF-multiprobe candidates (v12's routing,
+    // corpus layout untouched) feeding the same band filter + bounded
+    // heap — per-query scoring is the probed cells, not the corpus
+    "v25_hard_neg_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.trainIvfCodebook(emb, cells = 16, iters = 3)
+      Similarity.hardNegativesAnn(emb,
+          Similarity.querySet(emb, "vec_id", 20), codebook, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // dimension-truncation recall curve (Matryoshka storage knob): re-rank
     // with the first d dims only, agreement vs the full-width top-k
     "v16_dim_recall" -> ((s, d) => {
@@ -1871,7 +1881,8 @@ object SparkEntry {
     * the engine's bounded-heap `topk_by_score(−dist, cell)`, for v12),
     * then bruteTopKSql's scoring/ranking restricted to shared cells.
     */
-  private def trainedIvfTopKSql(nprobe: Int, iters: Int = 3): String = {
+  private def trainedIvfTopKSql(nprobe: Int, iters: Int = 3, k: Int = 10,
+                                band: Option[(Double, Double)] = None): String = {
     val l2 = (v: String, c: String) => Num.sqlRoundTo(
       s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
     val qAssign =
@@ -1892,10 +1903,13 @@ object SparkEntry {
        |  ${Num.sqlRoundTo("list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))", 9)} AS sim
        |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.query_id <> ca.neighbor_id
        |  JOIN e q ON q.vec_id = qa.query_id JOIN e n ON n.vec_id = ca.neighbor_id),
+       |${band.map { case (lo, hi) =>
+           s"b AS (SELECT * FROM s WHERE sim >= $lo AND sim < $hi),"
+         }.getOrElse("b AS (SELECT * FROM s),")}
        |r AS (SELECT query_id, neighbor_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM s)
-       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |  FROM b)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** The v4 argmin cell-assignment rule as a CTE `outName(vec_id, cell
@@ -4970,6 +4984,9 @@ object SparkEntry {
     // the identical index-order fold, 9dp on output
     "v23_pca_project" -> pcaProjectSql,
     "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
+    // v25 — v12's multiprobe routing replay with the v24 hard-negative
+    // band applied between scoring and the per-query rank
+    "v25_hard_neg_ann" -> trainedIvfTopKSql(nprobe = 4, k = 8, band = Some((0.05, 0.42))),
     // PQ family, hash-gated since round 12: per-subspace Lloyd's
     // replayed CTE-for-CTE keyed by (sub, cell); v13 folds the
     // double-promoted |sv−cv| diffs in dim order then sub order,

@@ -122,6 +122,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** HARD-NEGATIVE mining over ANN candidates (v25) — the corpus-scale
+    * form [[hardNegatives]]'s scaladoc promises: IVF-multiprobe
+    * candidate generation (the [[ivfTopKTrainedMultiProbe]] routing —
+    * corpus keeps its one-cell-per-vector at-rest layout, each query
+    * probes its `nprobe` nearest cells) feeding the SAME cosine band
+    * filter + bounded heap. Candidate volume per query is the probed
+    * cells' population instead of the whole corpus, which is the
+    * difference between Q×N and Q×(N·nprobe/cells) scoring at 100 TB;
+    * recall against the exact band is the standard IVF trade measured
+    * by the spec's floor (and tunable by the v17 probe-curve report).
+    * `nprobe = |codebook|` degenerates to [[hardNegatives]] exactly —
+    * every cell is probed, so the band sees every pair (spec-pinned).
+    */
+  def hardNegativesAnn(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+                       k: Int = 8, nprobe: Int = 4,
+                       lo: Double = 0.05, hi: Double = 0.42,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && lo < hi, "need k >= 1 and lo < hi")
+    val cAssign = assignCells(corpus, codebook, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cAssign, "neighbor_id")
+      .withColumn("cn", norm(col("cv")))
+    val qAssign = assignCellsMulti(queries, codebook, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qAssign, "query_id")
+      .withColumn("qn", norm(col("qv"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.roundTo(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+      .filter(col("sim") >= lo && col("sim") < hi)
+    rankTopK(scored, k)
+  }
+
   /** Rank scored (query_id, neighbor_id, sim) pairs to top-k per query via
     * the bounded-heap aggregate [[graft.functions.TopKByScore]]: the partial
     * (map-side) phase reduces every partition to ≤k candidates per query
