@@ -1031,6 +1031,11 @@ object SparkEntry {
     // lazy plan; output = c20's pack table over the curated survivors
     "c21_pretrain_pipeline" -> ((s, d) =>
       TextStats.pretrainPipeline(s, d)),
+    // c21's multimodal analog: decode gate → per-modality perceptual
+    // hashes → chunk-blocked Hamming pairs → cluster resolution →
+    // quality-aware keep-best (area for images, sample rate for audio)
+    "c22_media_curation" -> ((s, d) =>
+      Multimodal.mediaCuration(s, d).orderBy("media_id")),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -5265,6 +5270,40 @@ object SparkEntry {
          |${ccRoundsSql("SELECT media_id AS v FROM ah")}
          |SELECT v AS media_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY media_id""".stripMargin,
+    // c22 — the media-curation composite: BOTH hash replays (the m4/m5
+    // image aHash chain and the m8 low-dup audio chain, each wrapped as
+    // a WITH-subquery so their same-named intermediates cannot clash),
+    // per-slice all-pairs Hamming at the m5/m8 bar, ONE uncapped
+    // pointer-jumping component replay over the union graph, and the
+    // c14 keep-best rule with decode-derived quality (w·h for images,
+    // sample rate for audio — the m1 oracle's metadata arithmetic)
+    "c22_media_curation" -> {
+      s"""WITH imgh AS MATERIALIZED ($aHashCte SELECT media_id, ahash FROM ah),
+         |audh AS MATERIALIZED ($audioLowDupHashCte SELECT media_id, ahash FROM ah),
+         |allh AS MATERIALIZED (SELECT media_id FROM imgh UNION ALL SELECT media_id FROM audh),
+         |p0 AS MATERIALIZED (
+         |  SELECT a.media_id AS va, b.media_id AS vb
+         |  FROM imgh a JOIN imgh b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |  UNION ALL
+         |  SELECT a.media_id, b.media_id
+         |  FROM audh a JOIN audh b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 4),
+         |edges AS MATERIALIZED (SELECT va AS v, vb AS w FROM p0 UNION SELECT vb, va FROM p0),
+         |${ccRoundsSql("SELECT media_id AS v FROM allh")},
+         |q AS (SELECT media_id,
+         |  CASE WHEN media_id % 3 = 2 THEN CAST(8000 + (media_id % 8) * 1000 AS DOUBLE)
+         |       ELSE CAST((8 + media_id % 24) * (8 + (media_id // 24) % 24) AS DOUBLE) END AS quality_score
+         |  FROM allh),
+         |scd AS (SELECT rec.v AS media_id, rec.component, q.quality_score
+         |        FROM rec JOIN q ON q.media_id = rec.v),
+         |b AS (SELECT component, media_id AS best_id FROM (
+         |  SELECT component, media_id, row_number() OVER (PARTITION BY component ORDER BY quality_score DESC, media_id) AS rn
+         |  FROM scd) WHERE rn = 1)
+         |SELECT scd.media_id, scd.component, scd.quality_score,
+         |  (scd.media_id = b.best_id) AS keep
+         |FROM scd JOIN b USING (component) ORDER BY scd.media_id""".stripMargin
+    },
     // m6 — all-pairs Hamming over the replayed AUDIO energy hashes: the
     // WAV fixture's sample rule (seed·31 + i·997) mod 2^15 drives the
     // same integer cross-multiply bit rule as the image aHash

@@ -597,4 +597,38 @@ object Multimodal {
            Num.roundTo(Num.exactAvg(col("width").cast("double")), 4).as("avg_width"),
            Num.roundTo(Num.exactAvg(col("height").cast("double")), 4).as("avg_height"))
       .orderBy("format")
+
+  /** End-to-end MEDIA curation composite (c22) — the c21 analog for the
+    * multimodal side, every stage an existing gated operator composed
+    * into one plan: decode gate (m1's [[decodeMeta]], `unknown` formats
+    * dropped) → perceptual hashes per modality ([[imageHashes]] on the
+    * image slice, [[audioHashes]] on the realistic-density audio
+    * fixture) → near-dup pairs via the shared chunk-blocked Hamming
+    * join ([[nearDupImages]], modality-agnostic) → cross-modality
+    * cluster resolution + quality-aware keep-best
+    * ([[Dedup.resolveBestByScore]], the c14 rule: highest quality wins,
+    * ties to the lowest id). Quality is decode-derived — pixel area for
+    * images, sample rate for audio (decodeMeta maps a WAV's rate into
+    * `width`); modalities never share a cluster (hash pairs are
+    * within-slice), so the two scales never compete.
+    *
+    * The composition is lazy end to end except [[Dedup
+    * .connectedComponents]]'s fixpoint rounds — the same materialization
+    * barriers the standalone m7 pays, nothing extra. Pair volume rides
+    * the m5/m8 design: only (chunk, id, hash) rows shuffle, pixels and
+    * PCM never leave the decode stage.
+    */
+  def mediaCuration(spark: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
+    val img = imageTable(spark, dir).filter(col("media_id") % 3 === 0)
+    val aud = audioTableLowDup(spark, dir)
+    val meta = decodeMeta(img.unionAll(aud)).toDF()
+      .filter(col("format") =!= "unknown")
+    val scores = meta.select(col("media_id"),
+      when(col("format") === "wav", col("width"))
+        .otherwise(col("width") * col("height")).cast("double").as("quality_score"))
+    val pairs = nearDupImages(imageHashes(img), maxDist)
+      .unionAll(nearDupImages(audioHashes(aud), maxDist))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.resolveBestByScore(meta.select("media_id"), pairs, scores, idCol = "media_id")
+  }
 }

@@ -284,4 +284,35 @@ class MultimodalSpec extends SparkSpec {
     val perComp = resolved.values.groupBy(_._1)
     perComp.foreach { case (_, ms) => assert(ms.count(_._2) == 1) }
   }
+
+  test("mediaCuration (c22) == the hand-chained m1/m4/m5/m8/m7/c14 stages") {
+    import graft.ops.{Dedup, Iterate}
+    val composite = Multimodal.mediaCuration(spark, sfDir).orderBy("media_id")
+      .collect().map(_.toString).toSeq
+    // hand-chain the stages, materializing between each like a user
+    // running the operators one at a time
+    val img = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    val aud = Multimodal.audioTableLowDup(spark, sfDir)
+    val meta = Iterate.materialize(
+      Multimodal.decodeMeta(img.unionAll(aud)).toDF().filter(col("format") =!= "unknown"))
+    val scores = Iterate.materialize(meta.select(col("media_id"),
+      when(col("format") === "wav", col("width"))
+        .otherwise(col("width") * col("height")).cast("double").as("quality_score")))
+    val imgPairs = Iterate.materialize(
+      Multimodal.nearDupImages(Multimodal.imageHashes(img), maxDist = 4))
+    val audPairs = Iterate.materialize(
+      Multimodal.nearDupImages(Multimodal.audioHashes(aud), maxDist = 4))
+    val pairs = imgPairs.unionAll(audPairs)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val chained = Dedup.resolveBestByScore(meta.select("media_id"), pairs,
+        scores, idCol = "media_id")
+      .orderBy("media_id").collect().map(_.toString).toSeq
+    assert(composite.nonEmpty && composite == chained)
+    // the decode gate is real: every fixture payload decodes, both
+    // modalities are present, and clusters never mix modalities
+    val rows = Multimodal.mediaCuration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.exists(_._1 % 3 == 0) && rows.exists(_._1 % 3 == 2))
+    rows.foreach { case (id, comp) => assert(id % 3 == comp % 3, s"modality mix: $id in $comp") }
+  }
 }
