@@ -440,6 +440,20 @@ class TextStatsSpec extends SparkSpec {
     assert(reparted.toSeq == merges.toSeq)
   }
 
+  test("bpeMergesBatched at m=64: jobs track ROUNDS (incl. the exhaustion probe), never merges") {
+    // the production-merge-count claim: a round's collect is one driver
+    // job no matter how many merges it yields, and when the vocab
+    // saturates the trainer stops after ONE empty collect — jobs is
+    // bounded by productive-rounds + 1, merges can exceed jobs many-fold
+    val docs = Tables.documents(spark, sfDir)
+    val (df, jobs, roundSizes) = TextStats.bpeMergesBatchedWithJobs(docs, rounds = 64, m = 64)
+    val nMerges = df.count()
+    assert(roundSizes.sum.toLong == nMerges && roundSizes.forall(_ <= 64))
+    assert(jobs <= roundSizes.length + 1,
+      s"jobs $jobs exceeded productive rounds ${roundSizes.length} + exhaustion probe")
+    assert(nMerges > jobs, s"merges $nMerges should exceed driver jobs $jobs")
+  }
+
   test("bpeEncode: toy exactness, zero-merge identity, determinism") {
     import spark.implicits._
     // tokens: "aaab" (x2), "cd" (x1). merge0 = (a,a,4); round 1 ties
