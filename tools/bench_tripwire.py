@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Per-query performance-regression tripwire (round-13 verdict ask #8).
+
+Usage: python3 tools/bench_tripwire.py [bench_json] [mins_json]
+       (defaults: BENCH_LOCAL.json vs BENCH_MINS.json)
+
+Compares each query's time in a single bench run against the committed
+quiet-protocol minimums and ALARMS at >1.5x for non-iterative rows.
+Exit code 1 when any alarm fires, so the round close can gate on it.
+
+Three row classes:
+- alarmed: >1.5x the committed min AND above the absolute noise floor
+  (0.25 s -- a 0.1s->0.22s "regression" is scheduler jitter, not a plan
+  change) AND not in the iterative exemption list.
+- iterative (exempt from the alarm, still REPORTED at >1.5x): rows
+  dominated by fixed per-round job latency, where wall tracks box
+  contention far more than plan quality. Kept visible so a genuine
+  blow-up is still seen, just not gating.
+- new: queries with no committed min yet (report-only; they enter the
+  baseline at the next protocol run).
+
+The committed mins come from min-of-3 quiet-protocol runs (see
+BENCH_NOTES.md "Method"); single-run comparisons against them are
+intentionally conservative -- contention only ever ADDS time, so a
+clean single run proves the absence of regressions, while an alarm
+asks for a quiet re-measure before blaming a commit.
+"""
+import json
+import sys
+
+# Rows whose cost is dominated by fixed per-round latency of an
+# iterative loop (CC fixpoint, Lloyd's, peeling, DP levels, power
+# iteration, LPA, greedy selection): wall moves with box load, not plan.
+ITERATIVE = {
+    "n1_part_pagerank", "n2_triangles", "n3_local_clustering", "n5_kcore",
+    "n6_label_prop", "n7_doc_communities",
+    "x5_dup_resolve", "x9_emb_dup_clusters", "x10_emb_dup_scale",
+    "x12_semdedup", "x13_semdedup_increment", "m7_image_dup_resolve",
+    "t12_leakproof_split", "c14_keep_best", "c15_emb_curation",
+    "c22_media_curation",
+    "t22_bpe_merges", "t25_unigram_vocab", "t32_bpe_batched",
+    "c8_bpe_encode", "c12_unigram_encode",
+    "v4_ivf_topk", "v12_ivf_multiprobe", "v13_pq_err", "v14_pq_topk",
+    "v15_ivfpq_topk", "v17_ivf_probe_curve", "v18_cell_outliers",
+    "v19_coreset", "v20_mmr", "v22_power_iteration", "v23_pca_project",
+    "v25_hard_neg_ann", "st15_stream_semdedup", "st20_stream_pca",
+}
+THRESH = 1.5
+FLOOR_S = 0.25
+
+
+def main(bench_path="BENCH_LOCAL.json", mins_path="BENCH_MINS.json"):
+    bench = json.load(open(bench_path))["queries"]
+    mins = json.load(open(mins_path))["queries"]
+    alarmed, exempt_hot, new = [], [], []
+    for q, t in sorted(bench.items()):
+        if q not in mins:
+            new.append((q, t))
+            continue
+        base = mins[q]
+        if t <= max(base * THRESH, FLOOR_S):
+            continue
+        row = (q, base, t, t / base if base > 0 else float("inf"))
+        (exempt_hot if q in ITERATIVE else alarmed).append(row)
+
+    def table(rows):
+        for q, base, t, r in sorted(rows, key=lambda x: -x[3]):
+            print(f"  {q:<28} min={base:7.2f}s  now={t:7.2f}s  {r:5.2f}x")
+
+    print(f"tripwire: {len(bench)} queries vs {len(mins)} committed mins "
+          f"({bench_path} vs {mins_path})")
+    if alarmed:
+        print(f"ALARM: {len(alarmed)} non-iterative rows >{THRESH}x the committed min:")
+        table(alarmed)
+    else:
+        print(f"clean: no non-iterative row exceeds {THRESH}x its committed min")
+    if exempt_hot:
+        print(f"note: {len(exempt_hot)} ITERATIVE rows over {THRESH}x (exempt, re-measure quiet):")
+        table(exempt_hot)
+    if new:
+        print(f"new (no baseline yet): {', '.join(q for q, _ in new)}")
+    return 1 if alarmed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:3]))
