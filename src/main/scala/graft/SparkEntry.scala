@@ -1167,6 +1167,15 @@ object SparkEntry {
       Dedup.resolveDuplicates(docs, stagedPairs(s, d))
         .orderBy("doc_id")
     }),
+    // x5's answer computed by the OTHER exact-CC algorithm — alternating
+    // large-star/small-star contraction (O(log² n) rounds on any graph
+    // shape, the bounded-round form for adversarially long chains) —
+    // gated against the same oracle to prove the equivalence
+    "x15_cc_contraction" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.resolveDuplicatesContraction(docs, stagedPairs(s, d))
+        .orderBy("doc_id")
+    }),
     // cross-document duplicate-span profile (w=8 token windows; a span
     // is dup when its order-sensitive hash occurs >= 2 times corpus-wide)
     // — the Lee-et-al exact-substring-dedup signal; integer-exact
@@ -4894,6 +4903,12 @@ object SparkEntry {
     // min-id per component — the oracle for resolveDuplicates' iterative
     // min-label propagation.
     "x5_dup_resolve" ->
+      s"""$dupComponentsCte
+         |SELECT v AS doc_id, component, CAST(v = component AS BOOLEAN) AS keep
+         |FROM rec ORDER BY doc_id""".stripMargin,
+    // x15 — star contraction computes the SAME exact components as x5's
+    // pointer jumping; one oracle, two algorithms, both hash-gated
+    "x15_cc_contraction" ->
       s"""$dupComponentsCte
          |SELECT v AS doc_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY doc_id""".stripMargin,

@@ -309,6 +309,14 @@ object Graph {
     * under the n-family node cap. Output: (l_partkey, community,
     * n_members), community = the final label, sizes by one more
     * aggregate on the catalog-sized label table.
+    *
+    * VERTEX-COUNT BOUND: the per-round broadcast of the label table is
+    * valid ONLY while the vertex set is catalog-sized (maxPart-capped
+    * here, ≤20k rows ≈ 320 KB). Reusing this form on a corpus-sized
+    * graph (e.g. the x5 document pair graph) would broadcast per-vertex
+    * state that cannot fit — use [[labelPropagation]], the shuffle-join
+    * sibling with the identical contract, which n7 registers over the
+    * document graph and GraphSpec pins equal to this one here.
     */
   def partLabelProp(spark: SparkSession, dir: String, rounds: Int = 4,
                     maxPart: Long = 20000L): DataFrame = {

