@@ -303,6 +303,9 @@ object SparkEntry {
     // rate cancels in the ratio, so every cell but one division is an
     // exact integer set property
     "d7_kmv_jaccard" -> (Analytics.kmvJaccard(_, _)),
+    // theta-sketch set DIFFERENCE: |A \ B| from the coordinated sub-θ
+    // samples — completes the sketch algebra beside d5 (∪) and d6 (∩)
+    "d9_kmv_difference" -> (Analytics.kmvDifference(_, _)),
     // integer-exact PageRank over the part co-purchase graph, 3
     // synchronous iterations — the third iterative-DataFrame-loop family
     "n1_part_pagerank" -> (Graph.partPageRank(_, _)),
@@ -3735,6 +3738,29 @@ object SparkEntry {
                 "CAST(common AS DOUBLE) * 2305843009213693952.0 / CAST(theta AS DOUBLE)", 4)}
          |  AS est_intersect
          |FROM cm, th""".stripMargin,
+    // d9 — theta-sketch difference: d6's coordinated sub-theta samples,
+    // A's survivors anti-joined against B (exact below theta), scaled
+    "d9_kmv_difference" ->
+      s"""WITH ua AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem
+         |           WHERE l_returnflag = 'A'),
+         |ka AS (SELECT u FROM ua ORDER BY u LIMIT 256),
+         |sa AS (SELECT count(*) AS n, max(u) AS kth FROM ka),
+         |ub AS (SELECT DISTINCT ${kmvUSql("l_orderkey")} AS u FROM lineitem
+         |           WHERE l_returnflag = 'R'),
+         |kb AS (SELECT u FROM ub ORDER BY u LIMIT 256),
+         |sb AS (SELECT count(*) AS n, max(u) AS kth FROM kb),
+         |th AS (SELECT least(
+         |    CASE WHEN sa.n < 256 THEN 2305843009213693952 ELSE sa.kth END,
+         |    CASE WHEN sb.n < 256 THEN 2305843009213693952 ELSE sb.kth END) AS theta
+         |  FROM sa, sb),
+         |df AS (SELECT count(*) AS only_a FROM ka, th
+         |       WHERE u < theta AND u NOT IN (SELECT u FROM kb))
+         |SELECT 'A' AS group_a, 'R' AS group_b, CAST(256 AS BIGINT) AS k,
+         |  theta, CAST(only_a AS BIGINT) AS n_only_a,
+         |  ${Num.sqlRoundTo(
+                "CAST(only_a AS DOUBLE) * 2305843009213693952.0 / CAST(theta AS DOUBLE)", 4)}
+         |  AS est_diff
+         |FROM df, th""".stripMargin,
     // d7 — theta-sketch Jaccard: d6's coordinated sub-theta samples,
     // intersection AND union counted over them, one 6dp division
     "d7_kmv_jaccard" ->

@@ -434,6 +434,39 @@ object Analytics {
                 col("theta").cast("double"), 4).as("est_intersect"))
   }
 
+  /** KMV sketch DIFFERENCE — |A \ B| from the two sketches alone, the
+    * last theta-sketch set operation beside [[kmvIntersect]] (∩) and
+    * [[kmvUnion]] (∪): below the common threshold θ each sketch holds
+    * EVERY hash of its set, so membership of A's sub-θ sample in B is
+    * EXACT there, the survivors are a uniform θ/M-rate sample of A \ B,
+    * and est = n_only_a · M/θ. Same gate story as d6: every cell an
+    * integer set property except the one rounded division. Completes
+    * the sketch algebra — any boolean combination of per-shard distinct
+    * sets now answers from kilobytes (∪ by merge-trim, ∩ and \ by
+    * coordinated sub-θ samples) without rescanning data.
+    */
+  def kmvDifference(spark: SparkSession, dir: String, k: Int = 256,
+                    flagA: String = "A", flagB: String = "R"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+              pmod(call_function("splitmix64", col("l_orderkey")), lit(KmvM)).as("u"))
+    def sketch(flag: String, as: String) =
+      li.filter(col("l_returnflag") === flag)
+        .agg(call_function("kmv_sketch", col("u"), lit(k)).as(as))
+    def thresholdOf(sk: Column): Column =
+      when(size(sk) < k, lit(KmvM)).otherwise(element_at(sk, size(sk)))
+    sketch(flagA, "ska").crossJoin(sketch(flagB, "skb"))
+      .withColumn("theta", least(thresholdOf(col("ska")), thresholdOf(col("skb"))))
+      .withColumn("n_only_a",
+        size(array_except(
+          filter(col("ska"), x => x < col("theta")),
+          filter(col("skb"), x => x < col("theta")))).cast("long"))
+      .select(lit(flagA).as("group_a"), lit(flagB).as("group_b"),
+              lit(k).cast("long").as("k"), col("theta"), col("n_only_a"),
+              Num.roundTo(col("n_only_a").cast("double") * lit(KmvM.toDouble) /
+                col("theta").cast("double"), 4).as("est_diff"))
+  }
+
   /** Sketch-only JACCARD between two sets — what the d4–d6 KMV family
     * builds toward: below the common threshold θ each sketch holds
     * EVERY hash of its set (a pure set property), so the sub-θ samples

@@ -79,6 +79,30 @@ class KmvSpec extends SparkSpec {
     assert(disjoint.getAs[Double]("est_intersect") == 0.0)
   }
 
+  test("theta difference estimate tracks exact |A \\ R|; identical sets give exactly 0") {
+    val li = Tables.lineitem(spark, sfDir)
+    def keys(f: String) =
+      li.filter(col("l_returnflag") === f).select("l_orderkey").distinct()
+    val exact = keys("A").except(keys("R")).count()
+    val row = Analytics.kmvDifference(spark, sfDir).collect().head
+    val est = row.getAs[Double]("est_diff")
+    assert(math.abs(est - exact) / exact < 6.0 / math.sqrt(256.0),
+      s"est=$est exact=$exact")
+    // A \ A: coordinated samples coincide — exactly zero, no estimate noise
+    val same = Analytics.kmvDifference(spark, sfDir, flagA = "A", flagB = "A")
+      .collect().head
+    assert(same.getAs[Long]("n_only_a") == 0L && same.getAs[Double]("est_diff") == 0.0)
+    // tiny disjoint sets: not-full sketches are exact sets — est == |A|
+    import spark.implicits._
+    val d = tmpDir("kmvdiff")
+    (1L to 100L).map(i => (i, if (i <= 50) "A" else "R"))
+      .toDF("l_orderkey", "l_returnflag")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val disjoint = Analytics.kmvDifference(spark, d.toString).collect().head
+    assert(disjoint.getAs[Long]("n_only_a") == 50L)
+    assert(disjoint.getAs[Double]("est_diff") == 50.0)
+  }
+
   test("theta Jaccard estimate tracks the exact order-set Jaccard; identical sets give exactly 1.0") {
     val li = Tables.lineitem(spark, sfDir)
     def keys(f: String) =
