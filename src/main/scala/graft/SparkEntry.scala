@@ -1039,6 +1039,11 @@ object SparkEntry {
     // quality-aware keep-best (area for images, sample rate for audio)
     "c22_media_curation" -> ((s, d) =>
       Multimodal.mediaCuration(s, d).orderBy("media_id")),
+    // curriculum ordering: quality-ascending bands (train ENDS on the
+    // best quartile), seeded shuffle within band, global train_rank by
+    // the distributed-rank discipline
+    "c23_curriculum_order" -> ((s, d) =>
+      TextStats.curriculumOrder(Tables.documents(s, d)).orderBy("doc_id")),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -4485,6 +4490,20 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS rank,
          |  CAST(ntile(8) OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shard
          |FROM k ORDER BY doc_id""".stripMargin,
+    // c23 — quality bands via ntile over the (quality, id) rank (the
+    // c10-pinned cut-point rule), c10's splitmix shuffle key within
+    // band, one global row_number over (band, skey, id)
+    "c23_curriculum_order" ->
+      s"""WITH ${qualityCteBody()},
+         |bq AS (SELECT qs.doc_id, qs.quality_score,
+         |         CAST(ntile(4) OVER (ORDER BY qs.quality_score, qs.doc_id) AS BIGINT) AS band
+         |       FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+         |       WHERE d.text IS NOT NULL),
+         |ck AS (SELECT doc_id, band, quality_score,
+         |         ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM bq)
+         |SELECT doc_id, band, quality_score,
+         |  CAST(row_number() OVER (ORDER BY band, skey, doc_id) AS BIGINT) AS train_rank
+         |FROM ck ORDER BY doc_id""".stripMargin,
     // c16 — per-group cap: same splitmix key, per-lang rank < k
     // c18 — one pass composing the t18 dup CTE shape, the t1 quality
     // CTEs and the c16 max-share cap rule; quartiles are quantile_cont

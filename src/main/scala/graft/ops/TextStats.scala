@@ -1090,6 +1090,69 @@ object TextStats {
       .select(col(idCol), col("skey"), col("rank"), col("shard"))
   }
 
+  /** CURRICULUM ordering plan (c23) — the training-order step after
+    * curation: every doc gets a global `train_rank` that presents the
+    * corpus quality-ascending — band 1 (lowest-quality quartile) first,
+    * band `nBands` last, so training ENDS on the best data (the
+    * data-ordering/annealing recipe: finish on highest quality rather
+    * than sprinkle it uniformly) — with a seeded deterministic shuffle
+    * WITHIN each band so no spurious order (crawl date, source
+    * adjacency) leaks into the schedule.
+    *
+    * Bands are exact integer ntile cuts over the global
+    * (quality_score, id) rank; both the band rank and the final
+    * training rank use the distributed-rank discipline
+    * (repartitionByRange + per-partition offsets — the c4/c10 pattern;
+    * the only unpartitioned window is the O(partitions) offset table).
+    * Every cut point and shuffle key is integer arithmetic the oracle
+    * replays exactly (ntile + splitmix64).
+    */
+  def curriculumOrder(docs: DataFrame, nBands: Int = 4, seed: Long = 42L,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBands > 0, "nBands must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // global rank → 0-based integer ntile (the c10 cut-point rule:
+    // first n_total % nBands tiles carry ceil(n/nBands) rows)
+    def intNtile(rank: String, total: String): String =
+      s"""CAST(CASE
+         |  WHEN $rank < ($total % $nBands) * (($total DIV $nBands) + 1)
+         |  THEN $rank DIV (($total DIV $nBands) + 1)
+         |  ELSE ($total % $nBands) +
+         |    ($rank - ($total % $nBands) * (($total DIV $nBands) + 1))
+         |      DIV greatest($total DIV $nBands, 1)
+         |END AS BIGINT)""".stripMargin
+    def offsets(sorted: DataFrame): DataFrame =
+      sorted.groupBy("pid").agg(count(lit(1)).as("pn"))
+        .withColumn("poff", coalesce(
+          sum("pn").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "poff")
+    val scored = qualityScore(docs.filter(col(textCol).isNotNull), textCol)
+      .select(col(idCol), col("quality_score"))
+    // pass A: quality band
+    val sortedQ = scored.repartitionByRange(col("quality_score"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val total = sortedQ.agg(count(lit(1)).as("n_total"))
+    val withinQ = Window.partitionBy("pid").orderBy(col("quality_score"), col(idCol))
+    val banded = sortedQ.join(broadcast(offsets(sortedQ)), "pid")
+      .withColumn("qrank", (col("poff") + row_number().over(withinQ) - 1).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("band", expr(intNtile("qrank", "n_total")) + 1L)
+      .select(col(idCol), col("quality_score"), col("band"))
+    // pass B: global training rank over (band, seeded shuffle key, id)
+    val keyed = banded.withColumn("skey",
+      call_function("splitmix64",
+        call_function("splitmix64", col(idCol).cast("long")).bitwiseXOR(lit(seed))))
+    val sortedC = keyed.repartitionByRange(col("band"), col("skey"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val withinC = Window.partitionBy("pid").orderBy(col("band"), col("skey"), col(idCol))
+    sortedC.join(broadcast(offsets(sortedC)), "pid")
+      .withColumn("train_rank", (col("poff") + row_number().over(withinC)).cast("long"))
+      .select(col(idCol), col("band"), col("quality_score"), col("train_rank"))
+  }
+
   /** Per-shard MANIFEST for [[shuffleShard]] — the handoff artifact a
     * training job reads before touching data: doc and token counts plus
     * the rank span of every shard. One groupBy over the assignment

@@ -440,6 +440,39 @@ class TextStatsSpec extends SparkSpec {
     assert(reparted.toSeq == merges.toSeq)
   }
 
+  test("curriculumOrder: contiguous quality-ascending bands, rank is a permutation, deterministic") {
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val out = TextStats.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = out.length
+    assert(n == docs.count())
+    // train_rank is exactly the permutation 1..N
+    assert(out.map(_._4).sorted.toSeq == (1L to n).toSeq)
+    // bands partition by the exact ntile cuts: first n%4 bands carry
+    // ceil(n/4), the rest floor
+    val sizes = out.groupBy(_._2).map { case (b, rs) => b -> rs.length }
+    val (ceil, floor) = ((n + 3) / 4, n / 4)
+    (1L to 4L).foreach { b =>
+      val want = if (b <= n % 4) ceil else floor
+      assert(sizes(b) == want, s"band $b size ${sizes(b)} != $want")
+    }
+    // the schedule is band-contiguous and quality-ascending across bands:
+    // every band-b rank precedes every band-(b+1) rank, and the worst
+    // quality in band b+1 is >= the best... (quality sorts INTO bands, so
+    // max quality of band b <= min quality of band b+1 up to ties)
+    val byBand = out.groupBy(_._2)
+    (1L to 3L).foreach { b =>
+      assert(byBand(b).map(_._4).max < byBand(b + 1).map(_._4).min,
+        s"band $b ranks must precede band ${b + 1}")
+      assert(byBand(b).map(_._3).max <= byBand(b + 1).map(_._3).min + 1e-12,
+        s"band $b quality must not exceed band ${b + 1}")
+    }
+    // deterministic under repartition (distributed rank, not task order)
+    val re = TextStats.curriculumOrder(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("bpeMergesBatched at m=64: jobs track ROUNDS (incl. the exhaustion probe), never merges") {
     // the production-merge-count claim: a round's collect is one driver
     // job no matter how many merges it yields, and when the vocab
