@@ -1435,6 +1435,12 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
+    // video near-dup: m2's sampled frames hashed per frame, pairs by
+    // Jaccard over distinct frame-hash SETS via the x4 pair core —
+    // robust to re-ordering/trimming where whole-payload hashes are not
+    "m9_video_neardup" -> ((s, d) =>
+      Multimodal.nearDupVideos(Multimodal.mediaTable(s, d))
+        .orderBy("id_a", "id_b")),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
     // oracle replays the fixture's integer pixel/sample rules plus each
@@ -5244,6 +5250,28 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | CAST(greatest(octet_length(encode(text)) // 128, 1) AS BIGINT) AS n_frames
         | FROM documents ORDER BY media_id""".stripMargin,
+    // m9 — frame sampling replayed as substr at the m2 stride (chars ==
+    // bytes on the ASCII corpus), per-frame FNV-1a, then the x4 pair
+    // shape (df guard, shared counts, 6dp Jaccard) over frame sets
+    "m9_video_neardup" ->
+      s"""WITH fr AS (SELECT doc_id,
+         |    ${fnv1a64Sql("substr(text, CAST(i * 128 + 1 AS INTEGER), 32)")} AS fh
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 128, 1))) AS i) ii
+         |  WHERE text IS NOT NULL),
+         |fs AS (SELECT DISTINCT doc_id, fh FROM fr),
+         |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id),
+         |dfq AS (SELECT fh, count(*) AS df FROM fs GROUP BY fh),
+         |f2 AS (SELECT fs.doc_id, fs.fh FROM fs JOIN dfq USING (fh)
+         |       WHERE dfq.df >= 2 AND dfq.df <= 64),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |        FROM f2 a JOIN f2 b USING (fh) WHERE a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |        ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / CAST(za.n + zb.n - shared AS DOUBLE)", 6)} AS frame_jaccard
+         |      FROM prs JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b)
+         |SELECT id_a, id_b, frame_jaccard FROM j WHERE frame_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // replay of ImageCodec.synthPayload's metadata rules — Spark must
     // recover these values by actually decoding the PNG/JPEG/WAV bytes

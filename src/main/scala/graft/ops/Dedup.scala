@@ -865,18 +865,33 @@ object Dedup {
                                  w: Int, maxDocFreq: Long): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol), w).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
-    // Pair generation carries ONLY doc ids (8 bytes) — set sizes join back
-    // after the pair aggregation, when candidates have collapsed to the
-    // distinct-pair set. The size lookup is left un-hinted: AQE broadcasts
-    // it at test scale; at corpus scale (one row per doc, too big to
-    // broadcast) it becomes a shuffle join keyed by doc id — correct
-    // either way.
-    // df guard FIRST (count aggregate — constant-size buffer per shingle),
-    // THEN collect_list on the surviving rare shingles only: a boilerplate
-    // shingle in 10^8 docs never materializes a 10^8-element list buffer.
-    // Both aggregations and the semi join hash-partition on `shingle`, so
-    // the exchange is shared/reused.
-    val exploded = sh.select(explode(col("sh")).as("shingle"), col("doc_id"))
+    sharedHashPairs(
+      sh.select(explode(col("sh")).as("shingle"), col("doc_id")),
+      sh.select(col("doc_id"), col("n_sh")),
+      maxDocFreq)
+  }
+
+  /** The shared-hash pair core behind [[ngramJaccard]]/x14 — and, via
+    * [[Multimodal.nearDupVideos]], frame-set video dedup: from distinct
+    * (doc_id, shingle) rows and a (doc_id, n_sh) size table, produce
+    * (doc_a, doc_b, shared, na, nb) for every pair sharing ≥ 1 hash
+    * within the df guard. One definition so text shingles and video
+    * frame sets can never diverge in pair semantics.
+    *
+    * Pair generation carries ONLY doc ids (8 bytes) — set sizes join back
+    * after the pair aggregation, when candidates have collapsed to the
+    * distinct-pair set. The size lookup is left un-hinted: AQE broadcasts
+    * it at test scale; at corpus scale (one row per doc, too big to
+    * broadcast) it becomes a shuffle join keyed by doc id — correct
+    * either way.
+    * df guard FIRST (count aggregate — constant-size buffer per shingle),
+    * THEN collect_list on the surviving rare shingles only: a boilerplate
+    * shingle in 10^8 docs never materializes a 10^8-element list buffer.
+    * Both aggregations and the semi join hash-partition on `shingle`, so
+    * the exchange is shared/reused.
+    */
+  private[ops] def sharedHashPairs(exploded: DataFrame, sizes: DataFrame,
+                                   maxDocFreq: Long): DataFrame = {
     val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDocFreq)
       .select("shingle")
@@ -887,7 +902,6 @@ object Dedup {
     val pairs = grouped
       .select(explode(call_function("pair_longs", col("docs"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    val sizes = sh.select(col("doc_id"), col("n_sh"))
     pairs
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))

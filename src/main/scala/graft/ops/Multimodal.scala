@@ -598,6 +598,43 @@ object Multimodal {
            Num.roundTo(Num.exactAvg(col("height").cast("double")), 4).as("avg_height"))
       .orderBy("format")
 
+  /** VIDEO near-dup by sampled-frame Jaccard (m9) — the third modality
+    * beside the m5 image and m6/m8 audio Hamming families, and the
+    * standard shape for long media where one global hash washes out:
+    * sample fixed-size frames at a stride ([[sampleFrames]], the m2
+    * stage), hash each frame (FNV-1a — the re-encode-stable stand-in
+    * for a real per-frame perceptual hash, which drops into the same
+    * column), and score video pairs by Jaccard over their distinct
+    * frame-hash SETS — re-ordered, trimmed, or concatenated videos
+    * still overlap heavily on frames where any whole-payload hash
+    * differs completely.
+    *
+    * The pair machinery is [[Dedup.sharedHashPairs]] — the exact core
+    * behind x4 text shingles, reused verbatim (frames ARE the
+    * shingles): only (frame_hash, media_id) rows shuffle, the df guard
+    * caps bucket fan-out, and set sizes join back after pairs collapse.
+    * Frame sets per video are payload-bounded (len / (frameBytes ·
+    * stride) entries); the blob never leaves the sampling projection.
+    */
+  def nearDupVideos(media: DataFrame, frameBytes: Int = 32, stride: Int = 4,
+                    threshold: Double = 0.5, maxFrameFreq: Long = 64): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
+    val fr = sampleFrames(media, frameBytes, stride)
+      .select(col("media_id"),
+        call_function("fnv1a64", col("frame").cast("string")).as("fh"))
+    val sets = fr.groupBy(col("media_id")).agg(collect_set(col("fh")).as("sh"))
+      .select(col("media_id").as("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("n_sh"))
+    Dedup.sharedHashPairs(
+        sets.select(explode(col("sh")).as("shingle"), col("doc_id")),
+        sets.select(col("doc_id"), col("n_sh")),
+        maxFrameFreq)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        Num.roundTo(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 6).as("frame_jaccard"))
+      .filter(col("frame_jaccard") >= threshold)
+  }
+
   /** End-to-end MEDIA curation composite (c22) — the c21 analog for the
     * multimodal side, every stage an existing gated operator composed
     * into one plan: decode gate (m1's [[decodeMeta]], `unknown` formats

@@ -285,6 +285,35 @@ class MultimodalSpec extends SparkSpec {
     perComp.foreach { case (_, ms) => assert(ms.count(_._2) == 1) }
   }
 
+  test("nearDupVideos: re-ordered and trimmed frame streams pair, disjoint do not") {
+    import spark.implicits._
+    // "videos" = payload streams of 128-byte strides (frame = first 32
+    // bytes of each stride). Build 4 distinct blocks A/B/C/D of 128
+    // chars each; video 1 = ABCD, video 2 = DCBA (re-ordered: same
+    // frame SET -> jaccard 1.0), video 3 = ABC (trimmed: 3/4 shared),
+    // video 4 = four fresh blocks (disjoint: no pair)
+    def block(c: Char) = c.toString * 128
+    val (a, b, c2, d) = (block('a'), block('b'), block('c'), block('d'))
+    val fresh = "wxyz".map(block).mkString
+    val docs = Seq(
+      (1L, a + b + c2 + d), (2L, d + c2 + b + a), (3L, a + b + c2),
+      (4L, fresh)).toDF("doc_id", "text")
+    def media(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.functions.encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.nearDupVideos(media(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0, s"re-ordered video must be a full dup: $out")
+    assert(out((1L, 3L)) == 0.75 && out((2L, 3L)) == 0.75,
+      s"trimmed video shares 3 of 4 frames: $out")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"disjoint video must not pair: $out")
+    // determinism under repartition
+    val re = Multimodal.nearDupVideos(media(docs.repartition(7)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(re == out)
+  }
+
   test("mediaCuration (c22) == the hand-chained m1/m4/m5/m8/m7/c14 stages") {
     import graft.ops.{Dedup, Iterate}
     val composite = Multimodal.mediaCuration(spark, sfDir).orderBy("media_id")
