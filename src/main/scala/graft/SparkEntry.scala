@@ -330,6 +330,9 @@ object SparkEntry {
       Graph.labelPropagation(stagedPairs(s, d))
         .select(col("v").as("doc_id"), col("community"), col("n_members"))
         .orderBy("doc_id")),
+    // multi-source BFS: hop distance to the nearest top-degree hub,
+    // Bellman-Ford relaxation to an exact two-scalar fixpoint probe
+    "n8_hub_distances" -> (Graph.partHubDistances(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
     // existence join: orders with >=1 late-shipped line, counted once
@@ -3671,6 +3674,41 @@ object SparkEntry {
          |SELECT l.v AS doc_id, l.lbl AS community, szc.n_members
          |FROM l4 l JOIN szc ON szc.lbl = l.lbl
          |ORDER BY doc_id""".stripMargin
+    },
+    // n8 — multi-source BFS replay: top-degree hubs (d DESC, v), 32
+    // unrolled MATERIALIZED relaxation rounds with the NULL-explicit
+    // least(coalesce) merge shared verbatim with the operator, and the
+    // ccRoundsSql-style convergence poison (one probe round; any label
+    // still moving → every distance -1, self-identifying)
+    "n8_hub_distances" -> {
+      val rounds = (1 to 32).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT e.v, min(d.dist + 1) AS nd
+           |  FROM e0 e JOIN d${i - 1} d ON d.v = e.w WHERE d.dist IS NOT NULL GROUP BY e.v),
+           |d$i AS MATERIALIZED (SELECT d.v,
+           |  least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist)) AS dist
+           |  FROM d${i - 1} d LEFT JOIN r$i r ON r.v = d.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |            WHERE l_partkey < 20000),
+         |und AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+         |e0 AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT v, count(*) AS d FROM e0 GROUP BY v),
+         |hubs AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 8),
+         |d0 AS MATERIALIZED (SELECT lv.v,
+         |  CASE WHEN h.v IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+         |  FROM (SELECT DISTINCT v FROM e0) lv LEFT JOIN hubs h ON h.v = lv.v),
+         |$rounds,
+         |pr AS (SELECT e.v, min(d.dist + 1) AS nd
+         |  FROM e0 e JOIN d32 d ON d.v = e.w WHERE d.dist IS NOT NULL GROUP BY e.v),
+         |pd AS (SELECT d.v,
+         |  least(coalesce(d.dist, p.nd), coalesce(p.nd, d.dist)) AS dist
+         |  FROM d32 d LEFT JOIN pr p ON p.v = d.v),
+         |chk AS MATERIALIZED (SELECT count(*) AS n_changed
+         |  FROM pd JOIN d32 ON d32.v = pd.v WHERE pd.dist IS DISTINCT FROM d32.dist)
+         |SELECT d32.v AS l_partkey,
+         |  CASE WHEN (SELECT n_changed FROM chk) > 0 THEN -1 ELSE d32.dist END AS hub_dist
+         |FROM d32 ORDER BY l_partkey""".stripMargin
     },
     // degree-ordered triangle replay: same orientation, wedge join,
     // and EXISTS closure — all exact integers

@@ -342,6 +342,67 @@ object Graph {
       .orderBy("l_partkey")
   }
 
+  /** Multi-source BFS distances to the nearest HUB (n8) — the
+    * shortest-path member of the graph family beside components,
+    * PageRank, triangles, k-core, and LPA: hubs are the `nHubs`
+    * highest-degree parts (ties to the smallest id — replayable), and
+    * every vertex reports its hop distance to the closest hub
+    * (catalog health: how far does any part sit from the co-purchase
+    * backbone?). Unreachable vertices (components with no hub) report
+    * NULL.
+    *
+    * Synchronous Bellman-Ford relaxation: dist'(v) = min(dist(v),
+    * 1 + min over neighbors). Per-vertex distance is monotone
+    * NON-INCREASING and newly-reached vertices only ever gain finite
+    * values, so (reached count, reached-distance sum) changes iff any
+    * distance changed — the exact two-scalar fixpoint probe (the
+    * [[Dedup.connectedComponents]] discipline), making the operator
+    * exact at any diameter while the round loop stays bounded by it.
+    * One graph-sized shuffle per round (the neighbor-min join+groupBy);
+    * the min-merge uses the NULL-explicit least(coalesce) form shared
+    * verbatim with the oracle so engine NULL semantics can never
+    * diverge.
+    */
+  def partHubDistances(spark: SparkSession, dir: String, nHubs: Int = 8,
+                       maxPart: Long = 20000L, maxIter: Int = 64): DataFrame = {
+    require(nHubs >= 1)
+    val (und, deg, _) = orientedCoPurchase(spark, dir, maxPart)
+    val edges = Iterate.materialize(
+      und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
+    val hubs = deg.orderBy(col("d").desc, col("v")).limit(nHubs)
+      .select(col("v"), lit(0L).as("hd"))
+    var dist = Iterate.materialize(
+      edges.select(col("v")).distinct()
+        .join(hubs, Seq("v"), "left")
+        .select(col("v"), col("hd").as("dist")))
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(col("dist")).as("n"),
+        sum(col("dist").cast("decimal(38,0)")).as("s")).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = probe(dist)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val relaxed = edges
+        .join(dist.select(col("v").as("w"), col("dist").as("dw")), "w")
+        .filter(col("dw").isNotNull)
+        .groupBy("v").agg(min(col("dw") + 1L).as("nd"))
+      dist = Iterate.materialize(
+        dist.join(relaxed, Seq("v"), "left")
+          .select(col("v"),
+            least(coalesce(col("dist"), col("nd")),
+                  coalesce(col("nd"), col("dist"))).as("dist")))
+      val p = probe(dist)
+      done = p._1 == prev._1 && p._2.compareTo(prev._2) == 0
+      prev = p
+      iter += 1
+    }
+    dist.select(col("v").as("l_partkey"), col("dist").as("hub_dist"))
+      .orderBy("l_partkey")
+  }
+
   /** Label-propagation communities over an arbitrary PAIR graph with
     * label updates as SHUFFLE JOINS (n7) — the document-scale sibling of
     * [[partLabelProp]]. Identical synchronous majority-min contract

@@ -170,6 +170,31 @@ class GraphSpec extends SparkSpec {
     assert(viaShuffle == viaBroadcast)
   }
 
+  test("partHubDistances == driver-side multi-source BFS reference") {
+    val out = Graph.partHubDistances(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val (und, deg, _) = Graph.orientedCoPurchase(spark, sfDir, 20000L)
+    val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    val hubs = deg.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (v, d) => (-d, v) }.take(8).map(_._1)
+    // reference BFS from all hubs at once
+    val ref = scala.collection.mutable.Map[Long, Long](hubs.map(_ -> 0L): _*)
+    var frontier = hubs.toSet
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Seq.empty))
+        .filterNot(ref.contains)
+      frontier.foreach(ref(_) = d)
+    }
+    val expected = adj.keys.map(v => v -> ref.getOrElse(v, -1L)).toMap
+    assert(out == expected)
+    assert(out.values.count(_ == 0L) == 8)
+    assert(out.values.exists(_ > 0L), "some vertex must sit off the hub set")
+  }
+
   test("labelPropagation: known communities on two triangles joined by a bridge") {
     import spark.implicits._
     // triangles {1,2,3} and {10,11,12} bridged by 3-10. Hand-traced
