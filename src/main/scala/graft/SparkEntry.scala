@@ -1414,6 +1414,16 @@ object SparkEntry {
           Similarity.querySet(emb, "vec_id", 20), codebook, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    // IVF index maintenance: a new (odd-id) batch assigned to the cells
+    // trained on the (even-id) corpus, per-cell growth + an
+    // integer-exact share-drift retrain flag
+    "v26_ivf_add_report" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+      Similarity.ivfAddReport(corpus, batch, codebook)
+    }),
     // dimension-truncation recall curve (Matryoshka storage knob): re-rank
     // with the first d dims only, agreement vs the full-width top-k
     "v16_dim_recall" -> ((s, d) => {
@@ -5133,6 +5143,31 @@ object SparkEntry {
     // st15 — the streaming twin: verdicts depend only on the static
     // corpus, so the batch replay is the oracle verbatim
     "st15_stream_semdedup" -> semDedupIncrementSql(),
+    // v26 — x13's trained-on-even codebook + both assignment replays,
+    // per-cell counts, 6dp shares, and the cross-multiplied integer
+    // drift rule (no double ever decides the boolean)
+    "v26_ivf_add_report" ->
+      s"""WITH ${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
+         |en AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+         |${assignedCte("e", "ca", 3)},
+         |${assignedCte("en", "nw", 3)},
+         |nb AS (SELECT cell, count(*) AS n_before FROM ca GROUP BY cell),
+         |nd AS (SELECT cell, count(*) AS n_added FROM nw GROUP BY cell),
+         |j AS (SELECT cb.cell,
+         |    coalesce(nb.n_before, 0) AS n_before,
+         |    coalesce(nd.n_added, 0) AS n_added,
+         |    coalesce(nb.n_before, 0) + coalesce(nd.n_added, 0) AS n_after
+         |  FROM (SELECT DISTINCT cell FROM cb3) cb
+         |  LEFT JOIN nb ON nb.cell = cb.cell LEFT JOIN nd ON nd.cell = cb.cell),
+         |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
+         |             CAST(sum(n_after) AS BIGINT) AS tot_after FROM j)
+         |SELECT j.cell, CAST(j.n_before AS BIGINT) AS n_before,
+         |  CAST(j.n_added AS BIGINT) AS n_added, CAST(j.n_after AS BIGINT) AS n_after,
+         |  ${Num.sqlRoundTo("CAST(n_before AS DOUBLE) / CAST(tot_before AS DOUBLE)", 6)} AS share_before,
+         |  ${Num.sqlRoundTo("CAST(n_after AS DOUBLE) / CAST(tot_after AS DOUBLE)", 6)} AS share_after,
+         |  (abs(n_after * tot_before - n_before * tot_after) * 10000
+         |    >= 250 * tot_before * tot_after) AS needs_rebalance
+         |FROM j, t ORDER BY j.cell""".stripMargin,
     // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
     // by (dist DESC, id), integer-exact top-decile flag
     "v18_cell_outliers" -> {

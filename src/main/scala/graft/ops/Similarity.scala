@@ -158,6 +158,50 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF index MAINTENANCE report (v26) — what a serving team reads
+    * before deciding to retrain: a new vector batch is assigned to the
+    * EXISTING trained cells (the x13 incremental discipline — the
+    * at-rest corpus layout is untouched, adds are per-cell appends),
+    * and the report shows per-cell growth and whether any cell's
+    * population share drifted past `driftBp` basis points — the signal
+    * that the codebook no longer matches the data distribution and the
+    * v21 layout is due a rebuild.
+    *
+    * The drift flag is INTEGER-exact: |n_after·tot_before −
+    * n_before·tot_after|·10⁴ ≥ driftBp·tot_before·tot_after — the
+    * cross-multiplied form of |share_after − share_before| ≥ bp/10⁴,
+    * so the boolean can never flip on engine rounding (the 6dp share
+    * columns are display only). Cost: two assignment passes (map-only
+    * against the broadcast codebook) + two cell-keyed counts; the
+    * batch pass is O(batch), independent of corpus age.
+    */
+  def ivfAddReport(corpus: DataFrame, batch: DataFrame, codebook: DataFrame,
+                   driftBp: Long = 250L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(driftBp > 0L && driftBp <= 10000L, "driftBp is basis points in (0, 10000]")
+    val nb = assignCells(corpus, codebook, idCol, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val na = assignCells(batch, codebook, idCol, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n_added"))
+    val joined = codebook.select(col("cell"))
+      .join(nb, Seq("cell"), "left").join(na, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("n_after", col("n_before") + col("n_added"))
+    val totals = broadcast(joined.agg(
+      sum(col("n_before")).as("tot_before"), sum(col("n_after")).as("tot_after")))
+    joined.crossJoin(totals)
+      .select(col("cell"), col("n_before"), col("n_added"), col("n_after"),
+        Num.roundTo(col("n_before").cast("double") / col("tot_before").cast("double"), 6)
+          .as("share_before"),
+        Num.roundTo(col("n_after").cast("double") / col("tot_after").cast("double"), 6)
+          .as("share_after"),
+        (abs(col("n_after") * col("tot_before") - col("n_before") * col("tot_after")) * 10000L
+          >= lit(driftBp) * col("tot_before") * col("tot_after")).as("needs_rebalance"))
+      .orderBy("cell")
+  }
+
   /** Rank scored (query_id, neighbor_id, sim) pairs to top-k per query via
     * the bounded-heap aggregate [[graft.functions.TopKByScore]]: the partial
     * (map-side) phase reduces every partition to ≤k candidates per query

@@ -415,6 +415,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"hard-neg ANN recall $recall < 0.75 (measured 0.96 at pin time)")
   }
 
+  test("ivfAddReport: counts reconcile, drift flag fires exactly on the planted hot cell") {
+    import spark.implicits._
+    // corpus: two tight clusters around +e1 and -e1 (4 cells trained);
+    // batch: ALL new vectors land near +e1 — its cell's share must
+    // drift and flag, while counts reconcile exactly
+    val rnd = new scala.util.Random(11)
+    def around(base: Float, id: Long) =
+      (id, Array.tabulate(8)(i => (if (i == 0) base else 0f) + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = ((0L until 40L).map(around(1f, _)) ++
+                  (40L until 80L).map(around(-1f, _))).toDF("vec_id", "embedding")
+    val batch = (100L until 140L).map(around(1f, _)).toDF("vec_id", "embedding")
+    val cb = Similarity.trainIvfCodebook(corpus, cells = 4, iters = 3)
+    val out = Similarity.ivfAddReport(corpus, batch, cb).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6)))
+    assert(out.map(_._1).sum == 80L && out.map(_._2).sum == 40L)
+    out.foreach { case (nb, na, nafter, _) => assert(nafter == nb + na) }
+    // the hand rule, re-applied: flag iff cross-multiplied share drift >= 250bp
+    val (totB, totA) = (80L, 120L)
+    out.foreach { case (nb, _, nafter, flag) =>
+      val want = math.abs(nafter * totB - nb * totA) * 10000L >= 250L * totB * totA
+      assert(flag == want, s"flag mismatch at n_before=$nb n_after=$nafter")
+    }
+    // the planted skew must actually fire somewhere (+e1 cells gain
+    // 100% of the batch) and leave the -e1 side flagged too (its share
+    // halves) — but a no-drift batch flags NOTHING
+    assert(out.exists(_._4))
+    val balanced = Similarity.ivfAddReport(corpus, corpus
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")), cb).collect()
+    assert(balanced.forall(!_.getBoolean(6)), "identical distribution must not flag")
+  }
+
   test("multi-probe IVF dominates single-probe on planted clusters") {
     val q = Similarity.querySet(planted, "vec_id", 5)
     val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
