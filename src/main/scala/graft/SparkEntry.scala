@@ -1424,6 +1424,27 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
       Similarity.ivfAddReport(corpus, batch, codebook)
     }),
+    // v26's streaming twin: adds arrive as a stream, per-cell counters
+    // are the only state (<= |cells| longs), report shared verbatim
+    "st21_stream_ivf_add" -> ((s, d) => {
+      val stage = stagedEmbeddings(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage).filter(col("vec_id") % 2 === 0)
+      val codebookDf = graft.ops.Iterate.materialize(
+        Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3))
+      val cb = codebookDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val mem = s"st21_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamIvfAddCounts(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("vec_id") % 2 === 1), cb),
+        mem)
+      Similarity.ivfAddReportFromCounts(
+        Similarity.assignCells(corpus, codebookDf)
+          .groupBy("cell").agg(count(lit(1)).as("n_before")),
+        s.table(mem), codebookDf)
+    }),
     // dimension-truncation recall curve (Matryoshka storage knob): re-rank
     // with the first d dims only, agreement vs the full-width top-k
     "v16_dim_recall" -> ((s, d) => {
@@ -1996,6 +2017,35 @@ object SparkEntry {
     * streaming twin shares this SQL verbatim — its verdicts depend only
     * on the static corpus, so micro-batching cannot change them.
     */
+  /** v26/st21 shared replay: x13's trained-on-even codebook + both
+    * assignment CTEs, per-cell counts, 6dp shares, and the
+    * cross-multiplied integer drift rule (no double ever decides the
+    * boolean). The streaming twin's counters depend only on the static
+    * assignment rule, so one SQL serves both gates.
+    */
+  private def ivfAddReportSql: String =
+    s"""WITH ${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
+       |en AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+       |${assignedCte("e", "ca", 3)},
+       |${assignedCte("en", "nw", 3)},
+       |nb AS (SELECT cell, count(*) AS n_before FROM ca GROUP BY cell),
+       |nd AS (SELECT cell, count(*) AS n_added FROM nw GROUP BY cell),
+       |j AS (SELECT cb.cell,
+       |    coalesce(nb.n_before, 0) AS n_before,
+       |    coalesce(nd.n_added, 0) AS n_added,
+       |    coalesce(nb.n_before, 0) + coalesce(nd.n_added, 0) AS n_after
+       |  FROM (SELECT DISTINCT cell FROM cb3) cb
+       |  LEFT JOIN nb ON nb.cell = cb.cell LEFT JOIN nd ON nd.cell = cb.cell),
+       |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
+       |             CAST(sum(n_after) AS BIGINT) AS tot_after FROM j)
+       |SELECT j.cell, CAST(j.n_before AS BIGINT) AS n_before,
+       |  CAST(j.n_added AS BIGINT) AS n_added, CAST(j.n_after AS BIGINT) AS n_after,
+       |  ${Num.sqlRoundTo("CAST(n_before AS DOUBLE) / CAST(tot_before AS DOUBLE)", 6)} AS share_before,
+       |  ${Num.sqlRoundTo("CAST(n_after AS DOUBLE) / CAST(tot_after AS DOUBLE)", 6)} AS share_after,
+       |  (abs(n_after * tot_before - n_before * tot_after) * 10000
+       |    >= 250 * tot_before * tot_after) AS needs_rebalance
+       |FROM j, t ORDER BY j.cell""".stripMargin
+
   private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String =
     s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
        |en AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
@@ -5143,31 +5193,14 @@ object SparkEntry {
     // st15 — the streaming twin: verdicts depend only on the static
     // corpus, so the batch replay is the oracle verbatim
     "st15_stream_semdedup" -> semDedupIncrementSql(),
+    // st21 — the streaming twin emits the identical report (counters
+    // depend only on the static assignment rule), so the batch replay
+    // is the oracle verbatim
+    "st21_stream_ivf_add" -> ivfAddReportSql,
     // v26 — x13's trained-on-even codebook + both assignment replays,
     // per-cell counts, 6dp shares, and the cross-multiplied integer
     // drift rule (no double ever decides the boolean)
-    "v26_ivf_add_report" ->
-      s"""WITH ${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
-         |en AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
-         |${assignedCte("e", "ca", 3)},
-         |${assignedCte("en", "nw", 3)},
-         |nb AS (SELECT cell, count(*) AS n_before FROM ca GROUP BY cell),
-         |nd AS (SELECT cell, count(*) AS n_added FROM nw GROUP BY cell),
-         |j AS (SELECT cb.cell,
-         |    coalesce(nb.n_before, 0) AS n_before,
-         |    coalesce(nd.n_added, 0) AS n_added,
-         |    coalesce(nb.n_before, 0) + coalesce(nd.n_added, 0) AS n_after
-         |  FROM (SELECT DISTINCT cell FROM cb3) cb
-         |  LEFT JOIN nb ON nb.cell = cb.cell LEFT JOIN nd ON nd.cell = cb.cell),
-         |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
-         |             CAST(sum(n_after) AS BIGINT) AS tot_after FROM j)
-         |SELECT j.cell, CAST(j.n_before AS BIGINT) AS n_before,
-         |  CAST(j.n_added AS BIGINT) AS n_added, CAST(j.n_after AS BIGINT) AS n_after,
-         |  ${Num.sqlRoundTo("CAST(n_before AS DOUBLE) / CAST(tot_before AS DOUBLE)", 6)} AS share_before,
-         |  ${Num.sqlRoundTo("CAST(n_after AS DOUBLE) / CAST(tot_after AS DOUBLE)", 6)} AS share_after,
-         |  (abs(n_after * tot_before - n_before * tot_after) * 10000
-         |    >= 250 * tot_before * tot_after) AS needs_rebalance
-         |FROM j, t ORDER BY j.cell""".stripMargin,
+    "v26_ivf_add_report" -> ivfAddReportSql,
     // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
     // by (dist DESC, id), integer-exact top-decile flag
     "v18_cell_outliers" -> {

@@ -177,12 +177,22 @@ object Similarity {
     */
   def ivfAddReport(corpus: DataFrame, batch: DataFrame, codebook: DataFrame,
                    driftBp: Long = 250L,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAddReportFromCounts(
+      assignCells(corpus, codebook, idCol, vecCol)
+        .groupBy("cell").agg(count(lit(1)).as("n_before")),
+      assignCells(batch, codebook, idCol, vecCol)
+        .groupBy("cell").agg(count(lit(1)).as("n_added")),
+      codebook, driftBp)
+
+  /** Report assembly shared by the batch path and the st21 streaming
+    * twin (whose `n_added` counts come out of streaming state): one
+    * definition, so the drift rule can never diverge between them.
+    */
+  private[graft] def ivfAddReportFromCounts(nb: DataFrame, na: DataFrame,
+                                            codebook: DataFrame,
+                                            driftBp: Long = 250L): DataFrame = {
     require(driftBp > 0L && driftBp <= 10000L, "driftBp is basis points in (0, 10000]")
-    val nb = assignCells(corpus, codebook, idCol, vecCol)
-      .groupBy("cell").agg(count(lit(1)).as("n_before"))
-    val na = assignCells(batch, codebook, idCol, vecCol)
-      .groupBy("cell").agg(count(lit(1)).as("n_added"))
     val joined = codebook.select(col("cell"))
       .join(nb, Seq("cell"), "left").join(na, Seq("cell"), "left")
       .select(col("cell"),

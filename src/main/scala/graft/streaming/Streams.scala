@@ -326,6 +326,24 @@ object Streams {
       .select(col(idCol), col("cell"))
   }
 
+  /** Streaming IVF index maintenance (st21) — the v26 twin: new vectors
+    * arrive as a stream, each micro-batch map-assigns them to their
+    * static trained cell ([[graft.ops.Similarity.assignCellExpr]]
+    * against the codebook literals — no join, no state lookup), and the
+    * per-cell add counters are the ONLY streaming state (≤ |cells|
+    * longs, Complete mode). The registration joins the streamed
+    * counters into [[graft.ops.Similarity.ivfAddReportFromCounts]], so
+    * the emitted report is row-identical to the batch v26 and shares
+    * its oracle verbatim — micro-batching cannot change a count.
+    */
+  def streamIvfAddCounts(newVecs: DataFrame,
+                         codebook: Seq[(Long, Array[Float])],
+                         vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.Similarity
+    newVecs.select(Similarity.assignCellExpr(codebook, col(vecCol)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_added"))
+  }
+
   /** Streaming similarity serving: a stream of query vectors scored
     * against a STATIC corpus — the online ANN-serving path. Each
     * micro-batch stream-static joins the queries to the corpus (corpus

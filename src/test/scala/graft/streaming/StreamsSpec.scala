@@ -539,6 +539,34 @@ class StreamsSpec extends SparkSpec {
       "no new vector near-duplicated a corpus vector - increment check is vacuous")
   }
 
+  test("streaming IVF add report == batch v26 across micro-batch boundaries") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val d = tmpDir("stream_ivfadd").resolve("emb").toString
+    emb.filter(col("vec_id") < 1000).write.mode("overwrite").parquet(d)
+    emb.filter(col("vec_id") >= 1000).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val corpus = all.filter(col("vec_id") % 2 === 0)
+    val codebook = graft.ops.Iterate.materialize(
+      Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3))
+    val lits = codebook.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Streams.runToMemory(
+      Streams.streamIvfAddCounts(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+          .filter(col("vec_id") % 2 === 1), lits),
+      "ivfadd_stream")
+    val streamed = Similarity.ivfAddReportFromCounts(
+        Similarity.assignCells(corpus, codebook)
+          .groupBy("cell").agg(count(lit(1)).as("n_before")),
+        spark.table("ivfadd_stream"), codebook)
+      .collect().map(_.toString).toSeq
+    val batch = Similarity.ivfAddReport(corpus,
+        all.filter(col("vec_id") % 2 === 1), codebook)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming quality gate == batch c6 gate across micro-batch boundaries") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
