@@ -36,6 +36,7 @@ ITERATIVE = {
     "n6_label_prop", "n7_doc_communities",
     "x5_dup_resolve", "x9_emb_dup_clusters", "x10_emb_dup_scale",
     "x12_semdedup", "x13_semdedup_increment", "m7_image_dup_resolve",
+    "x15_cc_contraction", "n8_hub_distances",
     "t12_leakproof_split", "c14_keep_best", "c15_emb_curation",
     "c22_media_curation",
     "t22_bpe_merges", "t25_unigram_vocab", "t32_bpe_batched",
