@@ -399,6 +399,13 @@ object Graph {
       prev = p
       iter += 1
     }
+    // monotone labels mean a mid-iteration table is only an UPPER BOUND
+    // on the true distances — hitting the cap is an error, not an answer
+    // (BFS converges within the graph diameter; 64 is unreachable for a
+    // catalog co-purchase graph)
+    if (!done)
+      throw new IllegalStateException(
+        s"hub-distance relaxation did not converge in $maxIter rounds")
     dist.select(col("v").as("l_partkey"), col("dist").as("hub_dist"))
       .orderBy("l_partkey")
   }
@@ -434,6 +441,7 @@ object Graph {
     require(rounds >= 1)
     val und = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")) // a self-pair would double-count its own vote
       .distinct()
     val edgesAll = und.select(col("a").as("v"), col("b").as("w"))
       .unionAll(und.select(col("b").as("v"), col("a").as("w")))
