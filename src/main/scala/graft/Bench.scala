@@ -19,8 +19,14 @@ object Bench {
     // Optional comma-separated subset for targeted scaling probes
     // (sf0.1-vs-sf1 per-query ratios); unset = the full driver protocol.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val selected = only.fold(SparkEntry.queries)(
-      names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    // SORTED execution order: HashMap iteration order reshuffles whenever
+    // the query surface grows, which moves which queries run "warm"
+    // (page cache, JIT, broadcast reuse) and made committed per-query
+    // mins incomparable across rounds (the c18/t30 warm-order artifact,
+    // BENCH_NOTES.md round-14 close). Name order is stable under growth,
+    // so protocol mins compare like with like from here on.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -34,7 +40,7 @@ object Bench {
     // whole line as short as possible.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     println(line)
     // The stdout line above is all the driver keeps, and it keeps only the

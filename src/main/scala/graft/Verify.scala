@@ -15,7 +15,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    // sorted-name order, matching Bench: stable under surface growth
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       // Remove any previous run's output FIRST: a failed query must leave
       // no parquet behind, or the oracle compare would silently certify
       // stale results from an earlier (passing) run.

@@ -275,6 +275,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => PairLongs(args(0))))
     ext.injectFunction((FunctionIdentifier("fnv1a64"), info("fnv1a64", classOf[Fnv1a64]),
       (args: Seq[Expression]) => Fnv1a64(args(0))))
+    ext.injectFunction((FunctionIdentifier("fnv1a64_bin"), info("fnv1a64_bin", classOf[Fnv1a64Bin]),
+      (args: Seq[Expression]) => Fnv1a64Bin(args(0))))
     ext.injectFunction((FunctionIdentifier("splitmix64"), info("splitmix64", classOf[Splitmix64]),
       (args: Seq[Expression]) => Splitmix64(args(0))))
     ext.injectFunction((FunctionIdentifier("zorder64"), info("zorder64", classOf[ZOrder64]),
@@ -389,11 +391,25 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
   * keeps the codegen template one line).
   */
 object ShingleUtil {
-  /** 64-bit FNV-1a over a char range — deterministic token hash. */
+  /** 64-bit FNV-1a over a char range, folded over Unicode CODE POINTS —
+    * the SAME decomposition [[TextHashUtil.fnv1a64CodePoints]] (the
+    * injected `fnv1a64` function) folds, so a shingle hash computed here
+    * and one re-derived downstream via `fnv1a64(token)` agree on EVERY
+    * string, including supplementary-plane text (emoji, rare CJK). The
+    * previous UTF-16-unit fold agreed only on BMP tokens: a non-BMP
+    * token hashed differently on the two sides, so e.g. boilerplate's
+    * hash-keyed df pass and its string-recovery pass silently missed
+    * each other. One arithmetic, one truth.
+    */
   private def fnv1a(s: String, from: Int, until: Int): Long = {
     var h = 0xCBF29CE484222325L
     var i = from
-    while (i < until) { h ^= s.charAt(i); h *= 0x100000001B3L; i += 1 }
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h ^= cp
+      h *= 0x100000001B3L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -493,6 +509,27 @@ object TextHashUtil {
     }
     h
   }
+
+  /** 64-bit FNV-1a over RAW BYTES (unsigned, 0–255 per fold step) — the
+    * hash for BINARY payloads, where a cast through string is lossy:
+    * invalid UTF-8 sequences all collapse to U+FFFD on decode, so two
+    * DISTINCT binary frames could hash equal under the string fold. On
+    * pure-ASCII bytes this fold is value-identical to
+    * [[fnv1a64CodePoints]] over the decoded string (each byte IS its
+    * code point), which is what keeps ASCII-fixture oracles replayable
+    * with the code-point SQL fold while real binary media hashes
+    * losslessly.
+    */
+  def fnv1a64Bytes(bytes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFF)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
 }
 
 /** FNV-1a 64-bit document fingerprint over Unicode code points —
@@ -513,6 +550,30 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextHashUtil.fnv1a64CodePoints($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** FNV-1a 64-bit over raw BINARY bytes ([[TextHashUtil.fnv1a64Bytes]]) —
+  * the lossless frame/payload hash (a string cast would fold invalid
+  * UTF-8 through U+FFFD and collide distinct frames). ASCII payloads
+  * hash identically to [[Fnv1a64]] on the decoded string, so the
+  * ASCII-fixture oracles replay with the same code-point SQL fold.
+  */
+case class Fnv1a64Bin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fnv1a64_bin expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.fnv1a64Bytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.fnv1a64Bytes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Bin =
     copy(child = newChild)
 }
 

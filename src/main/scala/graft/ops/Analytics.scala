@@ -1198,14 +1198,41 @@ object Analytics {
   /** Supplier cardinality per sf-dir, pulled once: the quartet's four
     * registrations each construct partsupp, and without memoization every
     * gate/bench pass would pay four identical count jobs over the same
-    * dimension table. Keyed by dir — the fixture dirs are immutable
-    * snapshots, so the count can never go stale within a run.
+    * dimension table. The key is (dir, supplier-file fingerprint) — path
+    * alone is NOT a safe key in one long-lived JVM: test suites write
+    * per-test tmp dirs and a reused tmp path (or a regenerated fixture)
+    * with a DIFFERENT supplier table would silently reuse a stale count
+    * and build a wrong (partkey, suppkey) construction. The fingerprint
+    * folds every file's name, size, and mtime under supplier.parquet —
+    * a driver-side directory listing, no Spark job.
     */
   private val nSuppCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private def supplierFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "supplier.parquet")
+    if (!java.nio.file.Files.exists(root)) s"$dir#absent"
+    else {
+      var h = 0xCBF29CE484222325L
+      def fold(x: Long): Unit = { h ^= x; h *= 0x100000001B3L }
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        // sorted: Files.walk order is filesystem-dependent
+        walk.iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
+          fold(p.toString.hashCode.toLong)
+          if (java.nio.file.Files.isRegularFile(p)) {
+            fold(java.nio.file.Files.size(p))
+            fold(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          }
+        }
+      } finally walk.close()
+      s"$dir#$h"
+    }
+  }
+
   def partsuppDerived(spark: SparkSession, dir: String): DataFrame = {
-    val nSupp: Long = nSuppCache.computeIfAbsent(dir,
-      d => Long.box(Tables.supplier(spark, d).count()))
+    val nSupp: Long = nSuppCache.computeIfAbsent(supplierFingerprint(dir),
+      _ => Long.box(Tables.supplier(spark, dir).count()))
     // the 4-offsets-of-stride construction is collision-free only with
     // at least 4 suppliers to spread over — fail loudly on a degenerate
     // dir instead of silently collapsing the (partkey, suppkey) key

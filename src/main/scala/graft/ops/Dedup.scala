@@ -62,14 +62,19 @@ object Dedup {
     * result is an action list for humans and strip rules — but no string
     * crosses a shuffle to produce it: document frequency is aggregated
     * on the codegen'd 8-byte [[shingleHashes]] keys (the only corpus-wide
-    * exchange), the df ≥ minDf survivor table (df-bounded tiny) is
-    * BROADCAST, and the readable strings are recovered by re-deriving
+    * exchange), and the readable strings are recovered by re-deriving
     * each string shingle's hash with the same splitmix64∘fnv1a64
-    * arithmetic and broadcast-joining — so only survivor rows reach the
-    * final (still 8-byte-keyed) distinct exchange. At 100 TB the old
-    * formulation shuffled the whole corpus as w-word STRINGS for a tiny
-    * result; this one moves longs, and the string pass is map-side
-    * filtered before any exchange.
+    * arithmetic (identical on BOTH sides since ShingleUtil folds code
+    * points — see its scaladoc) and joining against the df ≥ minDf
+    * survivors. The survivor join is deliberately UN-hinted: at test
+    * scale AQE broadcasts it (the plan spec pins that no string-keyed
+    * exchange runs), while on a web corpus — where most shingles clear
+    * df = 5 and the survivor set is corpus-scale, not "tiny" — a forced
+    * broadcast would OOM the driver; un-hinted it degrades to a long-
+    * keyed shuffle join, which is the correct worst case. At 100 TB the
+    * old formulation shuffled the whole corpus as w-word STRINGS for a
+    * tiny result; this one moves longs on the df pass, and survivors are
+    * the only strings that can reach an exchange.
     */
   def boilerplate(docs: DataFrame, minDf: Int = 5, w: Int = 3,
                   textCol: String = "text"): DataFrame = {
@@ -89,7 +94,7 @@ object Dedup {
           (h, t) => call_function("splitmix64", h.bitwiseXOR(call_function("fnv1a64", t)))))
     docs.select(explode(shingles(col(textCol), w)).as("shingle"))
       .withColumn("h", hashOfShingle)
-      .join(broadcast(dfs), "h")
+      .join(dfs, "h")
       .groupBy(col("h"), col("df")).agg(max(col("shingle")).as("shingle"))
       .select(col("shingle"), col("df"))
       .orderBy(col("df").desc, col("shingle"))

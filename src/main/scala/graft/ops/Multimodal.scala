@@ -619,9 +619,13 @@ object Multimodal {
   def nearDupVideos(media: DataFrame, frameBytes: Int = 32, stride: Int = 4,
                     threshold: Double = 0.5, maxFrameFreq: Long = 64): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
+    // fnv1a64_bin folds the RAW frame bytes: a cast through string would
+    // decode invalid UTF-8 to U+FFFD, colliding distinct binary frames
+    // into one hash (false near-dups on real video). On the ASCII text
+    // fixture bytes == code points, so the oracle's substr replay holds.
     val fr = sampleFrames(media, frameBytes, stride)
       .select(col("media_id"),
-        call_function("fnv1a64", col("frame").cast("string")).as("fh"))
+        call_function("fnv1a64_bin", col("frame")).as("fh"))
     val sets = fr.groupBy(col("media_id")).agg(collect_set(col("fh")).as("sh"))
       .select(col("media_id").as("doc_id"), col("sh"),
         size(col("sh")).cast("long").as("n_sh"))

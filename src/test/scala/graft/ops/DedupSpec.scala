@@ -78,10 +78,16 @@ class DedupSpec extends SparkSpec {
     // shingle), a repeated short doc, and blank docs (zero tokens → the
     // "" shingle, whose hash is the fold seed 0, not fnv1a64(""))
     val footer = "all rights reserved worldwide"
+    // the 😀-bearing footer pins the non-BMP contract: ShingleUtil's
+    // per-token fold iterates CODE POINTS, matching the fnv1a64 recovery
+    // fold — a UTF-16-unit fold would hash the pass-1 key differently
+    // from the pass-2 recovery and silently drop this survivor
+    val emojiFooter = "share 😀🌍 widely"
     val fx = (1L to 6L).map(i => (i, s"unique body $i words here $footer")) ++
       Seq((7L, "tiny doc"), (8L, "tiny doc"), (9L, "tiny doc"),
           (10L, "tiny doc"), (11L, "tiny doc"),
-          (12L, ""), (13L, " "), (14L, ""), (15L, ""), (16L, "\t\n"))
+          (12L, ""), (13L, " "), (14L, ""), (15L, ""), (16L, "\t\n")) ++
+      (17L to 21L).map(i => (i, s"doc $i ends with $emojiFooter"))
     val d = fx.toDF("doc_id", "text")
     val out = Dedup.boilerplate(d, minDf = 5)
     val naive = d.select(explode(Dedup.shingles(col("text"), 3)).as("shingle"))
@@ -90,6 +96,9 @@ class DedupSpec extends SparkSpec {
     assert(out.collect().toSeq == naive.collect().toSeq)
     // the blank docs must survive recovery as the "" shingle (df = 5)
     assert(out.collect().exists(r => r.getString(0) == "" && r.getLong(1) == 5L))
+    // the supplementary-plane shingle survives BOTH passes (df = 5)
+    assert(out.collect().exists(r => r.getString(0) == "share 😀🌍 widely" && r.getLong(1) == 5L),
+      s"non-BMP shingle lost between hash pass and recovery pass:\n${out.collect().mkString("\n")}")
     // plan: df aggregation shuffles 8-byte hashes, survivors broadcast,
     // and NO exchange is keyed on the shingle string
     out.collect()

@@ -314,6 +314,32 @@ class MultimodalSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("nearDupVideos: frame hashing is byte-lossless on invalid UTF-8 payloads") {
+    import spark.implicits._
+    // two REAL-binary frame streams that a string cast would collide:
+    // every byte is an invalid-UTF-8 continuation byte, so the decode
+    // collapses both to runs of U+FFFD and the old string-cast hash saw
+    // them as identical (false full-dup). Raw-byte hashing must keep
+    // them disjoint. Frames are 32 bytes at stride 4 -> 128-byte blocks.
+    def blockBin(b: Int) = Array.fill(128)(b.toByte)
+    val v1 = blockBin(0x80) ++ blockBin(0x81) ++ blockBin(0x82) ++ blockBin(0x83)
+    val v2 = blockBin(0x90) ++ blockBin(0x91) ++ blockBin(0x92) ++ blockBin(0x93)
+    val media = Seq((1L, v1), (2L, v2)).toDF("media_id", "payload")
+    val pairs = Multimodal.nearDupVideos(media).collect()
+    assert(pairs.isEmpty,
+      s"distinct binary frames collided (lossy string-cast hash?): ${pairs.mkString(",")}")
+    // and the string cast provably WOULD collide them — document the hazard
+    val collided = media
+      .select(call_function("fnv1a64", col("payload").cast("string")).as("h"))
+      .collect().map(_.getLong(0)).distinct
+    assert(collided.length == 1, "fixture no longer demonstrates the U+FFFD collapse")
+    // while the binary fold keeps them distinct
+    val distinct = media
+      .select(call_function("fnv1a64_bin", col("payload")).as("h"))
+      .collect().map(_.getLong(0)).distinct
+    assert(distinct.length == 2)
+  }
+
   test("mediaCuration (c22) == the hand-chained m1/m4/m5/m8/m7/c14 stages") {
     import graft.ops.{Dedup, Iterate}
     val composite = Multimodal.mediaCuration(spark, sfDir).orderBy("media_id")
