@@ -1424,6 +1424,18 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
       Similarity.ivfAddReport(corpus, batch, codebook)
     }),
+    // v27 — the ACTION on v26's drift flag: warm-started Lloyd's from the
+    // staged codebook over corpus+batch, reported as the re-assignment
+    // delta (per cell before/after + arrivals/departures = exactly what
+    // a v21 layout switch-over costs). Same even/odd split as v26 so the
+    // oracle reuses the trained-on-even codebook CTEs.
+    "v27_ivf_retrain" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+      Similarity.ivfRetrain(corpus, batch, codebook, iters = 2).orderBy("cell")
+    }),
     // v26's streaming twin: adds arrive as a stream, per-cell counters
     // are the only state (<= |cells| longs), report shared verbatim
     "st21_stream_ivf_add" -> ((s, d) => {
@@ -2045,6 +2057,56 @@ object SparkEntry {
        |  (abs(n_after * tot_before - n_before * tot_after) * 10000
        |    >= 250 * tot_before * tot_after) AS needs_rebalance
        |FROM j, t ORDER BY j.cell""".stripMargin
+
+  /** v27 — [[graft.ops.Similarity.ivfRetrain]] replay: the trained-on-
+    * even codebook (cb3, shared with v26/x13), then `warmIters` warm
+    * Lloyd's rounds over ALL embeddings replayed CTE-for-CTE with the
+    * exact [[trainedIvfCtes]] round body (9dp argmin, cell tie-break,
+    * decimal-exact means, REAL round-trip), and the before/after argmin
+    * assignments folded to per-cell counts with arrivals/departures.
+    * Every output column is an integer count — no float decides.
+    */
+  private def ivfRetrainSql(warmIters: Int = 2): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    val warm = (1 to warmIters).map { i =>
+      val prev = if (i == 1) "cb3" else s"wb${i - 1}"
+      s"""wa$i AS (SELECT w.vec_id, c.cell, ${l2("w.v", "c.cvd")} AS dist FROM ea w, $prev c),
+         |wr$i AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM wa$i) WHERE rn = 1),
+         |wm$i AS (SELECT r.cell, dd.dim, ${Num.sqlExactAvg("w.v[dd.dim + 1]")} AS mx
+         |  FROM wr$i r JOIN ea w ON w.vec_id = r.vec_id,
+         |       LATERAL (SELECT unnest(range(0, len(w.v))) AS dim) dd
+         |  GROUP BY r.cell, dd.dim),
+         |wb$i AS MATERIALIZED (SELECT cell,
+         |  list_transform(list(CAST(mx AS REAL) ORDER BY dim), f -> CAST(f AS DOUBLE)) AS cvd
+         |  FROM wm$i GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
+       |ea AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$warm,
+       |bfr AS (SELECT vec_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM ea w, cb3 c) WHERE rn = 1),
+       |aft AS (SELECT vec_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM ea w, wb$warmIters c) WHERE rn = 1),
+       |mv AS (SELECT b.vec_id, b.cell AS cb, a.cell AS ca
+       |  FROM bfr b JOIN aft a USING (vec_id)),
+       |sp AS (SELECT DISTINCT cell FROM cb3)
+       |SELECT sp.cell,
+       |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_before,
+       |  CAST(coalesce(na.n, 0) AS BIGINT) AS n_after,
+       |  CAST(coalesce(mi.n, 0) AS BIGINT) AS n_in,
+       |  CAST(coalesce(mo.n, 0) AS BIGINT) AS n_out
+       |FROM sp
+       |LEFT JOIN (SELECT cb AS cell, count(*) AS n FROM mv GROUP BY cb) nb USING (cell)
+       |LEFT JOIN (SELECT ca AS cell, count(*) AS n FROM mv GROUP BY ca) na USING (cell)
+       |LEFT JOIN (SELECT ca AS cell, count(*) AS n FROM mv WHERE ca <> cb GROUP BY ca) mi USING (cell)
+       |LEFT JOIN (SELECT cb AS cell, count(*) AS n FROM mv WHERE ca <> cb GROUP BY cb) mo USING (cell)
+       |ORDER BY sp.cell""".stripMargin
+  }
 
   private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String =
     s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
@@ -5201,6 +5263,9 @@ object SparkEntry {
     // per-cell counts, 6dp shares, and the cross-multiplied integer
     // drift rule (no double ever decides the boolean)
     "v26_ivf_add_report" -> ivfAddReportSql,
+    // v27 — warm-started Lloyd's replayed round-for-round, then the
+    // before/after argmin assignments folded to integer move counts
+    "v27_ivf_retrain" -> ivfRetrainSql(warmIters = 2),
     // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
     // by (dist DESC, id), integer-exact top-decile flag
     "v18_cell_outliers" -> {

@@ -418,8 +418,23 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(cells > 0 && iters >= 0, "need cells > 0, iters >= 0")
     val vecs = df.select(col(idCol), col(vecCol))
-    var codebook = Iterate.materialize(vecs.orderBy(col(idCol)).limit(cells)
+    val init = Iterate.materialize(vecs.orderBy(col(idCol)).limit(cells)
       .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cv")))
+    lloydRounds(vecs, init, iters, idCol, vecCol)
+  }
+
+  /** The Lloyd's iteration body, shared by cold training
+    * ([[trainIvfCodebook]], lowest-id init) and warm-started RETRAIN
+    * ([[ivfRetrain]], init = the existing codebook) — ONE loop, so the
+    * assignment tie-break, decimal-exact means, and float round-trip
+    * can never diverge between the two paths. Per round: one map-only
+    * scoring pass against the broadcast codebook, an O(n) assignment
+    * shuffle, an O(cells·dim) mean shuffle; localCheckpoint caps
+    * lineage. Cells that lose all members drop out.
+    */
+  private def lloydRounds(vecs: DataFrame, init: DataFrame, iters: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    var codebook = init
     var i = 0
     while (i < iters) {
       val assigned = assignCells(vecs, codebook, idCol, vecCol)
@@ -434,6 +449,65 @@ object Similarity {
       i += 1
     }
     codebook
+  }
+
+  /** Warm-started codebook RETRAIN (the action v26's drift flag asks
+    * for): Lloyd's seeded from the EXISTING centroids over corpus ∪
+    * batch — the standard index-maintenance move (retraining from
+    * scratch would discard the converged structure and, worse, renumber
+    * cells, invalidating every at-rest cell partition; warm start keeps
+    * cell identities so the re-layout cost is exactly the vectors that
+    * MOVE). Returns the new (cell, cv) codebook; cell ids are a subset
+    * of the input codebook's (a cell that loses all members drops out).
+    */
+  def ivfRetrainCodebook(corpus: DataFrame, batch: DataFrame, codebook: DataFrame,
+                         iters: Int = 2, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val all = corpus.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    lloydRounds(all, codebook, iters, idCol, vecCol)
+  }
+
+  /** IVF RETRAIN report (v27) — closes the maintenance lifecycle
+    * add ([[ivfAddReport]]) → drift flag → RETRAIN → re-layout: the
+    * warm-started codebook from [[ivfRetrainCodebook]], evaluated as a
+    * re-assignment DELTA — per original cell, how many vectors it held
+    * under the old codebook (`n_before`), holds under the retrained one
+    * (`n_after`), and how many arrived from / departed to other cells
+    * (`n_in` / `n_out`). Σ n_in = Σ n_out = the switch-over cost: the
+    * exact number of vectors the v21 at-rest layout must rewrite
+    * (unmoved vectors stay in their cell partition untouched).
+    *
+    * All columns are integer counts — the gate is hash-exact with no
+    * float in any decision. Cost: `iters` Lloyd's rounds over corpus +
+    * batch (each one map-only scoring pass + an O(n) shuffle), two
+    * assignment passes, and one id-keyed join of two 16-byte tables.
+    */
+  def ivfRetrain(corpus: DataFrame, batch: DataFrame, codebook: DataFrame,
+                 iters: Int = 2, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val all = corpus.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    val retrained = ivfRetrainCodebook(corpus, batch, codebook, iters, idCol, vecCol)
+    val before = assignCells(all, codebook, idCol, vecCol)
+      .select(col(idCol), col("cell").as("cb"))
+    val after = assignCells(all, retrained, idCol, vecCol)
+      .select(col(idCol), col("cell").as("ca"))
+    val mv = before.join(after, idCol)
+    val spine = codebook.select(col("cell"))
+    def cnt(src: DataFrame, key: String, out: String) =
+      src.groupBy(col(key).as("cell")).agg(count(lit(1)).as(out))
+    spine
+      .join(cnt(mv, "cb", "n_before"), Seq("cell"), "left")
+      .join(cnt(mv, "ca", "n_after"), Seq("cell"), "left")
+      .join(cnt(mv.filter(col("ca") =!= col("cb")), "ca", "n_in"), Seq("cell"), "left")
+      .join(cnt(mv.filter(col("ca") =!= col("cb")), "cb", "n_out"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"))
   }
 
   /** IVF ANN over a trained codebook: corpus and queries each assign to

@@ -446,6 +446,57 @@ class SimilaritySpec extends SparkSpec {
     assert(balanced.forall(!_.getBoolean(6)), "identical distribution must not flag")
   }
 
+  test("ivfRetrain: warm start == continued training; converged zero-batch retrain is a fixed point") {
+    import spark.implicits._
+    def vec(x: Float) = Array.tabulate(8)(i => if (i == 0) x else 0f)
+    // ids INTERLEAVED across the two clusters so the lowest-id cold init
+    // covers both (the trainIvfCodebook spec's discipline)
+    val corpus = (0L until 80L).map(id =>
+      (id, vec(if (id % 2 == 0) 1f else -1f))).toDF("vec_id", "embedding")
+    val empty = corpus.filter(lit(false))
+
+    // (1) warm start IS continued training: retraining a 2-round codebook
+    // for 1 more round over the same data == cold-training 3 rounds
+    val contd = Similarity.ivfRetrainCodebook(corpus, empty,
+      Similarity.trainIvfCodebook(corpus, cells = 2, iters = 2), iters = 1)
+    val cold = Similarity.trainIvfCodebook(corpus, cells = 2, iters = 3)
+    assert(contd.orderBy("cell").collect().map(_.toString).toSeq ==
+           cold.orderBy("cell").collect().map(_.toString).toSeq)
+
+    // (2) fixed point: the 2-cluster fixture converges (4 rounds is
+    // plenty — verify by one more round changing nothing), and then a
+    // retrain with ZERO new vectors moves nothing: every cell keeps its
+    // population exactly
+    val converged = Similarity.trainIvfCodebook(corpus, cells = 2, iters = 4)
+    val oneMore = Similarity.ivfRetrainCodebook(corpus, empty, converged, iters = 1)
+    assert(converged.orderBy("cell").collect().map(_.toString).toSeq ==
+           oneMore.orderBy("cell").collect().map(_.toString).toSeq,
+      "fixture did not converge in 4 rounds; fixed-point premise broken")
+    val fp = Similarity.ivfRetrain(corpus, empty, converged, iters = 2).collect()
+    fp.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L, s"moves in fixed point: $r")
+      assert(r.getLong(1) == r.getLong(2), s"population changed in fixed point: $r")
+    }
+
+    // (3) the engineered switch-over: a batch at -0.2 drags the -1
+    // centroid to ~-0.6, flipping the +0.15 probe vector (nearer +1
+    // before, nearer -0.6 after) — exactly one vector moves, and the
+    // report's arrivals/departures balance
+    val probe = Seq((200L, vec(0.15f))).toDF("vec_id", "embedding")
+    val batch = (100L until 140L).map(id => (id, vec(-0.2f))).toDF("vec_id", "embedding")
+      .unionByName(probe)
+    val cb = Similarity.trainIvfCodebook(corpus, cells = 2, iters = 4)
+    val out = Similarity.ivfRetrain(corpus, batch, cb, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).sum == 121L && out.map(_._3).sum == 121L) // corpus 80 + batch 41
+    assert(out.map(_._4).sum == out.map(_._5).sum, s"arrivals != departures: ${out.toSeq}")
+    assert(out.map(_._4).sum == 1L, s"expected exactly the probe to move: ${out.toSeq}")
+    // determinism under repartition
+    val re = Similarity.ivfRetrain(corpus.repartition(7), batch, cb, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("multi-probe IVF dominates single-probe on planted clusters") {
     val q = Similarity.querySet(planted, "vec_id", 5)
     val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
