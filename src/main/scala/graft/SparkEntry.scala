@@ -1047,6 +1047,13 @@ object SparkEntry {
     // the distributed-rank discipline
     "c23_curriculum_order" -> ((s, d) =>
       TextStats.curriculumOrder(Tables.documents(s, d)).orderBy("doc_id")),
+    // c24 — the trainer-ready handoff no single stage emits: curriculum
+    // order (c23) -> token tape packed ALONG that order (the c4/c20
+    // prefix-sum discipline, curriculum order as the tape) -> contiguous
+    // curriculum shards (c10's exact ntile cuts on train_rank) -> the
+    // per-shard manifest (c11's aggregate + window spans), one plan
+    "c24_training_manifest" -> ((s, d) =>
+      TextStats.trainingShardManifest(Tables.documents(s, d))),
     // per-language token-budget fill: seeded splitmix order, distributed
     // prefix sum, keep while the language budget is not exhausted
     "t26_token_budget_mix" -> ((s, d) =>
@@ -1254,11 +1261,13 @@ object SparkEntry {
     }),
 
     // --- similarity search ---
-    "v1_brute_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(emb, Similarity.querySet(emb, "vec_id", 20))
-        .orderBy("query_id", "rank")
-    }),
+    // v1 (window-ranked brute force) and v7 (capped n² leave-one-out
+    // kNN) are DEREGISTERED as of round 15: a registered plan is a plan
+    // you'd run at 100× — a Q×N BroadcastNestedLoopJoin is not. Their
+    // scale twins v5/v9 carry the same oracles; the exact-equality pins
+    // live in SimilaritySpec ("agg == window formulation", "stride=1 ==
+    // full eval"), so the algorithms remain verified without a
+    // registered scale-killer.
     "v2_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, Similarity.querySet(emb, "vec_id", 20))
@@ -1284,13 +1293,8 @@ object SparkEntry {
     "v6_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy("label", "dim")),
-    // BOUNDED n² baseline (same 5000-id cap rationale as x9): the full
-    // leave-one-out eval exists to validate v9, the sampled production
-    // form, which runs on the uncapped corpus
-    "v7_knn_eval" -> ((s, d) =>
-      Similarity.knnLabelAccuracy(Tables.embeddings(s, d).filter(col("vec_id") < 5000))
-        .orderBy("label")),
-    // production form of v7: every 10th vector queries the full corpus —
+    // production form of the leave-one-out kNN eval (the full n² v7
+    // baseline is spec-only since round 15 — see the v1/v7 note above):
     // n²/stride scoring instead of n²
     "v9_knn_sampled" -> ((s, d) =>
       Similarity.knnLabelAccuracySampled(Tables.embeddings(s, d), stride = 10)
@@ -1457,6 +1461,26 @@ object SparkEntry {
           .groupBy("cell").agg(count(lit(1)).as("n_before")),
         s.table(mem), codebookDf)
     }),
+    // st22 — streaming MEDIA curation, c22's incremental twin: new
+    // images stream in; each row's verdict (decode gate -> aHash ->
+    // chunk-blocked Hamming probe of the staged corpus index -> c14
+    // keep-best) depends only on the STATIC curated corpus, so
+    // micro-batch boundaries cannot change it and the batch SQL replay
+    // gates the stream verbatim. No streaming state at all.
+    "st22_stream_media_curation" -> ((s, d) => {
+      val stage = stagedImages(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage).filter(col("media_id") % 2 === 0)
+      val cIdx = Multimodal.imageCurationIndex(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val mem = s"st22_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamMediaCuration(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("media_id") % 2 === 1), cIdx).toDF(),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("media_id")
+    }),
     // dimension-truncation recall curve (Matryoshka storage knob): re-rank
     // with the first d dims only, agreement vs the full-width top-k
     "v16_dim_recall" -> ((s, d) => {
@@ -1486,6 +1510,14 @@ object SparkEntry {
     // robust to re-ordering/trimming where whole-payload hashes are not
     "m9_video_neardup" -> ((s, d) =>
       Multimodal.nearDupVideos(Multimodal.mediaTable(s, d))
+        .orderBy("id_a", "id_b")),
+    // audio near-dup robust to TRIM/OFFSET re-encodes: every overlapping
+    // w-sample window hashed (dupSpans fold over real decoded PCM), pairs
+    // by Jaccard over window-hash sets via the shared x4/m9 pair core —
+    // the planted trimmed retakes that m6/m8's whole-payload energy
+    // hashes provably miss (spec'd) score J = 50/57 here
+    "m10_audio_shift_neardup" -> ((s, d) =>
+      Multimodal.nearDupAudioWindows(Multimodal.audioTableShifted(s, d))
         .orderBy("id_a", "id_b")),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
@@ -1558,6 +1590,14 @@ object SparkEntry {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/events_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  private def stagedImages(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/images_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
+        .write.mode("overwrite").parquet(stage)
     stage
   }
 
@@ -4670,6 +4710,34 @@ object SparkEntry {
          |SELECT doc_id, band, quality_score,
          |  CAST(row_number() OVER (ORDER BY band, skey, doc_id) AS BIGINT) AS train_rank
          |FROM ck ORDER BY doc_id""".stripMargin,
+    // c24 — the composed CTEs: c23's band/rank chain over the PACKABLE
+    // population (n_tokens > 0), one window cumsum for the tape offsets
+    // (the c20 replay), ntile(8) on train_rank for the shard (the c11
+    // precedent: DuckDB's ntile == the engine's integer cut rule), then
+    // the per-shard aggregate
+    "c24_training_manifest" ->
+      s"""WITH ${qualityCteBody()},
+         |bq AS (SELECT qs.doc_id, qs.n_tokens, qs.quality_score,
+         |    CAST(ntile(4) OVER (ORDER BY qs.quality_score, qs.doc_id) AS BIGINT) AS band
+         |  FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+         |  WHERE d.text IS NOT NULL AND qs.n_tokens > 0),
+         |ck AS (SELECT doc_id, band, n_tokens,
+         |    ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM bq),
+         |tr AS (SELECT doc_id, band, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY band, skey, doc_id) AS BIGINT) AS train_rank
+         |  FROM ck),
+         |pk AS (SELECT doc_id, band, n_tokens, train_rank,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY train_rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+         |    CAST(ntile(8) OVER (ORDER BY train_rank) - 1 AS BIGINT) AS shard
+         |  FROM tr),
+         |w AS (SELECT *, start_offset // 512 AS window_first,
+         |    (start_offset + n_tokens - 1) // 512 AS window_last FROM pk)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(train_rank) AS rank_first, max(train_rank) AS rank_last,
+         |  CAST(min(window_first) AS BIGINT) AS window_first,
+         |  CAST(max(window_last) AS BIGINT) AS window_last
+         |FROM w GROUP BY shard ORDER BY shard""".stripMargin,
     // c16 — per-group cap: same splitmix key, per-lang rank < k
     // c18 — one pass composing the t18 dup CTE shape, the t1 quality
     // CTEs and the c16 max-share cap rule; quartiles are quantile_cont
@@ -5178,17 +5246,15 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM asg ORDER BY doc_id""".stripMargin,
 
-    "v1_brute_topk" -> bruteTopKSql,
     // hash-gated since round 11: the sign-sketch bucket chain is exact
     // in both engines (unit weights are exact doubles, the dot is a
     // sequential fold), so single- and multi-probe LSH ANN replay fully
     "v2_lsh_topk" -> lshTopKSql,
     "v11_lsh_multiprobe" -> lshMultiprobeSql(),
-    // leave-one-out kNN label eval: same sim/rank formulation as
-    // bruteTopKSql (9dp rounding, id tie-break), majority vote with
-    // smallest-label tie-break, per-label accuracy
-    "v7_knn_eval" -> knnEvalSql(" WHERE vec_id < 5000", " WHERE vec_id < 5000"),
-    // sampled eval: identical prediction rule, query side restricted to
+    // leave-one-out kNN label eval (v7 deregistered round 15; v9 is the
+    // production form): same sim/rank formulation as bruteTopKSql (9dp
+    // rounding, id tie-break), majority vote, smallest-label tie-break.
+    // Sampled eval: identical prediction rule, query side restricted to
     // every 10th vector (matches Similarity.querySet's deterministic
     // stride); neighbors still come from the full corpus
     "v9_knn_sampled" -> knnEvalSql(" WHERE vec_id % 10 = 0"),
@@ -5584,8 +5650,72 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
          |FROM ah a JOIN ah b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // m10 — the SHIFTED fixture replayed sample-for-sample (splitmix
+    // noise at (base, absolute position); retakes trim the first 7),
+    // every overlapping 8-window folded with the x11 span arithmetic,
+    // then the m9 pair/Jaccard shape over distinct window-hash sets
+    "m10_audio_shift_neardup" -> audioShiftNearDupSql(),
+    // st22 — per-row verdicts against the static curated half: the m4
+    // aHash replay for both halves, all-pairs Hamming at the m5 bar
+    // (== the engine's pigeonhole-blocked probe for maxDist 4 <= 7),
+    // best match by (quality desc, id asc), c14 keep rule
+    "st22_stream_media_curation" ->
+      s"""WITH imgh AS MATERIALIZED ($aHashCte SELECT media_id, ahash FROM ah),
+         |qual AS (SELECT doc_id AS media_id,
+         |    CAST((8 + doc_id % 24) * (8 + (doc_id // 24) % 24) AS BIGINT) AS quality
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |h AS (SELECT i.media_id, i.ahash, q.quality FROM imgh i JOIN qual q USING (media_id)),
+         |corp AS (SELECT * FROM h WHERE media_id % 2 = 0),
+         |nw AS (SELECT * FROM h WHERE media_id % 2 = 1),
+         |cand AS (SELECT n.media_id, c.media_id AS cid, c.quality AS cq
+         |  FROM nw n JOIN corp c ON bit_count(xor(n.ahash, c.ahash)) <= 4),
+         |best AS (SELECT media_id, cid, cq FROM (
+         |  SELECT media_id, cid, cq,
+         |    row_number() OVER (PARTITION BY media_id ORDER BY cq DESC, cid) AS rn
+         |  FROM cand) WHERE rn = 1)
+         |SELECT n.media_id, b.cid AS matched_id, n.quality AS quality_score,
+         |  (b.cid IS NULL OR n.quality > b.cq
+         |    OR (n.quality = b.cq AND n.media_id < b.cid)) AS keep
+         |FROM nw n LEFT JOIN best b USING (media_id)
+         |ORDER BY n.media_id""".stripMargin
   )
+
+  /** m10 replay: [[graft.ops.Multimodal.ImageCodec.synthAudioShifted]]'s
+    * PCM reconstructed in SQL (mono, so no interleave arithmetic), the
+    * [[dupSpansSql]] fold over every overlapping 8-sample window, and
+    * the [[graft.ops.Dedup.sharedHashPairs]] df-guarded pair/Jaccard
+    * shape (the m9 CTE chain verbatim, windows for frames).
+    */
+  private def audioShiftNearDupSql(w: Int = 8): String = {
+    val vRaw = s"((${SqlHash.mix("base * 131 + (i + off)")}) % 32768 + 32768) % 32768"
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+       |bs AS (SELECT id,
+       |  CASE WHEN ((id - 2) // 3) % 25 = 24 THEN id - 3 ELSE id END AS base,
+       |  CASE WHEN ((id - 2) // 3) % 25 = 24 THEN 7 ELSE 0 END AS off
+       |  FROM ids),
+       |sv AS MATERIALIZED (SELECT id, i, CAST($vRaw AS BIGINT) AS v
+       |  FROM bs, LATERAL (SELECT unnest(range(0, 64)) AS i) ii),
+       |vl AS MATERIALIZED (SELECT id, CAST(64 AS BIGINT) AS m, list(v ORDER BY i) AS vs
+       |  FROM sv GROUP BY id),
+       |wh AS MATERIALIZED (SELECT id, $fold AS fh FROM (
+       |  SELECT id, CASE WHEN m >= $w THEN vs[i : i + ${w - 1}] ELSE vs END AS win
+       |  FROM vl, LATERAL (SELECT unnest(range(1, greatest(m - ${w - 1}, 1) + 1)) AS i) ix)),
+       |fs AS (SELECT DISTINCT id AS doc_id, fh FROM wh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id),
+       |dfq AS (SELECT fh, count(*) AS df FROM fs GROUP BY fh),
+       |f2 AS (SELECT fs.doc_id, fs.fh FROM fs JOIN dfq USING (fh)
+       |  WHERE dfq.df >= 2 AND dfq.df <= 64),
+       |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM f2 a JOIN f2 b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |  ${Num.sqlRoundTo("CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)", 6)} AS window_jaccard
+       |  FROM prs JOIN sz sa ON sa.doc_id = prs.id_a JOIN sz sb ON sb.doc_id = prs.id_b)
+       |SELECT id_a, id_b, window_jaccard FROM j WHERE window_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.audioHash64]]
     * over the WAV fixture rows (doc_id % 3 = 2): the generator's sample

@@ -148,6 +148,32 @@ object Multimodal {
       encodeWavSamples(wavRate(id), ch, samples)
     }
 
+    /** SHIFTED-retake audio fixture: every 25th track re-records its
+      * predecessor OFFSET by 7 samples (the same 64-sample window into
+      * the same underlying recording, started 7 samples later) — exactly
+      * the transform the m6/m8 whole-payload energy-window hashes
+      * provably miss (the shift re-bins every fixed window, flipping
+      * ~half the 64 bits — spec'd) while the m10 overlapping-window hash
+      * SETS survive (a shift slides the window set; the 50 windows the
+      * two recordings share hash identically, J = 50/64). Mono, 8 kHz:
+      * channel interleaving would break sample alignment under shift,
+      * and the point of THIS fixture is the shift, not the layout.
+      * Samples are the same splitmix white noise as [[synthAudioLowDup]],
+      * keyed by (base, ABSOLUTE position) so the retake's samples equal
+      * the base's at +7.
+      */
+    def synthAudioShifted(id: Long): Array[Byte] = {
+      val t = (id - 2) / 3
+      val retake = math.floorMod(t, 25L) == 24L
+      val base = if (retake) id - 3 else id
+      val off = if (retake) 7 else 0
+      val samples = Array.tabulate(64) { i =>
+        math.floorMod(
+          graft.functions.Splitmix.mix(base * 131L + (i + off)), 32768L).toInt
+      }
+      encodeWavSamples(8000, 1, samples)
+    }
+
     /** Header-only image identification: format + dimensions, no pixel
       * decode. Empty for anything ImageIO has no reader for. */
     def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
@@ -435,6 +461,40 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** Shifted-retake audio fixture table ([[ImageCodec.synthAudioShifted]]
+    * rules) — the m10 input. Same WAV id slice as the other audio
+    * fixtures; map-only generation.
+    */
+  def audioTableShifted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 2)
+      .mapPartitions(_.map(id => (id, ImageCodec.synthAudioShifted(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** PCM decode stage: real RIFF/WAVE parse → (media_id, pcm array<int>)
+    * per decodable row; non-WAV payloads drop out (flatMap). Map-only,
+    * one decode per row — the blob never leaves this stage, and
+    * downstream window hashing runs as pure codegen'd expressions over
+    * the int array.
+    */
+  def pcmTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.wavMeta(bytes).map { _ =>
+          val n = (bytes.length - 44) / 2
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (id, Array.tabulate(n)(i => bb.getShort(44 + 2 * i).toInt))
+        }
+      })
+      .toDF("media_id", "pcm")
+  }
+
   /** Decode stage: binary → typed metadata via mapPartitions (one codec
     * init per partition, the shape a real decoder needs). Real header
     * decode — PNG/JPEG/GIF via `javax.imageio`, WAV via RIFF parse;
@@ -638,6 +698,67 @@ object Multimodal {
           (col("na") + col("nb") - col("shared")).cast("double"), 6).as("frame_jaccard"))
       .filter(col("frame_jaccard") >= threshold)
   }
+
+  /** TIME-SHIFT-ROBUST audio near-dup (m10) — the audio twin of the m9
+    * video fix, closing the family's last alignment hole: [[ImageCodec
+    * .audioHash64]] (m6/m8) bins the WHOLE payload into 64 fixed energy
+    * windows, so a trimmed or offset re-encode re-bins every window and
+    * the hash lands ~32 bits away — the dup is provably missed (spec'd).
+    * Here every OVERLAPPING w-sample window is hashed (order-sensitive
+    * splitmix fold, the [[Dedup.dupSpans]] arithmetic over PCM values
+    * instead of token hashes) and tracks pair by Jaccard over their
+    * distinct window-hash SETS: a trim or offset SLIDES the window set
+    * without touching the surviving windows' hashes, so a 7-sample
+    * offset re-take of a 64-sample track still shares 50 windows
+    * (J = 50/64 ≈ 0.78) while independent noise shares none.
+    *
+    * The pair machinery is [[Dedup.sharedHashPairs]] verbatim (windows
+    * ARE the shingles — text x4, video m9, audio m10 now share one pair
+    * discipline): only (window_hash, media_id) longs shuffle, the df
+    * guard caps bucket fan-out (a looped jingle appearing in thousands
+    * of tracks is exactly a high-df shingle), set sizes join back after
+    * pairs collapse. PCM never leaves the decode projection. Window
+    * hashing is O(n·w) per track of pure codegen'd HOF arithmetic.
+    */
+  def nearDupAudioWindows(media: DataFrame, w: Int = 8, threshold: Double = 0.5,
+                          maxWindowFreq: Long = 64): DataFrame = {
+    require(w > 0, "w must be positive")
+    require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
+    // stage the long-cast sample array as its own projection: HOFs get no
+    // common-subexpression elimination, so an inlined cast would re-run
+    // per window position (the dupSpans lesson)
+    val withTh = pcmTable(media).select(col("media_id"),
+      transform(col("pcm"), v => v.cast("long")).as("th"))
+    val th = col("th")
+    val m = size(th)
+    // one hash per overlapping w-window; tracks under w samples get one
+    // all-sample window (the dupSpans short-doc rule)
+    val wins = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
+      i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
+        (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
+    val sets = withTh.select(col("media_id").as("doc_id"), array_distinct(wins).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+    Dedup.sharedHashPairs(
+        sets.select(explode(col("sh")).as("shingle"), col("doc_id")),
+        sets.select(col("doc_id"), col("n_sh")),
+        maxWindowFreq)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        Num.roundTo(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 6).as("window_jaccard"))
+      .filter(col("window_jaccard") >= threshold)
+  }
+
+  /** The curated corpus's AT-REST curation index — st22's static side,
+    * staged once per corpus snapshot like any model artifact:
+    * (media_id, ahash, quality) per decodable image, 24 bytes a row.
+    * Quality is decode-derived pixel area (the c22 image rule).
+    */
+  def imageCurationIndex(media: DataFrame): DataFrame =
+    imageHashes(media).join(
+      decodeMeta(media).toDF().select(col("media_id"),
+        (col("width").cast("long") * col("height").cast("long")).as("quality")),
+      "media_id")
+      .select("media_id", "ahash", "quality")
 
   /** End-to-end MEDIA curation composite (c22) — the c21 analog for the
     * multimodal side, every stage an existing gated operator composed

@@ -1153,6 +1153,86 @@ object TextStats {
       .select(col(idCol), col("band"), col("quality_score"), col("train_rank"))
   }
 
+  /** TRAINER-READY per-doc manifest (c24's row table) — the one plan
+    * that chains what c23/c4/c10/c11 each do alone: curriculum order →
+    * token-tape packing ALONG that order → contiguous curriculum shards.
+    * Per packable doc (non-null text, ≥ 1 token — zero-token docs can't
+    * occupy tape, so they are dropped BEFORE banding and ranks stay
+    * tape-contiguous): its quality `band` and global `train_rank`
+    * ([[curriculumOrder]] verbatim), the absolute `start_offset` of its
+    * first token on the training tape laid out in train_rank order
+    * (NOT c20's seeded permutation — the whole point of a curriculum is
+    * that the tape FOLLOWS it), the context-window span that offset
+    * implies, and the `shard` from exact integer ntile cuts over the
+    * curriculum rank (contiguous — shard 0 trains first; [[shuffleShard]]
+    * would destroy the ordering c23 just built).
+    *
+    * Scale shape: [[curriculumOrder]]'s two distributed-rank passes plus
+    * ONE more for the token prefix sum (the c4/c20 discipline —
+    * repartitionByRange on train_rank, per-partition offsets, the only
+    * unpartitioned window is the O(partitions) offset table). Everything
+    * downstream of the quality scorer moves 8-byte ids and counts.
+    */
+  def trainingManifest(docs: DataFrame, contextLen: Long = 512L, nShards: Int = 8,
+                       nBands: Int = 4, seed: Long = 42L,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(contextLen >= 1L, "contextLen must be positive")
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val packable = docs.filter(col(textCol).isNotNull)
+      .filter(tokenCount(col(textCol)) > 0)
+    val ord = curriculumOrder(packable, nBands, seed, textCol, idCol)
+    val toks = packable.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val keyed = ord.join(toks, idCol)
+    val sorted = keyed.repartitionByRange(col("train_rank"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid")
+      .agg(sum("n_tokens").as("ptok"))
+      .withColumn("toff", coalesce(
+        sum("ptok").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "toff")
+    val total = sorted.agg(count(lit(1)).as("n_total"))
+    val within = Window.partitionBy("pid").orderBy("train_rank")
+    sorted.join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(total))
+      .withColumn("start_offset",
+        col("toff") + sum("n_tokens").over(within) - col("n_tokens"))
+      .withColumn("window_first", expr(s"start_offset div $contextLen"))
+      .withColumn("window_last", expr(s"(start_offset + n_tokens - 1) div $contextLen"))
+      .withColumn("rank0", col("train_rank") - 1L)
+      // the c10 integer ntile cut rule, applied to the CURRICULUM rank
+      .withColumn("shard", expr(
+        s"""CAST(CASE
+           |  WHEN rank0 < (n_total % $nShards) * ((n_total DIV $nShards) + 1)
+           |  THEN rank0 DIV ((n_total DIV $nShards) + 1)
+           |  ELSE (n_total % $nShards) +
+           |    (rank0 - (n_total % $nShards) * ((n_total DIV $nShards) + 1))
+           |      DIV greatest(n_total DIV $nShards, 1)
+           |END AS BIGINT)""".stripMargin))
+      .select(col(idCol), col("band"), col("train_rank"), col("n_tokens"),
+        col("start_offset"), col("window_first"), col("window_last"), col("shard"))
+  }
+
+  /** Per-shard TRAINING manifest (c24) — what the trainer actually reads
+    * before touching data: for each contiguous curriculum shard, doc and
+    * token sums plus its rank and context-window spans. Because shards
+    * are contiguous in train_rank, `rank_first..rank_last` ARE the
+    * training schedule and adjacent shards share at most one boundary
+    * window. One groupBy over [[trainingManifest]].
+    */
+  def trainingShardManifest(docs: DataFrame, contextLen: Long = 512L,
+                            nShards: Int = 8, nBands: Int = 4, seed: Long = 42L,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    trainingManifest(docs, contextLen, nShards, nBands, seed, textCol, idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+           min(col("train_rank")).as("rank_first"), max(col("train_rank")).as("rank_last"),
+           min(col("window_first")).as("window_first"), max(col("window_last")).as("window_last"))
+      .orderBy("shard")
+
   /** Per-shard MANIFEST for [[shuffleShard]] — the handoff artifact a
     * training job reads before touching data: doc and token counts plus
     * the rank span of every shard. One groupBy over the assignment

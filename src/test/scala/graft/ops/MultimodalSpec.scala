@@ -340,6 +340,33 @@ class MultimodalSpec extends SparkSpec {
     assert(distinct.length == 2)
   }
 
+  test("nearDupAudioWindows (m10): offset retake pairs at J=50/64 where audioHash64 provably misses") {
+    import spark.implicits._
+    import Multimodal.ImageCodec
+    // the fixture's first planted retake: t = 24 -> id = 3*24+2 = 74,
+    // re-recording id 71 at +7 samples; 77/80 are independent noise
+    val ids = Seq(71L, 74L, 77L, 80L)
+    val media = ids.map(id => (id, ImageCodec.synthAudioShifted(id)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.nearDupAudioWindows(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((71L, 74L)), s"expected exactly the planted pair: $out")
+    assert(math.abs(out((71L, 74L)) - 50.0 / 64.0) < 1e-6,
+      s"offset retake must share 50 of 64 distinct windows: ${out((71L, 74L))}")
+    // the SAME pair is provably invisible to the m6/m8 whole-payload
+    // energy hash: both tracks hash (64 samples), but the 7-sample shift
+    // re-bins every fixed window and the Hamming distance blows through
+    // the m6/m8 radius (4) by an order of magnitude
+    val h71 = ImageCodec.audioHash64(ImageCodec.synthAudioShifted(71L)).get
+    val h74 = ImageCodec.audioHash64(ImageCodec.synthAudioShifted(74L)).get
+    val hamming = java.lang.Long.bitCount(h71 ^ h74)
+    assert(hamming > 4, s"audioHash64 unexpectedly robust to the shift (hamming=$hamming)")
+    // determinism under repartition
+    val re = Multimodal.nearDupAudioWindows(media.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(re == out)
+  }
+
   test("mediaCuration (c22) == the hand-chained m1/m4/m5/m8/m7/c14 stages") {
     import graft.ops.{Dedup, Iterate}
     val composite = Multimodal.mediaCuration(spark, sfDir).orderBy("media_id")

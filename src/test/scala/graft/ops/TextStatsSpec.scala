@@ -473,6 +473,58 @@ class TextStatsSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("trainingManifest (c24): equals hand-chained curriculum->pack->shard; shards contiguous") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.trainingManifest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    // independent hand-chain: the PUBLIC c23 stage over the packable
+    // population, then a plain global-window SQL pack + ntile shard
+    // (single-task windows are fine at spec scale — the operator's
+    // distributed-rank plan must reproduce them exactly)
+    val packable = docs.filter(col("text").isNotNull)
+      .filter(TextStats.tokenCount(col("text")) > 0)
+    TextStats.curriculumOrder(packable)
+      .join(packable.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
+      .createOrReplaceTempView("c24_hand")
+    val hand = spark.sql(
+      """SELECT doc_id, band, train_rank, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY train_rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS start_offset,
+        |  ntile(8) OVER (ORDER BY train_rank) - 1L AS shard
+        |FROM c24_hand""".stripMargin)
+      .selectExpr("doc_id", "band", "train_rank", "n_tokens", "start_offset",
+        "start_offset div 512 AS window_first",
+        "(start_offset + n_tokens - 1) div 512 AS window_last",
+        "CAST(shard AS BIGINT) AS shard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(out.nonEmpty && out.toSeq == hand.toSeq)
+    // the shard manifest is exactly the per-doc table's aggregate, and
+    // shards are CONTIGUOUS in train_rank (the schedule property c10's
+    // shuffle-shard deliberately destroys)
+    val man = TextStats.trainingShardManifest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(man.map(_._2).sum == out.length)
+    assert(man.map(_._3).sum == out.map(_._4).sum)
+    man.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 + 1 == b._4,
+        s"shards not rank-contiguous: ${a._1} ends ${a._5}, ${b._1} starts ${b._4}")
+      case _ =>
+    }
+    // deterministic under repartition
+    val re = TextStats.trainingManifest(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("bpeMergesBatched at m=64: jobs track ROUNDS (incl. the exhaustion probe), never merges") {
     // the production-merge-count claim: a round's collect is one driver
     // job no matter how many merges it yields, and when the vocab

@@ -567,6 +567,54 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming media curation == batch verdicts across micro-batch boundaries") {
+    import graft.ops.Multimodal
+    val d = tmpDir("stream_media").resolve("img").toString
+    val img = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    // two files -> two micro-batches with maxFilesPerTrigger=1, so
+    // stream rows matching the SAME corpus canonical land in different
+    // micro-batches — verdicts must still equal the single-shot batch
+    img.filter(col("media_id") < 300).coalesce(1).write.mode("overwrite").parquet(d)
+    img.filter(col("media_id") >= 300).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val corpus = all.filter(col("media_id") % 2 === 0)
+    val cIdx = Multimodal.imageCurationIndex(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Streams.runToMemory(
+      Streams.streamMediaCuration(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+          .filter(col("media_id") % 2 === 1), cIdx).toDF(),
+      "media_stream", OutputMode.Append())
+    val streamed = spark.table("media_stream").orderBy("media_id")
+      .collect().map(_.toString).toSeq
+    // independent batch formulation: all-pairs Hamming join + the same
+    // (quality desc, id asc) best-match and c14 keep rule in SQL
+    val nIdx = Multimodal.imageCurationIndex(all.filter(col("media_id") % 2 === 1))
+    nIdx.createOrReplaceTempView("st22_new")
+    Multimodal.imageCurationIndex(corpus).createOrReplaceTempView("st22_corp")
+    val batch = spark.sql(
+      """WITH cand AS (SELECT n.media_id, c.media_id AS cid, c.quality AS cq
+        |  FROM st22_new n JOIN st22_corp c
+        |  ON bit_count(n.ahash ^ c.ahash) <= 4),
+        |best AS (SELECT media_id, cid, cq FROM (
+        |  SELECT media_id, cid, cq,
+        |    row_number() OVER (PARTITION BY media_id ORDER BY cq DESC, cid) AS rn
+        |  FROM cand) WHERE rn = 1)
+        |SELECT n.media_id, b.cid AS matched_id, n.quality AS quality_score,
+        |  (b.cid IS NULL OR n.quality > b.cq
+        |    OR (n.quality = b.cq AND n.media_id < b.cid)) AS keep
+        |FROM st22_new n LEFT JOIN best b ON n.media_id = b.media_id
+        |ORDER BY n.media_id""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // non-vacuous: some stream rows must actually match a corpus
+    // canonical (16 cross-half pairs at sf0.001), and both verdict
+    // kinds must occur
+    val matched = spark.table("media_stream").filter(col("matched_id").isNotNull)
+    assert(matched.count() > 0, "no stream row matched the corpus - vacuous")
+    assert(matched.filter(!col("keep")).count() > 0, "no drop verdict exercised")
+  }
+
   test("streaming quality gate == batch c6 gate across micro-batch boundaries") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
