@@ -1440,6 +1440,28 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
       Similarity.ivfRetrain(corpus, batch, codebook, iters = 2).orderBy("cell")
     }),
+    // v28 — the at-rest ACTION on v27's delta: rebuild the pre-retrain
+    // layout (fresh every run — the delta pass mutates it), warm-retrain,
+    // then rewrite ONLY membership-changed cell partitions via dynamic
+    // partition overwrite. The gate reads the layout BACK: per-cell
+    // counts must equal the retrained assignment exactly — proving the
+    // delta write left every untouched partition correct and rewrote the
+    // rest (file-level untouched-ness is spec-pinned).
+    "v28_ivf_relayout" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val cb = graft.ops.Iterate.materialize(
+        Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3))
+      val tmp = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/v28_${Integer.toHexString(d.hashCode)}"
+      Similarity.writeIvfLayout(emb, cb, tmp)
+      val newCb = graft.ops.Iterate.materialize(
+        Similarity.ivfRetrainCodebook(corpus, batch, cb, iters = 2))
+      Similarity.ivfRelayoutDelta(s, tmp, emb, cb, newCb)
+      // partition-column inference reads cell= as int — cast for the gate
+      s.read.parquet(tmp).groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs")).orderBy("cell")
+    }),
     // v26's streaming twin: adds arrive as a stream, per-cell counters
     // are the only state (<= |cells| longs), report shared verbatim
     "st21_stream_ivf_add" -> ((s, d) => {
@@ -2106,7 +2128,7 @@ object SparkEntry {
     * assignments folded to per-cell counts with arrivals/departures.
     * Every output column is an integer count — no float decides.
     */
-  private def ivfRetrainSql(warmIters: Int = 2): String = {
+  private def ivfRetrainCtes(warmIters: Int = 2): String = {
     val l2 = (v: String, c: String) => Num.sqlRoundTo(
       s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
     val warm = (1 to warmIters).map { i =>
@@ -2123,7 +2145,7 @@ object SparkEntry {
          |  list_transform(list(CAST(mx AS REAL) ORDER BY dim), f -> CAST(f AS DOUBLE)) AS cvd
          |  FROM wm$i GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
+    s"""${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
        |ea AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |$warm,
        |bfr AS (SELECT vec_id, cell FROM (
@@ -2134,7 +2156,11 @@ object SparkEntry {
        |  FROM ea w, wb$warmIters c) WHERE rn = 1),
        |mv AS (SELECT b.vec_id, b.cell AS cb, a.cell AS ca
        |  FROM bfr b JOIN aft a USING (vec_id)),
-       |sp AS (SELECT DISTINCT cell FROM cb3)
+       |sp AS (SELECT DISTINCT cell FROM cb3)""".stripMargin
+  }
+
+  private def ivfRetrainSql(warmIters: Int = 2): String =
+    s"""WITH ${ivfRetrainCtes(warmIters)}
        |SELECT sp.cell,
        |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_before,
        |  CAST(coalesce(na.n, 0) AS BIGINT) AS n_after,
@@ -2146,7 +2172,15 @@ object SparkEntry {
        |LEFT JOIN (SELECT ca AS cell, count(*) AS n FROM mv WHERE ca <> cb GROUP BY ca) mi USING (cell)
        |LEFT JOIN (SELECT cb AS cell, count(*) AS n FROM mv WHERE ca <> cb GROUP BY cb) mo USING (cell)
        |ORDER BY sp.cell""".stripMargin
-  }
+
+  /** v28 — the read-back gate: after the delta re-layout, the at-rest
+    * table per cell must hold exactly the retrained assignment (cells
+    * emptied by the retrain vanish — their stale dirs are deleted).
+    */
+  private def ivfRelayoutSql(warmIters: Int = 2): String =
+    s"""WITH ${ivfRetrainCtes(warmIters)}
+       |SELECT ca AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM mv GROUP BY ca ORDER BY cell""".stripMargin
 
   private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String =
     s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
@@ -5332,6 +5366,9 @@ object SparkEntry {
     // v27 — warm-started Lloyd's replayed round-for-round, then the
     // before/after argmin assignments folded to integer move counts
     "v27_ivf_retrain" -> ivfRetrainSql(warmIters = 2),
+    // v28 — same CTE chain, read-back form: per-cell counts of the
+    // retrained assignment == what the delta-rewritten layout holds
+    "v28_ivf_relayout" -> ivfRelayoutSql(warmIters = 2),
     // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
     // by (dist DESC, id), integer-exact top-decile flag
     "v18_cell_outliers" -> {

@@ -629,6 +629,64 @@ object Similarity {
     * v4's oracle gates this query too — but the SCAN now touches only
     * probed cells, which is the entire point at 100 TB.
     */
+  /** DELTA re-layout (v28) — the at-rest ACTION that completes the IVF
+    * maintenance lifecycle (add v26 → drift flag → retrain v27 →
+    * RE-LAYOUT): after a warm-started retrain, only the cell partitions
+    * whose MEMBERSHIP changed rewrite. Affected cells = every arrival or
+    * departure endpoint (a vector moving a→b dirties both, because b
+    * gains a row and a loses one); unmoved cells' parquet files are not
+    * touched — at 100 TB the rewrite bill is proportional to the drift
+    * v26 flagged, not to the corpus (spec'd: untouched partitions stay
+    * byte-identical on disk).
+    *
+    * Mechanics are stock Spark: dynamic partition overwrite
+    * (`partitionOverwriteMode=dynamic`) replaces exactly the `cell=`
+    * partitions present in the written rows; an affected cell whose
+    * membership drops to ZERO writes no partition, so its stale
+    * directory is deleted explicitly (the one case dynamic overwrite
+    * can't express). The affected-cell list is an O(|cells|) driver
+    * pull — the same coordination class as [[ivfTopKFromLayout]]'s
+    * probed-cell list. Returns the per-affected-cell rewrite report
+    * (n_rows = 0 marks a deleted partition).
+    */
+  def ivfRelayoutDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                       all: DataFrame, oldCodebook: DataFrame, newCodebook: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val before = assignCells(all, oldCodebook, idCol, vecCol)
+      .select(col(idCol), col("cell").as("cb"))
+    val after = assignCells(all, newCodebook, idCol, vecCol)
+      .select(col(idCol), col("cell").as("ca"))
+    val mv = Iterate.materialize(before.join(after, idCol))
+    val moved = mv.filter(col("ca") =!= col("cb"))
+    val affected = moved.select(col("ca").as("cell"))
+      .unionAll(moved.select(col("cb").as("cell")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val written = if (affected.isEmpty) Map.empty[Long, Long] else {
+      val rows = all.join(
+          mv.select(col(idCol), col("ca").as("cell")), Seq(idCol))
+        .filter(col("cell").isin(affected.map(Long.box).toIndexedSeq: _*))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      rows.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // emptied affected cells: no partition written — remove the stale dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(written.contains).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
+    }
+    affected.toSeq.map(c => (c, written.getOrElse(c, 0L)))
+      .toDF("cell", "n_rows")
+  }
+
   def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, codebook: DataFrame, k: Int = 10,
                         idCol: String = "vec_id",

@@ -497,6 +497,63 @@ class SimilaritySpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("ivfRelayoutDelta: untouched partitions byte-identical, result == full rewrite, emptied dirs removed") {
+    import spark.implicits._
+    def vec(x: Float, y: Float) = Array(x, y) ++ Array.fill(6)(0f)
+    // three tight groups; ids interleaved so lowest-id init is irrelevant
+    // (codebooks are supplied explicitly)
+    val all = ((0L until 30L).map(id => (id, vec(1f, 0f))) ++
+               (30L until 60L).map(id => (id, vec(-1f, 0f))) ++
+               Seq((100L, vec(0.1f, 1f)))).toDF("vec_id", "embedding")
+    val oldCb = Seq((0L, vec(1f, 0f)), (1L, vec(-1f, 0f)), (2L, vec(0f, 1f)))
+      .toDF("cell", "cv")
+    // new codebook: cell 2 moves far away -> vector 100 re-assigns to
+    // cell 0 and cell 2 EMPTIES; cells 0/1 keep their members (cell 1
+    // wholly unaffected, cell 0 gains one arrival)
+    val newCb = Seq((0L, vec(1f, 0f)), (1L, vec(-1f, 0f)), (2L, vec(50f, 50f)))
+      .toDF("cell", "cv")
+    val tmp = tmpDir("v28").resolve("layout").toString
+    Similarity.writeIvfLayout(all, oldCb, tmp)
+    def files(cell: Long): Map[String, (Long, Long)] = {
+      val d = java.nio.file.Paths.get(tmp, s"cell=$cell")
+      if (!java.nio.file.Files.exists(d)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.list(d)
+        try walk.iterator().asScala.map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+           java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+        finally walk.close()
+      }
+    }
+    val cell1Before = files(1L)
+    assert(cell1Before.nonEmpty)
+    val report = Similarity.ivfRelayoutDelta(spark, tmp, all, oldCb, newCb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only cells 0 (gains vec 100) and 2 (loses it) are affected
+    assert(report.keySet == Set(0L, 2L), s"affected cells: $report")
+    assert(report(0L) == 31L && report(2L) == 0L, s"report: $report")
+    // the unaffected cell-1 partition is BYTE-IDENTICAL (same files,
+    // sizes, mtimes) — the 100 TB claim, checked at the filesystem
+    assert(files(1L) == cell1Before, "untouched partition was rewritten")
+    // the emptied cell-2 directory is gone
+    assert(files(2L).isEmpty && !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tmp, "cell=2")), "stale emptied partition survives")
+    // read-back == a from-scratch full rewrite under the new codebook
+    val readBack = spark.read.parquet(tmp)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullDir = tmpDir("v28full").resolve("layout").toString
+    Similarity.writeIvfLayout(all, newCb, fullDir)
+    val full = spark.read.parquet(fullDir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(readBack == full)
+    // no-op retrain (same codebook): nothing affected, nothing written
+    val noop = Similarity.ivfRelayoutDelta(spark, tmp, all, newCb, newCb).collect()
+    assert(noop.isEmpty)
+  }
+
   test("multi-probe IVF dominates single-probe on planted clusters") {
     val q = Similarity.querySet(planted, "vec_id", 5)
     val exact = pairSet(Similarity.bruteForceTopK(planted, q, k = 4), "query_id", "neighbor_id")
