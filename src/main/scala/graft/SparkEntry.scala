@@ -335,6 +335,24 @@ object SparkEntry {
     "n8_hub_distances" -> (Graph.partHubDistances(_, _)),
     "q6_forecast" -> (Analytics.q6ForecastRevenue(_, _)),
     "q9_brand_revenue" -> (Analytics.q9BrandRevenue(_, _)),
+    // k6 — the manual skew-mitigation path gated end-to-end: q9's exact
+    // brand-revenue aggregate, but the join runs through Skew.saltedJoin
+    // (big side salted into 8 sub-keys, small side replicated — the hot-
+    // key spreading AQE can't always do). The result is provably salt-
+    // independent (every salt meets a replica), so q9's oracle gates it
+    // verbatim; the decimal-exact sum makes the answer partition-
+    // assignment-proof.
+    "k6_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = Tables.part(s, d).select("p_partkey", "p_brand")
+      graft.ops.Skew.saltedJoin(li, pt, "p_partkey", factor = 8)
+        .groupBy(col("p_brand"))
+        .agg(Num.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_lineitems"))
+        .orderBy("p_brand")
+    }),
     // existence join: orders with >=1 late-shipped line, counted once
     "q4_priority" -> (Analytics.q4OrderPriority(_, _)),
     // filtered 3-way join + broadcast dim + top-k
@@ -1117,6 +1135,10 @@ object SparkEntry {
     // cross-entropy per doc (CCNet-style fluency signal)
     "t11_bigram_lm" -> ((s, d) =>
       TextStats.bigramCrossEntropy(Tables.documents(s, d)).orderBy("doc_id")),
+    // CCNet-style per-language perplexity thirds over the t11 signal:
+    // head/middle/tail by exact integer ntile per lang, keep drops tail
+    "c25_perplexity_buckets" -> ((s, d) =>
+      TextStats.perplexityBuckets(Tables.documents(s, d))),
     // vocabulary coverage curve: share of corpus tokens covered by the
     // top-K terms (tokenizer sizing)
     "t14_coverage" -> ((s, d) =>
@@ -1198,6 +1220,11 @@ object SparkEntry {
     // is dup when its order-sensitive hash occurs >= 2 times corpus-wide)
     // — the Lee-et-al exact-substring-dedup signal; integer-exact
     // fnv1a64/splitmix64 span identity, replayed by dupSpansSql
+    // x16 — content-defined chunking: x11's span-dup signal at ~1/16 the
+    // exchanged rows, alignment-robust (boundaries are local content
+    // properties, so prefix edits re-synchronize — spec'd vs fixed-grid)
+    "x16_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcChunkDedup(Tables.documents(s, d))),
     "x11_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d))),
     // duplicate-span REMOVAL (the x11 profile's action): first occurrence
@@ -2766,6 +2793,64 @@ object SparkEntry {
        |FROM pd JOIN g USING (h) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
   }
 
+  /** t11/c25 shared CTEs — the self-trained add-0.5 bigram LM and the
+    * per-doc cross-entropy, ending in `ce(doc_id, n_bigrams,
+    * cross_entropy)`. One definition so the c25 bucketing can never
+    * diverge from the t11 gate's scoring arithmetic.
+    */
+  private def bigramCeCtes: String =
+    s"""toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+       |tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+       |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |       FROM tt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix),
+       |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tt) u),
+       |lp AS (SELECT doc_id,
+       |        ${Num.sqlRoundTo("ln((c12 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
+       |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab),
+       |ce AS (SELECT doc_id, count(*) AS n_bigrams,
+       |  ${Num.sqlRoundTo("-(" + Num.sqlExactAvg("lp") + ")", 4)} AS cross_entropy
+       |FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** x16 replay — [[graft.ops.Dedup.cdcChunkDedup]]: the x11 window fold
+    * drives the mask test; cut positions are window ends with
+    * `(h & mask) == 0`; each token's chunk index is the count of cuts
+    * strictly before it (the token-driven form never materializes the
+    * empty trailing chunk the engine filters); chunk identity is the
+    * same splitmix fold over the chunk's token hashes in position order.
+    */
+  private def cdcChunkSql(w: Int = 8, maskBits: Int = 4): String = {
+    val g = (1L << maskBits) - 1L
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
+       |th AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(t, tok -> ${fnv1a64Sql("tok")}) AS th, len(t) AS m
+       |  FROM toks WHERE len(t) > 0),
+       |wh AS MATERIALIZED (SELECT doc_id, i, $fold AS h FROM (
+       |  SELECT doc_id, i, th[i : i + ${w - 1}] AS win
+       |  FROM th, LATERAL (SELECT unnest(range(1, m - ${w - 1} + 1)) AS i) ix
+       |  WHERE m >= $w)),
+       |cuts AS (SELECT doc_id, i + ${w - 1} AS ce FROM wh WHERE (h & $g) = 0),
+       |tok AS (SELECT doc_id, CAST(p AS BIGINT) AS p, th[CAST(p AS INT)] AS v
+       |  FROM th, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp),
+       |ci AS (SELECT tok.doc_id, tok.p, tok.v, count(c.ce) AS ch
+       |  FROM tok LEFT JOIN cuts c ON c.doc_id = tok.doc_id AND c.ce < tok.p
+       |  GROUP BY tok.doc_id, tok.p, tok.v),
+       |chunks AS MATERIALIZED (SELECT doc_id, ch,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+       |              (h, t) -> ${SqlHash.mix("xor(h, t)")}) AS h
+       |  FROM ci GROUP BY doc_id, ch),
+       |pd AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c FROM chunks GROUP BY h, doc_id),
+       |gq AS (SELECT h, CAST(sum(c) AS BIGINT) AS gt FROM pd GROUP BY h)
+       |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN gq.gt >= 2 THEN pd.c ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN gq.gt >= 2 THEN pd.c ELSE 0 END) AS DOUBLE) / CAST(sum(pd.c) AS DOUBLE)", 6)} AS dup_chunk_frac
+       |FROM pd JOIN gq USING (h) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+  }
+
   /** Full replay of [[graft.ops.Dedup.scrubDupSpans]]: the x11 span
     * identity (per-token lowercase FNV → splitmix fold), first occurrence
     * per hash by row_number(doc_id, pos), later occurrences drop their
@@ -4041,6 +4126,12 @@ object SparkEntry {
          | count(*) AS n_lineitems
          | FROM lineitem JOIN part ON l_partkey = p_partkey
          | GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // k6 — salted join is result-identical to the plain join: q9's SQL
+    "k6_salted_join" ->
+      s"""SELECT p_brand, ${decSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_lineitems
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // q2 — min-cost supplier in region: the correlated scalar subquery
     // in its literal TPC-H form, over the derived partsupp (partsuppCte)
     "q2_min_cost_supp" ->
@@ -5052,20 +5143,20 @@ object SparkEntry {
     // bigram LM replay: same tokenization as x4/t9, add-k smoothing with
     // k=0.5, ln pre-rounded to 6dp, decimal-exact per-doc mean
     "t11_bigram_lm" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM documents),
-         |tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
-         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-         |       FROM tt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix),
-         |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tt) u),
-         |lp AS (SELECT doc_id,
-         |        ${Num.sqlRoundTo("ln((c12 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
-         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  ${Num.sqlRoundTo("-(" + Num.sqlExactAvg("lp") + ")", 4)} AS cross_entropy
-         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramCeCtes
+         |SELECT doc_id, n_bigrams, cross_entropy
+         |FROM ce ORDER BY doc_id""".stripMargin,
+    // c25 — the t11 CTEs + per-language NTILE thirds (DuckDB's ntile ==
+    // the engine's integer cut rule, the c10/c11 precedent)
+    "c25_perplexity_buckets" ->
+      s"""WITH $bigramCeCtes,
+         |lng AS (SELECT ce.doc_id, d.lang, ce.cross_entropy
+         |        FROM ce JOIN documents d USING (doc_id)),
+         |b AS (SELECT doc_id, lang, cross_entropy,
+         |        CAST(ntile(3) OVER (PARTITION BY lang ORDER BY cross_entropy, doc_id) AS BIGINT) AS bucket
+         |      FROM lng)
+         |SELECT doc_id, lang, cross_entropy, bucket, (bucket < 3) AS keep
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // x4's pair pipeline joined to t7's split assignment: near-dup pairs
     // straddling train/val/test
@@ -5125,6 +5216,8 @@ object SparkEntry {
     // w=8 token-window duplicate spans; the span-hash fold, counts and
     // ratio all replay integer-exactly
     "x11_dup_spans" -> dupSpansSql(),
+    // x16 — the CDC chunk profile: x11's fold + mask cuts + chunk folds
+    "x16_cdc_dedup" -> cdcChunkSql(),
     // span removal: first-occurrence rule + coverage union + position-
     // ordered rebuild, all integer/string-exact
     "c13_span_scrub" -> spanScrubSql(),

@@ -160,6 +160,83 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** CONTENT-DEFINED-CHUNK duplication profile (x16) — [[dupSpans]]'s
+    * signal at a fraction of its state, and alignment-robust where
+    * fixed-grid chunking is not (the rsync/LBFS/gear-CDC idea at token
+    * granularity): a chunk boundary falls AFTER token p whenever the
+    * w-token window hash ending at p passes the mask test
+    * `(H & (G−1)) == 0` — a LOCAL content property, so inserting or
+    * deleting a prefix shifts every fixed-grid chunk but CDC boundaries
+    * RE-SYNCHRONIZE after w tokens and the remaining chunks hash
+    * identically (spec'd: a prefix-shifted twin shares almost all CDC
+    * chunks while sharing no fixed-grid chunks). Expected chunk length
+    * = G tokens, so the corpus-wide exchange carries ~1/G the rows of
+    * the every-position [[dupSpans]] profile — the knob that makes
+    * span-style dedup affordable when w-per-token state is not.
+    *
+    * Arithmetic is [[dupSpans]]'s verbatim (lowercase-token FNV →
+    * splitmix window fold; chunk identity = the same fold over the
+    * chunk's token hashes), so the oracle replays integer-exactly.
+    * Chunking, window hashing, and chunk hashing are ONE map-only pass
+    * of codegen'd HOFs — only (chunk_hash, doc_id) longs reach the
+    * exchange, and the [[dupSpans]] single-exchange discipline feeds
+    * the per-doc and global counts from one shuffle. Docs under w
+    * tokens form one whole-doc chunk. Output per doc: chunk count,
+    * corpus-duplicated chunk count (global occurrences ≥ 2, same-doc
+    * repeats included), duplicated fraction.
+    */
+  def cdcChunkDedup(docs: DataFrame, w: Int = 8, maskBits: Int = 4,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w > 0, "w must be positive")
+    require(maskBits >= 0 && maskBits < 63, "maskBits must be in [0, 63)")
+    val g = (1L << maskBits) - 1L
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    // stage EACH derived array as its own projection before anything
+    // references it element-wise: HOFs get no common-subexpression
+    // elimination, so an inlined array recomputes per element (the
+    // dupSpans w×-scan lesson, worse here — K× the window fold)
+    val withTh = docs.select(col(idCol),
+      transform(toks, t => call_function("fnv1a64", t)).as("th"))
+    val m = size(col("th"))
+    val withWin = withTh.filter(m > 0).select(col(idCol), col("th"),
+      when(m >= w, transform(sequence(lit(1), m - (w - 1)),
+        i => aggregate(slice(col("th"), i, lit(w)), lit(0L),
+          (h, t) => call_function("splitmix64", h.bitwiseXOR(t)))))
+        .otherwise(array().cast("array<long>")).as("wins"))
+    // cut AFTER token i+w-1 where the window hash passes the mask; a
+    // trailing cut at position m would open an empty chunk — the
+    // (start <= end) filter below drops it before hashing
+    val cutEnds = when(size(col("wins")) >= 1,
+      filter(
+        transform(sequence(lit(1), size(col("wins"))),
+          i => when(element_at(col("wins"), i).bitwiseAND(lit(g)) === 0L,
+                    i + lit(w - 1)).otherwise(lit(-1))),
+        c => c > 0))
+      .otherwise(array().cast("array<int>"))
+    val mm = size(col("th"))
+    val starts = concat(array(lit(1)), transform(cutEnds, c => c + 1))
+    val ends = concat(cutEnds, array(mm))
+    val chunkArr = transform(
+      filter(zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+             p => p.getField("s") <= p.getField("e")),
+      p => aggregate(
+        slice(col("th"), p.getField("s"), p.getField("e") - p.getField("s") + 1),
+        lit(0L), (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
+    val chunks = withWin
+      .select(col(idCol), explode(chunkArr).as("h"))
+      .repartition(col("h"))
+    val perDoc = chunks.groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("c"))
+    val global = perDoc.groupBy("h").agg(sum(col("c")).as("g"))
+    perDoc.join(global, "h")
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_chunks"),
+           sum(when(col("g") >= 2, col("c")).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        Num.roundTo(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+      .orderBy(idCol)
+  }
+
   /** Duplicate-span REMOVAL — the action [[dupSpans]]'s profile decides
     * on (Lee et al. 2022's "deduplicating training data" rewrite, at
     * w-token granularity): of every span occurring ≥ 2 times corpus-wide,

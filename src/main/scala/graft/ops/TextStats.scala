@@ -1294,6 +1294,55 @@ object TextStats {
            Num.roundTo(-Num.exactAvg(col("lp")), 4).as("cross_entropy"))
   }
 
+  /** CCNet-style per-language PERPLEXITY BUCKETING (c25) — the fluency
+    * filter that runs after heuristic gating (c6) in a real pretraining
+    * funnel: every doc scored by the self-trained bigram cross-entropy
+    * ([[bigramCrossEntropy]], the t11 signal), ranked per LANGUAGE
+    * (lowest CE = most fluent first — cross-language CE values are not
+    * comparable, which is why CCNet buckets per language), and cut into
+    * `nBuckets` exact integer ntiles: head / middle / tail for the
+    * default 3. `keep` drops the tail bucket — CCNet's standard policy.
+    *
+    * The per-group rank uses [[groupCap]]'s distributed discipline
+    * (repartitionByRange on (lang, ce, id) + per-(partition, lang)
+    * offsets — no single-task per-language window), and the cut points
+    * are the c10 integer rule, which DuckDB's NTILE replays exactly.
+    * Docs with < 2 tokens have no bigrams and are out of scope (the
+    * t11 contract).
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ce = bigramCrossEntropy(docs, 0.5, textCol, idCol)
+      .join(docs.select(col(idCol), col("lang")), idCol)
+    val sorted = ce.repartitionByRange(col("lang"), col("cross_entropy"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid", "lang").agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(
+        sum("pn").over(Window.partitionBy("lang").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("lang"), col("poff"))
+    val totals = sorted.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val within = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("cross_entropy"), col(idCol))
+    sorted.join(broadcast(offsets), Seq("pid", "lang"))
+      .withColumn("rank0", (col("poff") + row_number().over(within) - 1).cast("long"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("bucket", expr(
+        s"""CAST(CASE
+           |  WHEN rank0 < (n_lang % $nBuckets) * ((n_lang DIV $nBuckets) + 1)
+           |  THEN rank0 DIV ((n_lang DIV $nBuckets) + 1)
+           |  ELSE (n_lang % $nBuckets) +
+           |    (rank0 - (n_lang % $nBuckets) * ((n_lang DIV $nBuckets) + 1))
+           |      DIV greatest(n_lang DIV $nBuckets, 1)
+           |END AS BIGINT)""".stripMargin) + 1L)
+      .withColumn("keep", col("bucket") < nBuckets)
+      .select(col(idCol), col("lang"), col("cross_entropy"), col("bucket"), col("keep"))
+      .orderBy(idCol)
+  }
+
   /** COLLOCATION mining via pointwise mutual information: for adjacent
     * token bigrams seen at least `minCount` times,
     * PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with bigram probability over

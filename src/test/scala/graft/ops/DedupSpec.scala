@@ -108,6 +108,48 @@ class DedupSpec extends SparkSpec {
       s"no string-keyed exchange allowed:\n$plan")
   }
 
+  test("cdcChunkDedup: boundaries re-synchronize under prefix insertion; fixed grid does not") {
+    // doc 1 = 300 distinct tokens; doc 2 = the same stream with 3 tokens
+    // INSERTED at the front. Content-defined cuts depend only on the
+    // local 8-token window, so doc 2's boundaries re-align with doc 1's
+    // after the first post-insertion cut and the shared chunks hash
+    // identically; a fixed 16-token grid shifts every block by 3.
+    val base = (1 to 300).map(i => s"tok$i")
+    val shifted = Seq("ins1", "ins2", "ins3") ++ base
+    val solo = Seq((1L, base.mkString(" ")), (3L, "short doc here"),
+      (4L, "short doc here")).toDF("doc_id", "text")
+    val both = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")),
+      (3L, "short doc here"), (4L, "short doc here")).toDF("doc_id", "text")
+    val m = Dedup.cdcChunkDedup(both).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the prefix-shifted twin shares almost everything: at most the
+    // chunks overlapping the insertion point differ
+    val (n1, d1, f1) = m(1L)
+    assert(n1 > 10, s"fixture too short to cut (${m(1L)})") // ~300/16 cuts expected
+    assert(f1 >= 0.8, s"CDC failed to re-synchronize: only $d1 of $n1 chunks shared")
+    // identical short docs: one whole-doc chunk each, fully duplicated
+    assert(m(3L) == ((1L, 1L, 1.0)) && m(4L) == ((1L, 1L, 1.0)))
+    // doc 1 alone (no shifted twin): nothing duplicated but the short pair
+    val alone = Dedup.cdcChunkDedup(solo).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(alone(1L) == 0L, "self-duplication without a twin?")
+    // fixed-grid control: 16-token blocks of the two streams share NO
+    // chunk hash (every block shifted by 3 tokens)
+    def fnv(s: String): Long = {
+      var h = 0xCBF29CE484222325L
+      s.codePoints().forEach(cp => { h ^= cp; h *= 0x100000001B3L })
+      h
+    }
+    def gridHashes(ts: Seq[String]) = ts.grouped(16).map(
+      _.foldLeft(0L)((h, t) => graft.functions.Splitmix.mix(h ^ fnv(t)))).toSet
+    assert((gridHashes(base) & gridHashes(shifted)).isEmpty,
+      "fixed grid unexpectedly survived the prefix shift — control broken")
+    // determinism under repartition
+    val re = Dedup.cdcChunkDedup(both.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(re == m)
+  }
+
   test("dupSpans: within-doc repetition alone marks spans duplicated") {
     val rep = "a b c d e f g h a b c d e f g h" // 16 tokens, spans 1..9; span(1)=span(9)
     val one = Seq((1L, rep), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")

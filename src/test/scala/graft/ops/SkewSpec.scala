@@ -21,6 +21,15 @@ class SkewSpec extends SparkSpec {
     assert(saltedLeft.count() == big.count())
   }
 
+  test("registered k6 == q9 row-for-row, and the executed plan joins on the salted key") {
+    val k6 = graft.SparkEntry.queries("k6_salted_join")(spark, sfDir)
+    val q9 = graft.SparkEntry.queries("q9_brand_revenue")(spark, sfDir)
+    assert(k6.collect().map(_.toString).toSeq == q9.collect().map(_.toString).toSeq)
+    // salting is actually in the executed path, not optimized away
+    assert(k6.queryExecution.executedPlan.toString.contains("__salt"),
+      "salt column missing from the executed plan")
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val big = spark.range(1000).select(
       when(col("id") < 900, 1L).otherwise(col("id")).as("k"))

@@ -473,6 +473,40 @@ class TextStatsSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("perplexityBuckets (c25): equals the single-window ntile formulation per language") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    // independent formulation: plain ntile window (single-task per lang
+    // is fine at spec scale; the distributed-rank plan must match it)
+    TextStats.bigramCrossEntropy(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .createOrReplaceTempView("c25_hand")
+    val hand = spark.sql(
+      """SELECT doc_id, lang, cross_entropy,
+        |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY cross_entropy, doc_id) AS BIGINT) AS bucket
+        |FROM c25_hand""".stripMargin)
+      .selectExpr("doc_id", "lang", "cross_entropy", "bucket", "bucket < 3 AS keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(out.nonEmpty && out.toSeq == hand.toSeq)
+    // the CE ordering is what banded: per lang, every head-bucket CE <=
+    // every tail-bucket CE
+    out.groupBy(_._2).foreach { case (lang, rs) =>
+      val byB = rs.groupBy(_._4)
+      for (b <- 1L to 2L if byB.contains(b) && byB.contains(b + 1))
+        assert(byB(b).map(_._3).max <= byB(b + 1).map(_._3).min + 1e-12,
+          s"$lang: bucket $b CE exceeds bucket ${b + 1}")
+    }
+    // deterministic under repartition
+    val re = TextStats.perplexityBuckets(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("trainingManifest (c24): equals hand-chained curriculum->pack->shard; shards contiguous") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextStats.trainingManifest(docs).collect()
