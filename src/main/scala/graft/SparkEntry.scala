@@ -1548,6 +1548,13 @@ object SparkEntry {
     // real decode gate: Spark decodes genuine PNG/JPEG/WAV headers; the
     // oracle replays the fixture's arithmetic rules. total_bytes dropped
     // (compressed sizes are encoder-dependent).
+    // s11 — REAL file-based media ingest: the staged per-id files come
+    // back through the binaryFile source (id from the file name), then
+    // the m1 decode gate + profile. Proves the lake-ingest path end to
+    // end; the oracle is m1's arithmetic replay on the staged id slice.
+    "s11_binary_ingest" -> ((s, d) =>
+      Multimodal.formatProfile(
+        Multimodal.mediaFromFiles(s, stagedMediaFiles(s, d))).drop("total_bytes")),
     "m1_format_profile" -> ((s, d) =>
       Multimodal.formatProfile(Multimodal.imageTable(s, d)).drop("total_bytes")),
     "m2_frames" -> ((s, d) =>
@@ -1568,6 +1575,35 @@ object SparkEntry {
     "m10_audio_shift_neardup" -> ((s, d) =>
       Multimodal.nearDupAudioWindows(Multimodal.audioTableShifted(s, d))
         .orderBy("id_a", "id_b")),
+    // st23 — m10's streaming twin (the modality matrix's last cell):
+    // new tracks stream in; each probes the static corpus's df-guarded
+    // window-hash inverted index and reports its best-Jaccard match +
+    // dup verdict. Per-row vs a static artifact -> zero streaming
+    // state, batch SQL gates the stream. The even/odd t-split puts
+    // every planted retake pair ACROSS the corpus/stream boundary.
+    "st23_stream_audio_match" -> ((s, d) => {
+      val stage = stagedShiftedAudio(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage)
+        .filter(expr("((media_id - 2) div 3) % 2 = 0"))
+      val cs = graft.ops.Iterate.materialize(Multimodal.audioWindowSets(corpus))
+      val sizes = cs.select("doc_id", "n_sh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val entries = cs.select(explode(col("sh")).as("wh"), col("doc_id"))
+        .groupBy("wh").agg(collect_list("doc_id").as("ds"))
+        .filter(size(col("ds")) <= 64)
+        .select(col("wh"), explode(col("ds")).as("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val mem = s"st23_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamAudioMatch(
+          Multimodal.audioWindowSets(
+            graft.streaming.Streams.parquetDirStream(s, stage, schema)
+              .filter(expr("((media_id - 2) div 3) % 2 = 1"))),
+          entries, sizes).toDF(),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("media_id")
+    }),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
     // oracle replays the fixture's integer pixel/sample rules plus each
@@ -1639,6 +1675,32 @@ object SparkEntry {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/events_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** Real media FILES staged once per sfDir (ids < 1500 — bounded at
+    * every sf): one encoded PNG/JPEG/WAV per file, the s11 fixture. */
+  private def stagedMediaFiles(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/mediafiles_${Integer.toHexString(d.hashCode)}"
+    val root = java.nio.file.Paths.get(stage)
+    val marker = root.resolve("_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(root)
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 1500)
+        .as[Long].collect().foreach { id =>
+          java.nio.file.Files.write(root.resolve(f"media_$id%06d.bin"),
+            Multimodal.ImageCodec.synthPayload(id))
+        }
+      java.nio.file.Files.write(marker, Array.empty[Byte])
+    }
+    stage
+  }
+
+  private def stagedShiftedAudio(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/shiftaudio_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Multimodal.audioTableShifted(s, d).write.mode("overwrite").parquet(stage)
     stage
   }
 
@@ -5642,6 +5704,19 @@ object SparkEntry {
 
     // replay of ImageCodec.synthPayload's metadata rules — Spark must
     // recover these values by actually decoding the PNG/JPEG/WAV bytes
+    // s11 — m1's replay restricted to the staged id slice
+    "s11_binary_ingest" ->
+      s"""WITH m AS (SELECT
+         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+         |  CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000
+         |       ELSE 8 + doc_id % 24 END AS width,
+         |  CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+         |       ELSE 8 + (doc_id // 24) % 24 END AS height
+         |FROM documents WHERE doc_id < 1500)
+         |SELECT format, count(*) AS n_media,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("width"), 4)} AS avg_width,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("height"), 4)} AS avg_height
+         |FROM m GROUP BY format ORDER BY format""".stripMargin,
     "m1_format_profile" ->
       s"""WITH m AS (SELECT
          |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
@@ -5786,6 +5861,8 @@ object SparkEntry {
     // every overlapping 8-window folded with the x11 span arithmetic,
     // then the m9 pair/Jaccard shape over distinct window-hash sets
     "m10_audio_shift_neardup" -> audioShiftNearDupSql(),
+    // st23 — per-row verdicts vs the static corpus half's guarded index
+    "st23_stream_audio_match" -> audioStreamMatchSql(),
     // st22 — per-row verdicts against the static curated half: the m4
     // aHash replay for both halves, all-pairs Hamming at the m5 bar
     // (== the engine's pigeonhole-blocked probe for maxDist 4 <= 7),
@@ -5817,10 +5894,13 @@ object SparkEntry {
     * the [[graft.ops.Dedup.sharedHashPairs]] df-guarded pair/Jaccard
     * shape (the m9 CTE chain verbatim, windows for frames).
     */
-  private def audioShiftNearDupSql(w: Int = 8): String = {
+  /** Shared m10/st23 CTE block: the shifted fixture's PCM replayed
+    * sample-for-sample, the x11 fold per overlapping window, ending in
+    * `fs(doc_id, fh)` (distinct window hashes) + `sz(doc_id, n)`. */
+  private def audioShiftSetCtes(w: Int = 8): String = {
     val vRaw = s"((${SqlHash.mix("base * 131 + (i + off)")}) % 32768 + 32768) % 32768"
     val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
-    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+    s"""ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
        |bs AS (SELECT id,
        |  CASE WHEN ((id - 2) // 3) % 25 = 24 THEN id - 3 ELSE id END AS base,
        |  CASE WHEN ((id - 2) // 3) % 25 = 24 THEN 7 ELSE 0 END AS off
@@ -5832,8 +5912,12 @@ object SparkEntry {
        |wh AS MATERIALIZED (SELECT id, $fold AS fh FROM (
        |  SELECT id, CASE WHEN m >= $w THEN vs[i : i + ${w - 1}] ELSE vs END AS win
        |  FROM vl, LATERAL (SELECT unnest(range(1, greatest(m - ${w - 1}, 1) + 1)) AS i) ix)),
-       |fs AS (SELECT DISTINCT id AS doc_id, fh FROM wh),
-       |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id),
+       |fs AS MATERIALIZED (SELECT DISTINCT id AS doc_id, fh FROM wh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id)""".stripMargin
+  }
+
+  private def audioShiftNearDupSql(w: Int = 8): String = {
+    s"""WITH ${audioShiftSetCtes(w)},
        |dfq AS (SELECT fh, count(*) AS df FROM fs GROUP BY fh),
        |f2 AS (SELECT fs.doc_id, fs.fh FROM fs JOIN dfq USING (fh)
        |  WHERE dfq.df >= 2 AND dfq.df <= 64),
@@ -5846,6 +5930,32 @@ object SparkEntry {
        |SELECT id_a, id_b, window_jaccard FROM j WHERE window_jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** st23 — the same set CTEs split corpus/stream on t-parity, the
+    * corpus half df-guarded into the inverted index, best match per
+    * stream track by (6dp Jaccard DESC, id) — the engine's strict-max
+    * over id-sorted candidates is the identical rule. */
+  private def audioStreamMatchSql(w: Int = 8, threshold: Double = 0.5): String =
+    s"""WITH ${audioShiftSetCtes(w)},
+       |corp AS (SELECT * FROM fs WHERE ((doc_id - 2) // 3) % 2 = 0),
+       |nw AS (SELECT * FROM fs WHERE ((doc_id - 2) // 3) % 2 = 1),
+       |dfc AS (SELECT fh, count(*) AS df FROM corp GROUP BY fh),
+       |ce AS (SELECT corp.doc_id, corp.fh FROM corp JOIN dfc USING (fh)
+       |  WHERE dfc.df <= 64),
+       |sq AS (SELECT n.doc_id AS mid, c.doc_id AS cid, count(*) AS s
+       |  FROM nw n JOIN ce c USING (fh) GROUP BY 1, 2),
+       |jq AS (SELECT mid, cid,
+       |  ${Num.sqlRoundTo("CAST(s AS DOUBLE) / CAST(sa.n + sb.n - s AS DOUBLE)", 6)} AS j
+       |  FROM sq JOIN sz sa ON sa.doc_id = mid JOIN sz sb ON sb.doc_id = cid),
+       |best AS (SELECT mid, cid, j FROM (
+       |  SELECT mid, cid, j, row_number() OVER (PARTITION BY mid ORDER BY j DESC, cid) AS rn
+       |  FROM jq) WHERE rn = 1),
+       |alln AS (SELECT DISTINCT doc_id FROM nw)
+       |SELECT a.doc_id AS media_id, b.cid AS matched_id,
+       |  coalesce(b.j, 0.0) AS window_jaccard,
+       |  coalesce(b.j >= $threshold, FALSE) AS is_dup
+       |FROM alln a LEFT JOIN best b ON b.mid = a.doc_id
+       |ORDER BY media_id""".stripMargin
 
   /** DuckDB replay of [[graft.ops.Multimodal.ImageCodec.audioHash64]]
     * over the WAV fixture rows (doc_id % 3 = 2): the generator's sample

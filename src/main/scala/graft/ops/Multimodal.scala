@@ -495,6 +495,24 @@ object Multimodal {
       .toDF("media_id", "pcm")
   }
 
+  /** FILE-based media ingest (s11) — the production path into a media
+    * lake: a directory of real encoded files read through Spark's
+    * binaryFile source (payload bytes + path + length, listing
+    * parallelized by the source, scan splittable per file), media id
+    * parsed from the file name. `pathGlobFilter` keeps markers and
+    * sidecars out of the scan (an unmatched name would otherwise feed
+    * an empty string into the ANSI long cast). Downstream is the same
+    * [[decodeMeta]] gate every in-table payload takes.
+    */
+  def mediaFromFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "media_*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+
   /** Decode stage: binary → typed metadata via mapPartitions (one codec
     * init per partition, the shape a real decoder needs). Real header
     * decode — PNG/JPEG/GIF via `javax.imageio`, WAV via RIFF parse;
@@ -720,24 +738,32 @@ object Multimodal {
     * pairs collapse. PCM never leaves the decode projection. Window
     * hashing is O(n·w) per track of pure codegen'd HOF arithmetic.
     */
-  def nearDupAudioWindows(media: DataFrame, w: Int = 8, threshold: Double = 0.5,
-                          maxWindowFreq: Long = 64): DataFrame = {
+  /** The m10 window-hash SET stage on its own: real PCM decode
+    * ([[pcmTable]]) → one hash per overlapping w-sample window (the
+    * dupSpans fold; tracks under w samples get one all-sample window) →
+    * per-track distinct set + size. Map-only codegen'd HOFs end to end,
+    * so it runs unchanged over a STREAM (st23's per-row stage). The
+    * long-cast sample array is staged as its own projection — HOFs get
+    * no common-subexpression elimination (the dupSpans lesson).
+    */
+  def audioWindowSets(media: DataFrame, w: Int = 8): DataFrame = {
     require(w > 0, "w must be positive")
-    require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
-    // stage the long-cast sample array as its own projection: HOFs get no
-    // common-subexpression elimination, so an inlined cast would re-run
-    // per window position (the dupSpans lesson)
     val withTh = pcmTable(media).select(col("media_id"),
       transform(col("pcm"), v => v.cast("long")).as("th"))
     val th = col("th")
     val m = size(th)
-    // one hash per overlapping w-window; tracks under w samples get one
-    // all-sample window (the dupSpans short-doc rule)
     val wins = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
       i => aggregate(when(m >= w, slice(th, i, lit(w))).otherwise(th), lit(0L),
         (h, t) => call_function("splitmix64", h.bitwiseXOR(t))))
-    val sets = withTh.select(col("media_id").as("doc_id"), array_distinct(wins).as("sh"))
+    withTh.select(col("media_id").as("doc_id"), array_distinct(wins).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+  }
+
+  def nearDupAudioWindows(media: DataFrame, w: Int = 8, threshold: Double = 0.5,
+                          maxWindowFreq: Long = 64): DataFrame = {
+    require(w > 0, "w must be positive")
+    require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
+    val sets = audioWindowSets(media, w)
     Dedup.sharedHashPairs(
         sets.select(explode(col("sh")).as("shingle"), col("doc_id")),
         sets.select(col("doc_id"), col("n_sh")),

@@ -424,6 +424,62 @@ object Streams {
   final case class MediaVerdict(media_id: Long, matched_id: Option[Long],
                                 quality_score: Long, keep: Boolean)
 
+  /** Streaming AUDIO near-dup matching (st23) — m10's incremental form,
+    * completing the modality × (batch, stream) matrix (text st5/st15,
+    * image st22, audio here): new tracks stream in, each row probes the
+    * STATIC corpus's window-hash inverted index (window_hash → corpus
+    * tracks, df-guarded at build time like [[graft.ops.Dedup
+    * .sharedHashPairs]]'s fan-out cap) and reports its best-Jaccard
+    * corpus match — highest shared-window Jaccard, ties to the lower
+    * id — plus the `is_dup` verdict at `threshold`.
+    *
+    * Zero streaming state (append mode): verdicts are per-row functions
+    * of the static index, so micro-batch boundaries provably cannot
+    * change them and the batch SQL replay gates the stream. The index
+    * ships once as a model artifact (guarded entries + per-track set
+    * sizes — O(corpus windows) longs); at true corpus scale this
+    * becomes an x13-style stream-static join against the bucketed
+    * index, same verdict rule.
+    */
+  def streamAudioMatch(newSets: DataFrame,
+                       entries: Seq[(Long, Long)],
+                       sizes: Seq[(Long, Long)],
+                       threshold: Double = 0.5): Dataset[AudioMatch] = {
+    val spark = newSets.sparkSession
+    import spark.implicits._
+    val ent = entries.toArray
+    val szArr = sizes.toArray
+    newSets.select(col("doc_id"), col("sh"), col("n_sh"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions { it =>
+        val inv = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        ent.foreach { case (wh, tid) =>
+          inv.getOrElseUpdate(wh, new scala.collection.mutable.ArrayBuffer[Long]()) += tid
+        }
+        val nb = szArr.toMap
+        it.map { case (id, sh, na) =>
+          val shared = new scala.collection.mutable.HashMap[Long, Long]()
+          sh.foreach { wh =>
+            inv.get(wh).foreach(_.foreach { tid =>
+              shared.update(tid, shared.getOrElse(tid, 0L) + 1L)
+            })
+          }
+          var bestId = -1L; var bestJ = -1.0
+          shared.toSeq.sortBy(_._1).foreach { case (tid, s) =>
+            // Num.roundTo arithmetic: floor(x·1e6 + 0.5)/1e6 — the same
+            // 6dp the oracle rounds at, so ties break identically
+            val j = math.floor(s.toDouble / (na + nb(tid) - s) * 1e6 + 0.5) / 1e6
+            if (j > bestJ) { bestId = tid; bestJ = j }
+          }
+          if (bestId < 0) AudioMatch(id, None, 0.0, is_dup = false)
+          else AudioMatch(id, Some(bestId), bestJ, bestJ >= threshold)
+        }
+      }
+  }
+
+  final case class AudioMatch(media_id: Long, matched_id: Option[Long],
+                              window_jaccard: Double, is_dup: Boolean)
+
   /** Streaming similarity serving: a stream of query vectors scored
     * against a STATIC corpus — the online ANN-serving path. Each
     * micro-batch stream-static joins the queries to the corpus (corpus

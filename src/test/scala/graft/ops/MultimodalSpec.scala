@@ -367,6 +367,27 @@ class MultimodalSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("mediaFromFiles (s11): binaryFile round-trip — ids from names, bytes identical, markers filtered") {
+    import Multimodal.ImageCodec
+    import java.nio.file.{Files, Paths}
+    val d = tmpDir("s11").toString
+    for (id <- Seq(0L, 1L, 2L, 30L))
+      Files.write(Paths.get(d, f"media_$id%06d.bin"), ImageCodec.synthPayload(id))
+    Files.write(Paths.get(d, "_SUCCESS"), Array.empty[Byte]) // must not reach the scan
+    val got = Multimodal.mediaFromFiles(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 30L))
+    got.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(bytes, ImageCodec.synthPayload(id)),
+        s"payload for $id corrupted in file round-trip")
+    }
+    // the real decode gate identifies every file's true format
+    val fm = Multimodal.decodeMeta(Multimodal.mediaFromFiles(spark, d)).toDF()
+      .select("media_id", "format").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fm == Map(0L -> "png", 1L -> "jpeg", 2L -> "wav", 30L -> "png"), s"got $fm")
+  }
+
   test("mediaCuration (c22) == the hand-chained m1/m4/m5/m8/m7/c14 stages") {
     import graft.ops.{Dedup, Iterate}
     val composite = Multimodal.mediaCuration(spark, sfDir).orderBy("media_id")

@@ -615,6 +615,69 @@ class StreamsSpec extends SparkSpec {
     assert(matched.filter(!col("keep")).count() > 0, "no drop verdict exercised")
   }
 
+  test("streaming audio match == batch verdicts; planted retake crosses the corpus/stream boundary") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.ImageCodec
+    import spark.implicits._
+    val d = tmpDir("stream_audio").resolve("wav").toString
+    // t = (id-2)/3 = 22..27; 74 (t=24, corpus parity) re-records 71
+    // (t=23, stream parity) at +7 samples -> the planted pair CROSSES
+    // the corpus/stream split. Two files -> two micro-batches.
+    def rows(ids: Seq[Long]) =
+      ids.map(id => (id, ImageCodec.synthAudioShifted(id))).toDF("media_id", "payload")
+    rows(Seq(68L, 71L, 74L, 80L)).coalesce(1).write.mode("overwrite").parquet(d)
+    rows(Seq(77L, 83L)).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val corpus = all.filter(expr("((media_id - 2) div 3) % 2 = 0"))
+    val cs = Multimodal.audioWindowSets(corpus)
+    val sizes = cs.select("doc_id", "n_sh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val entries = cs.select(explode(col("sh")).as("wh"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Streams.runToMemory(
+      Streams.streamAudioMatch(
+        Multimodal.audioWindowSets(
+          Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+            .filter(expr("((media_id - 2) div 3) % 2 = 1"))),
+        entries, sizes).toDF(),
+      "audio_stream", OutputMode.Append())
+    val streamed = spark.table("audio_stream").orderBy("media_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+                 r.getDouble(2), r.getBoolean(3)))
+    // the planted retake: stream 71 matches corpus 74 at J = 50/64
+    assert(streamed.map(_._1).toSeq == Seq(71L, 77L, 83L))
+    val m71 = streamed.find(_._1 == 71L).get
+    assert(m71._2 == Some(74L) && m71._3 == 0.78125 && m71._4, s"got $m71")
+    // independent noise: no match, no dup
+    streamed.filter(r => r._1 != 71L).foreach { r =>
+      assert(r._2.isEmpty && r._3 == 0.0 && !r._4, s"false match: $r")
+    }
+    // independent batch formulation (plain joins + window) must agree
+    cs.createOrReplaceTempView("st23_corp")
+    Multimodal.audioWindowSets(all.filter(expr("((media_id - 2) div 3) % 2 = 1")))
+      .createOrReplaceTempView("st23_new")
+    val batch = spark.sql(
+      """WITH ce AS (SELECT doc_id, explode(sh) AS wh FROM st23_corp),
+        |ne AS (SELECT doc_id, explode(sh) AS wh FROM st23_new),
+        |sq AS (SELECT ne.doc_id AS mid, ce.doc_id AS cid, count(*) AS s
+        |       FROM ne JOIN ce USING (wh) GROUP BY 1, 2),
+        |jq AS (SELECT mid, cid,
+        |  floor(CAST(s AS DOUBLE) / (sa.n_sh + sb.n_sh - s) * 1e6 + 0.5) / 1e6 AS j
+        |  FROM sq JOIN st23_new sa ON sa.doc_id = mid
+        |          JOIN st23_corp sb ON sb.doc_id = cid),
+        |best AS (SELECT mid, cid, j FROM (
+        |  SELECT mid, cid, j, row_number() OVER (PARTITION BY mid ORDER BY j DESC, cid) AS rn
+        |  FROM jq) WHERE rn = 1)
+        |SELECT n.doc_id AS media_id, b.cid AS matched_id,
+        |  coalesce(b.j, 0.0) AS window_jaccard,
+        |  coalesce(b.j >= 0.5, FALSE) AS is_dup
+        |FROM (SELECT DISTINCT doc_id FROM st23_new) n
+        |LEFT JOIN best b ON b.mid = n.doc_id ORDER BY media_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+                           r.getDouble(2), r.getBoolean(3)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming quality gate == batch c6 gate across micro-batch boundaries") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
