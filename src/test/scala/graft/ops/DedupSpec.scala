@@ -108,6 +108,19 @@ class DedupSpec extends SparkSpec {
       s"no string-keyed exchange allowed:\n$plan")
   }
 
+  test("cdcChunkDedup: one corpus scan — the chunk-hash exchange is reused by both aggregations") {
+    // the dupSpans single-exchange discipline carries over: chunking is
+    // one map pass, and partitioning by h serves the (h, doc) agg, the
+    // h agg, AND the join — assert the runtime reuse like x11 does
+    val df = Dedup.cdcChunkDedup(Tables.documents(spark, sfDir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"global-count side must reuse the chunk exchange:\n$plan")
+  }
+
   test("cdcChunkDedup: boundaries re-synchronize under prefix insertion; fixed grid does not") {
     // doc 1 = 300 distinct tokens; doc 2 = the same stream with 3 tokens
     // INSERTED at the front. Content-defined cuts depend only on the
