@@ -1012,6 +1012,10 @@ object SparkEntry {
     // Zipf slope + Heaps exponent: the corpus power-law health row
     "t31_zipf" -> ((s, d) =>
       TextStats.zipfReport(Tables.documents(s, d))),
+    // t33 — positional-index phrase search: self-derived top-5 trigram
+    // queries answered rarest-token-first through the inverted index
+    "t33_phrase_search" -> ((s, d) =>
+      TextStats.phraseSearch(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -1225,6 +1229,12 @@ object SparkEntry {
     // properties, so prefix edits re-synchronize — spec'd vs fixed-grid)
     "x16_cdc_dedup" -> ((s, d) =>
       Dedup.cdcChunkDedup(Tables.documents(s, d))),
+    // c26 — x16's ACTION (the c13 pairing at chunk granularity): later
+    // occurrences of corpus-repeated CDC chunks drop their token spans,
+    // first occurrence kept, text rebuilt in original case
+    "c26_chunk_scrub" -> ((s, d) =>
+      Dedup.scrubDupChunks(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("scrubbed"))),
     "x11_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d))),
     // duplicate-span REMOVAL (the x11 profile's action): first occurrence
@@ -2911,6 +2921,52 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN gq.gt >= 2 THEN pd.c ELSE 0 END) AS BIGINT) AS n_dup_chunks,
        |  ${Num.sqlRoundTo("CAST(sum(CASE WHEN gq.gt >= 2 THEN pd.c ELSE 0 END) AS DOUBLE) / CAST(sum(pd.c) AS DOUBLE)", 6)} AS dup_chunk_frac
        |FROM pd JOIN gq USING (h) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+  }
+
+  /** c26 replay — [[graft.ops.Dedup.scrubDupChunks]]: the x16 boundary
+    * machinery over lowercased-token hashes of the ORIGINAL-case token
+    * list, chunk spans from per-token cut counts (min/max position per
+    * chunk), first occurrence per chunk hash by row_number(doc_id, s),
+    * later occurrences drop their covered positions, kept tokens
+    * re-join in position order (the c13 rebuild).
+    */
+  private def cdcChunkScrubSql(w: Int = 8, maskBits: Int = 4): String = {
+    val g = (1L << maskBits) - 1L
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    s"""WITH tb AS MATERIALIZED (SELECT doc_id, ts,
+       |  list_transform(ts, tok -> ${fnv1a64Sql("lower(tok)")}) AS th, len(ts) AS m FROM (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+       |  FROM documents)),
+       |whx AS MATERIALIZED (SELECT doc_id, i, $fold AS h FROM (
+       |  SELECT doc_id, i, th[i : i + ${w - 1}] AS win
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m - ${w - 1} + 1)) AS i) ix
+       |  WHERE m >= $w)),
+       |cutsx AS (SELECT doc_id, i + ${w - 1} AS ce FROM whx WHERE (h & $g) = 0),
+       |tokx AS (SELECT doc_id, CAST(p AS BIGINT) AS p, th[CAST(p AS INT)] AS v
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp WHERE m > 0),
+       |cix AS (SELECT tokx.doc_id, tokx.p, tokx.v, count(c.ce) AS ch
+       |  FROM tokx LEFT JOIN cutsx c ON c.doc_id = tokx.doc_id AND c.ce < tokx.p
+       |  GROUP BY tokx.doc_id, tokx.p, tokx.v),
+       |chx AS MATERIALIZED (SELECT doc_id, ch, min(p) AS s, max(p) AS e,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+       |              (h, t) -> ${SqlHash.mix("xor(h, t)")}) AS h
+       |  FROM cix GROUP BY doc_id, ch),
+       |rm AS (SELECT doc_id, s, e FROM (
+       |  SELECT doc_id, s, e, row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+       |  FROM chx) WHERE rn > 1),
+       |cv AS (SELECT DISTINCT doc_id, s + o AS tokpos
+       |  FROM rm, LATERAL (SELECT unnest(range(0, e - s + 1)) AS o) oo),
+       |toko AS (SELECT doc_id, CAST(p AS BIGINT) AS tokpos, ts[CAST(p AS INT)] AS tok
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp),
+       |kept AS (SELECT t.doc_id, t.tokpos, t.tok FROM toko t
+       |  LEFT JOIN cv c ON c.doc_id = t.doc_id AND c.tokpos = t.tokpos
+       |  WHERE c.tokpos IS NULL),
+       |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY tokpos) AS scrubbed FROM kept GROUP BY doc_id)
+       |SELECT tb.doc_id, CAST(tb.m AS BIGINT) AS n_tokens,
+       |  CAST(tb.m - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(reb.scrubbed, '') AS scrubbed
+       |FROM tb LEFT JOIN reb USING (doc_id) ORDER BY tb.doc_id""".stripMargin
   }
 
   /** Full replay of [[graft.ops.Dedup.scrubDupSpans]]: the x11 span
@@ -4668,6 +4724,22 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // t33 — phrase search: the oracle matches n-grams directly (tokens
+    // are space-free, so space-joined-gram equality IS token-sequence
+    // equality); the engine's rarest-token index plan must agree
+    "t33_phrase_search" ->
+      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ng AS MATERIALIZED (SELECT doc_id,
+         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+         |  WHERE len(ts) >= 3),
+         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
+         |  ORDER BY c DESC, phrase LIMIT 5)
+         |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
+         |FROM ng JOIN topq USING (phrase)
+         |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
     // t31 — Zipf/Heaps: exact term counts, top-100 rank fit with
     // decimal-exact sums, one fixed-shape closed-form slope
     "t31_zipf" ->
@@ -5280,6 +5352,8 @@ object SparkEntry {
     "x11_dup_spans" -> dupSpansSql(),
     // x16 — the CDC chunk profile: x11's fold + mask cuts + chunk folds
     "x16_cdc_dedup" -> cdcChunkSql(),
+    // c26 — the action: same chunk machinery, first-kept coverage scrub
+    "c26_chunk_scrub" -> cdcChunkScrubSql(),
     // span removal: first-occurrence rule + coverage union + position-
     // ordered rebuild, all integer/string-exact
     "c13_span_scrub" -> spanScrubSql(),

@@ -237,6 +237,96 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** CDC CHUNK-level duplicate REMOVAL (c26) — the action on
+    * [[cdcChunkDedup]]'s profile, and the affordable form of [[
+    * scrubDupSpans]]: of every content-defined chunk occurring ≥ 2
+    * times corpus-wide, the globally FIRST occurrence (smallest
+    * (doc_id, start)) is kept and every later occurrence drops its
+    * covered token positions; kept tokens rebuild in position order
+    * with ORIGINAL case. Chunk identity and boundaries are
+    * [[cdcChunkDedup]]'s exactly (local mask rule, so near-identical
+    * docs re-synchronize and their shared material scrubs even when
+    * prefixes shifted). Versus span scrub: coverage rows are one per
+    * ~G-token chunk instead of one per position — the same ~1/G state
+    * reduction as the profile, at chunk (not token-window) granularity.
+    *
+    * Scale shape mirrors [[scrubDupSpans]]: the first-occurrence choice
+    * is one row_number window PARTITIONED BY chunk hash (hash-parallel,
+    * never global); only the final rebuild touches strings, and that
+    * shuffle is output-sized.
+    *
+    * The hash machinery follows [[cdcChunkDedup]]'s staging EXACTLY —
+    * filter(m > 0) BEFORE the window projection, no string column
+    * carried through it, chunk structs exploded in the projection that
+    * defines them. Deviating (a late m-filter, `ts` riding along the
+    * heavy projections) lets alias substitution during pushdown copy
+    * the O(m·w) hash trees into every consumer: the optimized plan grew
+    * to 42 copies of the per-token hash fold and a 500-doc corpus took
+    * 67 s. Token strings and lengths come from a separate light branch.
+    */
+  def scrubDupChunks(docs: DataFrame, w: Int = 8, maskBits: Int = 4,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w > 0, "w must be positive")
+    require(maskBits >= 0 && maskBits < 63, "maskBits must be in [0, 63)")
+    import org.apache.spark.sql.expressions.Window
+    val g = (1L << maskBits) - 1L
+    // light branch: original-case tokens (rebuild) and doc lengths
+    val toksArr = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val tokBase = docs.select(col(idCol), toksArr.as("ts"))
+    // heavy branch — [[cdcChunkDedup]]'s staged discipline, hashes only
+    val withTh = tokBase.select(col(idCol),
+      transform(col("ts"), t => call_function("fnv1a64", lower(t))).as("th"))
+    val m = size(col("th"))
+    val withWin = withTh.filter(m > 0).select(col(idCol), col("th"),
+      when(m >= w, transform(sequence(lit(1), m - (w - 1)),
+        i => aggregate(slice(col("th"), i, lit(w)), lit(0L),
+          (h, t) => call_function("splitmix64", h.bitwiseXOR(t)))))
+        .otherwise(array().cast("array<long>")).as("wins"))
+    val cutEnds = when(size(col("wins")) >= 1,
+      filter(
+        transform(sequence(lit(1), size(col("wins"))),
+          i => when(element_at(col("wins"), i).bitwiseAND(lit(g)) === 0L,
+                    i + lit(w - 1)).otherwise(lit(-1))),
+        c => c > 0))
+      .otherwise(array().cast("array<int>"))
+    val mm = size(col("th"))
+    val starts = concat(array(lit(1)), transform(cutEnds, c => c + 1))
+    val ends = concat(cutEnds, array(mm))
+    val chunkStructs = transform(
+      filter(zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+             p => p.getField("s") <= p.getField("e")),
+      p => struct(p.getField("s").cast("long").as("s"),
+                  p.getField("e").cast("long").as("e"),
+                  aggregate(
+                    slice(col("th"), p.getField("s"),
+                          p.getField("e") - p.getField("s") + 1),
+                    lit(0L),
+                    (h, t) => call_function("splitmix64", h.bitwiseXOR(t))).as("h")))
+    val chunks = withWin
+      .select(col(idCol), explode(chunkStructs).as("c"))
+      .select(col(idCol), col("c.s").as("s"), col("c.e").as("e"), col("c.h").as("h"))
+    val byFirst = Window.partitionBy(col("h")).orderBy(col(idCol), col("s"))
+    val removed = chunks.withColumn("rn", row_number().over(byFirst))
+      .filter(col("rn") > 1)
+    val covered = removed
+      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("tokpos"))
+      .distinct()
+    val toks = tokBase
+      .select(col(idCol), posexplode(col("ts")).as(Seq("tp0", "tok")))
+      .select(col(idCol), (col("tp0") + 1).cast("long").as("tokpos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "tokpos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    tokBase.select(col(idCol), size(col("ts")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+      .orderBy(idCol)
+  }
+
   /** Duplicate-span REMOVAL — the action [[dupSpans]]'s profile decides
     * on (Lee et al. 2022's "deduplicating training data" rewrite, at
     * w-token granularity): of every span occurring ≥ 2 times corpus-wide,

@@ -1938,6 +1938,72 @@ object TextStats {
       .orderBy("term_a", "term_b")
   }
 
+  /** Positional-inverted-index phrase search (t33): derive the `topQ`
+    * most frequent token n-grams of the corpus (ties break
+    * lexicographically, so the query set is deterministic and
+    * self-contained), then count every occurrence of each phrase via the
+    * positional index — the IR query plan, not a re-scan. Per phrase,
+    * candidate starts come from the postings of its RAREST token only
+    * (lowest corpus frequency, ties to the smallest offset — the reason
+    * search engines intersect from the rarest term first), and each
+    * candidate is verified by n equi-join lookups on (doc, position).
+    *
+    * Scale shape: the index is ONE posexplode of the corpus, shuffled by
+    * its join keys; phrase tables are topQ / topQ×n rows (explicitly
+    * broadcast — bounded by construction); candidate volume is bounded by
+    * the rarest token's postings list, and the verification probe side is
+    * candidates×n rows joined hash-on-(doc,pos) against the index — left
+    * unhinted so AQE broadcasts it when the lead token is rare and
+    * degrades to a shuffle join when a pathological phrase makes
+    * candidates corpus-sized. Matches (case-folded, whitespace-split)
+    * exact token sequences, the decontamination-probe semantics.
+    */
+  def phraseSearch(docs: DataFrame, n: Int = 3, topQ: Int = 5,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    require(topQ >= 1, "topQ must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val tokBase = docs.select(col(idCol), toksArr.as("ts"))
+    // the positional index: (doc, pos, token), 1-based positions
+    val postings = tokBase
+      .select(col(idCol), posexplode(col("ts")).as(Seq("tp0", "tok")))
+      .select(col(idCol), (col("tp0") + 1).cast("long").as("tokpos"), col("tok"))
+    // query derivation: topQ n-grams by (count desc, gram asc) — a
+    // TakeOrdered over the n-gram frequency table, never a global sort
+    val grams = tokBase.filter(size(col("ts")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("phrase"))
+    val topPhrases = grams.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(topQ)
+    val phraseToks = topPhrases
+      .select(col("phrase"), posexplode(split(col("phrase"), " ")).as(Seq("off0", "ptok")))
+      .select(col("phrase"), col("off0").cast("long").as("off"), col("ptok"))
+    // lead with the rarest token of each phrase
+    val tokFreq = postings.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val byRarity = Window.partitionBy(col("phrase")).orderBy(col("tf"), col("off"))
+    val lead = broadcast(phraseToks).join(tokFreq, col("ptok") === col("tok"))
+      .withColumn("rk", row_number().over(byRarity)).filter(col("rk") === 1)
+      .select(col("phrase"), col("off").as("lead_off"), col("ptok").as("lead_tok"))
+    val candidates = postings.join(broadcast(lead), col("tok") === col("lead_tok"))
+      .select(col("phrase"), col(idCol), (col("tokpos") - col("lead_off")).as("start"))
+    // verification: n positional lookups per candidate against the index
+    val probes = candidates.join(broadcast(phraseToks), Seq("phrase"))
+      .select(col("phrase"), col(idCol), col("start"),
+        (col("start") + col("off")).as("probe_pos"), col("ptok"))
+    val index = postings.select(
+      col(idCol).as("i_doc"), col("tokpos").as("i_pos"), col("tok").as("i_tok"))
+    val hitStarts = probes.join(index,
+        col(idCol) === col("i_doc") && col("probe_pos") === col("i_pos") &&
+        col("ptok") === col("i_tok"))
+      .groupBy(col("phrase"), col(idCol), col("start"))
+      .agg(count(lit(1)).as("found"))
+      .filter(col("found") === n)
+    hitStarts.groupBy(col("phrase"), col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("phrase"), col(idCol))
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -163,6 +163,28 @@ class DedupSpec extends SparkSpec {
     assert(re == m)
   }
 
+  test("scrubDupChunks (c26): exact dup fully scrubbed, unique doc untouched, case preserved") {
+    val base = (1 to 120).map(i => s"Tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, (200 to 320).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDupChunks(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: first occurrence of every chunk — untouched, ORIGINAL case
+    assert(out(1L) == ((120L, 0L, base)))
+    // doc 2: exact copy — every chunk repeats doc 1's, fully scrubbed
+    assert(out(2L) == ((120L, 120L, "")), s"got ${out(2L)}")
+    // doc 3: unique content — untouched
+    assert(out(3L)._2 == 0L && out(3L)._3 == out(3L)._3.trim)
+    // consistency with the x16 profile: a fully-dup doc has frac 1.0
+    val prof = Dedup.cdcChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(prof(1L) == 1.0 && prof(2L) == 1.0 && prof(3L) == 0.0)
+    // determinism under repartition
+    val re = Dedup.scrubDupChunks(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(re == out)
+  }
+
   test("dupSpans: within-doc repetition alone marks spans duplicated") {
     val rep = "a b c d e f g h a b c d e f g h" // 16 tokens, spans 1..9; span(1)=span(9)
     val one = Seq((1L, rep), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")

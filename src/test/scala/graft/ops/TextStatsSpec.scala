@@ -1107,6 +1107,30 @@ class TextStatsSpec extends SparkSpec {
     assert(out.length.toLong <= nDedup)
   }
 
+  test("phraseSearch (t33): planted top trigram found per doc with counts, overlaps counted, partial phrase misses, case-folded") {
+    val docs = Seq[(Long, String)](
+      (1L, "Alpha beta gamma one two three alpha BETA gamma"), // 2 planted occurrences, mixed case
+      (2L, "alpha beta gamma xx yy"),                          // 1 occurrence
+      (3L, "alpha beta delta gamma"),                          // partial — must NOT match
+      (4L, "rep rep rep rep"),                                 // overlapping: "rep rep rep" twice
+      (5L, null)                                               // null text — ignored
+    ).toDF("doc_id", "text")
+    val out = TextStats.phraseSearch(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // planted phrase is the global top (count 3) — found in docs 1 and 2 only
+    assert(out(("alpha beta gamma", 1L)) == 2L)
+    assert(out(("alpha beta gamma", 2L)) == 1L)
+    assert(!out.contains(("alpha beta gamma", 3L)))
+    // overlapping occurrences both counted through the index
+    assert(out(("rep rep rep", 4L)) == 2L)
+    // exactly topQ=5 distinct phrases in the answer set
+    assert(out.keys.map(_._1).toSet.size == 5)
+    // determinism under repartition (derivation ties, window, joins)
+    val re = TextStats.phraseSearch(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == out)
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
