@@ -1585,6 +1585,26 @@ object SparkEntry {
     "m10_audio_shift_neardup" -> ((s, d) =>
       Multimodal.nearDupAudioWindows(Multimodal.audioTableShifted(s, d))
         .orderBy("id_a", "id_b")),
+    // st24 — t33's streaming twin: the decontamination gate. The
+    // phrase set derives from the STATIC corpus half (t33's top-5
+    // trigram rule); each streamed doc counts its occurrences per row
+    // against that literal list — zero streaming state, batch replay
+    // gates the stream. Parity split: derivation never sees the
+    // streamed half.
+    "st24_stream_phrase_match" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage).filter(col("doc_id") % 2 === 0)
+      val phrases = TextStats.topNgrams(corpus)
+        .collect().map(_.getString(0)).toSeq
+      val mem = s"st24_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamPhraseMatch(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("doc_id") % 2 === 1), phrases),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_id", "phrase")
+    }),
     // st23 — m10's streaming twin (the modality matrix's last cell):
     // new tracks stream in; each probes the static corpus's df-guarded
     // window-hash inverted index and reports its best-Jaccard match +
@@ -4740,6 +4760,22 @@ object SparkEntry {
          |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
          |FROM ng JOIN topq USING (phrase)
          |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    // st24 — t33's derivation restricted to the even (corpus) half,
+    // matches counted over the odd (streamed) half only
+    "st24_stream_phrase_match" ->
+      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ng AS MATERIALIZED (SELECT doc_id,
+         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+         |  WHERE len(ts) >= 3),
+         |topq AS (SELECT phrase FROM (
+         |    SELECT phrase, count(*) AS c FROM ng WHERE doc_id % 2 = 0 GROUP BY phrase)
+         |  ORDER BY c DESC, phrase LIMIT 5)
+         |SELECT ng.doc_id, ng.phrase, count(*) AS n_matches
+         |FROM ng JOIN topq USING (phrase) WHERE ng.doc_id % 2 = 1
+         |GROUP BY ng.doc_id, ng.phrase ORDER BY doc_id, phrase""".stripMargin,
     // t31 — Zipf/Heaps: exact term counts, top-100 rank fit with
     // decimal-exact sums, one fixed-shape closed-form slope
     "t31_zipf" ->

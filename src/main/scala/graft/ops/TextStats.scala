@@ -1958,6 +1958,23 @@ object TextStats {
     * candidates corpus-sized. Matches (case-folded, whitespace-split)
     * exact token sequences, the decontamination-probe semantics.
     */
+  /** The `topQ` most frequent token n-grams of the corpus, ties broken
+    * lexicographically — the deterministic query-set derivation shared by
+    * [[phraseSearch]] (t33) and the streaming phrase gate (st24). A
+    * TakeOrdered over the n-gram frequency table, never a global sort.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 3, topQ: Int = 5,
+                textCol: String = "text"): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    require(topQ >= 1, "topQ must be >= 1")
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val grams = docs.select(toksArr.as("ts")).filter(size(col("ts")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("phrase"))
+    grams.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(topQ)
+  }
+
   def phraseSearch(docs: DataFrame, n: Int = 3, topQ: Int = 5,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n >= 2, "n must be >= 2")
@@ -1969,13 +1986,8 @@ object TextStats {
     val postings = tokBase
       .select(col(idCol), posexplode(col("ts")).as(Seq("tp0", "tok")))
       .select(col(idCol), (col("tp0") + 1).cast("long").as("tokpos"), col("tok"))
-    // query derivation: topQ n-grams by (count desc, gram asc) — a
-    // TakeOrdered over the n-gram frequency table, never a global sort
-    val grams = tokBase.filter(size(col("ts")) >= n)
-      .select(explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
-        i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("phrase"))
-    val topPhrases = grams.groupBy("phrase").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("phrase")).limit(topQ)
+    // query derivation: the shared topQ rule
+    val topPhrases = topNgrams(docs, n, topQ, textCol)
     val phraseToks = topPhrases
       .select(col("phrase"), posexplode(split(col("phrase"), " ")).as(Seq("off0", "ptok")))
       .select(col("phrase"), col("off0").cast("long").as("off"), col("ptok"))

@@ -424,6 +424,37 @@ object Streams {
   final case class MediaVerdict(media_id: Long, matched_id: Option[Long],
                                 quality_score: Long, keep: Boolean)
 
+  /** Streaming phrase matching (st24) — t33's incremental form, the
+    * decontamination gate: new docs stream in and each row counts its
+    * occurrences of the STATIC corpus-derived phrase set
+    * ([[graft.ops.TextStats.topNgrams]]'s deterministic derivation),
+    * emitting one row per (doc, phrase) with n_matches ≥ 1. Verdicts
+    * are per-row functions of the phrase list — topQ strings riding
+    * the plan as a literal array, a bounded model artifact — so there
+    * is ZERO streaming state (append mode), micro-batch boundaries
+    * provably cannot change results, and the batch n-gram replay
+    * gates the stream. Map-only at any corpus scale: the stream side
+    * never shuffles, and the phrase set is bounded by construction.
+    */
+  def streamPhraseMatch(newDocs: DataFrame, phrases: Seq[String], n: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    require(n >= 2, "n must be >= 2")
+    // the t33 staging discipline: tokens staged, filtered BEFORE the
+    // gram projection, grams staged before element-wise consumption
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val grams = newDocs.select(col(idCol), toksArr.as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(n)))).as("grams"))
+    val phraseArr = array(phrases.map(lit): _*)
+    grams.select(col(idCol), explode(phraseArr).as("phrase"), col("grams"))
+      .select(col(idCol), col("phrase"),
+        size(filter(col("grams"), g => g === col("phrase"))).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1)
+  }
+
   /** Streaming AUDIO near-dup matching (st23) — m10's incremental form,
     * completing the modality × (batch, stream) matrix (text st5/st15,
     * image st22, audio here): new tracks stream in, each row probes the

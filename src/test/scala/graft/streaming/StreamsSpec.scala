@@ -615,6 +615,49 @@ class StreamsSpec extends SparkSpec {
     assert(matched.filter(!col("keep")).count() > 0, "no drop verdict exercised")
   }
 
+  test("streaming phrase match (st24): corpus-derived phrases gate streamed docs across micro-batches; stream-only phrases never derived") {
+    import spark.implicits._
+    val d = tmpDir("stream_phrase").resolve("docs").toString
+    val planted = "alpha beta gamma"
+    // corpus (even ids): the planted trigram dominates the derivation
+    val corpusDocs = Seq[(Long, String)](
+      (2L, s"$planted one two $planted"),
+      (4L, s"$planted three four five"),
+      (6L, s"six $planted seven eight")).toDF("doc_id", "text")
+    // stream (odd ids), split over TWO files → two micro-batches; doc 5
+    // repeats a stream-only trigram that must NOT enter the phrase set
+    val streamA = Seq[(Long, String)](
+      (1L, s"intro $planted outro pad pad2"),
+      (5L, "zeta eta theta zeta eta theta zeta eta theta")).toDF("doc_id", "text")
+    val streamB = Seq[(Long, String)](
+      (3L, s"$planted mid $planted tail")).toDF("doc_id", "text")
+    corpusDocs.write.mode("overwrite").parquet(d)
+    streamA.write.mode("append").parquet(d)
+    streamB.write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val phrases = graft.ops.TextStats.topNgrams(all.filter(col("doc_id") % 2 === 0))
+      .collect().map(_.getString(0)).toSeq
+    assert(phrases.contains(planted))
+    assert(!phrases.exists(_.contains("zeta")), "stream-only trigram leaked into derivation")
+    Streams.runToMemory(
+      Streams.streamPhraseMatch(
+        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+          .filter(col("doc_id") % 2 === 1), phrases),
+      "phrase_stream", OutputMode.Append())
+    val out = spark.table("phrase_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // per-row counts across BOTH micro-batches
+    assert(out((1L, planted)) == 1L)
+    assert(out((3L, planted)) == 2L)
+    // doc 5 matches nothing: its own trigram was never derived
+    assert(!out.keys.exists(_._1 == 5L))
+    // batch replay equals the stream output exactly
+    val batch = Streams.streamPhraseMatch(
+      all.filter(col("doc_id") % 2 === 1), phrases).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == batch)
+  }
+
   test("streaming audio match == batch verdicts; planted retake crosses the corpus/stream boundary") {
     import graft.ops.Multimodal
     import graft.ops.Multimodal.ImageCodec
