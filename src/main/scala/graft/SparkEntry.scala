@@ -1235,6 +1235,11 @@ object SparkEntry {
     "c26_chunk_scrub" -> ((s, d) =>
       Dedup.scrubDupChunks(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("scrubbed"))),
+    // x17 — the lifecycle closer (profile → scrub → AUDIT): x16's
+    // profile re-run on c26's rebuilt corpus, before/after fractions
+    // per doc in one lazy plan
+    "x17_scrub_audit" -> ((s, d) =>
+      Dedup.scrubAudit(Tables.documents(s, d))),
     "x11_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d))),
     // duplicate-span REMOVAL (the x11 profile's action): first occurrence
@@ -2987,6 +2992,88 @@ object SparkEntry {
        |  CAST(tb.m - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
        |  COALESCE(reb.scrubbed, '') AS scrubbed
        |FROM tb LEFT JOIN reb USING (doc_id) ORDER BY tb.doc_id""".stripMargin
+  }
+
+  /** x17 replay — [[graft.ops.Dedup.scrubAudit]]: the full c26 scrub
+    * chain, the BEFORE profile folded from its own chunk table (chx is
+    * x16's chunks with spans attached — same hashes), and the x16
+    * machinery re-run verbatim on the rebuilt text for the AFTER
+    * profile. Fully-scrubbed docs get frac_after 0 by the final CASE;
+    * token-less docs stay NULL on both sides.
+    */
+  private def scrubAuditSql(w: Int = 8, maskBits: Int = 4): String = {
+    val g = (1L << maskBits) - 1L
+    val fold2 = s"list_reduce(list_prepend(CAST(0 AS BIGINT), win), (h, t) -> ${SqlHash.mix("xor(h, t)")})"
+    val fracOf = (dup: String, tot: String) =>
+      Num.sqlRoundTo(s"CAST($dup AS DOUBLE) / CAST($tot AS DOUBLE)", 6)
+    s"""WITH tb AS MATERIALIZED (SELECT doc_id, ts,
+       |  list_transform(ts, tok -> ${fnv1a64Sql("lower(tok)")}) AS th, len(ts) AS m FROM (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+       |  FROM documents)),
+       |whx AS MATERIALIZED (SELECT doc_id, i, $fold2 AS h FROM (
+       |  SELECT doc_id, i, th[i : i + ${w - 1}] AS win
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m - ${w - 1} + 1)) AS i) ix
+       |  WHERE m >= $w)),
+       |cutsx AS (SELECT doc_id, i + ${w - 1} AS ce FROM whx WHERE (h & $g) = 0),
+       |tokx AS (SELECT doc_id, CAST(p AS BIGINT) AS p, th[CAST(p AS INT)] AS v
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp WHERE m > 0),
+       |cix AS (SELECT tokx.doc_id, tokx.p, tokx.v, count(c.ce) AS ch
+       |  FROM tokx LEFT JOIN cutsx c ON c.doc_id = tokx.doc_id AND c.ce < tokx.p
+       |  GROUP BY tokx.doc_id, tokx.p, tokx.v),
+       |chx AS MATERIALIZED (SELECT doc_id, ch, min(p) AS s, max(p) AS e,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+       |              (h, t) -> ${SqlHash.mix("xor(h, t)")}) AS h
+       |  FROM cix GROUP BY doc_id, ch),
+       |rm AS (SELECT doc_id, s, e FROM (
+       |  SELECT doc_id, s, e, row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+       |  FROM chx) WHERE rn > 1),
+       |cv AS (SELECT DISTINCT doc_id, s + o AS tokpos
+       |  FROM rm, LATERAL (SELECT unnest(range(0, e - s + 1)) AS o) oo),
+       |toko AS (SELECT doc_id, CAST(p AS BIGINT) AS tokpos, ts[CAST(p AS INT)] AS tok
+       |  FROM tb, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp),
+       |kept AS (SELECT t.doc_id, t.tokpos, t.tok FROM toko t
+       |  LEFT JOIN cv c ON c.doc_id = t.doc_id AND c.tokpos = t.tokpos
+       |  WHERE c.tokpos IS NULL),
+       |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY tokpos) AS scrubbed FROM kept GROUP BY doc_id),
+       |pdb AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c FROM chx GROUP BY h, doc_id),
+       |gqb AS (SELECT h, CAST(sum(c) AS BIGINT) AS gt FROM pdb GROUP BY h),
+       |pb AS (SELECT pdb.doc_id,
+       |  ${fracOf("sum(CASE WHEN gqb.gt >= 2 THEN pdb.c ELSE 0 END)", "sum(pdb.c)")} AS frac_before
+       |  FROM pdb JOIN gqb USING (h) GROUP BY pdb.doc_id),
+       |tb2 AS MATERIALIZED (SELECT sc.doc_id,
+       |  list_filter(string_split_regex(lower(sc.s), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM (
+       |  SELECT tb.doc_id, COALESCE(reb.scrubbed, '') AS s
+       |  FROM tb LEFT JOIN reb USING (doc_id)) sc),
+       |th2 AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(t, tok -> ${fnv1a64Sql("tok")}) AS th, len(t) AS m
+       |  FROM tb2 WHERE len(t) > 0),
+       |wh2 AS MATERIALIZED (SELECT doc_id, i, $fold2 AS h FROM (
+       |  SELECT doc_id, i, th[i : i + ${w - 1}] AS win
+       |  FROM th2, LATERAL (SELECT unnest(range(1, m - ${w - 1} + 1)) AS i) ix
+       |  WHERE m >= $w)),
+       |cuts2 AS (SELECT doc_id, i + ${w - 1} AS ce FROM wh2 WHERE (h & $g) = 0),
+       |tok2 AS (SELECT doc_id, CAST(p AS BIGINT) AS p, th[CAST(p AS INT)] AS v
+       |  FROM th2, LATERAL (SELECT unnest(range(1, m + 1)) AS p) pp),
+       |ci2 AS (SELECT tok2.doc_id, tok2.p, tok2.v, count(c.ce) AS ch
+       |  FROM tok2 LEFT JOIN cuts2 c ON c.doc_id = tok2.doc_id AND c.ce < tok2.p
+       |  GROUP BY tok2.doc_id, tok2.p, tok2.v),
+       |ch2 AS MATERIALIZED (SELECT doc_id, ch,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+       |              (h, t) -> ${SqlHash.mix("xor(h, t)")}) AS h
+       |  FROM ci2 GROUP BY doc_id, ch),
+       |pd2 AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c FROM ch2 GROUP BY h, doc_id),
+       |gq2 AS (SELECT h, CAST(sum(c) AS BIGINT) AS gt FROM pd2 GROUP BY h),
+       |pa AS (SELECT pd2.doc_id,
+       |  ${fracOf("sum(CASE WHEN gq2.gt >= 2 THEN pd2.c ELSE 0 END)", "sum(pd2.c)")} AS frac_after
+       |  FROM pd2 JOIN gq2 USING (h) GROUP BY pd2.doc_id)
+       |SELECT tb.doc_id, CAST(tb.m AS BIGINT) AS n_tokens,
+       |  CAST(tb.m - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       |  pb.frac_before,
+       |  CASE WHEN tb.m IS NULL OR tb.m = 0 THEN NULL
+       |       ELSE COALESCE(pa.frac_after, 0.0) END AS frac_after
+       |FROM tb LEFT JOIN reb USING (doc_id) LEFT JOIN pb USING (doc_id)
+       |LEFT JOIN pa USING (doc_id) ORDER BY tb.doc_id""".stripMargin
   }
 
   /** Full replay of [[graft.ops.Dedup.scrubDupSpans]]: the x11 span
@@ -5390,6 +5477,9 @@ object SparkEntry {
     "x16_cdc_dedup" -> cdcChunkSql(),
     // c26 — the action: same chunk machinery, first-kept coverage scrub
     "c26_chunk_scrub" -> cdcChunkScrubSql(),
+    // x17 — the audit: before-profile folded from the scrub's own chunk
+    // table, after-profile re-runs the x16 chain on the rebuilt text
+    "x17_scrub_audit" -> scrubAuditSql(),
     // span removal: first-occurrence rule + coverage union + position-
     // ordered rebuild, all integer/string-exact
     "c13_span_scrub" -> spanScrubSql(),

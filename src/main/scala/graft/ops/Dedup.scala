@@ -327,6 +327,42 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Scrub-effectiveness AUDIT (x17) — closes the dedup lifecycle the
+    * way v26→v28 closed the IVF one: profile (x16) → act (c26) →
+    * VERIFY the action worked. Re-runs [[cdcChunkDedup]]'s profile on
+    * [[scrubDupChunks]]'s rebuilt corpus and reports, per doc, the
+    * before/after duplicate-chunk fractions next to the removal
+    * counts — the "did the scrub actually de-duplicate the corpus"
+    * report a pipeline owner signs off on. After a correct scrub the
+    * surviving first occurrences are unique corpus-wide, so
+    * `frac_after` collapses to ~0; residual mass means chunk
+    * boundaries re-synchronized differently on the rewritten text and
+    * quantifies exactly how much escaped. A fully-scrubbed doc has no
+    * tokens left to profile: its `frac_after` is 0 by definition; a
+    * doc empty BEFORE the scrub stays NULL/NULL.
+    *
+    * ONE lazy plan: the scrub subtree feeds both the output columns
+    * and the after-profile; the re-profile consumes the scrub's
+    * aggregate output, so pushdown cannot duplicate the heavy hash
+    * folds across the barrier (the c26 staging lesson does not recur).
+    */
+  def scrubAudit(docs: DataFrame, w: Int = 8, maskBits: Int = 4,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scrub = scrubDupChunks(docs, w, maskBits, textCol, idCol)
+    val before = cdcChunkDedup(docs, w, maskBits, textCol, idCol)
+      .select(col(idCol), col("dup_chunk_frac").as("frac_before"))
+    val after = cdcChunkDedup(
+        scrub.select(col(idCol), col("scrubbed").as(textCol)), w, maskBits, textCol, idCol)
+      .select(col(idCol), col("dup_chunk_frac").as("frac_after0"))
+    scrub.select(col(idCol), col("n_tokens"), col("n_removed"))
+      .join(before, Seq(idCol), "left")
+      .join(after, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_removed"), col("frac_before"),
+        when(col("n_tokens").isNull || col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("frac_after0"), lit(0.0))).as("frac_after"))
+      .orderBy(idCol)
+  }
+
   /** Duplicate-span REMOVAL — the action [[dupSpans]]'s profile decides
     * on (Lee et al. 2022's "deduplicating training data" rewrite, at
     * w-token granularity): of every span occurring ≥ 2 times corpus-wide,

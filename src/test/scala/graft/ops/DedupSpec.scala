@@ -185,6 +185,31 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("scrubAudit (x17): exact dup pair collapses to frac_after 0 on both sides; unique doc 0/0; within-doc repeat also clears") {
+    val base = (1 to 120).map(i => s"Tok$i").mkString(" ")
+    val block = (1 to 40).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),                                  // cross-doc exact dup
+      (3L, (200 to 320).map(i => s"uniq$i").mkString(" ")),    // unique
+      (4L, s"$block $block $block")                            // within-doc repetition
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubAudit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // dup pair: fully duplicated before; first kept + copy removed →
+    // surviving chunks unique corpus-wide → 0 residual on BOTH docs
+    assert(out(1L) == ((120L, 0L, 1.0, 0.0)))
+    assert(out(2L) == ((120L, 120L, 1.0, 0.0)))
+    // unique doc: nothing to scrub, nothing duplicated either side
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0 && out(3L)._4 == 0.0)
+    // within-doc repetition: duplicated before, first block survives,
+    // residual clears (frac_after 0) with only the repeats removed
+    assert(out(4L)._3 > 0.0 && out(4L)._4 == 0.0 && out(4L)._2 > 0L && out(4L)._2 < 120L)
+    // determinism under repartition
+    val re = Dedup.scrubAudit(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(re == out)
+  }
+
   test("dupSpans: within-doc repetition alone marks spans duplicated") {
     val rep = "a b c d e f g h a b c d e f g h" // 16 tokens, spans 1..9; span(1)=span(9)
     val one = Seq((1L, rep), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
