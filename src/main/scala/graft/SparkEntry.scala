@@ -1016,6 +1016,11 @@ object SparkEntry {
     // queries answered rarest-token-first through the inverted index
     "t33_phrase_search" -> ((s, d) =>
       TextStats.phraseSearch(Tables.documents(s, d))),
+    // t34 — BM25 top-k: the t33 query set as bag-of-terms retrieval,
+    // 6dp per-term partials decimal-summed so ranks are
+    // partitioning-stable
+    "t34_bm25_topk" -> ((s, d) =>
+      TextStats.bm25TopK(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -4847,6 +4852,40 @@ object SparkEntry {
          |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
          |FROM ng JOIN topq USING (phrase)
          |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    // t34 — BM25 replay: identical operation order in the score
+    // expression (parenthesized the same as the Column tree), per-term
+    // 6dp floor-round, decimal sum, rank by (score DESC, doc_id)
+    "t34_bm25_topk" ->
+      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tb WHERE len(ts) > 0),
+         |post AS (SELECT doc_id, unnest(ts) AS tok FROM tb),
+         |tfs AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM post GROUP BY doc_id, tok),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY tok),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
+         |ng AS (SELECT doc_id,
+         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+         |  WHERE len(ts) >= 3),
+         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
+         |  ORDER BY c DESC, phrase LIMIT 5),
+         |qt AS (SELECT DISTINCT phrase, tok FROM (
+         |  SELECT phrase, unnest(string_split(phrase, ' ')) AS tok FROM topq)),
+         |sc AS (SELECT qt.phrase, tfs.doc_id,
+         |  ${Num.sqlRoundTo(
+             "ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
+             " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)" +
+             " + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))", 6)} AS ts6
+         |  FROM qt JOIN tfs USING (tok) JOIN dfs USING (tok)
+         |  JOIN lens ON lens.doc_id = tfs.doc_id, stats),
+         |pd AS (SELECT phrase, doc_id, ${Num.sqlExactSum("ts6")} AS score
+         |  FROM sc GROUP BY phrase, doc_id),
+         |r AS (SELECT phrase, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY phrase ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM pd)
+         |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY phrase, rank""".stripMargin,
     // st24 — t33's derivation restricted to the even (corpus) half,
     // matches counted over the odd (streamed) half only
     "st24_stream_phrase_match" ->

@@ -2016,6 +2016,56 @@ object TextStats {
       .orderBy(col("phrase"), col(idCol))
   }
 
+  /** BM25 top-k retrieval (t34) — the ranking face of the t33 index:
+    * each derived phrase becomes a bag-of-terms query (the
+    * [[topNgrams]] set, so the workload is deterministic and
+    * self-contained) scored with Okapi BM25 (k1=1.2, b=0.75) over the
+    * term-frequency index, top `k` docs per query by (score desc, id).
+    *
+    * Determinism discipline: every per-term partial is rounded to 6 dp
+    * FIRST ([[Num.roundTo]]) and the per-doc score is the DECIMAL sum
+    * of those 6 dp partials ([[Num.exactSum]]) — float addition order
+    * can never move a score, so ranks are stable under any partitioning
+    * and the oracle replays bit-for-bit. Scale shape: the index is two
+    * map-side-combined aggregations (tf, df); queries are topQ rows;
+    * scoring touches only the postings of query terms; the per-query
+    * top-k is a WindowGroupLimit-pruned rank, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, n: Int = 3, topQ: Int = 5, k: Int = 10,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val tokBase = docs.select(col(idCol), toksArr.as("ts"))
+    val lens = tokBase.select(col(idCol), size(col("ts")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val postings = tokBase.select(col(idCol), explode(col("ts")).as("tok"))
+    val tfs = postings.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val qToks = topNgrams(docs, n, topQ, textCol)
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("tok")).distinct()
+    val scored = broadcast(qToks).join(tfs, Seq("tok"))
+      .join(dfs, Seq("tok"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    val idf = log(
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val term = Num.roundTo(
+      idf * ((col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))), 6)
+    val perDoc = scored.select(col("phrase"), col(idCol), term.as("ts6"))
+      .groupBy(col("phrase"), col(idCol))
+      .agg(Num.exactSum(col("ts6")).as("score"))
+    val byScore = Window.partitionBy(col("phrase")).orderBy(col("score").desc, col(idCol))
+    perDoc.withColumn("rank", row_number().over(byScore)).filter(col("rank") <= k)
+      .select(col("phrase"), col("rank").cast("long").as("rank"), col(idCol), col("score"))
+      .orderBy(col("phrase"), col("rank"))
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1131,6 +1131,39 @@ class TextStatsSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("bm25TopK (t34): hand-computed score, full match outranks partial, repartition-stable ranks") {
+    val docs = Seq[(Long, String)](
+      (1L, "alpha beta gamma one two three alpha beta gamma"), // all terms, tf=2 — dl 9
+      (2L, "alpha beta gamma xx yy"),                          // all terms, tf=1 — dl 5
+      (3L, "alpha n1 n2 n3 n4 n5 n6 n7"),                      // one term — dl 8
+      (4L, "f1 f2 f3 f4 f5 f6")                                // no terms — dl 6
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    val planted = out.filter(_._1._1 == "alpha beta gamma").sortBy(_._1._2)
+    // exactly the three docs holding >=1 query term, in descending score
+    assert(planted.map(_._2._1).toSet == Set(1L, 2L, 3L))
+    val scores = planted.map(_._2._2).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(planted.last._2._1 == 3L) // single-term doc ranks last
+    // hand-computed doc-2 score: the exact engine arithmetic (6dp floor
+    // rounding per term, then an exact decimal sum)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (nDocs, tot) = (4.0, (9 + 5 + 8 + 6).toDouble)
+    val avgdl = tot / nDocs
+    def term(tf: Long, df: Long, dl: Long) = r6(
+      math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))))
+    val expected2 =
+      (BigDecimal(term(1, 3, 5)) + BigDecimal(term(1, 2, 5)) + BigDecimal(term(1, 2, 5))).toDouble
+    val got2 = planted.find(_._2._1 == 2L).get._2._2
+    assert(math.abs(got2 - expected2) < 1e-9, s"got $got2 expected $expected2")
+    // determinism under repartition (the whole point of the decimal sum)
+    val re = TextStats.bm25TopK(docs.repartition(7), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(re.toMap == out.toMap)
+  }
+
   test("collocations: hand-computed PMI, min-count prune, positive for dependent and negative for anti-correlated pairs") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
