@@ -295,6 +295,26 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Complete())
       Analytics.kmvStatsOf(s.table(mem), 256).orderBy("scope")
     }),
+    // st25 — streaming quantile sketches: the bottomk_pairs typed
+    // aggregate holds a bounded (≤256-pair) uniform sample per event
+    // type as Complete-mode state; the sink snapshot feeds the shared
+    // stat projection (p14's estimator, streaming-bounded)
+    "st25_stream_quantiles" -> ((s, d) => {
+      val stage = stagedEvents(s, d)
+      val schema = s.read.parquet(stage).schema
+      val mem = s"st25_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .select(col("event_type"),
+            call_function("splitmix64", col("event_id")).as("h"),
+            col("value").cast("double").as("x"))
+          .filter(col("x").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            call_function("bottomk_pairs", col("h"), col("x"), lit(256)).as("sk")),
+        mem, org.apache.spark.sql.streaming.OutputMode.Complete())
+      Profiling.sampleQuantileStatsOf(s.table(mem), "event_type")
+    }),
     // per-flag sketches + array-op union merge = whole-table sketch
     "d5_kmv_union" -> (Analytics.kmvUnion(_, _)),
     // theta-sketch set op: |A ∩ B| from the two sketches alone
@@ -465,6 +485,14 @@ object SparkEntry {
     "p13_outliers" -> ((s, d) =>
       Profiling.outlierReport(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice")),
+    // p14 — bounded-state scale path beside p2: bottom-256-by-hash
+    // uniform sample (WindowGroupLimit-pruned) estimates the quartiles;
+    // the exact quartiles ride along as audit columns
+    "p14_sample_quantiles" -> ((s, d) =>
+      Profiling.sampleQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        call_function("splitmix64", col("l_orderkey"))
+          .bitwiseXOR(col("l_linenumber").cast("long")))),
     // shuffle-key skew profile for the two events join keys: exact
     // counts, decimal-exact entropy, TakeOrdered top-10 — the report
     // behind every salting/AQE-skew decision
@@ -1021,6 +1049,11 @@ object SparkEntry {
     // partitioning-stable
     "t34_bm25_topk" -> ((s, d) =>
       TextStats.bm25TopK(Tables.documents(s, d))),
+    // t35 — reciprocal-rank fusion of t34's BM25 list with the exact-
+    // phrase occurrence ranking; fuses two already-top-k lists, so the
+    // fusion itself is O(queries · k)
+    "t35_hybrid_rrf" -> ((s, d) =>
+      TextStats.hybridRrfTopK(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -1086,6 +1119,11 @@ object SparkEntry {
     "t26_token_budget_mix" -> ((s, d) =>
       TextStats.tokenBudgetMix(Tables.documents(s, d),
         Map("en" -> 6000L, "de" -> 2000L), defaultBudget = 3000L)),
+    // c27 — temperature mixture (α = 1/2): per-language budgets ∝
+    // √n_tokens (IEEE-exact sqrt, decimal-exact denominator), fed into
+    // t26's allocator; the budget table is an O(|languages|) artifact
+    "c27_temperature_mix" -> ((s, d) =>
+      TextStats.temperatureMix(Tables.documents(s, d))),
     // inverse-frequency class weights per language (mean weight 1.0)
     "t20_balance_weights" -> ((s, d) =>
       TextStats.balanceWeights(Tables.documents(s, d), "lang")
@@ -3122,6 +3160,42 @@ object SparkEntry {
     s"((${SqlHash.mix(c)}) % $m + $m) % $m"
   }
 
+  /** t34's BM25 rank CTE chain through `r` (phrase, doc_id, score,
+    * rank) — shared verbatim by the t34 gate and the t35 RRF fusion,
+    * which splices its match-ranking CTEs onto the same prefix (so a
+    * change here re-gates both; the TESTDATA.md shared-machinery rule
+    * applies). Pre-stripped: callers interpolate it into their own
+    * stripMargin blocks. */
+  private lazy val bm25RankCtes: String =
+    s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tb WHERE len(ts) > 0),
+       |post AS (SELECT doc_id, unnest(ts) AS tok FROM tb),
+       |tfs AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM post GROUP BY doc_id, tok),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY tok),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
+       |ng AS (SELECT doc_id,
+       |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+       |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+       |  WHERE len(ts) >= 3),
+       |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
+       |  ORDER BY c DESC, phrase LIMIT 5),
+       |qt AS (SELECT DISTINCT phrase, tok FROM (
+       |  SELECT phrase, unnest(string_split(phrase, ' ')) AS tok FROM topq)),
+       |sc AS (SELECT qt.phrase, tfs.doc_id,
+       |  ${Num.sqlRoundTo(
+           "ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
+           " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)" +
+           " + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))", 6)} AS ts6
+       |  FROM qt JOIN tfs USING (tok) JOIN dfs USING (tok)
+       |  JOIN lens ON lens.doc_id = tfs.doc_id, stats),
+       |pd AS (SELECT phrase, doc_id, ${Num.sqlExactSum("ts6")} AS score
+       |  FROM sc GROUP BY phrase, doc_id),
+       |r AS (SELECT phrase, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY phrase ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM pd)""".stripMargin
+
   /** Shared by e22 (batch) and st19 (streaming KMV twin). */
   private def kmvHourlySql: String =
     s"""WITH h AS (SELECT DISTINCT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws,
@@ -3985,6 +4059,44 @@ object SparkEntry {
          | ${Num.sqlRoundTo("quantile_cont(l_extendedprice, 0.75)", 6)} AS p75,
          | min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // p14 — bottom-256-by-hash sample replay: rank over (h, x) picks
+    // the identical sample multiset; quantile_cont on sample and full
+    // population, 6dp; the audit delta by the same double expression
+    "p14_sample_quantiles" ->
+      s"""WITH s AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x,
+         |  ${SqlHash.mix(s"xor(${SqlHash.mix("l_orderkey")}, CAST(l_linenumber AS BIGINT))")} AS h
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |r AS (SELECT grp, x, row_number() OVER (PARTITION BY grp ORDER BY h, x) AS rn FROM s),
+         |est AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sample,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.25)", 6)} AS est_p25,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.5)", 6)} AS est_p50,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.75)", 6)} AS est_p75
+         |  FROM r WHERE rn <= 256 GROUP BY grp),
+         |ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.25)", 6)} AS p25,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.5)", 6)} AS p50,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.75)", 6)} AS p75
+         |  FROM s GROUP BY grp)
+         |SELECT est.grp AS l_returnflag, n_rows, n_sample,
+         |  est_p25, est_p50, est_p75, p25, p50, p75,
+         |  ${Num.sqlRoundTo("abs(est_p50 - p50)", 6)} AS err_p50
+         |FROM est JOIN ex ON est.grp = ex.grp ORDER BY l_returnflag""".stripMargin,
+    // st25 — the p14 estimator as streaming state: bottom-256 pairs per
+    // event type replayed by the same rank-over-(h, x) rule; n_rows is
+    // the full-group count the aggregate carries alongside the sketch
+    "st25_stream_quantiles" ->
+      s"""WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+         |  ${SqlHash.mix("event_id")} AS h
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, x,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h, x) AS rn FROM s),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows FROM s GROUP BY event_type)
+         |SELECT r.event_type, n_rows, CAST(count(*) AS BIGINT) AS n_sample,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.25)", 6)} AS est_p25,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.5)", 6)} AS est_p50,
+         |  ${Num.sqlRoundTo("quantile_cont(x, 0.75)", 6)} AS est_p75
+         |FROM r JOIN ex ON r.event_type = ex.event_type WHERE rn <= 256
+         |GROUP BY r.event_type, n_rows ORDER BY r.event_type""".stripMargin,
     // p13 — fences from the 6dp-ROUNDED quartiles by the identical
     // double expression, then strict outside-fence counts
     "p13_outliers" ->
@@ -4856,36 +4968,35 @@ object SparkEntry {
     // expression (parenthesized the same as the Column tree), per-term
     // 6dp floor-round, decimal sum, rank by (score DESC, doc_id)
     "t34_bm25_topk" ->
-      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
-         |  FROM documents),
-         |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tb WHERE len(ts) > 0),
-         |post AS (SELECT doc_id, unnest(ts) AS tok FROM tb),
-         |tfs AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM post GROUP BY doc_id, tok),
-         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY tok),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
-         |ng AS (SELECT doc_id,
-         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
-         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
-         |  WHERE len(ts) >= 3),
-         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
-         |  ORDER BY c DESC, phrase LIMIT 5),
-         |qt AS (SELECT DISTINCT phrase, tok FROM (
-         |  SELECT phrase, unnest(string_split(phrase, ' ')) AS tok FROM topq)),
-         |sc AS (SELECT qt.phrase, tfs.doc_id,
-         |  ${Num.sqlRoundTo(
-             "ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
-             " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)" +
-             " + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))", 6)} AS ts6
-         |  FROM qt JOIN tfs USING (tok) JOIN dfs USING (tok)
-         |  JOIN lens ON lens.doc_id = tfs.doc_id, stats),
-         |pd AS (SELECT phrase, doc_id, ${Num.sqlExactSum("ts6")} AS score
-         |  FROM sc GROUP BY phrase, doc_id),
-         |r AS (SELECT phrase, doc_id, score,
-         |  CAST(row_number() OVER (PARTITION BY phrase ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-         |  FROM pd)
+      s"""$bm25RankCtes
          |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
          |ORDER BY phrase, rank""".stripMargin,
+    // t35 — RRF fusion replay: t34's rank CTEs verbatim, plus the
+    // exact-phrase occurrence ranking off the same ng CTE; reciprocal
+    // sum as ONE fixed-shape expression, 6dp floor-round, final rank
+    // by (rrf DESC, doc_id)
+    "t35_hybrid_rrf" ->
+      s"""$bm25RankCtes,
+         |mc AS (SELECT ng.phrase, ng.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |  FROM ng JOIN topq USING (phrase) GROUP BY ng.phrase, ng.doc_id),
+         |mr AS (SELECT phrase, doc_id, r_m FROM (
+         |  SELECT phrase, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY phrase ORDER BY n_matches DESC, doc_id) AS BIGINT) AS r_m
+         |  FROM mc) WHERE r_m <= 10),
+         |bm AS (SELECT phrase, doc_id, rank AS r_bm FROM r WHERE rank <= 10),
+         |f AS (SELECT COALESCE(bm.phrase, mr.phrase) AS phrase,
+         |  COALESCE(bm.doc_id, mr.doc_id) AS doc_id, r_bm, r_m
+         |  FROM bm FULL OUTER JOIN mr ON bm.phrase = mr.phrase AND bm.doc_id = mr.doc_id),
+         |fs AS (SELECT phrase, doc_id, r_bm, r_m,
+         |  ${Num.sqlRoundTo(
+             "COALESCE(1.0 / (60.0 + CAST(r_bm AS DOUBLE)), 0.0)" +
+             " + COALESCE(1.0 / (60.0 + CAST(r_m AS DOUBLE)), 0.0)", 6)} AS rrf6 FROM f),
+         |rr AS (SELECT phrase, doc_id, rrf6, r_bm, r_m,
+         |  CAST(row_number() OVER (PARTITION BY phrase ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fs)
+         |SELECT phrase, rank, doc_id, rrf6 AS rrf_score,
+         |  r_bm AS bm25_rank, r_m AS match_rank
+         |FROM rr WHERE rank <= 10 ORDER BY phrase, rank""".stripMargin,
     // st24 — t33's derivation restricted to the even (corpus) half,
     // matches counted over the odd (streamed) half only
     "st24_stream_phrase_match" ->
@@ -5276,6 +5387,26 @@ object SparkEntry {
          |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
          |FROM c
          |WHERE cum_before < CASE WHEN lang = 'de' THEN 2000 WHEN lang = 'en' THEN 6000 ELSE 3000 END
+         |ORDER BY doc_id""".stripMargin,
+    // c27 — temperature mixture replay: per-language √n weights at 6dp
+    // (sqrt is IEEE-correctly-rounded, so bit-identical cross-engine),
+    // DECIMAL-exact denominator, floor budgets, then t26's allocation
+    // window verbatim with the derived budgets joined in
+    "c27_temperature_mix" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |  ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey
+         |  FROM documents WHERE text IS NOT NULL),
+         |lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM tk GROUP BY lang),
+         |rw AS (SELECT lang, ${Num.sqlRoundTo("sqrt(CAST(lang_tokens AS DOUBLE))", 6)} AS r6 FROM lt),
+         |tt AS (SELECT ${Num.sqlExactSum("r6")} AS tot FROM rw),
+         |b AS (SELECT lang, CAST(floor((r6 * 8000.0) / tot) AS BIGINT) AS lang_budget FROM rw, tt),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tk)
+         |SELECT c.doc_id, c.lang, c.n_tokens,
+         |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens, b.lang_budget
+         |FROM c JOIN b ON c.lang = b.lang WHERE cum_before < lang_budget
          |ORDER BY doc_id""".stripMargin,
     "c11_shard_manifest" ->
       s"""WITH k AS (SELECT doc_id, ${SqlHash.mix(s"xor(${SqlHash.mix("doc_id")}, 42)")} AS skey FROM documents),

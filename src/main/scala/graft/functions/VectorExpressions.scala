@@ -271,6 +271,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => MisraGries(args(0), litInt(args(1)))))
     ext.injectFunction((FunctionIdentifier("kmv_sketch"), info("kmv_sketch", classOf[KmvSketch]),
       (args: Seq[Expression]) => KmvSketch(args(0), litInt(args(1)))))
+    ext.injectFunction((FunctionIdentifier("bottomk_pairs"), info("bottomk_pairs", classOf[BottomKPairs]),
+      (args: Seq[Expression]) => BottomKPairs(args(0), args(1), litInt(args(2)))))
     ext.injectFunction((FunctionIdentifier("pair_longs"), info("pair_longs", classOf[PairLongs]),
       (args: Seq[Expression]) => PairLongs(args(0))))
     ext.injectFunction((FunctionIdentifier("fnv1a64"), info("fnv1a64", classOf[Fnv1a64]),

@@ -481,4 +481,72 @@ object Profiling {
         Num.roundTo(db * db / eb + dc * dc / ec, 6).as("chisq_term"))
       .orderBy("category")
   }
+
+  /** SAMPLED QUANTILES (p14) — the bounded-state scale path next to
+    * [[quantilesByGroup]]'s exact pass: a bottom-k-by-hash uniform
+    * sample per group (k rows with the smallest `splitmix64(rowKey)`,
+    * ties broken by value — a simple random sample, Cohen & Kaplan
+    * PODC 2007) estimates the quartiles to O(1/√k) rank error, and the
+    * exact quartiles ride along as the audit columns so the report
+    * certifies its own estimator.
+    *
+    * Scale: the sample selection is `row_number() <= k` under a
+    * (hash, value) window — Spark rewrites it to WindowGroupLimit, so
+    * every map task forwards at most k rows per group and the sort
+    * never sees the full table; the sample is MERGEABLE (bottom-k of a
+    * union = trim of the unioned bottom-k's, the [[graft.functions.BottomKPairs]]
+    * aggregate — the streaming twin st25 runs that form with O(k)
+    * state per group). The exact columns are the one full
+    * `percentile` pass — the audit you drop first at 100 TB, where the
+    * estimate column is the product.
+    */
+  def sampleQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      rowKey: org.apache.spark.sql.Column,
+                      k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val s = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"),
+        call_function("splitmix64", rowKey.cast("long")).as("h"))
+      .filter(col("x").isNotNull)
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"), col("x"))
+    val samp = s.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val est = samp.groupBy("grp").agg(
+      count(lit(1)).as("n_sample"),
+      Num.roundTo(percentile(col("x"), lit(0.25)), 6).as("est_p25"),
+      Num.roundTo(percentile(col("x"), lit(0.5)), 6).as("est_p50"),
+      Num.roundTo(percentile(col("x"), lit(0.75)), 6).as("est_p75"))
+    val exact = s.groupBy("grp").agg(
+      count(lit(1)).as("n_rows"),
+      Num.roundTo(percentile(col("x"), lit(0.25)), 6).as("p25"),
+      Num.roundTo(percentile(col("x"), lit(0.5)), 6).as("p50"),
+      Num.roundTo(percentile(col("x"), lit(0.75)), 6).as("p75"))
+    est.join(exact, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_rows"), col("n_sample"),
+        col("est_p25"), col("est_p50"), col("est_p75"),
+        col("p25"), col("p50"), col("p75"),
+        Num.roundTo(abs(col("est_p50") - col("p50")), 6).as("err_p50"))
+      .orderBy(groupCol)
+  }
+
+  /** Stat projection over a (grp, n_rows, sk) bottom-k-sample sketch
+    * table ([[graft.functions.BottomKPairs]] output): sample size +
+    * estimated quartiles of the sampled values. Shared by the st25
+    * streaming twin (which lands sketches in a Complete-mode sink) and
+    * any at-rest sketch store; runs on O(groups · k) rows.
+    */
+  def sampleQuantileStatsOf(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches
+      .select(col(groupCol).as("grp"), col("n_rows"),
+        explode(col("sk")).as("p"))
+      .select(col("grp"), col("n_rows"), col("p.x").as("x"))
+      .groupBy("grp", "n_rows")
+      .agg(
+        count(lit(1)).as("n_sample"),
+        Num.roundTo(percentile(col("x"), lit(0.25)), 6).as("est_p25"),
+        Num.roundTo(percentile(col("x"), lit(0.5)), 6).as("est_p50"),
+        Num.roundTo(percentile(col("x"), lit(0.75)), 6).as("est_p75"))
+      .select(col("grp").as(groupCol), col("n_rows"), col("n_sample"),
+        col("est_p25"), col("est_p50"), col("est_p75"))
+      .orderBy(groupCol)
 }

@@ -398,6 +398,57 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** TEMPERATURE-WEIGHTED MIXTURE (c27) — the budget DERIVATION in
+    * front of [[tokenBudgetMix]]'s allocator: per-language token
+    * budgets proportional to n_lang^α with α = 1/2 (temperature
+    * sampling — upweight low-resource languages relative to their
+    * natural share; the mixture rule of multilingual pretraining, e.g.
+    * Conneau et al. XLM-R 2020 §5.1, with √ the classic temperature).
+    * budget_l = ⌊(r_l · B) / Σr⌋ where r_l = round6(√n_l) — α = 1/2
+    * specifically because IEEE-754 requires sqrt be correctly rounded,
+    * so unlike pow/exp the weight is bit-identical on every engine;
+    * the denominator is the DECIMAL-exact sum of the 6dp-rounded
+    * weights (order-free), and the floor runs on the same double
+    * expression both sides.
+    *
+    * Scale: the per-language totals are one map-side-combined
+    * aggregation; the budget table is O(|languages|) rows — pulled to
+    * the driver like the BPE merge tables (a documented model-artifact
+    * collect, coordination not data) and re-entering as
+    * [[tokenBudgetMix]]'s literal CASE. Allocation itself is t26's
+    * range-repartition prefix-sum discipline, unchanged.
+    */
+  def temperatureMix(docs: DataFrame, totalBudget: Long = 8000L,
+                     seed: Long = 42L, langCol: String = "lang",
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(totalBudget >= 0L, "totalBudget must be non-negative")
+    val perLang = docs.filter(col(textCol).isNotNull)
+      .select(col(langCol),
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
+      .groupBy(langCol).agg(sum("n_tokens").as("lang_tokens"))
+      .collect()  // O(|languages|) rows — model-artifact pull
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val r6 = perLang.map { case (l, n) => (l, round6(math.sqrt(n.toDouble))) }
+    // DECIMAL-exact denominator: sum of the 6dp weights, order-free
+    // (mirrors CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE))
+    val tot = r6.map { case (_, r) =>
+      new java.math.BigDecimal(r).setScale(6, java.math.RoundingMode.HALF_UP)
+    }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue
+    val budgets: Map[String, Long] = r6.map { case (l, r) =>
+      l -> math.floor((r * totalBudget.toDouble) / tot).toLong
+    }.toMap
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (l, b)) => when(col(langCol) === l, lit(b)).otherwise(acc)
+    }
+    tokenBudgetMix(docs, budgets, defaultBudget = 0L, seed = seed,
+        langCol = langCol, textCol = textCol, idCol = idCol)
+      .withColumn("lang_budget", budgetCol)
+      .orderBy(idCol)
+  }
+
   /** Corpus SNAPSHOT DIFF — the incremental-crawl report between two
     * corpus generations: per document, `added` (new id), `removed`
     * (gone id), `changed` (same id, different content hash) or
@@ -2063,6 +2114,61 @@ object TextStats {
     val byScore = Window.partitionBy(col("phrase")).orderBy(col("score").desc, col(idCol))
     perDoc.withColumn("rank", row_number().over(byScore)).filter(col("rank") <= k)
       .select(col("phrase"), col("rank").cast("long").as("rank"), col(idCol), col("score"))
+      .orderBy(col("phrase"), col("rank"))
+  }
+
+  /** HYBRID RETRIEVAL FUSION (t35) — reciprocal-rank fusion (Cormack,
+    * Clarke & Buettcher, SIGIR 2009) of the two rankers the index
+    * already supports: [[bm25TopK]]'s bag-of-terms relevance and an
+    * exact-phrase occurrence ranking (docs ordered by how often the
+    * phrase literally appears — the t33 match counts). Each derived
+    * query's fused score is Σ 1/(kRrf + rank) over the lists the doc
+    * appears in (missing list contributes 0 — standard RRF over the
+    * union of top-k lists), re-ranked to the final top `k`.
+    *
+    * Determinism: each reciprocal is one division on a small-integer
+    * rank; the two-term sum is a fixed-shape expression both engines
+    * evaluate identically, floor-rounded to 6 dp before ranking, ties
+    * broken by doc_id — ranks can never move between engines or
+    * partitionings. Scale: both input rankings are already top-k-per-
+    * query (WindowGroupLimit-pruned), so the fusion joins and re-ranks
+    * O(queries · k) rows — free at any corpus size; the corpus-touching
+    * work is the two rankers' own (bounded) plans.
+    */
+  def hybridRrfTopK(docs: DataFrame, n: Int = 3, topQ: Int = 5, k: Int = 10,
+                    kRrf: Int = 60, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(kRrf >= 1, "kRrf must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(docs, n, topQ, k, textCol, idCol)
+      .select(col("phrase"), col(idCol), col("rank").as("r_bm"))
+    // exact-phrase ranking: per-doc occurrence counts of each derived
+    // phrase (the t33/st24 n-gram counts), top k by (count desc, id)
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val grams = docs.select(col(idCol), toksArr.as("ts")).filter(size(col("ts")) >= n)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("phrase"))
+    val topPhrases = topNgrams(docs, n, topQ, textCol).select("phrase")
+    val counts = grams.join(broadcast(topPhrases), Seq("phrase"))
+      .groupBy(col("phrase"), col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+    val byMatches = Window.partitionBy(col("phrase"))
+      .orderBy(col("n_matches").desc, col(idCol))
+    val mr = counts.withColumn("r_m", row_number().over(byMatches))
+      .filter(col("r_m") <= k).select(col("phrase"), col(idCol), col("r_m"))
+    val fused = bm.join(mr, Seq("phrase", idCol), "full_outer")
+    val rrf = Num.roundTo(
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_bm").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_m").cast("double")), lit(0.0)), 6)
+    val byRrf = Window.partitionBy(col("phrase"))
+      .orderBy(col("rrf6").desc, col(idCol))
+    fused.withColumn("rrf6", rrf)
+      .withColumn("rank", row_number().over(byRrf)).filter(col("rank") <= k)
+      .select(col("phrase"), col("rank").cast("long").as("rank"), col(idCol),
+        col("rrf6").as("rrf_score"),
+        col("r_bm").cast("long").as("bm25_rank"),
+        col("r_m").cast("long").as("match_rank"))
       .orderBy(col("phrase"), col("rank"))
   }
 

@@ -284,4 +284,74 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.outlierReport(withNull, "grp", "x")
       .filter(col("grp") === "g1").head().getAs[Long]("n") == 5L)
   }
+
+  test("sampleQuantiles: group smaller than k -> estimate IS exact; audit delta zero") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i * 13 % 97).toDouble, "g"))
+      .toDF("id", "x", "grp")
+    val out = Profiling.sampleQuantiles(df, "grp", "x", col("id"), k = 256).head()
+    assert(out.getAs[Long]("n_rows") == 100L && out.getAs[Long]("n_sample") == 100L)
+    assert(out.getAs[Double]("est_p25") == out.getAs[Double]("p25"))
+    assert(out.getAs[Double]("est_p50") == out.getAs[Double]("p50"))
+    assert(out.getAs[Double]("est_p75") == out.getAs[Double]("p75"))
+    assert(out.getAs[Double]("err_p50") == 0.0)
+  }
+
+  test("sampleQuantiles: estimate = exact quantiles OF THE SAMPLE; partitioning-stable; bounded rank error on the fixture") {
+    val li = Tables.lineitem(spark, sfDir)
+    val key = call_function("splitmix64", col("l_orderkey"))
+      .bitwiseXOR(col("l_linenumber").cast("long"))
+    val rows = Profiling.sampleQuantiles(li, "l_returnflag", "l_extendedprice", key)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sample") == math.min(r.getAs[Long]("n_rows"), 256L))
+      // a 256-row uniform sample's median sits near the true median:
+      // generous deterministic bound — within the exact IQR
+      val iqr = r.getAs[Double]("p75") - r.getAs[Double]("p25")
+      assert(r.getAs[Double]("err_p50") <= iqr,
+        s"${r.getAs[String]("l_returnflag")}: err ${r.getAs[Double]("err_p50")} vs IQR $iqr")
+    }
+    val again = Profiling.sampleQuantiles(li.repartition(13),
+      "l_returnflag", "l_extendedprice", key).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("sampleQuantiles: the sample selection is WindowGroupLimit-pruned (map tasks forward <= k rows/group)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val key = call_function("splitmix64", col("l_orderkey"))
+      .bitwiseXOR(col("l_linenumber").cast("long"))
+    val plan = Profiling.sampleQuantiles(li, "l_returnflag", "l_extendedprice", key)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pruning in:\n$plan")
+  }
+
+  test("sampleQuantileStatsOf projects the same estimates the batch window path lands on") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        call_function("splitmix64", col("event_id")).as("h"),
+        col("value").cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val sketches = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("bottomk_pairs", col("h"), col("x"), lit(256)).as("sk"))
+    val viaAgg = Profiling.sampleQuantileStatsOf(sketches, "event_type")
+      .collect().map(_.toSeq).toSeq
+    // window-rank formulation of the same estimator
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"), col("x"))
+    val viaRank = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 256)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        Num.roundTo(percentile(col("x"), lit(0.25)), 6).as("est_p25"),
+        Num.roundTo(percentile(col("x"), lit(0.5)), 6).as("est_p50"),
+        Num.roundTo(percentile(col("x"), lit(0.75)), 6).as("est_p75"))
+      .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_rows")), Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("n_sample"),
+        col("est_p25"), col("est_p50"), col("est_p75"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(viaAgg.nonEmpty && viaAgg == viaRank)
+  }
 }

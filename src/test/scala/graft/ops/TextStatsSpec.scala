@@ -1185,4 +1185,70 @@ class TextStatsSpec extends SparkSpec {
       .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")), r.getAs[Double]("pmi"))).toMap
     assert(m(("a", "b")) > 0.0 && m(("c", "d")) > 0.0)
   }
+
+  test("hybridRrfTopK: fused score = RRF of the two component ranks; ranks contiguous; repartition-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.hybridRrfTopK(docs).collect()
+    assert(out.nonEmpty)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // every emitted score is exactly the RRF of the carried ranks
+    out.foreach { r =>
+      val rb = Option(r.getAs[java.lang.Long]("bm25_rank")).map(_.toLong)
+      val rm = Option(r.getAs[java.lang.Long]("match_rank")).map(_.toLong)
+      assert(rb.isDefined || rm.isDefined, "a fused row must come from >= 1 list")
+      val expect = r6(rb.map(v => 1.0 / (60.0 + v)).getOrElse(0.0) +
+        rm.map(v => 1.0 / (60.0 + v)).getOrElse(0.0))
+      assert(r.getAs[Double]("rrf_score") == expect)
+    }
+    // ranks are 1..n per phrase, descending in score
+    out.groupBy(_.getAs[String]("phrase")).foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to ranked.length).toSeq)
+      val scores = ranked.map(_.getAs[Double]("rrf_score")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // the carried component ranks agree with the rankers run standalone
+    val bm = TextStats.bm25TopK(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val k = (r.getAs[String]("phrase"), r.getAs[Long]("doc_id"))
+      Option(r.getAs[java.lang.Long]("bm25_rank")).foreach(v => assert(bm(k) == v.toLong))
+    }
+    val re = TextStats.hybridRrfTopK(docs.repartition(7)).collect()
+    assert(out.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
+  }
+
+  test("temperatureMix: budgets ∝ √tokens (flatter than natural shares), sum <= B, allocation == tokenBudgetMix on the derived budgets") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.temperatureMix(docs, totalBudget = 8000L).collect()
+    assert(out.nonEmpty)
+    // recompute the budget table the contract way
+    val perLang = docs.filter(col("text").isNotNull)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val w = perLang.map { case (l, n) => (l, r6(math.sqrt(n.toDouble))) }
+    val tot = w.map { case (_, r) =>
+      new java.math.BigDecimal(r).setScale(6, java.math.RoundingMode.HALF_UP)
+    }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue
+    val budgets = w.map { case (l, r) => l -> math.floor((r * 8000.0) / tot).toLong }.toMap
+    assert(budgets.values.sum <= 8000L)
+    // temperature flattening: the dominant language's budget share is
+    // STRICTLY below its natural token share (the point of α = 1/2)
+    val totalTok = perLang.map(_._2).sum.toDouble
+    val (bigLang, bigTok) = perLang.maxBy(_._2)
+    assert(budgets(bigLang).toDouble / budgets.values.sum < bigTok / totalTok)
+    // every emitted row carries its language budget and respects it
+    out.foreach { r =>
+      val b = budgets(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("lang_budget") == b)
+      assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < b)
+    }
+    // composition: identical rows to tokenBudgetMix fed the same budgets
+    val chained = TextStats.tokenBudgetMix(docs, budgets, defaultBudget = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(out.map(_.toSeq.dropRight(1)).toSeq == chained)
+  }
 }

@@ -780,6 +780,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming quantile sketches == batch estimator across micro-batch boundaries (bounded bottomk_pairs state)") {
+    import graft.ops.Profiling
+    val schema = spark.read.parquet(eventsDir).schema
+    def sketched(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        call_function("splitmix64", col("event_id")).as("h"),
+        col("value").cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("bottomk_pairs", col("h"), col("x"), lit(256)).as("sk"))
+    Streams.runToMemory(
+      sketched(Streams.parquetDirStream(spark, eventsDir, schema, maxFilesPerTrigger = 1)),
+      "bksample_stream", OutputMode.Complete())
+    val streamed = Profiling.sampleQuantileStatsOf(spark.table("bksample_stream"), "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Profiling.sampleQuantileStatsOf(sketched(spark.read.parquet(eventsDir)), "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // bounded state: every sketch holds <= 256 pairs (sf0.001 groups
+    // are small, so also pin the cap on a >256-row synthetic group)
+    val sizes = spark.table("bksample_stream")
+      .select(size(col("sk")).as("n_sk")).collect()
+    assert(sizes.forall(r => r.getAs[Int]("n_sk") <= 256))
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => ("t", i, i.toDouble)).toDF("event_type", "event_id", "value")
+    val bigSk = sketched(big).select(col("n_rows"), size(col("sk")).as("n_sk")).head()
+    assert(bigSk.getAs[Long]("n_rows") == 5000L && bigSk.getAs[Int]("n_sk") == 256)
+  }
+
   test("streaming chi-square drift == batch p10 across micro-batch boundaries") {
     import graft.ops.Profiling
     val cut = "2024-01-16 00:00:00"
