@@ -329,6 +329,10 @@ object SparkEntry {
     // integer-exact PageRank over the part co-purchase graph, 3
     // synchronous iterations — the third iterative-DataFrame-loop family
     "n1_part_pagerank" -> (Graph.partPageRank(_, _)),
+    // n9 — personalized PageRank: teleport mass restricted to the seed
+    // set (v % 50 = 0) — graph-native "more data like the curated set"
+    // selection; same integer walk discipline as n1
+    "n9_ppr_selection" -> (Graph.partPprSelection(_, _)),
     // degree-ordered triangle count: each triangle counted once at its
     // min-(degree,id) vertex; wedge fan-out capped at O(sqrt E)
     "n2_triangles" -> (Graph.partTriangles(_, _)),
@@ -787,6 +791,21 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("vec_id")
     }),
+    // st26 — x18's twin: streamed odd docs probe the static even-half
+    // band index; first-agreeing-band arithmetic makes pair emission
+    // exactly-once WITHOUT dedup state; shares x18's oracle
+    "st26_stream_minhash" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val corpus = s.read.parquet(stage).filter(col("doc_id") % 2 === 0)
+      val mem = s"st26_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamMinhashCross(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("doc_id") % 2 === 1), corpus),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_old", "doc_new")
+    }),
     // streaming sliding windows share e5's oracle (identical grid/agg)
     "st6_stream_sliding" -> ((s, d) => {
       val stage = stagedEvents(s, d)
@@ -1054,6 +1073,11 @@ object SparkEntry {
     // fusion itself is O(queries · k)
     "t35_hybrid_rrf" -> ((s, d) =>
       TextStats.hybridRrfTopK(Tables.documents(s, d))),
+    // t36 — inverted-index at-rest layout: delta+varint posting-list
+    // sizes vs raw 8-byte ids, top-50 lists + the ALL row (pure integer
+    // CASE thresholds, replayed byte for byte)
+    "t36_index_layout" -> ((s, d) =>
+      TextStats.indexLayoutReport(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -1146,6 +1170,11 @@ object SparkEntry {
       TextStats.classifierScore(Tables.documents(s, d))
         .select("doc_id", "clf_score", "clf_keep")
         .orderBy("doc_id")),
+    // c28 — reliability diagram for the c7 gate: fixed-width score bins
+    // (map-only, no NTILE) vs the above-median heuristic pseudo-label;
+    // the check before a model score becomes a sampling WEIGHT
+    "c28_clf_calibration" -> ((s, d) =>
+      TextStats.classifierCalibration(Tables.documents(s, d))),
     // whitespace/control-char normalization (run before content hashing)
     "c5_normalize" -> ((s, d) =>
       TextStats.normalizeText(Tables.documents(s, d))
@@ -1224,6 +1253,16 @@ object SparkEntry {
         .orderBy("doc_id")),
     "x2_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    // x18 — incremental FUZZY dedup: the odd-id "new batch" probes the
+    // even-id corpus's banded signature index; cross pairs only (the
+    // x6/x13 contract), batch cost independent of corpus size
+    "x18_minhash_cross" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshCross(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_old", "doc_new")
+    }),
     // LSH banding planner — hash-gated since round 11: the whole
     // tokenize→FNV→splitmix-shingle→minhash→band-fold pipeline is
     // integer arithmetic the DuckDB oracle replays exactly (lshPlanSql)
@@ -3244,6 +3283,59 @@ object SparkEntry {
          |ORDER BY rank_scaled DESC, l_partkey LIMIT $topN""".stripMargin
   }
 
+  /** x18/st26 shared replay — [[graft.ops.Dedup.minhashLshCross]]: x2's
+    * signature/band CTEs, candidates restricted to even (corpus) × odd
+    * (batch), the agreement verification verbatim. */
+  private def minhashCrossSql: String =
+    s"""${minhashSigCte(128)},
+       |banded AS MATERIALIZED (SELECT doc_id, band, ${bandFoldSql(4)} AS bk
+       |  FROM sigt, LATERAL (SELECT unnest(range(0, 32)) AS band) ix),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_old, b.doc_id AS doc_new
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |agree AS (SELECT doc_old, doc_new,
+       |    CAST(len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 128 AS est_jaccard
+       |  FROM cand JOIN sigt sa ON sa.doc_id = doc_old JOIN sigt sb ON sb.doc_id = doc_new)
+       |SELECT doc_old, doc_new, est_jaccard FROM agree WHERE est_jaccard >= 0.5
+       |ORDER BY doc_old, doc_new""".stripMargin
+
+  /** n9 replay — [[graft.ops.Graph.partPprSelection]]'s walk iteration
+    * for iteration: same graph CTEs as n1, seed-count CTE, the
+    * seed-restricted teleport terms as the identical floor-division
+    * expressions (HUGEINT-safe in DuckDB; the engine's 200k-node guard
+    * keeps the BIGINT side exact). */
+  private def pprSelectionSql(iters: Int = 3, topN: Int = 20,
+                              seedMod: Long = 50L): String = {
+    val head =
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS v FROM e),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(count(*) FILTER (WHERE v % $seedMod = 0) AS BIGINT) AS ns FROM nodes),
+         |r0 AS (SELECT v, CAST(CASE WHEN v % $seedMod = 0
+         |         THEN (1000000000000 * cnt.n) // cnt.ns ELSE 0 END AS BIGINT) AS r
+         |       FROM nodes, cnt)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |i$i AS (SELECT e.dst AS v, sum(r${i - 1}.r // deg.d) AS s
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT n.v,
+         |    CAST(CASE WHEN n.v % $seedMod = 0
+         |           THEN (3 * 1000000000000 * cnt.n) // (20 * cnt.ns) ELSE 0 END
+         |         + (COALESCE(i$i.s, 0) * 17) // 20 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN i$i ON i$i.v = n.v, cnt)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |SELECT r$iters.v AS l_partkey, deg.d AS n_copurchase,
+         |  r$iters.v % $seedMod = 0 AS is_seed, r$iters.r AS rank_scaled
+         |FROM r$iters JOIN deg ON deg.src = r$iters.v
+         |ORDER BY rank_scaled DESC, l_partkey LIMIT $topN""".stripMargin
+  }
+
   /** Full-SQL replay of x3 ([[graft.ops.Dedup.simhashNearDup]]): tokenize
     * → splitmix64(FNV-1a) token hashes → 64-bit sign-tally SimHash (the
     * [[graft.functions.SimHash64]] rule: bit set iff strictly more
@@ -4211,6 +4303,7 @@ object SparkEntry {
          |  ${kmvEstSql(256)} AS est_distinct
          |FROM uni ORDER BY scope""".stripMargin,
     "n1_part_pagerank" -> pagerankSql(),
+    "n9_ppr_selection" -> pprSelectionSql(),
     // n4 — association rules: pair counts from distinct (order, part)
     // baskets, min-support 3, both rule directions; support/confidence/
     // lift replay as the identical double expressions
@@ -4997,6 +5090,29 @@ object SparkEntry {
          |SELECT phrase, rank, doc_id, rrf6 AS rrf_score,
          |  r_bm AS bm25_rank, r_m AS match_rank
          |FROM rr WHERE rank <= 10 ORDER BY phrase, rank""".stripMargin,
+    // t36 — gap/varint replay: identical integer CASE widths, first
+    // gap doc_id+1, top-50 by (n_postings DESC, tok) + the ALL row
+    "t36_index_layout" ->
+      s"""WITH post AS (SELECT DISTINCT doc_id,
+         |  unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |g AS (SELECT tok, doc_id,
+         |  doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id) AS dd FROM post),
+         |dv AS (SELECT tok,
+         |  CASE WHEN dd IS NULL THEN doc_id + 1 ELSE dd END AS delta FROM g),
+         |vb AS (SELECT tok, CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+         |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4 ELSE 5 END AS b FROM dv),
+         |pt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(b) AS BIGINT) AS varint_bytes FROM vb GROUP BY tok),
+         |top AS (SELECT tok AS scope, n_postings, varint_bytes FROM pt
+         |  ORDER BY n_postings DESC, tok LIMIT 50),
+         |allr AS (SELECT 'ALL' AS scope, CAST(sum(n_postings) AS BIGINT) AS n_postings,
+         |  CAST(sum(varint_bytes) AS BIGINT) AS varint_bytes FROM pt),
+         |u AS (SELECT * FROM top UNION ALL SELECT * FROM allr)
+         |SELECT scope, n_postings, n_postings * 8 AS raw_bytes, varint_bytes,
+         |  ${Num.sqlRoundTo(
+             "CAST(n_postings * 8 AS DOUBLE) / CAST(varint_bytes AS DOUBLE)", 6)} AS compression
+         |FROM u ORDER BY scope""".stripMargin,
     // st24 — t33's derivation restricted to the even (corpus) half,
     // matches counted over the odd (streamed) half only
     "st24_stream_phrase_match" ->
@@ -5190,6 +5306,28 @@ object SparkEntry {
          |sc AS (SELECT doc_id, ${Num.sqlRoundTo("1.0 / (1.0 + exp(-zv))", 6)} AS clf_score FROM z)
          |SELECT doc_id, clf_score, clf_score >= 0.5 AS clf_keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // c28 — c7's score CTEs + the t1 heuristic CTE it calibrates
+    // against: median threshold scalar, identical floor binning,
+    // exact-decimal bin averages
+    "c28_clf_calibration" ->
+      s"""$qualityCte,
+         |z AS (SELECT doc_id,
+         |  ((-3.0) * digit_ratio + 0.1 * mean_token_len + (-3.0) * punct_ratio
+         |   + 1.0 * stopword_ratio + 1.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+         |   + (-1.0) * upper_ratio + (-0.5)) AS zv
+         | FROM f),
+         |sc AS (SELECT doc_id, ${Num.sqlRoundTo("1.0 / (1.0 + exp(-zv))", 6)} AS clf_score FROM z),
+         |med AS (SELECT ${Num.sqlRoundTo("quantile_cont(quality_score, 0.5)", 6)} AS m FROM qs),
+         |j AS (SELECT sc.doc_id, clf_score, quality_score > m AS label,
+         |  CAST(least(floor(clf_score * 10.0), 9.0) AS BIGINT) AS bin
+         |  FROM sc JOIN qs USING (doc_id), med),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("clf_score"), 6)} AS mean_score,
+         |  ${Num.sqlRoundTo(Num.sqlExactAvg("CASE WHEN label THEN 1.0 ELSE 0.0 END"), 6)} AS obs_rate
+         |  FROM j GROUP BY bin)
+         |SELECT bin, n_docs, mean_score, obs_rate,
+         |  ${Num.sqlRoundTo("abs(mean_score - obs_rate)", 6)} AS calibration_gap
+         |FROM b ORDER BY bin""".stripMargin,
     // c9 = c5's normalize + x1's min-id dedup rule + c7's sigmoid gate
     // + c2's chunk-count formula, composed; per-source funnel counts
     "c9_corpus_pipeline" ->
@@ -5734,6 +5872,12 @@ object SparkEntry {
     "x7_bloom_cross_dedup" -> crossDedupSql,
     "x8_lsh_plan" -> lshPlanSql(),
     "x2_minhash_lsh" -> minhashLshSql(),
+    // x18 — x2's signature/band replay restricted to even (corpus) ×
+    // odd (new batch) candidates; the verification expression verbatim.
+    // st26 shares it: per-arrival verdicts depend only on the static
+    // corpus, so micro-batching cannot change the pair set
+    "x18_minhash_cross" -> minhashCrossSql,
+    "st26_stream_minhash" -> minhashCrossSql,
     // hash-gated since round 11: FNV token hashes made the whole
     // simhash → chunk-block → Hamming pipeline SQL-replayable
     "x3_simhash" -> simhashSql(),

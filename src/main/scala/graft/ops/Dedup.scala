@@ -564,6 +564,46 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** INCREMENTAL MinHash near-dup (x18) — the fuzzy face of the
+    * incremental family: a new batch probes the CORPUS's banded
+    * signature index for lexical near-dups, completing the
+    * batch-vs-corpus trio beside exact hashes ([[ngramJaccardCross]]'s
+    * x6/x7 bloom path) and embeddings (x13 SemDeDup). Cross pairs ONLY
+    * — old×old was settled when the corpus was built (x2), new×new is
+    * a subsequent in-batch pass by design, the same contract that lets
+    * the streaming twin score each arrival against static state.
+    *
+    * Scale: the corpus side of the band join is exactly the at-rest
+    * artifact an index build leaves behind — (band, bkey, doc_id)
+    * triples; persist it bucketed by (band, bkey) and the probe join
+    * satisfies its distribution from the file layout, so per batch
+    * only O(|batch|·bands) 8-byte keys and O(candidates) signature
+    * lookups move — batch cost independent of corpus size. Signatures
+    * join back once per DISTINCT candidate pair (the
+    * [[minhashLshFromSigs]] discipline); corpus text is never touched.
+    */
+  def minhashLshCross(corpus: DataFrame, newBatch: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      w: Int = 3, k: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigC = minhashSignatures(corpus, textCol, idCol, w, k)
+    val sigN = minhashSignatures(newBatch, textCol, idCol, w, k)
+    def banded(sigs: DataFrame, as: String) = sigs.select(col("doc_id").as(as),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+    val cands = banded(sigN, "doc_new")
+      .join(banded(sigC, "doc_old"), Seq("band", "bkey"))
+      .select("doc_old", "doc_new")
+      .distinct()
+    cands
+      .join(sigC.select(col("doc_id").as("doc_old"), col("sig").as("sig_a")), Seq("doc_old"))
+      .join(sigN.select(col("doc_id").as("doc_new"), col("sig").as("sig_b")), Seq("doc_new"))
+      .select(col("doc_old"), col("doc_new"),
+        call_function("sig_agree", col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Packed 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 by
     * the token-hash bit, take the sign. Tokens are hashed once; the 64-bit
     * tally loop is the codegen'd [[graft.functions.SimHash64]].

@@ -51,9 +51,39 @@ object Graph {
     */
   def partPageRank(spark: SparkSession, dir: String,
                    iters: Int = 3, topN: Int = 20): DataFrame = {
-    // one row per (order, part) — multiple lines of the same part in
-    // one order count once, so edge weight = #co-occurring orders
-    // collapses to the unweighted co-purchase relation
+    val (nodes, edges, _) = coPurchaseRankGraph(spark, dir)
+    // the n ≤ 200k bound that makes the arithmetic overflow-safe ALSO
+    // makes the per-round rank state broadcastable by construction, so
+    // each iteration is ONE shuffle (the inflow groupBy) — the
+    // rank-onto-edges join and the node left join are both map-side
+    var ranks = nodes.select(col("v"), lit(S).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = Iterate.materialize(
+        nodes.join(broadcast(inflow.withColumnRenamed("dst", "v")), Seq("v"), "left")
+          .select(col("v"),
+                  (lit(BaseShare) +
+                    expr(s"(coalesce(s, 0L) * $DampNum) DIV $DampDen")).as("r")))
+    }
+    ranks.join(broadcast(nodes), "v")
+      .select(col("v").as("l_partkey"), col("deg").as("n_copurchase"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("l_partkey"))
+      .limit(topN)
+  }
+
+  /** Shared construction for the rank family ([[partPageRank]], n9's
+    * [[partPprSelection]]): symmetric co-purchase edges with out-degree
+    * folded in, the (v, deg) node table, and the overflow guard — one
+    * definition so the graph the two walks run on can never diverge.
+    * One row per (order, part): multiple lines of the same part in one
+    * order count once, so edge weight collapses to the unweighted
+    * co-purchase relation.
+    */
+  private def coPurchaseRankGraph(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
     val lp = Iterate.materialize(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -75,18 +105,48 @@ object Graph {
     // materialized, so the count is a cheap local scan.
     val n = nodes.count()
     require(n <= 200000L,
-      s"partPageRank integer ranks are overflow-safe for <= 200000 nodes; got $n")
+      s"integer ranks are overflow-safe for <= 200000 nodes; got $n")
     // fold the out-degree INTO the edge table once at setup (map-side
     // broadcast join — nodes is within the guarded bound) — each
     // iteration then needs a single join instead of edges ⋈ ranks ⋈ deg
     val edges = Iterate.materialize(
       edges0.join(broadcast(nodes.select(col("v").as("src"), col("deg"))), "src"))
+    (nodes, edges, n)
+  }
 
-    // the n ≤ 200k bound that makes the arithmetic overflow-safe ALSO
-    // makes the per-round rank state broadcastable by construction, so
-    // each iteration is ONE shuffle (the inflow groupBy) — the
-    // rank-onto-edges join and the node left join are both map-side
-    var ranks = nodes.select(col("v"), lit(S).as("r"))
+  /** PERSONALIZED PageRank selection (n9) — seed-based data curation:
+    * rank every item by random-walk proximity to a trusted SEED set
+    * (teleport mass goes ONLY to seeds — Haveliwala, WWW 2002), the
+    * graph-native "find more data like this curated set" selector: the
+    * top non-seed items are the expansion candidates a curation pass
+    * reviews next. Same co-purchase graph, damping, and floor-division
+    * discipline as [[partPageRank]] — every rank is a deterministic
+    * INTEGER, so the oracle replays the walk iteration for iteration.
+    *
+    * Arithmetic: seeds are v ≡ 0 (mod `seedMod`); the per-seed teleport
+    * share floor(0.15·S·N / nSeeds) and the seed start floor(S·N /
+    * nSeeds) conserve ≈ N·S total mass, so the [[coPurchaseRankGraph]]
+    * 200k-node guard keeps the ×17 products inside signed 64-bit
+    * exactly as in n1. Scale shape identical to n1: per iteration ONE
+    * shuffle (the inflow groupBy); rank state is O(nodes) and
+    * broadcastable under the same guard.
+    *
+    * Returns the `topN` by final rank (ties → lower partkey) with
+    * `is_seed` — at the default topN the interesting rows are the
+    * high-rank NON-seeds.
+    */
+  def partPprSelection(spark: SparkSession, dir: String,
+                       iters: Int = 3, topN: Int = 20,
+                       seedMod: Long = 50L): DataFrame = {
+    require(seedMod >= 1L, "seedMod must be >= 1")
+    val (nodes, edges, n) = coPurchaseRankGraph(spark, dir)
+    val nSeeds = nodes.filter(col("v") % seedMod === 0L).count()
+    require(nSeeds > 0L, s"no seed nodes at seedMod=$seedMod")
+    val seedStart = (S * n) / nSeeds
+    val seedBase = (3L * S * n) / (DampDen * nSeeds)
+    val isSeed = (col("v") % seedMod) === 0L
+    var ranks = nodes.select(col("v"),
+      when(isSeed, lit(seedStart)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
       val inflow = edges
         .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
@@ -95,11 +155,12 @@ object Graph {
       ranks = Iterate.materialize(
         nodes.join(broadcast(inflow.withColumnRenamed("dst", "v")), Seq("v"), "left")
           .select(col("v"),
-                  (lit(BaseShare) +
+                  (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
                     expr(s"(coalesce(s, 0L) * $DampNum) DIV $DampDen")).as("r")))
     }
     ranks.join(broadcast(nodes), "v")
-      .select(col("v").as("l_partkey"), col("deg").as("n_copurchase"), col("r").as("rank_scaled"))
+      .select(col("v").as("l_partkey"), col("deg").as("n_copurchase"),
+        isSeed.as("is_seed"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("l_partkey"))
       .limit(topN)
   }

@@ -1613,6 +1613,43 @@ object TextStats {
     "tok_sat" -> 1.5, "mean_token_len" -> 0.1, "punct_ratio" -> -3.0,
     "digit_ratio" -> -3.0, "upper_ratio" -> -1.0, "stopword_ratio" -> 1.0)
 
+  /** CLASSIFIER CALIBRATION report (c28) — the reliability diagram for
+    * the [[classifierScore]] gate: fixed-width probability bins
+    * (floor(score·bins), the standard reliability binning) against the
+    * above-median [[qualityScore]] heuristic as pseudo-label, per bin:
+    * count, mean predicted probability, observed pass rate, and the
+    * |mean − observed| calibration gap. The diagnostic a curation team
+    * reads before trusting a model gate's probabilities as sampling
+    * weights (a score used as a WEIGHT — c25/t28 — needs calibration;
+    * a score used only as a THRESHOLD doesn't).
+    *
+    * Scale: binning is map-only arithmetic on the 6dp score (no NTILE,
+    * no global sort — fixed-width bins are the point), the median
+    * pseudo-label threshold is one broadcast scalar, and the report is
+    * one map-side-combined aggregation over `bins` groups. Exact-
+    * decimal averages keep every cell partitioning-independent.
+    */
+  def classifierCalibration(docs: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val sc = classifierScore(docs).select(col("doc_id"), col("clf_score"))
+    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val med = q.agg(
+      Num.roundTo(percentile(col("quality_score"), lit(0.5)), 6).as("m"))
+    sc.join(q, Seq("doc_id"))
+      .crossJoin(broadcast(med))
+      .withColumn("label", col("quality_score") > col("m"))
+      .withColumn("bin",
+        least(floor(col("clf_score") * lit(bins.toDouble)), lit(bins - 1.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        Num.roundTo(Num.exactAvg(col("clf_score")), 6).as("mean_score"),
+        Num.roundTo(Num.exactAvg(when(col("label"), lit(1.0)).otherwise(lit(0.0))), 6)
+          .as("obs_rate"))
+      .withColumn("calibration_gap",
+        Num.roundTo(abs(col("mean_score") - col("obs_rate")), 6))
+      .orderBy("bin")
+  }
+
   /** BPE-style vocabulary induction: the `k` highest-count adjacent
     * symbol-pair merges over the corpus token table — the missing
     * LLM-pipeline stage between chunking (c2) and packing (c4).
@@ -2170,6 +2207,58 @@ object TextStats {
         col("r_bm").cast("long").as("bm25_rank"),
         col("r_m").cast("long").as("match_rank"))
       .orderBy(col("phrase"), col("rank"))
+  }
+
+  /** INVERTED-INDEX LAYOUT report (t36) — the at-rest design row for
+    * the t33/t34 index (what v21 is for the IVF store): per posting
+    * list, the storage cost of sorted-docid DELTA + VARINT encoding
+    * (the standard inverted-index layout — 7-bit groups, gap-encoded)
+    * against raw 8-byte ids, for the `topTerms` longest lists plus the
+    * whole-index ALL row. The report a team reads before choosing the
+    * index's storage layout: long (frequent-term) lists have small
+    * gaps and compress hardest — exactly the lists that dominate
+    * storage and scan cost at corpus scale.
+    *
+    * Determinism: gap widths are integer CASE thresholds (128^j), the
+    * first gap is doc_id+1 (so every encoded value is ≥ 1) — pure
+    * integer arithmetic, replayed byte for byte. Scale: one
+    * postings-sized shuffle (the per-term lag window — the same
+    * distribution the index build itself needs, so at 100 TB this
+    * report rides the build's exchange), then map-side-combined sums.
+    */
+  def indexLayoutReport(docs: DataFrame, topTerms: Int = 50,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(topTerms >= 1, "topTerms must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val postings = docs.select(col(idCol), explode(toksArr).as("tok")).distinct()
+    val w = Window.partitionBy(col("tok")).orderBy(col(idCol))
+    val gaps = postings
+      .withColumn("prev", lag(col(idCol), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, col(idCol) + 1).otherwise(col(idCol) - col("prev")))
+    val vbytes = when(col("delta") < 128L, 1L)
+      .when(col("delta") < 16384L, 2L)
+      .when(col("delta") < 2097152L, 3L)
+      .when(col("delta") < 268435456L, 4L)
+      .otherwise(5L)
+    val perTerm = gaps.withColumn("vb", vbytes)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_postings"), sum(col("vb")).as("varint_bytes"))
+    val top = perTerm
+      .orderBy(col("n_postings").desc, col("tok")).limit(topTerms)
+      .select(col("tok").as("scope"), col("n_postings"), col("varint_bytes"))
+    val all = perTerm.agg(
+        sum(col("n_postings")).as("n_postings"),
+        sum(col("varint_bytes")).as("varint_bytes"))
+      .select(lit("ALL").as("scope"), col("n_postings"), col("varint_bytes"))
+    top.unionByName(all)
+      .select(col("scope"), col("n_postings"),
+        (col("n_postings") * 8L).as("raw_bytes"), col("varint_bytes"),
+        Num.roundTo((col("n_postings") * 8L).cast("double") /
+          col("varint_bytes").cast("double"), 6).as("compression"))
+      .orderBy("scope")
   }
 
   /** Corpus-level language/source profile: aggregation shape. */

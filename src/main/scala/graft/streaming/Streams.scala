@@ -326,6 +326,46 @@ object Streams {
       .select(col(idCol), col("cell"))
   }
 
+  /** Streaming incremental MinHash near-dup (st26) — the x18 twin: new
+    * docs arrive as a stream, each micro-batch computes signatures
+    * map-only (the codegen'd shingle→minhash expressions — no state),
+    * explodes band keys, and probes the STATIC corpus band index by
+    * stream-static equi-join; survivors of the signature-agreement
+    * verification are the cross near-dup pairs.
+    *
+    * STATELESS exactly-once pair emission: a pair that agrees on
+    * several bands would surface once per band, but both signatures
+    * are on the joined row, so each row recomputes the FIRST agreeing
+    * band from the sigs and only that band's row emits —
+    * deduplication by arithmetic instead of dropDuplicates state.
+    * With per-arrival verdicts depending only on the static corpus
+    * (the x13/st15 contract), the output is row-identical to the
+    * batch [[graft.ops.Dedup.minhashLshCross]] and shares its oracle.
+    */
+  def streamMinhashCross(newDocs: DataFrame, corpus: DataFrame,
+                         w: Int = 3, k: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.5): DataFrame = {
+    import graft.ops.Dedup
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    // the at-rest corpus artifact: (band, bkey, doc_old, sig_a)
+    val bandedC = Dedup.minhashSignatures(corpus, w = w, k = k)
+      .select(col("doc_id").as("doc_old"), col("sig").as("sig_a"),
+        posexplode(Dedup.bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+    val bandedN = Dedup.minhashSignatures(newDocs, w = w, k = k)
+      .select(col("doc_id").as("doc_new"), col("sig").as("sig_b"),
+        posexplode(Dedup.bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+    val firstAgree = array_position(
+      zip_with(Dedup.bandKeys(col("sig_a"), bands, r),
+        Dedup.bandKeys(col("sig_b"), bands, r),
+        (x, y) => (x === y).cast("int")), 1) - 1
+    bandedN.join(bandedC, Seq("band", "bkey"))
+      .withColumn("est_jaccard",
+        call_function("sig_agree", col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold && col("band") === firstAgree)
+      .select(col("doc_old"), col("doc_new"), col("est_jaccard"))
+  }
+
   /** Streaming IVF index maintenance (st21) — the v26 twin: new vectors
     * arrive as a stream, each micro-batch map-assigns them to their
     * static trained cell ([[graft.ops.Similarity.assignCellExpr]]

@@ -257,6 +257,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("minhashLshCross = exactly the cross-parity subset of the full pair list; no old×old or new×new ever") {
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+    val batch = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+    val cross = Dedup.minhashLshCross(corpus, batch, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cross.keys.forall { case (old, nw) => old % 2 == 0 && nw % 2 == 1 })
+    // the full within-corpus run restricted to mixed-parity pairs lands
+    // on the same pairs with the same estimated Jaccard
+    val full = Dedup.minhashLsh(Tables.documents(spark, sfDir), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => a % 2 != b % 2 }
+      .map { case ((a, b), j) => (if (a % 2 == 0) (a, b) else (b, a)) -> j }
+      .toMap
+    assert(cross.nonEmpty && cross == full)
+  }
+
   test("minhashLshFromSigs over a materialized bucketed sig table == single-DAG minhashLsh") {
     // The 100 TB form: signatures computed ONCE, written bucketed by
     // doc_id, then banding + verification run off the table. Must be

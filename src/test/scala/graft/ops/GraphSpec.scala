@@ -24,6 +24,44 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_copurchase") == 2L))
   }
 
+  test("partPprSelection with every node a seed == partPageRank (teleport degenerates to uniform)") {
+    val n = 12L
+    val d = tmpDir("ppr_uniform")
+    (0L until n).flatMap(i => Seq((i, i), (i, (i + 1) % n)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val pr = Graph.partPageRank(spark, d.toString, iters = 3, topN = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ppr = Graph.partPprSelection(spark, d.toString, iters = 3, topN = 100, seedMod = 1L)
+      .collect()
+    assert(ppr.forall(_.getAs[Boolean]("is_seed")))
+    assert(ppr.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rank_scaled"))).toSet == pr)
+  }
+
+  test("partPprSelection: single-seed ring — mass concentrates at the seed, decays symmetrically, zero beyond the walk horizon") {
+    // ring 0..11, seeds = v % 50 == 0 → only node 0. After 3 sync
+    // iterations mass has walked at most 3 hops: nodes 4..8 still 0.
+    val n = 12L
+    val d = tmpDir("ppr_ring")
+    (0L until n).flatMap(i => Seq((i, i), (i, (i + 1) % n)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(d.resolve("lineitem.parquet").toString)
+    val out = Graph.partPprSelection(spark, d.toString, iters = 3, topN = 100).collect()
+    assert(out.length == n)
+    val rank = out.map(r => r.getLong(0) -> r.getAs[Long]("rank_scaled")).toMap
+    assert(out.filter(_.getAs[Boolean]("is_seed")).map(_.getLong(0)).toSeq == Seq(0L))
+    // the seed re-receives its full teleport share every iteration:
+    // floor(0.15·S·12 / 1)
+    assert(rank(0L) >= 3L * 1000000000000L * 12L / 20L)
+    // exact left/right symmetry of the floor-division walk (a sync
+    // walk travels as a PULSE, so distance-monotone decay does NOT
+    // hold — symmetry and the horizon are the exact invariants)
+    assert(rank(1L) == rank(11L) && rank(2L) == rank(10L) && rank(3L) == rank(9L))
+    // 3 iterations move mass at most 3 hops: strictly zero beyond
+    assert(Seq(1L, 2L, 3L).forall(rank(_) > 0L))
+    assert(Seq(4L, 5L, 6L, 7L, 8L).forall(rank(_) == 0L))
+  }
+
   test("star graph: the hub outranks the spokes and mass stays near N·S") {
     // orders {hub, spoke_i} → star. Hub collects 0.85·S·(n-1)/1 + base.
     val n = 9L // 8 spokes + hub 0

@@ -1218,6 +1218,56 @@ class TextStatsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
   }
 
+  test("classifierCalibration: bins partition the corpus, rates are probabilities, gap is the recomputed |mean - obs|") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextStats.classifierCalibration(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 9L)
+      val (m, o) = (r.getAs[Double]("mean_score"), r.getAs[Double]("obs_rate"))
+      assert(m >= 0.0 && m <= 1.0 && o >= 0.0 && o <= 1.0)
+      // mean predicted score sits inside its own bin's range
+      assert(m >= bin / 10.0 - 1e-6 && m <= (bin + 1) / 10.0 + 1e-6)
+      assert(r.getAs[Double]("calibration_gap") ==
+        math.floor(math.abs(m - o) * 1e6 + 0.5) / 1e6)
+    }
+    // the report discriminates: higher-score bins pass the heuristic
+    // gate at least as often overall (weak monotonicity on the fixture:
+    // top bin beats bottom bin)
+    val byBin = out.map(r => r.getAs[Long]("bin") -> r.getAs[Double]("obs_rate")).toMap
+    assert(byBin(byBin.keys.max) >= byBin(byBin.keys.min))
+  }
+
+  test("indexLayoutReport: hand-computed varint gaps; ALL row sums; width thresholds at the 128^j boundaries") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "a"), (200L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextStats.indexLayoutReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a: postings [0,1,200] → gaps [1,1,199] → varint [1,1,2] = 4 bytes
+    assert(out("a").getAs[Long]("n_postings") == 3L)
+    assert(out("a").getAs[Long]("raw_bytes") == 24L)
+    assert(out("a").getAs[Long]("varint_bytes") == 4L)
+    assert(out("a").getAs[Double]("compression") == 6.0)
+    // b: [0] → gap 1 → 1 byte; c: [200] → first gap 201 → 2 bytes
+    assert(out("b").getAs[Long]("varint_bytes") == 1L)
+    assert(out("c").getAs[Long]("varint_bytes") == 2L)
+    // ALL row is the exact column sums: 5 postings, 7 varint bytes
+    assert(out("ALL").getAs[Long]("n_postings") == 5L)
+    assert(out("ALL").getAs[Long]("varint_bytes") == 7L)
+    assert(out("ALL").getAs[Double]("compression") ==
+      math.floor((40.0 / 7.0) * 1e6 + 0.5) / 1e6)
+    // boundary: gap exactly 16384 needs 3 bytes, 16383 needs 2
+    val edge = Seq((0L, "x y"), (16384L, "x"), (16383L, "y"))
+      .toDF("doc_id", "text")
+    val eo = TextStats.indexLayoutReport(edge).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("varint_bytes")).toMap
+    assert(eo("x") == 1L + 3L) // gaps [1, 16384]
+    assert(eo("y") == 1L + 2L) // gaps [1, 16383]
+  }
+
   test("temperatureMix: budgets ∝ √tokens (flatter than natural shares), sum <= B, allocation == tokenBudgetMix on the derived budgets") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextStats.temperatureMix(docs, totalBudget = 8000L).collect()

@@ -104,6 +104,29 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming incremental MinHash == batch minhashLshCross across micro-batch boundaries; multi-band pairs emit exactly once") {
+    val d = tmpDir("stream_mh").resolve("docs").toString
+    Tables.documents(spark, sfDir).orderBy(rand(11)).repartition(5)
+      .write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val corpus = spark.read.parquet(d).filter(col("doc_id") % 2 === 0)
+    Streams.runToMemory(
+      Streams.streamMinhashCross(
+        Streams.parquetDirStream(spark, d, schema, maxFilesPerTrigger = 1)
+          .filter(col("doc_id") % 2 === 1), corpus),
+      "mh_stream", OutputMode.Append())
+    val streamed = spark.table("mh_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exactly-once: no duplicate pairs even though near-dups agree on
+    // MANY bands (an exact dup agrees on all 32)
+    assert(streamed.map(p => (p._1, p._2)).distinct.size == streamed.size)
+    val batch = graft.ops.Dedup.minhashLshCross(
+        corpus, spark.read.parquet(d).filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.nonEmpty && streamed.sorted == batch.sorted)
+    assert(streamed.exists(_._3 == 1.0), "fixture should contain an exact cross dup")
+  }
+
   test("streaming bloom-prefiltered survivors == batch anti-join, bloom invisible in results") {
     val d = tmpDir("stream_inc").resolve("docs").toString
     // sf0.001 has no odd-duplicates-even text collisions — inject some:
