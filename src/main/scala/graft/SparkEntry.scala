@@ -1564,6 +1564,22 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
       Similarity.ivfRetrain(corpus, batch, codebook, iters = 2).orderBy("cell")
     }),
+    // v29 — the lifecycle's QUERY face: v12's multiprobe search run
+    // against the RETRAINED codebook (add → drift flag → retrain →
+    // re-layout → SEARCH) — proving the maintained index answers the
+    // same ANN workload; oracle replays warm-start + search CTE-for-CTE
+    "v29_post_retrain_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val cb = graft.ops.Iterate.materialize(
+        Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3))
+      val newCb = graft.ops.Iterate.materialize(
+        Similarity.ivfRetrainCodebook(corpus, batch, cb, iters = 2))
+      Similarity.ivfTopKTrainedMultiProbe(emb,
+          Similarity.querySet(emb, "vec_id", 20), newCb, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // v28 — the at-rest ACTION on v27's delta: rebuild the pre-retrain
     // layout (fresh every run — the delta pass mutates it), warm-retrain,
     // then rewrite ONLY membership-changed cell partitions via dynamic
@@ -2387,6 +2403,34 @@ object SparkEntry {
     s"""WITH ${ivfRetrainCtes(warmIters)}
        |SELECT ca AS cell, CAST(count(*) AS BIGINT) AS n_vecs
        |FROM mv GROUP BY ca ORDER BY cell""".stripMargin
+
+  /** v29 — the v12 multiprobe search CTEs re-pointed at the RETRAINED
+    * codebook (`wb\$warmIters` over all embeddings `ea`, from
+    * [[ivfRetrainCtes]]): corpus argmin-assigns, queries probe the
+    * `nprobe` nearest retrained cells, bruteTopKSql's scoring/ranking
+    * restricted to shared cells — [[trainedIvfTopKSql]]'s shapes with
+    * cb→wb and e→ea. */
+  private def postRetrainTopKSql(warmIters: Int = 2, nprobe: Int = 4,
+                                 k: Int = 10): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    s"""WITH ${ivfRetrainCtes(warmIters)},
+       |ca2 AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM ea w, wb$warmIters c) WHERE rn = 1),
+       |qa2 AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM ea w, wb$warmIters c WHERE w.vec_id % 20 = 0) WHERE rn <= $nprobe),
+       |s2 AS (SELECT qa2.query_id, ca2.neighbor_id,
+       |  ${Num.sqlRoundTo("list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))", 9)} AS sim
+       |  FROM qa2 JOIN ca2 ON qa2.cell = ca2.cell AND qa2.query_id <> ca2.neighbor_id
+       |  JOIN ea q ON q.vec_id = qa2.query_id JOIN ea n ON n.vec_id = ca2.neighbor_id),
+       |vrk AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s2)
+       |SELECT query_id, neighbor_id, rank, sim FROM vrk WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   private def semDedupIncrementSql(threshold: Double = 0.42, iters: Int = 3): String =
     s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
@@ -6038,6 +6082,7 @@ object SparkEntry {
     // v28 — same CTE chain, read-back form: per-cell counts of the
     // retrained assignment == what the delta-rewritten layout holds
     "v28_ivf_relayout" -> ivfRelayoutSql(warmIters = 2),
+    "v29_post_retrain_topk" -> postRetrainTopKSql(warmIters = 2),
     // v18 — cell outliers: v4's assignment (dist kept), within-cell rank
     // by (dist DESC, id), integer-exact top-decile flag
     "v18_cell_outliers" -> {

@@ -497,6 +497,33 @@ class SimilaritySpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("post-retrain search (v29): zero-round retrain leaves the v12 search unchanged; retrained search keeps the top-k contract") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val cb = graft.ops.Iterate.materialize(
+      Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3))
+    val q = Similarity.querySet(emb, "vec_id", 20)
+    def run(codebook: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKTrainedMultiProbe(emb, q, codebook, nprobe = 4)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // iters=0 retrain is the identity on the codebook → identical search
+    val idCb = Similarity.ivfRetrainCodebook(corpus, batch, cb, iters = 0)
+    assert(run(idCb) == run(cb))
+    // the retrained index still answers the workload: every query keeps
+    // contiguous ranks with non-increasing similarity
+    val newCb = graft.ops.Iterate.materialize(
+      Similarity.ivfRetrainCodebook(corpus, batch, cb, iters = 2))
+    val out = run(newCb)
+    assert(out.nonEmpty)
+    out.groupBy(_.head).foreach { case (_, rows) =>
+      val ranks = rows.map(_(2).asInstanceOf[Long])
+      assert(ranks == (1L to ranks.length).toSeq)
+      val sims = rows.map(_(3).asInstanceOf[Double])
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("ivfRelayoutDelta: untouched partitions byte-identical, result == full rewrite, emptied dirs removed") {
     import spark.implicits._
     def vec(x: Float, y: Float) = Array(x, y) ++ Array.fill(6)(0f)
