@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Committed quiet-box minimum of the calibration micro-bench (the
+    * trimmed 8-of-12 tiny-job sum, see `calib()` below), in seconds.
+    * Measured min over repeated runs on the quietest box state observed
+    * (BENCH_NOTES.md round-16 "Calibration row"); ratchets DOWN only,
+    * like BENCH_MINS.json — an over-committed min biases calib_ratio
+    * LOW, i.e. toward NOT normalizing, which can never mask a
+    * regression.
+    */
+  val CalibQuietMin: Double = 1.00
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +26,32 @@ object Bench {
     // any per-query timer. (See BENCH_NOTES.md, round 6.)
     spark.range(1000000L).selectExpr("sum(id) AS s").collect()
     graft.ops.Tables.documents(spark, sfDir).count()
+    // Self-attributing calibration (round-15 verdict ask #1): a fixed
+    // micro-benchmark (trimmed sum of tiny sequential jobs), run before and
+    // once after the timed suite. Its cost is dominated by per-job
+    // scheduling latency — the exact quantity box contention amplifies
+    // 15-97x in the iterative queries (r15: v22 2.1 s quiet vs 175 s
+    // contended) while one-job rows barely move. CALIB_QUIET_MIN is the
+    // committed quiet-box minimum of this row (min over repeated runs
+    // on an idle box; re-ratchet downward only, like BENCH_MINS).
+    // calib_ratio = min(pre, post) / CALIB_QUIET_MIN is the run's box
+    // factor: ~1 on a quiet box, >>1 when the box was contended — so a
+    // consumer of BENCH_r{N}.json can tell a polluted measurement from
+    // a plan regression without re-running anything.
+    // Trimmed sum: 12 iterations, keep the 8 fastest. The first
+    // iterations of the PRE row otherwise absorb one-off JIT/codegen
+    // first-touch (measured ~2x the post row on the same box); the trim
+    // removes those spikes while sustained contention — which inflates
+    // EVERY iteration — still moves the sum in full.
+    def calib(): Double = {
+      val times = (0 until 12).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(2000000L).selectExpr("sum(id * 31 + 7) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.take(8).sum
+    }
+    val calibPre = calib()
     // Optional comma-separated subset for targeted scaling probes
     // (sf0.1-vs-sf1 per-query ratios); unset = the full driver protocol.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
@@ -41,7 +77,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
+    // min(pre, post): the pre row keeps a small JIT first-touch bias
+    // even after trimming (measured +0.4-0.6 s vs post on the same
+    // box), so the LOWER of the two is the cleaner estimate of the
+    // run's box state — and a conservative one: a contended run
+    // inflates both rows, while using the min can only UNDER-normalize,
+    // never hide a regression.
+    val calibPost = calib()
+    val calibRatio = math.min(calibPre, calibPost) / Bench.CalibQuietMin
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val procs = Runtime.getRuntime.availableProcessors
+    // Calibration fields sit AFTER "queries" so front-truncation of the
+    // driver's stdout tail capture never loses them.
+    val line = s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},""" +
+      s""""calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},""" +
+      s""""calib_quiet_min":${f"${Bench.CalibQuietMin}%.3f"},"calib_ratio":${f"$calibRatio%.3f"},""" +
+      s""""load_avg":${f"$loadAvg%.2f"},"cpus":$procs,""" +
+      s""""metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     println(line)
     // The stdout line above is all the driver keeps, and it keeps only the
     // TAIL of it — with 140 queries that loses ~45% of the per-query

@@ -580,21 +580,14 @@ object SparkEntry {
         EventWindows.hourlyPartial(ev.filter(col("event_id") % 2 === 1)))
         .orderBy("window_start_us", "event_type")
     }),
-    // semantic dedup end-to-end: exact cosine pairs (threshold 0.42 —
-    // the fixture's vectors are near-orthogonal, see SimilaritySpec) →
-    // pointer-jumping connected components → canonical per cluster.
-    // The LSH pair generator (v3) is the at-scale twin of the pair stage.
-    "x9_emb_dup_clusters" -> ((s, d) => {
-      // BOUNDED oracle baseline: the all-pairs stage is capped at the
-      // first 5000 vectors (a no-op at the fixture scales, whose ids stop
-      // at 1999) so the quadratic plan can never run on a full corpus —
-      // x10 below is the uncapped at-scale path (LSH pair generation).
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 5000)
-      val pairs = Similarity.embeddingNearDupExact(emb, 0.42)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      Dedup.resolveDuplicates(emb.select(col("vec_id")), pairs, "vec_id")
-        .orderBy("vec_id")
-    }),
+    // x9 DEREGISTERED round 16 (the v1/v7 precedent, r15 verdict ask
+    // #7): it was the one remaining registered capped-all-pairs plan —
+    // exact cosine pairs → CC at a 5000-vector cap. Its semantics
+    // survive registered twice over: x10 (LSH candidates, uncapped, a
+    // spec'd refinement of the exact baseline) and x12 (IVF
+    // cell-bounded SemDeDup) run the same cluster machinery at scale;
+    // SimilaritySpec/ScaleDedupSpec keep embeddingNearDupExact as the
+    // recall-floor anchor at both scales.
     // the composition a 100 TB corpus would actually run: sign-LSH
     // bucketed candidate pairs (exact-cosine verified, so every pair is
     // a TRUE >= threshold pair and the clustering is a refinement of
@@ -1078,6 +1071,31 @@ object SparkEntry {
     // CASE thresholds, replayed byte for byte)
     "t36_index_layout" -> ((s, d) =>
       TextStats.indexLayoutReport(Tables.documents(s, d))),
+    // t37 — index MAINTENANCE (the retrieval v26 analog): the odd half
+    // arrives as its own O(batch) tf segment against the staged
+    // at-rest base index; per-scope layout costs, dictionary growth,
+    // compaction gain, and the integer-exact rebuild drift rule
+    "t37_index_add" -> ((s, d) => {
+      val idx = stagedTextIndex(s, d)
+      TextStats.indexAddReport(
+        s.read.parquet(s"$idx/tfs"),
+        TextStats.indexSegment(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 1))._1)
+    }),
+    // t38 — post-add search (the retrieval v29 analog): BM25 top-k
+    // served THROUGH base segment + add segment with summed global
+    // stats, gated by the t34 oracle over the union corpus — the
+    // add-then-query == rebuild-then-query proof, oracle-checked
+    "t38_index_search_merged" -> ((s, d) => {
+      val idx = stagedTextIndex(s, d)
+      val docs = Tables.documents(s, d)
+      val (addTfs, addLens) =
+        TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+      TextStats.bm25TopKFromSegments(
+        Seq((s.read.parquet(s"$idx/tfs"), s.read.parquet(s"$idx/lens")),
+          (addTfs, addLens)),
+        TextStats.bm25QueryToks(docs))
+    }),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -1708,34 +1726,41 @@ object SparkEntry {
         mem, org.apache.spark.sql.streaming.OutputMode.Append())
       s.table(mem).orderBy("doc_id", "phrase")
     }),
+    // st27 — t37's streaming twin: new docs stream in; each
+    // micro-batch appends its own O(batch) tf segment to the at-rest
+    // store (foreachBatch parquet — the sink IS the index, zero
+    // streaming state, nothing collected to the driver); the add
+    // report over (base, accumulated segments) is row-identical to
+    // batch t37 and shares its oracle verbatim.
+    "st27_stream_index_add" -> ((s, d) => {
+      val idx = stagedTextIndex(s, d)
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val segDir = java.nio.file.Files.createTempDirectory("graft_st27_seg").toString
+      graft.streaming.Streams.runIndexAddBatches(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .filter(col("doc_id") % 2 === 1), segDir)
+      TextStats.indexAddReport(s.read.parquet(s"$idx/tfs"), s.read.parquet(segDir))
+    }),
     // st23 — m10's streaming twin (the modality matrix's last cell):
-    // new tracks stream in; each probes the static corpus's df-guarded
-    // window-hash inverted index and reports its best-Jaccard match +
-    // dup verdict. Per-row vs a static artifact -> zero streaming
-    // state, batch SQL gates the stream. The even/odd t-split puts
-    // every planted retake pair ACROSS the corpus/stream boundary.
+    // new tracks stream in; each micro-batch stream-static joins the
+    // corpus's AT-REST df-guarded window-hash index parquet (staged
+    // once, wh-bucketed) and reports its best-Jaccard match + dup
+    // verdict — the fully DISTRIBUTED plan (foreachBatch over
+    // Multimodal.audioMatchAgainstIndex; no driver-collected index,
+    // the r15 verdict's flagged scale-killer). Zero cross-batch state,
+    // batch SQL gates the stream. The even/odd t-split puts every
+    // planted retake pair ACROSS the corpus/stream boundary.
     "st23_stream_audio_match" -> ((s, d) => {
       val stage = stagedShiftedAudio(s, d)
       val schema = s.read.parquet(stage).schema
-      val corpus = s.read.parquet(stage)
-        .filter(expr("((media_id - 2) div 3) % 2 = 0"))
-      val cs = graft.ops.Iterate.materialize(Multimodal.audioWindowSets(corpus))
-      val sizes = cs.select("doc_id", "n_sh").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val entries = cs.select(explode(col("sh")).as("wh"), col("doc_id"))
-        .groupBy("wh").agg(collect_list("doc_id").as("ds"))
-        .filter(size(col("ds")) <= 64)
-        .select(col("wh"), explode(col("ds")).as("doc_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val mem = s"st23_mem_${Integer.toHexString(d.hashCode)}"
-      graft.streaming.Streams.runToMemory(
-        graft.streaming.Streams.streamAudioMatch(
-          Multimodal.audioWindowSets(
-            graft.streaming.Streams.parquetDirStream(s, stage, schema)
-              .filter(expr("((media_id - 2) div 3) % 2 = 1"))),
-          entries, sizes).toDF(),
-        mem, org.apache.spark.sql.streaming.OutputMode.Append())
-      s.table(mem).orderBy("media_id")
+      val idx = stagedAudioIndex(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_st23_out").toString
+      graft.streaming.Streams.runAudioMatchBatches(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .filter(expr("((media_id - 2) div 3) % 2 = 1")),
+        s"$idx/index", s"$idx/sizes", out)
+      s.read.parquet(out).orderBy("media_id")
     }),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
@@ -1834,6 +1859,44 @@ object SparkEntry {
     val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/shiftaudio_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Multimodal.audioTableShifted(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** st23's AT-REST corpus artifact, staged once per sfDir like any
+    * model/index snapshot: `index/` = the df-guarded window-hash
+    * inverted index (wh, cid), repartitioned by wh so probe joins
+    * co-locate on the bucket key; `sizes/` = the full per-track
+    * window-set sizes (cid, nb). Built by ONE distributed pass over the
+    * corpus half (windowSets localCheckpointed so index and sizes share
+    * the decode), no driver collection anywhere.
+    */
+  private def stagedAudioIndex(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/audioidx_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "sizes", "_SUCCESS"))) {
+      val corpus = s.read.parquet(stagedShiftedAudio(s, d))
+        .filter(expr("((media_id - 2) div 3) % 2 = 0"))
+      val cs = graft.ops.Iterate.materialize(Multimodal.audioWindowSets(corpus))
+      Multimodal.audioWindowIndex(cs).repartition(col("wh"))
+        .write.mode("overwrite").parquet(s"$stage/index")
+      cs.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
+        .write.mode("overwrite").parquet(s"$stage/sizes")
+    }
+    stage
+  }
+
+  /** t37/t38/st27's AT-REST text index: the corpus (even) half's tf
+    * segment + doc lengths ([[graft.ops.TextStats.indexSegment]]),
+    * staged once per sfDir — tfs repartitioned by tok so postings
+    * probes co-locate on the term key.
+    */
+  private def stagedTextIndex(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/textidx_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "lens", "_SUCCESS"))) {
+      val (tfs, lens) = TextStats.indexSegment(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+      tfs.repartition(col("tok")).write.mode("overwrite").parquet(s"$stage/tfs")
+      lens.write.mode("overwrite").parquet(s"$stage/lens")
+    }
     stage
   }
 
@@ -3249,6 +3312,48 @@ object SparkEntry {
     * change here re-gates both; the TESTDATA.md shared-machinery rule
     * applies). Pre-stripped: callers interpolate it into their own
     * stripMargin blocks. */
+  /** Shared t37/st27 oracle: the parity-split postings re-scoped three
+    * ways (base/add/merged), each scope's delta chain re-walked with
+    * the t36 varint CASE, dictionary growth by EXCEPT, compaction gain
+    * and the integer drift rule on the merged row. */
+  private lazy val indexAddSql: String =
+    s"""WITH tb AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |post AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM tb),
+       |sp AS (SELECT 'base' AS scope, doc_id, tok FROM post WHERE doc_id % 2 = 0
+       |  UNION ALL SELECT 'add', doc_id, tok FROM post WHERE doc_id % 2 = 1
+       |  UNION ALL SELECT 'merged', doc_id, tok FROM post),
+       |g AS (SELECT scope, tok, doc_id,
+       |  doc_id - lag(doc_id) OVER (PARTITION BY scope, tok ORDER BY doc_id) AS dd FROM sp),
+       |dv AS (SELECT scope, tok, doc_id,
+       |  CASE WHEN dd IS NULL THEN doc_id + 1 ELSE dd END AS delta FROM g),
+       |vb AS (SELECT scope, tok, doc_id,
+       |  CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+       |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+       |  WHEN delta < 34359738368 THEN 5 WHEN delta < 4398046511104 THEN 6
+       |  WHEN delta < 562949953421312 THEN 7 WHEN delta < 72057594037927936 THEN 8
+       |  ELSE 9 END AS b FROM dv),
+       |per AS (SELECT scope, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+       |  CAST(count(*) AS BIGINT) AS n_postings,
+       |  CAST(sum(b) AS BIGINT) AS varint_bytes FROM vb GROUP BY scope),
+       |newt AS (SELECT CAST(count(*) AS BIGINT) AS n_new_terms FROM (
+       |  SELECT DISTINCT tok FROM post WHERE doc_id % 2 = 1
+       |  EXCEPT SELECT DISTINCT tok FROM post WHERE doc_id % 2 = 0)),
+       |tot AS (SELECT
+       |  sum(CASE WHEN scope = 'base' THEN varint_bytes END) AS vb_base,
+       |  sum(CASE WHEN scope = 'add' THEN varint_bytes END) AS vb_add,
+       |  sum(CASE WHEN scope = 'merged' THEN varint_bytes END) AS vb_merged,
+       |  sum(CASE WHEN scope = 'base' THEN n_postings END) AS np_base,
+       |  sum(CASE WHEN scope = 'add' THEN n_postings END) AS np_add FROM per)
+       |SELECT scope, n_docs, n_terms,
+       |  CAST(CASE WHEN scope = 'base' THEN 0 ELSE n_new_terms END AS BIGINT) AS n_new_terms,
+       |  n_postings, varint_bytes,
+       |  CAST(CASE WHEN scope = 'merged' THEN vb_base + vb_add - vb_merged ELSE 0 END AS BIGINT) AS merge_gain_bytes,
+       |  CASE WHEN scope = 'merged' THEN 4 * np_add >= np_base ELSE FALSE END AS rebuild_recommended
+       |FROM per, tot, newt ORDER BY scope""".stripMargin
+
   private lazy val bm25RankCtes: String =
     s"""WITH tb AS MATERIALIZED (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
@@ -5145,7 +5250,10 @@ object SparkEntry {
          |dv AS (SELECT tok,
          |  CASE WHEN dd IS NULL THEN doc_id + 1 ELSE dd END AS delta FROM g),
          |vb AS (SELECT tok, CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
-         |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4 ELSE 5 END AS b FROM dv),
+         |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+         |  WHEN delta < 34359738368 THEN 5 WHEN delta < 4398046511104 THEN 6
+         |  WHEN delta < 562949953421312 THEN 7 WHEN delta < 72057594037927936 THEN 8
+         |  ELSE 9 END AS b FROM dv),
          |pt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_postings,
          |  CAST(sum(b) AS BIGINT) AS varint_bytes FROM vb GROUP BY tok),
          |top AS (SELECT tok AS scope, n_postings, varint_bytes FROM pt
@@ -5157,6 +5265,19 @@ object SparkEntry {
          |  ${Num.sqlRoundTo(
              "CAST(n_postings * 8 AS DOUBLE) / CAST(varint_bytes AS DOUBLE)", 6)} AS compression
          |FROM u ORDER BY scope""".stripMargin,
+    // t37 — segment add/merge/compaction replay (three scopes through
+    // one window CTE, the t36 widths, EXCEPT dictionary growth,
+    // integer drift rule)
+    "t37_index_add" -> indexAddSql,
+    // t38 — the t34 rank CTEs over the UNION corpus verbatim: serving
+    // through (base segment + add segment) must equal the rebuild
+    "t38_index_search_merged" ->
+      s"""$bm25RankCtes
+         |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY phrase, rank""".stripMargin,
+    // st27 — shares t37's oracle verbatim (doc-disjoint segments:
+    // micro-batch boundaries cannot change any count)
+    "st27_stream_index_add" -> indexAddSql,
     // st24 — t33's derivation restricted to the even (corpus) half,
     // matches counted over the odd (streamed) half only
     "st24_stream_phrase_match" ->
@@ -5938,17 +6059,8 @@ object SparkEntry {
       s"""$dupComponentsCte
          |SELECT v AS doc_id, component, CAST(v = component AS BOOLEAN) AS keep
          |FROM rec ORDER BY doc_id""".stripMargin,
-    // x9: same component machinery, edges from exact cosine >= 0.42
-    "x9_emb_dup_clusters" ->
-      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings WHERE vec_id < 5000),
-         |sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-         |        ${Num.sqlRoundTo("list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv)))", 9)} AS sim
-         |       FROM vv a JOIN vv b ON a.vec_id < b.vec_id),
-         |edges0 AS (SELECT ia, ib FROM sc WHERE sim >= 0.42),
-         |edges AS MATERIALIZED (SELECT ia AS v, ib AS w FROM edges0 UNION SELECT ib, ia FROM edges0),
-         |${ccRoundsSql("SELECT vec_id AS v FROM embeddings WHERE vec_id < 5000")}
-         |SELECT v AS vec_id, component, CAST(v = component AS BOOLEAN) AS keep
-         |FROM rec ORDER BY vec_id""".stripMargin,
+    // x9 deregistered round 16 — see the queries-map note; x10/x12
+    // carry the semantics at scale, the specs keep the exact anchor
     // x10 — the flagship semantic-dedup SCALE path, hash-gated since
     // round 12: multi-table sign-LSH candidates (the v2/v11 splitmix
     // hyperplane replay × 4 seeded tables, integer-exact auto nbits,

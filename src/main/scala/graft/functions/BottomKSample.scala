@@ -110,35 +110,82 @@ case class BottomKPairs(
 }
 
 /** Bounded multiset of the k (h, x)-smallest pairs, duplicates kept.
-  * A max-heap by (h, x) gives O(log k) insert/evict; ≤ k entries by
-  * construction, so partial-aggregate memory is constant.
+  * A binary max-heap by (h, x) gives O(log k) insert/evict; ≤ k entries
+  * by construction, so partial-aggregate memory is constant.
+  *
+  * Backed by parallel `long[]`/`double[]` arrays with hand-rolled sift
+  * operations: the per-row add/merge hot path allocates NOTHING (the
+  * earlier `PriorityQueue[(Long, Double)]` boxed two primitives plus a
+  * Tuple2 per update row — the round-15 ADVICE allocation finding).
+  * Ties on h break by x via `Double.compare` (total order, NaN-safe),
+  * matching the `Double.TotalOrdering` used by [[sortedAscending]].
   */
 final class BottomKBuffer(k: Int) {
-  private val heap = new java.util.PriorityQueue[(Long, Double)](
-    math.min(k, 64),
-    (a: (Long, Double), b: (Long, Double)) => {
-      val c = java.lang.Long.compare(b._1, a._1) // max-heap: reversed
-      if (c != 0) c else java.lang.Double.compare(b._2, a._2)
-    })
+  private var hs = new Array[Long](math.min(k, 64))
+  private var xs = new Array[Double](hs.length)
+  private var n = 0
 
-  def size: Int = heap.size
+  def size: Int = n
+
+  /** (h1, x1) strictly before (h2, x2) in the bottom-k order. */
+  @inline private def lt(h1: Long, x1: Double, h2: Long, x2: Double): Boolean =
+    h1 < h2 || (h1 == h2 && java.lang.Double.compare(x1, x2) < 0)
+
+  private def grow(): Unit = {
+    val cap = math.min(k, hs.length * 2)
+    hs = java.util.Arrays.copyOf(hs, cap)
+    xs = java.util.Arrays.copyOf(xs, cap)
+  }
+
+  /** Restore the max-heap invariant upward from slot i0. */
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    val h = hs(i); val x = xs(i)
+    var done = false
+    while (!done && i > 0) {
+      val p = (i - 1) >>> 1
+      if (lt(hs(p), xs(p), h, x)) { hs(i) = hs(p); xs(i) = xs(p); i = p }
+      else done = true
+    }
+    hs(i) = h; xs(i) = x
+  }
+
+  /** Restore the max-heap invariant downward from the root. */
+  private def siftDown(): Unit = {
+    val h = hs(0); val x = xs(0)
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      if (l >= n) done = true
+      else {
+        val r = l + 1
+        val c = if (r < n && lt(hs(l), xs(l), hs(r), xs(r))) r else l
+        if (lt(h, x, hs(c), xs(c))) { hs(i) = hs(c); xs(i) = xs(c); i = c }
+        else done = true
+      }
+    }
+    hs(i) = h; xs(i) = x
+  }
 
   def add(h: Long, x: Double): Unit = {
-    if (heap.size < k) { heap.add((h, x)); () }
-    else {
-      val top = heap.peek()
-      if (h < top._1 || (h == top._1 && x < top._2)) {
-        heap.poll(); heap.add((h, x)); ()
-      }
+    if (n < k) {
+      if (n == hs.length) grow()
+      hs(n) = h; xs(n) = x; n += 1
+      siftUp(n - 1)
+    } else if (lt(h, x, hs(0), xs(0))) {
+      hs(0) = h; xs(0) = x
+      siftDown()
     }
   }
 
-  def foreach(f: (Long, Double) => Unit): Unit =
-    heap.forEach(p => f(p._1, p._2))
+  def foreach(f: (Long, Double) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(hs(i), xs(i)); i += 1 }
+  }
 
   def sortedAscending: Seq[(Long, Double)] = {
-    val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    heap.forEach(p => b += p)
+    val b = Array.tabulate(n)(i => (hs(i), xs(i)))
     b.sortInPlace()(Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering)).toSeq
   }
 }

@@ -774,6 +774,56 @@ object Multimodal {
       .filter(col("window_jaccard") >= threshold)
   }
 
+  /** The corpus's AT-REST window-hash inverted index (st23's static
+    * side): one (wh, cid) row per df-guarded posting — windows shared
+    * by more than `maxWindowFreq` corpus tracks drop (a looped jingle
+    * is a high-df shingle, the [[graft.ops.Dedup.sharedHashPairs]]
+    * guard). Staged to parquet once per corpus snapshot, repartitioned
+    * by wh so probe joins co-locate on the bucket key.
+    */
+  def audioWindowIndex(sets: DataFrame, maxWindowFreq: Long = 64): DataFrame = {
+    val ce = sets.select(explode(col("sh")).as("wh"), col("doc_id").as("cid"))
+    val dfc = ce.groupBy("wh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxWindowFreq)
+    ce.join(dfc.select("wh"), "wh").select("wh", "cid")
+  }
+
+  /** Best-corpus-match per NEW track against the at-rest window-hash
+    * index — st23's distributed verdict core. The probe explodes each
+    * new track's window set and equi-joins the guarded index on wh
+    * (8-byte keys only; at scale this is the stream-static join against
+    * the bucketed index parquet), shared counts collapse with map-side
+    * combine, Jaccard rounds at 6dp, and the best match per track —
+    * highest J, ties to the LOWER corpus id — falls out of one
+    * struct-max aggregate (no window function, no driver state: (j,
+    * -cid) compares lexicographically, so max j then min cid wins).
+    * Tracks with no guarded candidate emit (NULL, 0.0, false) through
+    * the final left join. `index` is [[audioWindowIndex]]'s (wh, cid),
+    * `sizes` the full (cid, nb) per-track window-set sizes.
+    */
+  def audioMatchAgainstIndex(newSets: DataFrame, index: DataFrame,
+                             sizes: DataFrame,
+                             threshold: Double = 0.5): DataFrame = {
+    val probes = newSets.select(col("doc_id").as("media_id"),
+      col("n_sh").as("na"), explode(col("sh")).as("wh"))
+    val shared = probes.join(index, "wh")
+      .groupBy(col("media_id"), col("na"), col("cid"))
+      .agg(count(lit(1)).as("shared"))
+    val j = shared.join(sizes, "cid")
+      .select(col("media_id"), col("cid"),
+        Num.roundTo(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 6).as("j"))
+    val best = j.groupBy("media_id")
+      .agg(max(struct(col("j"), (-col("cid")).as("nc"))).as("b"))
+      .select(col("media_id"), (-col("b.nc")).as("matched_id"),
+        col("b.j").as("j"))
+    newSets.select(col("doc_id").as("media_id"))
+      .join(best, Seq("media_id"), "left")
+      .select(col("media_id"), col("matched_id"),
+        coalesce(col("j"), lit(0.0)).as("window_jaccard"),
+        coalesce(col("j") >= threshold, lit(false)).as("is_dup"))
+  }
+
   /** The curated corpus's AT-REST curation index — st22's static side,
     * staged once per corpus snapshot like any model artifact:
     * (media_id, ahash, quality) per decodable image, 24 bytes a row.

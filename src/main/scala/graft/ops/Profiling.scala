@@ -505,10 +505,17 @@ object Profiling {
                       k: Int = 256): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
+    // Null-key contract: rows whose rowKey is NULL are EXCLUDED from
+    // both the sample and the exact audit columns. Without this filter
+    // the three evaluation paths diverge on nullable keys: Spark's
+    // window ORDER BY sorts NULL hashes first (always sampled), the
+    // DuckDB oracle sorts them last (almost never sampled), and the
+    // BottomKPairs aggregate (st25) skips them entirely. Filtering the
+    // key up front makes window path ≡ aggregate path ≡ SQL replay.
     val s = df
       .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("x"),
         call_function("splitmix64", rowKey.cast("long")).as("h"))
-      .filter(col("x").isNotNull)
+      .filter(col("x").isNotNull && col("h").isNotNull)
     val w = Window.partitionBy(col("grp")).orderBy(col("h"), col("x"))
     val samp = s.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
     val est = samp.groupBy("grp").agg(

@@ -2121,18 +2121,77 @@ object TextStats {
     */
   def bm25TopK(docs: DataFrame, n: Int = 3, topQ: Int = 5, k: Int = 10,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    import org.apache.spark.sql.expressions.Window
+    val (tfs, lens) = indexSegment(docs, textCol, idCol)
+    val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    bm25ScoreTopK(tfs, dfs, lens, stats,
+      bm25QueryToks(docs, n, topQ, textCol), k, idCol)
+  }
+
+  /** The tf-index SEGMENT — the at-rest unit of the t33–t38 retrieval
+    * family (what a Lucene segment is to its index): `(tok, doc_id,
+    * tf)` term frequencies plus `(doc_id, dl)` document lengths, both
+    * map-side-combined aggregations over ONLY the given docs. Building
+    * a segment for a new document batch is O(batch) — the at-rest
+    * corpus index is never rescanned — and because segments hold
+    * doc-disjoint rows, every global BM25 statistic (df, N, Σdl) is
+    * the exact SUM of per-segment statistics, which is what makes
+    * add-then-query ≡ rebuild-then-query exact
+    * ([[bm25TopKFromSegments]], spec-pinned).
+    */
+  def indexSegment(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): (DataFrame, DataFrame) = {
     val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
     val tokBase = docs.select(col(idCol), toksArr.as("ts"))
     val lens = tokBase.select(col(idCol), size(col("ts")).cast("long").as("dl"))
       .filter(col("dl") > 0)
-    val postings = tokBase.select(col(idCol), explode(col("ts")).as("tok"))
-    val tfs = postings.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val qToks = topNgrams(docs, n, topQ, textCol)
+    val tfs = tokBase.select(col(idCol), explode(col("ts")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    (tfs, lens)
+  }
+
+  /** The deterministic derived query workload shared by t34/t35/t38:
+    * each topQ phrase as a distinct bag of terms. */
+  def bm25QueryToks(docs: DataFrame, n: Int = 3, topQ: Int = 5,
+                    textCol: String = "text"): DataFrame =
+    topNgrams(docs, n, topQ, textCol)
       .select(col("phrase"), explode(split(col("phrase"), " ")).as("tok")).distinct()
+
+  /** BM25 top-k THROUGH the segmented index (t38 — the retrieval
+    * analog of v29's post-retrain search): the at-rest base segment
+    * plus any number of added segments serve queries together WITHOUT
+    * a rebuild. Global statistics merge by pure sums over per-segment
+    * aggregates (segments are doc-disjoint: df adds, N adds, Σdl
+    * adds), so the scores — and therefore the ranks — are EXACTLY the
+    * single-segment rebuild's, not an approximation; the t34 oracle
+    * over the union corpus gates this plan verbatim. Scale: stat
+    * merging touches per-segment aggregate rows only; scoring touches
+    * only the query terms' postings in each segment.
+    */
+  def bm25TopKFromSegments(segments: Seq[(DataFrame, DataFrame)],
+                           qToks: DataFrame, k: Int = 10,
+                           idCol: String = "doc_id"): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    val tfs = segments.map(_._1).reduce(_ unionByName _)
+    val dfs = segments.map(_._1.groupBy("tok").agg(count(lit(1)).as("df")))
+      .reduce(_ unionByName _)
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+    val lens = segments.map(_._2).reduce(_ unionByName _)
+    val stats = segments.map(
+        _._2.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
+    bm25ScoreTopK(tfs, dfs, lens, stats, qToks, k, idCol)
+  }
+
+  /** The shared BM25 scoring tail (t34's ranking over any index
+    * source): per-term 6dp-rounded partials, decimal per-doc sums,
+    * WindowGroupLimit-pruned per-query top-k. */
+  private def bm25ScoreTopK(tfs: DataFrame, dfs: DataFrame, lens: DataFrame,
+                            stats: DataFrame, qToks: DataFrame, k: Int,
+                            idCol: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
     val scored = broadcast(qToks).join(tfs, Seq("tok"))
       .join(dfs, Seq("tok"))
       .join(lens, Seq(idCol))
@@ -2226,6 +2285,24 @@ object TextStats {
     * distribution the index build itself needs, so at 100 TB this
     * report rides the build's exchange), then map-side-combined sums.
     */
+  /** Varint byte width of a positive long gap — the full 64-bit 128^j
+    * threshold table (7-bit groups; gaps >= 2^56 take the 9-byte
+    * maximum). The r15 ADVICE fix: the earlier 5-byte cap understated
+    * storage for doc_id gaps >= 2^35. Shared by [[indexLayoutReport]]
+    * (t36) and [[indexAddReport]] (t37); the oracle SQL mirrors the
+    * same CASE chain.
+    */
+  private def varintWidth(delta: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(delta < 128L, 1L)
+      .when(delta < 16384L, 2L)
+      .when(delta < 2097152L, 3L)
+      .when(delta < 268435456L, 4L)
+      .when(delta < 34359738368L, 5L)
+      .when(delta < 4398046511104L, 6L)
+      .when(delta < 562949953421312L, 7L)
+      .when(delta < 72057594037927936L, 8L)
+      .otherwise(9L)
+
   def indexLayoutReport(docs: DataFrame, topTerms: Int = 50,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
@@ -2238,12 +2315,7 @@ object TextStats {
       .withColumn("prev", lag(col(idCol), 1).over(w))
       .withColumn("delta",
         when(col("prev").isNull, col(idCol) + 1).otherwise(col(idCol) - col("prev")))
-    val vbytes = when(col("delta") < 128L, 1L)
-      .when(col("delta") < 16384L, 2L)
-      .when(col("delta") < 2097152L, 3L)
-      .when(col("delta") < 268435456L, 4L)
-      .otherwise(5L)
-    val perTerm = gaps.withColumn("vb", vbytes)
+    val perTerm = gaps.withColumn("vb", varintWidth(col("delta")))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n_postings"), sum(col("vb")).as("varint_bytes"))
     val top = perTerm
@@ -2258,6 +2330,80 @@ object TextStats {
         (col("n_postings") * 8L).as("raw_bytes"), col("varint_bytes"),
         Num.roundTo((col("n_postings") * 8L).cast("double") /
           col("varint_bytes").cast("double"), 6).as("compression"))
+      .orderBy("scope")
+  }
+
+  /** INDEX ADD + segment-merge/compaction report (t37) — the retrieval
+    * family's maintenance lifecycle row, mirroring the IVF family's
+    * v26 add report: a new document batch arrives as its own tf
+    * SEGMENT ([[indexSegment]], built O(batch) — the at-rest base
+    * index is never rescanned), and this report tells the operator
+    * what the add did and whether compaction or a rebuild pays. One
+    * row per scope:
+    *
+    *   - `base`    — the at-rest corpus segment as it stands;
+    *   - `add`     — the new batch's segment on its own;
+    *   - `merged`  — the two compacted into one segment (posting lists
+    *     re-delta'd across the doc_id interleave — the Lucene-style
+    *     segment merge, O(index postings), corpus text untouched).
+    *
+    * Columns: doc/term/posting counts, `n_new_terms` (dictionary
+    * growth: add-segment terms unseen in base), `varint_bytes` (the
+    * t36 at-rest layout cost of the scope's own lists),
+    * `merge_gain_bytes` (bytes compaction recovers: separate-segment
+    * cost minus merged cost — interleaved ids shrink deltas and the
+    * per-segment first-gap overhead collapses), and the DRIFT RULE
+    * `rebuild_recommended`: integer-exact `rebuildNum · |add postings|
+    * >= |base postings|` (default: the add half reaching a quarter of
+    * the base says merge now) — the t37 analog of v27's retrain flag.
+    *
+    * Scale: all three scopes' delta chains ride ONE window exchange
+    * over the scope-tagged postings (≈ 2× index size — the same
+    * distribution the index build itself needs); everything after is
+    * map-side-combined sums. Segments hold doc-disjoint rows by
+    * contract (the caller splits by doc set), so counts add exactly.
+    */
+  def indexAddReport(baseTfs: DataFrame, addTfs: DataFrame,
+                     rebuildNum: Int = 4,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(rebuildNum >= 1, "rebuildNum must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val b = baseTfs.select(col("tok"), col(idCol))
+    val a = addTfs.select(col("tok"), col(idCol))
+    val scoped = b.withColumn("scope", lit("base"))
+      .unionByName(a.withColumn("scope", lit("add")))
+      .unionByName(b.unionByName(a).withColumn("scope", lit("merged")))
+    val w = Window.partitionBy(col("scope"), col("tok")).orderBy(col(idCol))
+    val gaps = scoped
+      .withColumn("prev", lag(col(idCol), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, col(idCol) + 1).otherwise(col(idCol) - col("prev")))
+    val per = gaps.withColumn("vb", varintWidth(col("delta")))
+      .groupBy(col("scope"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("vb")).as("varint_bytes"))
+    val newTerms = a.select("tok").distinct()
+      .join(b.select("tok").distinct(), Seq("tok"), "left_anti")
+      .agg(count(lit(1)).as("n_new_terms"))
+    val totals = per.agg(
+      sum(when(col("scope") === "base", col("varint_bytes"))).as("vb_base"),
+      sum(when(col("scope") === "add", col("varint_bytes"))).as("vb_add"),
+      sum(when(col("scope") === "merged", col("varint_bytes"))).as("vb_merged"),
+      sum(when(col("scope") === "base", col("n_postings"))).as("np_base"),
+      sum(when(col("scope") === "add", col("n_postings"))).as("np_add"))
+    per.crossJoin(broadcast(totals)).crossJoin(broadcast(newTerms))
+      .select(col("scope"), col("n_docs"), col("n_terms"),
+        when(col("scope") === "base", lit(0L))
+          .otherwise(col("n_new_terms")).as("n_new_terms"),
+        col("n_postings"), col("varint_bytes"),
+        when(col("scope") === "merged",
+          col("vb_base") + col("vb_add") - col("vb_merged"))
+          .otherwise(lit(0L)).as("merge_gain_bytes"),
+        when(col("scope") === "merged",
+          lit(rebuildNum.toLong) * col("np_add") >= col("np_base"))
+          .otherwise(lit(false)).as("rebuild_recommended"))
       .orderBy("scope")
   }
 

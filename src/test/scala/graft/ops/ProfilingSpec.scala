@@ -354,4 +354,30 @@ class ProfilingSpec extends SparkSpec {
       .orderBy("event_type").collect().map(_.toSeq).toSeq
     assert(viaAgg.nonEmpty && viaAgg == viaRank)
   }
+
+  test("sampleQuantiles: NULL rowKeys are excluded everywhere (r15 ADVICE) — window, audit, and aggregate paths agree") {
+    import spark.implicits._
+    // 3 null-key rows carry extreme values: if any path kept them, its
+    // quantiles (or n_rows) would shift — Spark windows sort NULLs
+    // first (always sampled), DuckDB sorts them last, the bottomk_pairs
+    // aggregate drops them; the contract is they count NOWHERE.
+    val df = (Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+      .map { case (k, x) => (Option(k), x) } ++
+      Seq((Option.empty[Long], 1e9), (Option.empty[Long], -1e9), (Option.empty[Long], 42.0)))
+      .toDF("k", "x").withColumn("grp", lit("g"))
+    val out = Profiling.sampleQuantiles(df, "grp", "x", col("k"), k = 256).head()
+    assert(out.getAs[Long]("n_rows") == 5L, s"null-key rows leaked into the audit: $out")
+    assert(out.getAs[Long]("n_sample") == 5L)
+    assert(out.getAs[Double]("p50") == 3.0 && out.getAs[Double]("est_p50") == 3.0)
+    // the aggregate path lands on the same sample
+    val viaAgg = Profiling.sampleQuantileStatsOf(
+      df.filter(col("k").isNotNull)
+        .select(col("grp"), call_function("splitmix64", col("k")).as("h"),
+          col("x").cast("double").as("x"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"),
+          call_function("bottomk_pairs", col("h"), col("x"), lit(256)).as("sk")),
+      "grp").head()
+    assert(viaAgg.getAs[Long]("n_rows") == 5L && viaAgg.getAs[Double]("est_p50") == 3.0)
+  }
 }

@@ -1266,6 +1266,74 @@ class TextStatsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Long]("varint_bytes")).toMap
     assert(eo("x") == 1L + 3L) // gaps [1, 16384]
     assert(eo("y") == 1L + 2L) // gaps [1, 16383]
+    // 64-bit widths (r15 ADVICE): gaps >= 2^35 were understated at a
+    // capped 5 bytes; each 128^j boundary now steps the width up to the
+    // 9-byte maximum for gaps >= 2^56
+    val wide = Seq(1L << 35, (1L << 35) - 1, 1L << 42, 1L << 49, 1L << 56)
+      .zipWithIndex
+      .map { case (gap, i) =>
+        val tok = s"t$i"
+        Seq((0L, tok), (gap, tok)) // postings [0, gap] → gaps [1, gap]
+      }
+    val wdocs = wide.flatten.groupBy(_._1).map { case (id, ps) =>
+      (id, ps.map(_._2).mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    val wo = TextStats.indexLayoutReport(wdocs, topTerms = 50).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("varint_bytes")).toMap
+    assert(wo("t0") == 1L + 6L)  // gap 2^35 needs 6 bytes
+    assert(wo("t1") == 1L + 5L)  // gap 2^35 - 1 still 5
+    assert(wo("t2") == 1L + 7L)  // gap 2^42 → 7
+    assert(wo("t3") == 1L + 8L)  // gap 2^49 → 8
+    assert(wo("t4") == 1L + 9L)  // gap 2^56 → 9 (the cap)
+  }
+
+  test("indexAddReport: hand-computed scopes — varint layout, dictionary growth, compaction gain, drift rule") {
+    import spark.implicits._
+    // base (even ids): a:[0,20000] -> gaps [1,20000] -> [1,3] = 4B; b:[0] -> 1B
+    // add  (odd ids):  a:[9999] -> first gap 10000 -> 2B; d:[9999] -> 2B (d is NEW)
+    // merged: a:[0,9999,20000] -> gaps [1,9999,10001] -> [1,2,2] = 5B; b 1B; d 2B
+    //   -> interleaving shrank a's 3-byte delta to two 2-byte ones: gain (5+4)-8 = 1
+    val docs = Seq((0L, "a b"), (20000L, "a"), (9999L, "a d")).toDF("doc_id", "text")
+    val (bTfs, _) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 0))
+    val (aTfs, _) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+    val out = TextStats.indexAddReport(bTfs, aTfs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def row(s: String) = {
+      val r = out(s)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_terms"), r.getAs[Long]("n_new_terms"),
+       r.getAs[Long]("n_postings"), r.getAs[Long]("varint_bytes"),
+       r.getAs[Long]("merge_gain_bytes"), r.getAs[Boolean]("rebuild_recommended"))
+    }
+    assert(row("base") == ((2L, 2L, 0L, 3L, 5L, 0L, false)))
+    assert(row("add") == ((1L, 2L, 1L, 2L, 4L, 0L, false)))
+    assert(row("merged") == ((3L, 3L, 1L, 5L, 8L, 1L, true))) // 4*2 >= 3
+    // drift-rule boundary: base 9 postings; add 2 -> 8 < 9 stays false,
+    // add 3 -> 12 >= 9 flips true
+    val base9 = Seq((0L, "x y z"), (2L, "x y z"), (4L, "x y z")).toDF("doc_id", "text")
+    val (b9, _) = TextStats.indexSegment(base9)
+    def rec(addText: String) = TextStats.indexAddReport(b9,
+        TextStats.indexSegment(Seq((1L, addText)).toDF("doc_id", "text"))._1)
+      .filter(col("scope") === "merged").head().getAs[Boolean]("rebuild_recommended")
+    assert(!rec("x y"))
+    assert(rec("x y z"))
+  }
+
+  test("bm25TopKFromSegments: add-then-query == rebuild-then-query, at 2 and 3 segments") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = TextStats.bm25QueryToks(docs)
+    val full = TextStats.bm25TopK(docs).collect().map(_.toSeq).toSeq
+    val two = Seq(
+      TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 0)),
+      TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1)))
+    assert(full.nonEmpty)
+    assert(TextStats.bm25TopKFromSegments(two, q).collect().map(_.toSeq).toSeq == full)
+    // any doc-disjoint segmentation serves the same ranks: global stats
+    // are pure sums, scores decimal-summed 6dp partials
+    val three = Seq(
+      TextStats.indexSegment(docs.filter(col("doc_id") % 4 === 0)),
+      TextStats.indexSegment(docs.filter(col("doc_id") % 4 === 1)),
+      TextStats.indexSegment(docs.filter(col("doc_id") % 4 >= 2)))
+    assert(TextStats.bm25TopKFromSegments(three, q).collect().map(_.toSeq).toSeq == full)
   }
 
   test("temperatureMix: budgets ∝ √tokens (flatter than natural shares), sum <= B, allocation == tokenBudgetMix on the derived budgets") {

@@ -696,18 +696,27 @@ class StreamsSpec extends SparkSpec {
     val all = spark.read.parquet(d)
     val corpus = all.filter(expr("((media_id - 2) div 3) % 2 = 0"))
     val cs = Multimodal.audioWindowSets(corpus)
-    val sizes = cs.select("doc_id", "n_sh").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val entries = cs.select(explode(col("sh")).as("wh"), col("doc_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    Streams.runToMemory(
-      Streams.streamAudioMatch(
-        Multimodal.audioWindowSets(
-          Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
-            .filter(expr("((media_id - 2) div 3) % 2 = 1"))),
-        entries, sizes).toDF(),
-      "audio_stream", OutputMode.Append())
-    val streamed = spark.table("audio_stream").orderBy("media_id").collect()
+    // stage the at-rest index + sizes exactly as the registration does
+    val idxDir = tmpDir("stream_audio_idx").toString
+    Multimodal.audioWindowIndex(cs).repartition(col("wh"))
+      .write.mode("overwrite").parquet(s"$idxDir/index")
+    cs.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
+      .write.mode("overwrite").parquet(s"$idxDir/sizes")
+    // plan pin (r15 verdict ask #3): the verdict core is a stream-static
+    // JOIN against the bucketed index PARQUET — no closure-shipped
+    // index, no driver collect in the plan
+    val core = Multimodal.audioMatchAgainstIndex(
+      Multimodal.audioWindowSets(all.filter(expr("((media_id - 2) div 3) % 2 = 1"))),
+      spark.read.parquet(s"$idxDir/index"), spark.read.parquet(s"$idxDir/sizes"))
+    val plan = core.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && plan.contains("FileScan parquet"),
+      s"st23 core must join the at-rest parquet index, got:\n$plan")
+    val outDir = tmpDir("stream_audio_out").toString
+    Streams.runAudioMatchBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(expr("((media_id - 2) div 3) % 2 = 1")),
+      s"$idxDir/index", s"$idxDir/sizes", outDir)
+    val streamed = spark.read.parquet(outDir).orderBy("media_id").collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
                  r.getDouble(2), r.getBoolean(3)))
     // the planted retake: stream 71 matches corpus 74 at J = 50/64
@@ -742,6 +751,34 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
                            r.getDouble(2), r.getBoolean(3)))
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming index add: per-micro-batch segments union to the one-shot segment; t37 report row-identical") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val d = tmpDir("stream_idxadd").resolve("docs").toString
+    // two files -> two micro-batches -> two appended segments
+    docs.filter(col("doc_id") < 100).write.mode("overwrite").parquet(d)
+    docs.filter(col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val (baseTfs, _) = TextStats.indexSegment(all.filter(col("doc_id") % 2 === 0))
+    val segDir = tmpDir("stream_idxadd_segs").toString
+    Streams.runIndexAddBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(col("doc_id") % 2 === 1), segDir)
+    // the appended segments union to exactly the one-shot batch segment
+    val oneShot = TextStats.indexSegment(all.filter(col("doc_id") % 2 === 1))._1
+    val streamedSegs = spark.read.parquet(segDir)
+    assert(streamedSegs.count() == oneShot.count())
+    assert(streamedSegs.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamedSegs).isEmpty)
+    // and the t37 report over (base, accumulated segments) is
+    // row-identical to the batch report — micro-batch boundaries
+    // cannot move a count
+    val viaStream = TextStats.indexAddReport(baseTfs, streamedSegs)
+      .collect().map(_.toSeq).toSeq
+    val viaBatch = TextStats.indexAddReport(baseTfs, oneShot)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream.nonEmpty && viaStream == viaBatch)
   }
 
   test("streaming quality gate == batch c6 gate across micro-batch boundaries") {

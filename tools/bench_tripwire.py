@@ -19,6 +19,14 @@ Three row classes:
 - new: queries with no committed min yet (report-only; they enter the
   baseline at the next protocol run).
 
+Round-16 addition: when the bench JSON carries the calibration fields
+(calib_pre/calib_post/calib_quiet_min/calib_ratio, emitted by
+graft.Bench since round 16), observed times are divided by the run's
+box factor max(1, calib_ratio) before any threshold comparison, and
+the factor is printed. A contended run then reads as one "box factor"
+line instead of hundreds of false alarms; a quiet run (ratio ~1) is
+compared raw.
+
 The committed mins come from min-of-3 quiet-protocol runs (see
 BENCH_NOTES.md "Method"); single-run comparisons against them are
 intentionally conservative -- contention only ever ADDS time, so a
@@ -51,12 +59,29 @@ FLOOR_S = 0.25
 
 
 def main(bench_path="BENCH_LOCAL.json", mins_path="BENCH_MINS.json"):
-    bench = json.load(open(bench_path))["queries"]
+    doc = json.load(open(bench_path))
+    bench = doc["queries"]
     mins = json.load(open(mins_path))["queries"]
+    # Box-factor normalization (round-15 verdict ask #1): the bench
+    # emits a calibration row (8 tiny jobs, pre+post) whose quiet min is
+    # committed in graft.Bench.CalibQuietMin. calib_ratio ~ 1 on a quiet
+    # box; on a contended box it rises with the per-job scheduling cost
+    # that inflates every timed row. Divide observed times by the box
+    # factor before comparing to the quiet mins, so a contended run
+    # (r15: 1441 s driver vs 401 s quiet, same HEAD) reads as "hot box",
+    # not as hundreds of false regressions. Never normalize below 1.0 --
+    # a quieter-than-baseline box must not mask a real regression.
+    calib = max(1.0, float(doc.get("calib_ratio", 1.0)))
+    if calib > 1.05:
+        print(f"box factor: calib_ratio={calib:.2f} "
+              f"(pre={doc.get('calib_pre')}s post={doc.get('calib_post')}s "
+              f"quiet_min={doc.get('calib_quiet_min')}s load_avg={doc.get('load_avg')}); "
+              f"normalizing observed times by /{calib:.2f}")
     alarmed, exempt_hot, new = [], [], []
-    for q, t in sorted(bench.items()):
+    for q, raw in sorted(bench.items()):
+        t = raw / calib
         if q not in mins:
-            new.append((q, t))
+            new.append((q, raw))
             continue
         base = mins[q]
         if t <= max(base * THRESH, FLOOR_S):
@@ -66,7 +91,7 @@ def main(bench_path="BENCH_LOCAL.json", mins_path="BENCH_MINS.json"):
 
     def table(rows):
         for q, base, t, r in sorted(rows, key=lambda x: -x[3]):
-            print(f"  {q:<28} min={base:7.2f}s  now={t:7.2f}s  {r:5.2f}x")
+            print(f"  {q:<28} min={base:7.2f}s  now/box={t:7.2f}s  {r:5.2f}x")
 
     print(f"tripwire: {len(bench)} queries vs {len(mins)} committed mins "
           f"({bench_path} vs {mins_path})")
