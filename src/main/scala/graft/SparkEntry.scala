@@ -3041,6 +3041,22 @@ object SparkEntry {
     * (the FNV offset basis) as a signed 64-bit int. Shared by the
     * t3_fingerprint and t7_split oracles.
     */
+  /** FNV-1a over a LIST of integer byte values (0..255) — the replay of
+    * `fnv1a64_bin` over raw binary whose bytes are arithmetically
+    * derived (the m9 adversarial headers), where no string round-trip
+    * exists for [[fnv1a64Sql]] to fold. */
+  private def fnv1a64SqlInts(listExpr: String): String =
+    s"""list_reduce(
+       |   list_prepend(CAST(-3750763034362895579 AS BIGINT),
+       |     list_transform($listExpr, b -> CAST(b AS BIGINT))),
+       |   (h, cp) -> CAST(
+       |     ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
+       |       + 18446744073709551616) % 18446744073709551616
+       |     - CASE WHEN ((CAST(xor(h, cp) AS HUGEINT) * 1099511628211) % 18446744073709551616
+       |       + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
+       |       THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+       | )""".stripMargin
+
   private def fnv1a64Sql(c: String): String =
     s"""list_reduce(
        |   list_prepend(CAST(-3750763034362895579 AS BIGINT),
@@ -6348,17 +6364,30 @@ object SparkEntry {
 
     "m2_frames" ->
       """SELECT doc_id AS media_id,
-        | CAST(greatest(octet_length(encode(text)) // 128, 1) AS BIGINT) AS n_frames
+        | CAST(greatest((octet_length(encode(text))
+        |   + CASE WHEN doc_id % 100 IN (2, 3) THEN 32 ELSE 0 END) // 128, 1) AS BIGINT) AS n_frames
         | FROM documents ORDER BY media_id""".stripMargin,
     // m9 — frame sampling replayed as substr at the m2 stride (chars ==
     // bytes on the ASCII corpus), per-frame FNV-1a, then the x4 pair
-    // shape (df guard, shared counts, 6dp Jaccard) over frame sets
+    // shape (df guard, shared counts, 6dp Jaccard) over frame sets.
+    // Planted near-dup pairs (doc_id % 100 in (2, 3)) carry the 32-byte
+    // BINARY header: frame 0 folds the arithmetic byte values
+    // (fnv1a64SqlInts — no string round-trip exists for invalid UTF-8),
+    // text frames shift one header width right.
     "m9_video_neardup" ->
-      s"""WITH fr AS (SELECT doc_id,
-         |    ${fnv1a64Sql("substr(text, CAST(i * 128 + 1 AS INTEGER), 32)")} AS fh
-         |  FROM documents,
-         |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 128, 1))) AS i) ii
-         |  WHERE text IS NOT NULL),
+      s"""WITH ids AS (SELECT doc_id, text, length(text) AS tl,
+         |    CASE WHEN doc_id % 100 IN (2, 3) THEN 32 ELSE 0 END AS hw,
+         |    doc_id - (doc_id % 100 - 2) AS hbase
+         |  FROM documents WHERE text IS NOT NULL),
+         |frt AS (SELECT doc_id,
+         |    ${fnv1a64Sql("substr(text, CAST(i * 128 + 1 - hw AS INTEGER), 32)")} AS fh
+         |  FROM ids,
+         |    LATERAL (SELECT unnest(range(CASE WHEN hw > 0 THEN 1 ELSE 0 END,
+         |      greatest((tl + hw) // 128, 1))) AS i) ii),
+         |frh AS (SELECT doc_id,
+         |    ${fnv1a64SqlInts("list_transform(range(0, 32), j -> 128 + ((hbase * 2654435761 + j * 40503) // 128) % 64)")} AS fh
+         |  FROM ids WHERE hw > 0),
+         |fr AS (SELECT * FROM frt UNION ALL SELECT * FROM frh),
          |fs AS (SELECT DISTINCT doc_id, fh FROM fr),
          |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id),
          |dfq AS (SELECT fh, count(*) AS df FROM fs GROUP BY fh),

@@ -426,12 +426,43 @@ object Multimodal {
     * text (a deterministic opaque blob fixture), typed metadata columns
     * alongside — the canonical "multimodal row" layout.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source"),
-      length(col("text")).cast("long").as("payload_len"))
+  /** Opaque "video" payload fixture: each document's UTF-8 bytes. Since
+    * round 16 (r15 verdict ask #6 — adversarial encodings INSIDE the
+    * oracle gate), both members of every planted near-dup pair
+    * (doc_id % 100 ∈ {2, 3}) carry a 32-byte BINARY header shared by
+    * the pair — bytes 0x80 + ((base·2654435761 + j·40503) >> 7) mod 64
+    * with base = the pair's even member (the Knuth multiplier pushes
+    * base entropy into the shifted bits, so headers are distinct
+    * ACROSS pairs, not base-mod-64 aliased): every byte is a bare
+    * UTF-8 CONTINUATION byte (0x80–0xBF, never valid without a lead
+    * byte, unlike 0xC2+ which can open a valid sequence), so the whole
+    * header is guaranteed undecodable. Any frame-hash path that
+    * round-trips
+    * bytes through a string (the r15 U+FFFD collision bug class)
+    * collapses all planted headers to one hash, blows their document
+    * frequency past m9's df guard, and moves the emitted Jaccards —
+    * so the m9 hash gate now FAILS on that bug instead of passing on
+    * ASCII-only luck. The header is prepended (frame 0 is fully
+    * binary); text frames shift by one header width.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, Option[String], String)]
+      .mapPartitions(_.map { case (id, textOpt, source) =>
+        val payload = textOpt.map { text =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (id % 100 == 2 || id % 100 == 3) {
+            val base = id - (id % 100 - 2)
+            Array.tabulate(32)(j =>
+              (128 + ((base * 2654435761L + j * 40503L) >> 7) % 64).toByte) ++ tb
+          } else tb
+        }
+        (id, payload, source, payload.map(_.length.toLong))
+      })
+      .toDF("media_id", "payload", "source", "payload_len")
+  }
 
   /** Real-bytes media fixture: one deterministic PNG/JPEG/WAV payload per
     * document id ([[ImageCodec.synthPayload]]'s rules). The payloads are

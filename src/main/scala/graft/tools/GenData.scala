@@ -171,7 +171,26 @@ object GenData {
       round(lit(-50.0) * log(u01(col("id"), "ev") + 1e-12), 2).as("value"),
       concat(lit("{\"k\": "), uniInt(col("id"), "ek", 100), lit("}")).as("props"))
 
-  def documents(s: SparkSession, n: Long): DataFrame = {
+  /** Non-BMP vocabulary for the ADVERSARIAL documents variant: every
+    * entry is outside the Basic Multilingual Plane (surrogate PAIRS in
+    * UTF-16, 4-byte sequences in UTF-8), so any hash path that folds
+    * UTF-16 code units instead of code points — or that byte-length
+    * arithmetic assumes 1 byte/char — diverges from the DuckDB oracle
+    * and fails the hash gate (r15 verdict ask #6: the round-15 non-BMP
+    * unification fix was spec'd but the ASCII fixtures left the GATE
+    * itself blind to it).
+    */
+  private val advVocab = Seq(
+    "𝐀𝐁",       // 𝐀𝐁 math bold
+    "😀😁",       // 😀😁 emoji
+    "𐍈",                   // 𐍈 Gothic hwair
+    "𝕫𝖆",       // 𝕫𝖆 double-struck/fraktur
+    "🍕",                   // 🍕
+    "𝛐𝛑",       // 𝛐𝛑 math greek
+    "🧪",                   // 🧪
+    "𐐷𐑊")       // 𐐷𐑊 Deseret
+
+  def documents(s: SparkSession, n: Long, adv: Boolean = false): DataFrame = {
     val id = col("id")
     // planted duplicates: id%250==1 copies id-1 exactly; id%100==3 is a
     // near-dup of id-1 (same words + one appended token). The two residue
@@ -183,8 +202,16 @@ object GenData {
     val words = transform(sequence(lit(1), nWords),
       i => element_at(array(vocab.map(lit): _*),
         (pmod(xxhash64(base, lit("dw"), i), lit(vocab.size.toLong)) + 1).cast("int")))
-    val text = when(isNear, concat(array_join(words, " "), lit(" dup")))
+    val plain = when(isNear, concat(array_join(words, " "), lit(" dup")))
       .otherwise(array_join(words, " "))
+    // adversarial mode: every 10th CONTENT base appends a non-BMP token
+    // (keyed on base, so exact dups stay exact and near-dups keep their
+    // one-token delta)
+    val text = if (!adv) plain else
+      when(base % 10 === 7,
+        concat(plain, lit(" "), element_at(array(advVocab.map(lit): _*),
+          (pmod(xxhash64(base, lit("da")), lit(advVocab.size.toLong)) + 1).cast("int"))))
+      .otherwise(plain)
     s.range(n).select(
       id.as("doc_id"),
       text.as("text"),
@@ -212,12 +239,18 @@ object GenData {
 
   // --------------------------------------------------------------- main
 
-  /** Usage: GenData <outDir> [sf]. sf=1.0 → 6M lineitem / 1.5M orders /
-    * 150k customer / 1M events / 50k documents / 20k embeddings.
+  /** Usage: GenData <outDir> [sf] [adv]. sf=1.0 → 6M lineitem / 1.5M
+    * orders / 150k customer / 1M events / 50k documents / 20k
+    * embeddings. A third literal-`adv` argument switches documents to
+    * the ADVERSARIAL-encoding variant (non-BMP tokens planted on every
+    * 10th content base — see [[advVocab]]); all other tables are
+    * unchanged, and the standard dirs (localdata/sf1) must NOT be
+    * generated with it, or their standing oracle passes break.
     */
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args.lift(1).map(_.toDouble).getOrElse(1.0)
+    val adv = args.lift(2).contains("adv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-gendata"), cpus)
@@ -243,7 +276,7 @@ object GenData {
     write("lineitem", lineitem(spark, nLine, nOrders, nPart, nSupp), 16)
     write("partsupp", partsupp(spark, nPart, nSupp), 4)
     write("events", events(spark, nEvents, nUsers), 8)
-    write("documents", documents(spark, nDocs), 4)
+    write("documents", documents(spark, nDocs, adv), 4)
     write("embeddings", embeddings(spark, nEmb), 4)
     spark.stop()
   }

@@ -11,6 +11,37 @@ class MultimodalSpec extends SparkSpec {
     assert(m.filter(length(col("payload")) =!= col("payload_len")).count() == 0)
   }
 
+  test("mediaTable adversarial headers: invalid UTF-8, pair-shared, pair-distinct; a string round-trip collapses them (the gate's teeth)") {
+    import graft.functions.TextHashUtil
+    val hdrs = Multimodal.mediaTable(spark, sfDir)
+      .filter(col("media_id") % 100 === 2 || col("media_id") % 100 === 3)
+      .select("media_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload").take(32)))
+    assert(hdrs.nonEmpty)
+    // every header is INVALID UTF-8 (decoding loses bytes to U+FFFD)
+    hdrs.foreach { case (id, h) =>
+      val s = new String(h, java.nio.charset.StandardCharsets.UTF_8)
+      assert(s.contains('�'), s"header of $id decoded cleanly — not adversarial")
+    }
+    val byId = hdrs.toMap
+    // shared within each planted pair, distinct across pairs (raw bytes)
+    val rawHashes = hdrs.collect { case (id, h) if id % 100 == 2 =>
+      assert(byId.get(id + 1).forall(_.sameElements(h)), s"pair $id/${id + 1} headers differ")
+      TextHashUtil.fnv1a64Bytes(h)
+    }
+    assert(rawHashes.distinct.length == rawHashes.length && rawHashes.length >= 2)
+    // the r15 bug class: hashing after a string round-trip collapses
+    // DISTINCT headers onto far fewer values — exactly what would blow
+    // the m9 df guard and move emitted Jaccards, failing the hash gate
+    val collapsed = hdrs.collect { case (id, h) if id % 100 == 2 =>
+      TextHashUtil.fnv1a64Bytes(
+        new String(h, java.nio.charset.StandardCharsets.UTF_8)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    assert(collapsed.distinct.length < rawHashes.length,
+      "string round-trip did not collapse headers — fixture lost its adversarial bite")
+  }
+
   test("decodeMeta is deterministic; opaque text blobs decode honestly as unknown") {
     val meta = Multimodal.decodeMeta(Multimodal.mediaTable(spark, sfDir))
     val a = meta.orderBy("media_id").collect()
