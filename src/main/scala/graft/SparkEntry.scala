@@ -1096,6 +1096,38 @@ object SparkEntry {
           (addTfs, addLens)),
         TextStats.bm25QueryToks(docs))
     }),
+    // c29 — segment COMPACTION, the act t37's drift rule recommends
+    // (v28's retrieval analog): base + add segments rewritten as ONE
+    // range-partitioned (tok, doc_id)-sorted at-rest store; the report
+    // derives from RE-READING the store, so the oracle certifies the
+    // write's content (complete, nothing duplicated) plus the layout
+    // bytes recovered vs the separate segments
+    "c29_index_compact" -> ((s, d) => {
+      val idx = stagedTextIndexAux(s, d)
+      val store = s"$idx/compacted"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store, "_SUCCESS")))
+        TextStats.compactSegments(
+            Seq(s.read.parquet(s"$idx/tfs"), s.read.parquet(s"$idx/addtfs")))
+          .write.mode("overwrite").parquet(store)
+      TextStats.indexCompactReport(s.read.parquet(store),
+        Seq(s.read.parquet(s"$idx/tfs"), s.read.parquet(s"$idx/addtfs")))
+    }),
+    // st28 — streaming BM25 query serving (the retrieval st4): phrase
+    // queries stream in; each micro-batch serves them THROUGH the
+    // static segmented index (summed per-segment stats) via
+    // foreachBatch and appends to a parquet sink; gated by the t34/t38
+    // oracle over the union corpus verbatim
+    "st28_stream_bm25" -> ((s, d) => {
+      val idx = stagedTextIndexAux(s, d)
+      val qPath = s"$idx/queries"
+      val schema = s.read.parquet(qPath).schema
+      val out = java.nio.file.Files.createTempDirectory("graft_st28_out").toString
+      graft.streaming.Streams.runBm25QueryBatches(
+        graft.streaming.Streams.parquetDirStream(s, qPath, schema),
+        Seq((s"$idx/tfs", s"$idx/lens"), (s"$idx/addtfs", s"$idx/addlens")),
+        out)
+      s.read.parquet(out).orderBy("phrase", "rank")
+    }),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -1896,6 +1928,26 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
       tfs.repartition(col("tok")).write.mode("overwrite").parquet(s"$stage/tfs")
       lens.write.mode("overwrite").parquet(s"$stage/lens")
+    }
+    stage
+  }
+
+  /** The ADD-side segment + the derived query workload as at-rest
+    * parquet (st28/c29's inputs): `addtfs`/`addlens` = the odd half's
+    * tf segment, `queries` = one row per derived phrase with its term
+    * bag (a row is atomic in a stream, so a phrase never splits across
+    * micro-batches). Staged once per sfDir beside [[stagedTextIndex]].
+    */
+  private def stagedTextIndexAux(s: SparkSession, d: String): String = {
+    val stage = stagedTextIndex(s, d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "queries", "_SUCCESS"))) {
+      val (addTfs, addLens) = TextStats.indexSegment(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1))
+      addTfs.repartition(col("tok")).write.mode("overwrite").parquet(s"$stage/addtfs")
+      addLens.write.mode("overwrite").parquet(s"$stage/addlens")
+      TextStats.bm25QueryToks(Tables.documents(s, d))
+        .groupBy("phrase").agg(collect_set(col("tok")).as("toks"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/queries")
     }
     stage
   }
@@ -5294,6 +5346,47 @@ object SparkEntry {
     // st27 — shares t37's oracle verbatim (doc-disjoint segments:
     // micro-batch boundaries cannot change any count)
     "st27_stream_index_add" -> indexAddSql,
+    // c29 — one-row compaction report: merged-scope layout (the store's
+    // content) + the separate segments' byte cost, from the same
+    // three-scope CTE chain as t37
+    "c29_index_compact" ->
+      s"""WITH tb AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |post AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM tb),
+         |sp AS (SELECT 'base' AS scope, doc_id, tok FROM post WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT 'add', doc_id, tok FROM post WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT 'merged', doc_id, tok FROM post),
+         |g AS (SELECT scope, tok, doc_id,
+         |  doc_id - lag(doc_id) OVER (PARTITION BY scope, tok ORDER BY doc_id) AS dd FROM sp),
+         |dv AS (SELECT scope, tok, doc_id,
+         |  CASE WHEN dd IS NULL THEN doc_id + 1 ELSE dd END AS delta FROM g),
+         |vb AS (SELECT scope, tok, doc_id,
+         |  CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+         |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+         |  WHEN delta < 34359738368 THEN 5 WHEN delta < 4398046511104 THEN 6
+         |  WHEN delta < 562949953421312 THEN 7 WHEN delta < 72057594037927936 THEN 8
+         |  ELSE 9 END AS b FROM dv),
+         |per AS (SELECT scope, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(b) AS BIGINT) AS varint_bytes FROM vb GROUP BY scope)
+         |SELECT
+         |  max(CASE WHEN scope = 'merged' THEN n_docs END) AS n_docs,
+         |  max(CASE WHEN scope = 'merged' THEN n_terms END) AS n_terms,
+         |  max(CASE WHEN scope = 'merged' THEN n_postings END) AS n_postings,
+         |  max(CASE WHEN scope = 'merged' THEN varint_bytes END) AS varint_bytes,
+         |  CAST(sum(CASE WHEN scope <> 'merged' THEN varint_bytes END) AS BIGINT) AS varint_bytes_before,
+         |  CAST(sum(CASE WHEN scope <> 'merged' THEN varint_bytes END)
+         |    - max(CASE WHEN scope = 'merged' THEN varint_bytes END) AS BIGINT) AS merge_gain_bytes
+         |FROM per""".stripMargin,
+    // st28 — the t34 rank CTEs over the union corpus verbatim (t38's
+    // oracle): streamed serving through the static segments must equal
+    // the rebuild
+    "st28_stream_bm25" ->
+      s"""$bm25RankCtes
+         |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY phrase, rank""".stripMargin,
     // st24 — t33's derivation restricted to the even (corpus) half,
     // matches counted over the odd (streamed) half only
     "st24_stream_phrase_match" ->

@@ -2407,6 +2407,57 @@ object TextStats {
       .orderBy("scope")
   }
 
+  /** Segment COMPACTION (c29) — the ACT t37's drift rule recommends,
+    * mirroring v28's IVF re-layout: the segments union into ONE at-rest
+    * store, range-partitioned by term and sorted (tok, doc_id) within
+    * partitions — the sorted-run layout delta+varint encoding wants,
+    * with each term's posting list contiguous. Cost is one
+    * index-postings-sized shuffle + sort; corpus text is never read.
+    * The caller writes the returned frame to the store path.
+    */
+  def compactSegments(segments: Seq[DataFrame],
+                      idCol: String = "doc_id"): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    segments.reduce(_ unionByName _)
+      .repartitionByRange(col("tok"), col(idCol))
+      .sortWithinPartitions("tok", idCol)
+  }
+
+  /** Post-compaction report (c29's gate face): the t36 varint layout of
+    * the COMPACTED store read back from disk, beside the cost of the
+    * separate segments it replaced. Because the report derives from
+    * re-reading the store, the oracle comparison certifies the
+    * compaction WRITE (content-complete, nothing duplicated), not just
+    * the plan: n_docs/n_terms/n_postings must equal the segments'
+    * union and `merge_gain_bytes = before − after` is non-negative
+    * whenever interleaving shrinks deltas or first-gap overhead
+    * collapses.
+    */
+  def indexCompactReport(compacted: DataFrame, segments: Seq[DataFrame],
+                         idCol: String = "doc_id"): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    def layout(df: DataFrame) = {
+      val w = Window.partitionBy(col("tok")).orderBy(col(idCol))
+      df.select(col("tok"), col(idCol))
+        .withColumn("prev", lag(col(idCol), 1).over(w))
+        .withColumn("delta",
+          when(col("prev").isNull, col(idCol) + 1).otherwise(col(idCol) - col("prev")))
+        .agg(countDistinct(col(idCol)).as("n_docs"),
+          countDistinct(col("tok")).as("n_terms"),
+          count(lit(1)).as("n_postings"),
+          sum(varintWidth(col("delta"))).as("varint_bytes"))
+    }
+    val after = layout(compacted)
+    val before = segments.map(layout)
+      .reduce(_ unionByName _)
+      .agg(sum(col("varint_bytes")).as("varint_bytes_before"))
+    after.crossJoin(broadcast(before))
+      .select(col("n_docs"), col("n_terms"), col("n_postings"),
+        col("varint_bytes"), col("varint_bytes_before"),
+        (col("varint_bytes_before") - col("varint_bytes")).as("merge_gain_bytes"))
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

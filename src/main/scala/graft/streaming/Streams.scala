@@ -564,6 +564,38 @@ object Streams {
     q
   }
 
+  /** Streaming BM25 query serving (st28) — the retrieval analog of the
+    * st4 ANN-serving path: a stream of QUERIES (one row per phrase,
+    * its term bag as an array — a row is atomic, so a phrase can never
+    * split across micro-batches) served against the STATIC segmented
+    * index at rest. Each micro-batch runs the distributed
+    * [[graft.ops.TextStats.bm25TopKFromSegments]] plan via foreachBatch
+    * — per-segment stats summed, scores 6dp-decimal-exact — and appends
+    * to a parquet sink. A query's result depends only on the static
+    * segments plus its own terms, so micro-batch boundaries provably
+    * cannot change it and the t34/t38 oracle over the union corpus
+    * gates the stream verbatim; a segment add takes effect next batch
+    * without a restart.
+    */
+  def runBm25QueryBatches(queries: DataFrame,
+                          segPaths: Seq[(String, String)],
+                          outDir: String, k: Int = 10): StreamingQuery = {
+    val q = queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val segs = segPaths.map { case (tfs, lens) =>
+          (s.read.parquet(tfs), s.read.parquet(lens)) }
+        val qToks = batch.select(col("phrase"), explode(col("toks")).as("tok"))
+        graft.ops.TextStats.bm25TopKFromSegments(segs, qToks, k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming similarity serving: a stream of query vectors scored
     * against a STATIC corpus — the online ANN-serving path. Each
     * micro-batch stream-static joins the queries to the corpus (corpus

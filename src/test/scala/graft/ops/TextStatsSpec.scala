@@ -1318,6 +1318,36 @@ class TextStatsSpec extends SparkSpec {
     assert(rec("x y z"))
   }
 
+  test("compactSegments + indexCompactReport: store content == segment union, hand-computed gain, query-equivalence after the act") {
+    import spark.implicits._
+    // the t37 hand fixture: base varint 5, add 4, merged 8 -> gain 1
+    val docs = Seq((0L, "a b"), (20000L, "a"), (9999L, "a d")).toDF("doc_id", "text")
+    val (bTfs, _) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 0))
+    val (aTfs, _) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+    val store = tmpDir("compact_store").toString
+    TextStats.compactSegments(Seq(bTfs, aTfs)).write.mode("overwrite").parquet(store)
+    val compacted = spark.read.parquet(store)
+    // content-complete, nothing duplicated
+    val union = bTfs.unionByName(aTfs)
+    assert(compacted.count() == union.count())
+    assert(compacted.exceptAll(union).isEmpty && union.exceptAll(compacted).isEmpty)
+    val r = TextStats.indexCompactReport(compacted, Seq(bTfs, aTfs)).head()
+    assert(r.toSeq == Seq(3L, 3L, 5L, 8L, 9L, 1L), s"got ${r.toSeq}")
+    // the act preserves serving: BM25 through the compacted store ==
+    // through the separate segments == the rebuild
+    val full = Tables.documents(spark, sfDir)
+    val q = TextStats.bm25QueryToks(full)
+    val (fb, fbl) = TextStats.indexSegment(full.filter(col("doc_id") % 2 === 0))
+    val (fa, fal) = TextStats.indexSegment(full.filter(col("doc_id") % 2 === 1))
+    val store2 = tmpDir("compact_store_full").toString
+    TextStats.compactSegments(Seq(fb, fa)).write.mode("overwrite").parquet(store2)
+    val viaCompacted = TextStats.bm25TopKFromSegments(
+      Seq((spark.read.parquet(store2), fbl.unionByName(fal))), q)
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.bm25TopK(full).collect().map(_.toSeq).toSeq
+    assert(viaCompacted.nonEmpty && viaCompacted == rebuild)
+  }
+
   test("bm25TopKFromSegments: add-then-query == rebuild-then-query, at 2 and 3 segments") {
     val docs = Tables.documents(spark, sfDir)
     val q = TextStats.bm25QueryToks(docs)

@@ -781,6 +781,33 @@ class StreamsSpec extends SparkSpec {
     assert(viaStream.nonEmpty && viaStream == viaBatch)
   }
 
+  test("streaming BM25 serving == rebuild ranks, queries split across micro-batches") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val (bTfs, bLens) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 0))
+    val (aTfs, aLens) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+    val idx = tmpDir("stream_bm25_idx").toString
+    bTfs.write.mode("overwrite").parquet(s"$idx/tfs")
+    bLens.write.mode("overwrite").parquet(s"$idx/lens")
+    aTfs.write.mode("overwrite").parquet(s"$idx/addtfs")
+    aLens.write.mode("overwrite").parquet(s"$idx/addlens")
+    // query rows atomic: one row per phrase; two files -> two batches
+    val qRows = TextStats.bm25QueryToks(docs)
+      .groupBy("phrase").agg(collect_set(col("tok")).as("toks"))
+    val qDir = tmpDir("stream_bm25_q").resolve("q").toString
+    qRows.limit(2).coalesce(1).write.mode("overwrite").parquet(qDir)
+    qRows.exceptAll(qRows.limit(2)).coalesce(1).write.mode("append").parquet(qDir)
+    val outDir = tmpDir("stream_bm25_out").toString
+    Streams.runBm25QueryBatches(
+      Streams.parquetDirStream(spark, qDir, spark.read.parquet(qDir).schema,
+        maxFilesPerTrigger = 1),
+      Seq((s"$idx/tfs", s"$idx/lens"), (s"$idx/addtfs", s"$idx/addlens")), outDir)
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("phrase", "rank").collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.bm25TopK(docs).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == rebuild)
+  }
+
   test("streaming quality gate == batch c6 gate across micro-batch boundaries") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
