@@ -9,7 +9,7 @@ object Bench {
     * LOW, i.e. toward NOT normalizing, which can never mask a
     * regression.
     */
-  val CalibQuietMin: Double = 1.00
+  val CalibQuietMin: Double = 0.56
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
