@@ -1128,6 +1128,23 @@ object SparkEntry {
         out)
       s.read.parquet(out).orderBy("phrase", "rank")
     }),
+    // t39 — tiered merge POLICY over a geometric segment series (the
+    // NRT flush pattern: seg k = docs with bit-length(id+1)-1 = k, so
+    // sizes double): integer-log2 tiers, any tier with >= 3 segments
+    // flagged for compaction; O(|segments|) rows end to end
+    "t39_merge_policy" -> ((s, d) => {
+      val segs = TextStats.indexSegment(Tables.documents(s, d))._1
+        .withColumn("seg_id", (length(bin(col("doc_id") + 1)) - 1).cast("long"))
+      TextStats.mergePolicy(
+        segs.groupBy("seg_id").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_postings")))
+    }),
+    // c30 — padding-minimizing shard packing: length-descending snake
+    // deal across 16 shards (distributed LPT approximation), per-shard
+    // fill report; the rank is the c4/c10 distributed-rank shape
+    "c30_bin_pack" -> ((s, d) =>
+      TextStats.binPackShards(Tables.documents(s, d))),
     // probability-proportional-to-size sampling: integer cross-multiply
     // coin, broadcast max-weight bounds row, map-only
     "t24_weighted_sample" -> ((s, d) =>
@@ -5387,6 +5404,41 @@ object SparkEntry {
       s"""$bm25RankCtes
          |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
          |ORDER BY phrase, rank""".stripMargin,
+    // t39 — geometric segments, binary-string-length tiers (no float
+    // log), tier-population merge rule
+    "t39_merge_policy" ->
+      s"""WITH tb AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |post AS (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM tb),
+         |per AS (SELECT CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS seg_id,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_postings
+         |  FROM post GROUP BY 1),
+         |t AS (SELECT seg_id, n_docs, n_postings,
+         |  CAST(length(bin(n_postings)) - 1 AS BIGINT) AS tier FROM per),
+         |pop AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_in_tier FROM t GROUP BY tier)
+         |SELECT seg_id, n_docs, n_postings, t.tier, n_in_tier,
+         |  n_in_tier >= 3 AS merge_recommended
+         |FROM t JOIN pop USING (tier) ORDER BY seg_id""".stripMargin,
+    // c30 — length-desc snake deal over 16 shards, integer DIV/MOD
+    // replay, per-shard fill vs the fullest shard
+    "c30_bin_pack" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rank FROM tk),
+         |a AS (SELECT n_tokens,
+         |  CAST(CASE WHEN (rank // 16) % 2 = 0 THEN rank % 16
+         |       ELSE 15 - rank % 16 END AS BIGINT) AS shard FROM r),
+         |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM a GROUP BY shard),
+         |mx AS (SELECT max(total_tokens) AS max_tokens FROM per)
+         |SELECT shard, n_docs, total_tokens,
+         |  CAST(max_tokens - total_tokens AS BIGINT) AS padding_tokens,
+         |  ${Num.sqlRoundTo("CAST(total_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE)", 6)} AS fill
+         |FROM per, mx ORDER BY shard""".stripMargin,
     // st24 — t33's derivation restricted to the even (corpus) half,
     // matches counted over the odd (streamed) half only
     "st24_stream_phrase_match" ->

@@ -2458,6 +2458,82 @@ object TextStats {
         (col("varint_bytes_before") - col("varint_bytes")).as("merge_gain_bytes"))
   }
 
+  /** TIERED segment-merge policy (t39) — the PLANNING rule between
+    * t37's binary add/merge report and a real log-structured index
+    * lifecycle (the exact-arithmetic core of Lucene's
+    * TieredMergePolicy): segments bucket into size tiers by the
+    * integer log2 of their posting count — computed as binary-string
+    * length − 1 (`bin()`), so no float log ever decides a tier — and
+    * any tier holding ≥ `mergeFactor` segments is recommended for
+    * compaction ([[compactSegments]] is the act). One row per segment:
+    * stats, tier, tier population, flag. Scale: O(|segments|)
+    * aggregate rows end to end — the corpus is never touched beyond
+    * the per-segment stats the store already keeps, which is the whole
+    * point of a merge POLICY as opposed to a merge.
+    */
+  def mergePolicy(segStats: DataFrame, mergeFactor: Int = 3): DataFrame = {
+    require(mergeFactor >= 2, "mergeFactor must be >= 2")
+    val tiered = segStats.select(col("seg_id"), col("n_docs"),
+      col("n_postings"), (length(bin(col("n_postings"))) - 1).cast("long").as("tier"))
+    val pops = tiered.groupBy("tier").agg(count(lit(1)).as("n_in_tier"))
+    tiered.join(broadcast(pops), Seq("tier"))
+      .select(col("seg_id"), col("n_docs"), col("n_postings"), col("tier"),
+        col("n_in_tier"),
+        (col("n_in_tier") >= mergeFactor).as("merge_recommended"))
+      .orderBy("seg_id")
+  }
+
+  /** PADDING-MINIMIZING shard packing (c30) — the assignment problem
+    * c4's concat-and-chop sidesteps: distribute docs across `nBins`
+    * training shards so per-shard token totals equalize (synchronous
+    * data-parallel steps wait for the FULLEST shard; spread is pure
+    * padding/idle). Docs rank by token length DESCENDING and deal to
+    * shards in SNAKE order — pass 0 left-to-right, pass 1
+    * right-to-left, … — the deterministic distributed approximation of
+    * greedy least-loaded LPT (each two-pass round gives every shard
+    * one long+one short doc, bounding spread by one doc per round
+    * without LPT's sequential state). The rank uses the
+    * distributed-rank discipline (range exchange + O(partitions)
+    * offset table — the c4/c10 pattern, no single-task window); the
+    * assignment is two integer DIV/MODs the oracle replays. Output:
+    * per-shard fill report — docs, tokens, padding vs the fullest
+    * shard, 6dp fill ratio.
+    */
+  def binPackShards(docs: DataFrame, nBins: Int = 16,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+    val sorted = toks.withColumn("negt", -col("n_tokens"))
+      .repartitionByRange(col("negt"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(
+        sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "poff")
+    val within = Window.partitionBy("pid").orderBy(col("negt"), col(idCol))
+    val per = sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", (col("poff") + row_number().over(within) - 1).cast("long"))
+      .withColumn("shard", expr(
+        s"CAST(CASE WHEN (rank DIV $nBins) % 2 = 0 THEN rank % $nBins " +
+          s"ELSE ${nBins - 1} - rank % $nBins END AS BIGINT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val bounds = per.agg(max(col("total_tokens")).as("max_tokens"))
+    per.crossJoin(broadcast(bounds))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        (col("max_tokens") - col("total_tokens")).as("padding_tokens"),
+        Num.roundTo(col("total_tokens").cast("double") /
+          col("max_tokens").cast("double"), 6).as("fill"))
+      .orderBy("shard")
+  }
+
   /** Corpus-level language/source profile: aggregation shape. */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

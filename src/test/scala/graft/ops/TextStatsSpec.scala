@@ -1318,6 +1318,40 @@ class TextStatsSpec extends SparkSpec {
     assert(rec("x y z"))
   }
 
+  test("mergePolicy: integer-log2 tiers, population rule fires at exactly mergeFactor") {
+    import spark.implicits._
+    // postings 5/6/7 share tier 2 (bit-length 3), 9 is tier 3 alone
+    val stats = Seq((0L, 3L, 5L), (1L, 3L, 6L), (2L, 4L, 7L), (3L, 5L, 9L))
+      .toDF("seg_id", "n_docs", "n_postings")
+    val out = TextStats.mergePolicy(stats, mergeFactor = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(0L) == ((2L, 3L, true)) && out(1L) == ((2L, 3L, true)) &&
+      out(2L) == ((2L, 3L, true)))
+    assert(out(3L) == ((3L, 1L, false)))
+    // drop one tier-2 member -> population 2 < mergeFactor -> no merge
+    val out2 = TextStats.mergePolicy(stats.filter(col("seg_id") =!= 0L), mergeFactor = 3)
+      .collect().map(_.getBoolean(5))
+    assert(out2.forall(!_))
+  }
+
+  test("binPackShards: snake deal equalizes a geometric fixture exactly; partitioning-invariant") {
+    import spark.implicits._
+    // lengths 8..1 over 4 bins: pass 0 deals 8,7,6,5 L-to-R, pass 1
+    // deals 4,3,2,1 R-to-L -> every bin totals 9
+    val docs = (1L to 8L).map(i => (i, ("tok " * (9 - i).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextStats.binPackShards(docs, nBins = 4).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") == 9L, s"unbalanced: $r")
+      assert(r.getAs[Long]("padding_tokens") == 0L)
+      assert(r.getAs[Double]("fill") == 1.0)
+    }
+    val again = TextStats.binPackShards(docs.repartition(7), nBins = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
+
   test("compactSegments + indexCompactReport: store content == segment union, hand-computed gain, query-equivalence after the act") {
     import spark.implicits._
     // the t37 hand fixture: base varint 5, add 4, merged 8 -> gain 1
