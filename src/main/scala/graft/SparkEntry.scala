@@ -1128,6 +1128,17 @@ object SparkEntry {
         out)
       s.read.parquet(out).orderBy("phrase", "rank")
     }),
+    // t40 — index DELETE report (t37's other face, the takedown path):
+    // a delete-list (doc_id % 10 = 6 — a fifth of the even at-rest
+    // half) against the staged base index; deleted postings by ONE
+    // semi-join, dictionary shrink, tombstone-vs-rewrite integer rule
+    "t40_index_delete" -> ((s, d) => {
+      val idx = stagedTextIndex(s, d)
+      TextStats.indexDeleteReport(
+        s.read.parquet(s"$idx/tfs"),
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") % 10 === 6))
+    }),
     // t39 — tiered merge POLICY over a geometric segment series (the
     // NRT flush pattern: seg k = docs with bit-length(id+1)-1 = k, so
     // sizes double): integer-log2 tiers, any tier with >= 3 segments
@@ -5404,6 +5415,41 @@ object SparkEntry {
       s"""$bm25RankCtes
          |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
          |ORDER BY phrase, rank""".stripMargin,
+    // t40 — base (even) / delete (%10=6) / after scopes through the
+    // same window CTE shape as t37; dictionary shrink by term-count
+    // difference, integer tombstone rule
+    "t40_index_delete" ->
+      s"""WITH tb AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |post AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM tb
+         |  WHERE doc_id % 2 = 0),
+         |sp AS (SELECT 'base' AS scope, doc_id, tok FROM post
+         |  UNION ALL SELECT 'delete', doc_id, tok FROM post WHERE doc_id % 10 = 6
+         |  UNION ALL SELECT 'after', doc_id, tok FROM post WHERE doc_id % 10 <> 6),
+         |g AS (SELECT scope, tok, doc_id,
+         |  doc_id - lag(doc_id) OVER (PARTITION BY scope, tok ORDER BY doc_id) AS dd FROM sp),
+         |dv AS (SELECT scope, tok, doc_id,
+         |  CASE WHEN dd IS NULL THEN doc_id + 1 ELSE dd END AS delta FROM g),
+         |vb AS (SELECT scope, tok, doc_id,
+         |  CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+         |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+         |  WHEN delta < 34359738368 THEN 5 WHEN delta < 4398046511104 THEN 6
+         |  WHEN delta < 562949953421312 THEN 7 WHEN delta < 72057594037927936 THEN 8
+         |  ELSE 9 END AS b FROM dv),
+         |per AS (SELECT scope, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(b) AS BIGINT) AS varint_bytes FROM vb GROUP BY scope),
+         |tot AS (SELECT
+         |  sum(CASE WHEN scope = 'base' THEN n_terms END) AS nt_base,
+         |  sum(CASE WHEN scope = 'after' THEN n_terms END) AS nt_after,
+         |  sum(CASE WHEN scope = 'base' THEN n_postings END) AS np_base,
+         |  sum(CASE WHEN scope = 'delete' THEN n_postings END) AS np_delete FROM per)
+         |SELECT scope, n_docs, n_terms, n_postings, varint_bytes,
+         |  CAST(CASE WHEN scope = 'after' THEN nt_base - nt_after ELSE 0 END AS BIGINT) AS n_vanished_terms,
+         |  CASE WHEN scope = 'after' THEN 8 * np_delete >= np_base ELSE FALSE END AS rewrite_recommended
+         |FROM per, tot ORDER BY scope""".stripMargin,
     // t39 — geometric segments, binary-string-length tiers (no float
     // log), tier-population merge rule
     "t39_merge_policy" ->

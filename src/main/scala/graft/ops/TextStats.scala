@@ -2186,10 +2186,12 @@ object TextStats {
 
   /** The shared BM25 scoring tail (t34's ranking over any index
     * source): per-term 6dp-rounded partials, decimal per-doc sums,
-    * WindowGroupLimit-pruned per-query top-k. */
-  private def bm25ScoreTopK(tfs: DataFrame, dfs: DataFrame, lens: DataFrame,
-                            stats: DataFrame, qToks: DataFrame, k: Int,
-                            idCol: String): DataFrame = {
+    * WindowGroupLimit-pruned per-query top-k. `private[ops]` so specs
+    * can pin that SUBTRACTED global stats (the t40 delete path) serve
+    * identically to a recompute. */
+  private[ops] def bm25ScoreTopK(tfs: DataFrame, dfs: DataFrame, lens: DataFrame,
+                                 stats: DataFrame, qToks: DataFrame, k: Int,
+                                 idCol: String): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val scored = broadcast(qToks).join(tfs, Seq("tok"))
@@ -2456,6 +2458,65 @@ object TextStats {
       .select(col("n_docs"), col("n_terms"), col("n_postings"),
         col("varint_bytes"), col("varint_bytes_before"),
         (col("varint_bytes_before") - col("varint_bytes")).as("merge_gain_bytes"))
+  }
+
+  /** INDEX DELETE report (t40) — t37's other face, the
+    * takedown/right-to-erasure path every at-rest corpus store needs:
+    * a delete-list of doc ids arrives against the at-rest index, and
+    * the report says what removal does WITHOUT rescanning the corpus —
+    * the deleted postings fall out of one semi-join against the
+    * delete-list (O(|delete| · avg postings) rows), the retained index
+    * out of the anti-join. One row per scope (`base` the at-rest
+    * index, `delete` the postings leaving, `after` what remains), with
+    * `n_vanished_terms` (dictionary shrink: terms whose last posting
+    * left) and the integer tombstone-vs-rewrite rule
+    * `rewrite_recommended = rebuildDen · |delete postings| >=
+    * |base postings|` (default: deletes reaching an eighth of the
+    * index say rewrite now; below that, tombstones are cheaper). All
+    * three delta chains ride ONE window exchange over the scope-tagged
+    * postings (≈ 2× index size, since delete + after partition base).
+    * Because segments are doc-disjoint, every global BM25 statistic of
+    * the retained index is the exact DIFFERENCE of base and delete
+    * stats — delete-then-query ≡ rebuild-on-retained, spec-pinned via
+    * [[bm25ScoreTopK]] with subtracted stats.
+    */
+  def indexDeleteReport(baseTfs: DataFrame, deleteDocs: DataFrame,
+                        rebuildDen: Int = 8,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(rebuildDen >= 1, "rebuildDen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val b = baseTfs.select(col("tok"), col(idCol))
+    val ids = deleteDocs.select(col(idCol))
+    val dl = b.join(ids, Seq(idCol), "left_semi")
+    val af = b.join(ids, Seq(idCol), "left_anti")
+    val scoped = b.withColumn("scope", lit("base"))
+      .unionByName(dl.withColumn("scope", lit("delete")))
+      .unionByName(af.withColumn("scope", lit("after")))
+    val w = Window.partitionBy(col("scope"), col("tok")).orderBy(col(idCol))
+    val per = scoped
+      .withColumn("prev", lag(col(idCol), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, col(idCol) + 1).otherwise(col(idCol) - col("prev")))
+      .withColumn("vb", varintWidth(col("delta")))
+      .groupBy(col("scope"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("vb")).as("varint_bytes"))
+    val totals = per.agg(
+      sum(when(col("scope") === "base", col("n_terms"))).as("nt_base"),
+      sum(when(col("scope") === "after", col("n_terms"))).as("nt_after"),
+      sum(when(col("scope") === "base", col("n_postings"))).as("np_base"),
+      sum(when(col("scope") === "delete", col("n_postings"))).as("np_delete"))
+    per.crossJoin(broadcast(totals))
+      .select(col("scope"), col("n_docs"), col("n_terms"), col("n_postings"),
+        col("varint_bytes"),
+        when(col("scope") === "after", col("nt_base") - col("nt_after"))
+          .otherwise(lit(0L)).as("n_vanished_terms"),
+        when(col("scope") === "after",
+          lit(rebuildDen.toLong) * col("np_delete") >= col("np_base"))
+          .otherwise(lit(false)).as("rewrite_recommended"))
+      .orderBy("scope")
   }
 
   /** TIERED segment-merge policy (t39) — the PLANNING rule between

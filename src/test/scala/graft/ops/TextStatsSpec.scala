@@ -1318,6 +1318,51 @@ class TextStatsSpec extends SparkSpec {
     assert(rec("x y z"))
   }
 
+  test("indexDeleteReport: hand-computed scopes, dictionary shrink, tombstone rule; subtracted stats serve == rebuild on retained") {
+    import spark.implicits._
+    // base: a:[0,2], b:[0], c:[6] -> 4 postings; delete {6} removes c
+    // entirely (vanished term), after: a:[0,2], b:[0] -> 3 postings
+    val docs = Seq((0L, "a b"), (2L, "a"), (6L, "c")).toDF("doc_id", "text")
+    val (bTfs, _) = TextStats.indexSegment(docs)
+    val out = TextStats.indexDeleteReport(bTfs,
+        Seq(6L).toDF("doc_id"), rebuildDen = 8).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def row(s: String) = { val r = out(s)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_terms"), r.getAs[Long]("n_postings"),
+       r.getAs[Long]("n_vanished_terms"), r.getAs[Boolean]("rewrite_recommended")) }
+    assert(row("base") == ((3L, 3L, 4L, 0L, false)))
+    assert(row("delete") == ((1L, 1L, 1L, 0L, false)))
+    assert(row("after") == ((2L, 2L, 3L, 1L, true))) // 8*1 >= 4
+    // below the threshold: 8 * |delete| < |base postings| -> tombstone
+    val big = (10L to 50L by 2).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val (bigTfs, _) = TextStats.indexSegment(big)
+    val r2 = TextStats.indexDeleteReport(bigTfs, Seq(10L).toDF("doc_id"))
+      .filter(col("scope") === "after").head()
+    assert(!r2.getAs[Boolean]("rewrite_recommended")) // 8*3 < 63
+    // the subtraction claim: global stats of the retained index are the
+    // exact DIFFERENCE of base and delete stats — serving with
+    // subtracted (df, N, total dl) equals the rebuild on retained docs
+    val full = Tables.documents(spark, sfDir)
+    val retained = full.filter(col("doc_id") % 10 =!= 6)
+    val deleted = full.filter(col("doc_id") % 10 === 6)
+    val q = TextStats.bm25QueryToks(retained)
+    val (fTfs, fLens) = TextStats.indexSegment(full)
+    val (dTfs, dLens) = TextStats.indexSegment(deleted)
+    val afTfs = fTfs.join(deleted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val afLens = fLens.join(deleted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dfsSub = fTfs.groupBy("tok").agg(count(lit(1)).as("df_b"))
+      .join(dTfs.groupBy("tok").agg(count(lit(1)).as("df_d")), Seq("tok"), "left")
+      .select(col("tok"), (col("df_b") - coalesce(col("df_d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val statsSub = fLens.agg(count(lit(1)).as("nb"), sum("dl").as("tb"))
+      .crossJoin(dLens.agg(count(lit(1)).as("nd"), sum("dl").as("td")))
+      .select((col("nb") - col("nd")).as("n_docs"), (col("tb") - col("td")).as("tot"))
+    val viaSub = TextStats.bm25ScoreTopK(afTfs, dfsSub, afLens, statsSub, q, 10, "doc_id")
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.bm25TopK(retained).collect().map(_.toSeq).toSeq
+    assert(viaSub.nonEmpty && viaSub == rebuild)
+  }
+
   test("mergePolicy: integer-log2 tiers, population rule fires at exactly mergeFactor") {
     import spark.implicits._
     // postings 5/6/7 share tier 2 (bit-length 3), 9 is tier 3 alone
