@@ -1630,6 +1630,17 @@ object SparkEntry {
       val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
       Similarity.ivfAddReport(corpus, batch, codebook)
     }),
+    // v30 — the takedown face of the IVF lifecycle: a delete-list
+    // (vec_id % 10 = 6 within the even corpus) against the trained
+    // at-rest layout; per-cell shrink + the v26 integer share-drift
+    // rule, ONE assignment pass serving both counts
+    "v30_ivf_delete_report" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+      Similarity.ivfDeleteReport(corpus,
+        corpus.select(col("vec_id")).filter(col("vec_id") % 10 === 6), codebook)
+    }),
     // v27 — the ACTION on v26's drift flag: warm-started Lloyd's from the
     // staged codebook over corpus+batch, reported as the re-assignment
     // delta (per cell before/after + arrivals/departures = exactly what
@@ -6395,6 +6406,28 @@ object SparkEntry {
     // per-cell counts, 6dp shares, and the cross-multiplied integer
     // drift rule (no double ever decides the boolean)
     "v26_ivf_add_report" -> ivfAddReportSql,
+    // v30 — v26's CTE shape with the delete-list filter: n_removed from
+    // the same corpus assignment, after = before - removed
+    "v30_ivf_delete_report" ->
+      s"""WITH ${trainedIvfCtes(16, 3, where = " WHERE vec_id % 2 = 0")},
+         |${assignedCte("e", "ca", 3)},
+         |nb AS (SELECT cell, count(*) AS n_before FROM ca GROUP BY cell),
+         |nr AS (SELECT cell, count(*) AS n_removed FROM ca WHERE vec_id % 10 = 6 GROUP BY cell),
+         |j AS (SELECT cb.cell,
+         |    coalesce(nb.n_before, 0) AS n_before,
+         |    coalesce(nr.n_removed, 0) AS n_removed,
+         |    coalesce(nb.n_before, 0) - coalesce(nr.n_removed, 0) AS n_after
+         |  FROM (SELECT DISTINCT cell FROM cb3) cb
+         |  LEFT JOIN nb ON nb.cell = cb.cell LEFT JOIN nr ON nr.cell = cb.cell),
+         |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
+         |             CAST(sum(n_after) AS BIGINT) AS tot_after FROM j)
+         |SELECT j.cell, CAST(j.n_before AS BIGINT) AS n_before,
+         |  CAST(j.n_removed AS BIGINT) AS n_removed, CAST(j.n_after AS BIGINT) AS n_after,
+         |  ${Num.sqlRoundTo("CAST(n_before AS DOUBLE) / CAST(tot_before AS DOUBLE)", 6)} AS share_before,
+         |  ${Num.sqlRoundTo("CAST(n_after AS DOUBLE) / CAST(tot_after AS DOUBLE)", 6)} AS share_after,
+         |  (abs(n_after * tot_before - n_before * tot_after) * 10000
+         |    >= 250 * tot_before * tot_after) AS needs_rebalance
+         |FROM j, t ORDER BY j.cell""".stripMargin,
     // v27 — warm-started Lloyd's replayed round-for-round, then the
     // before/after argmin assignments folded to integer move counts
     "v27_ivf_retrain" -> ivfRetrainSql(warmIters = 2),

@@ -185,6 +185,47 @@ object Similarity {
         .groupBy("cell").agg(count(lit(1)).as("n_added")),
       codebook, driftBp)
 
+  /** IVF DELETE report (v30) — v26's other face, completing the store's
+    * mutation symmetry (add → retrain → re-layout → serve now has its
+    * takedown path): a delete-list of vector ids against the at-rest
+    * trained layout. ONE corpus assignment pass (map-only argmin
+    * against the codebook literals) serves both counts — the deleted
+    * vectors' cells fall out of a semi-join on the 8-byte id — and the
+    * per-cell shrink report carries the SAME integer-exact share-drift
+    * rule as v26 (cross-multiplied basis points; no double ever
+    * decides): removal that skews the cell balance past `driftBp`
+    * flags a retrain, exactly like growth that does. At 100 TB the
+    * delete-list is takedown/right-to-erasure scale (≪ corpus);
+    * everything after assignment is O(|cells|) rows.
+    */
+  def ivfDeleteReport(corpus: DataFrame, deleteIds: DataFrame,
+                      codebook: DataFrame, driftBp: Long = 250L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(driftBp > 0L && driftBp <= 10000L, "driftBp is basis points in (0, 10000]")
+    val asg = assignCells(corpus, codebook, idCol, vecCol)
+    val nb = asg.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val nr = asg.join(deleteIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .groupBy("cell").agg(count(lit(1)).as("n_removed"))
+    val joined = codebook.select(col("cell"))
+      .join(nb, Seq("cell"), "left").join(nr, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("n_after", col("n_before") - col("n_removed"))
+    val totals = broadcast(joined.agg(
+      sum(col("n_before")).as("tot_before"), sum(col("n_after")).as("tot_after")))
+    joined.crossJoin(totals)
+      .select(col("cell"), col("n_before"), col("n_removed"), col("n_after"),
+        Num.roundTo(col("n_before").cast("double") / col("tot_before").cast("double"), 6)
+          .as("share_before"),
+        Num.roundTo(col("n_after").cast("double") / col("tot_after").cast("double"), 6)
+          .as("share_after"),
+        (abs(col("n_after") * col("tot_before") - col("n_before") * col("tot_after")) * 10000L
+          >= lit(driftBp) * col("tot_before") * col("tot_after")).as("needs_rebalance"))
+      .orderBy("cell")
+  }
+
   /** Report assembly shared by the batch path and the st21 streaming
     * twin (whose `n_added` counts come out of streaming state): one
     * definition, so the drift rule can never diverge between them.

@@ -446,6 +446,34 @@ class SimilaritySpec extends SparkSpec {
     assert(balanced.forall(!_.getBoolean(6)), "identical distribution must not flag")
   }
 
+  test("ivfDeleteReport: counts reconcile, empty list is a no-op, whole-cluster takedown flags") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def around(base: Float, id: Long) =
+      (id, Array.tabulate(8)(i => (if (i == 0) base else 0f) + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = ((0L until 40L).map(around(1f, _)) ++
+                  (40L until 80L).map(around(-1f, _))).toDF("vec_id", "embedding")
+    val cb = Similarity.trainIvfCodebook(corpus, cells = 4, iters = 3)
+    // takedown of the ENTIRE -e1 cluster: its cells empty and flag,
+    // counts reconcile exactly
+    val out = Similarity.ivfDeleteReport(corpus,
+        (40L until 80L).toDF("vec_id"), cb).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6)))
+    assert(out.map(_._1).sum == 80L && out.map(_._2).sum == 40L)
+    out.foreach { case (nb, nr, na, _) => assert(na == nb - nr && nr <= nb) }
+    val (totB, totA) = (80L, 40L)
+    out.foreach { case (nb, _, na, flag) =>
+      val want = math.abs(na * totB - nb * totA) * 10000L >= 250L * totB * totA
+      assert(flag == want, s"flag mismatch at n_before=$nb n_after=$na")
+    }
+    assert(out.exists(_._4), "emptying half the corpus must flag somewhere")
+    // empty delete-list: nothing removed, nothing flagged
+    val noop = Similarity.ivfDeleteReport(corpus,
+        spark.emptyDataset[Long].toDF("vec_id"), cb).collect()
+    assert(noop.map(_.getLong(2)).sum == 0L)
+    assert(noop.forall(!_.getBoolean(6)))
+  }
+
   test("ivfRetrain: warm start == continued training; converged zero-batch retrain is a fixed point") {
     import spark.implicits._
     def vec(x: Float) = Array.tabulate(8)(i => if (i == 0) x else 0f)
