@@ -500,6 +500,18 @@ object SparkEntry {
     // shuffle-key skew profile for the two events join keys: exact
     // counts, decimal-exact entropy, TakeOrdered top-10 — the report
     // behind every salting/AQE-skew decision
+    // p15 — snapshot diff between two crawls (A drops %16=7 "new"
+    // docs, B drops %16=3 "removed" and revises %20=5): per
+    // status × source counts from a 24-byte-row full-outer hash join;
+    // the report that sizes incremental re-processing
+    "p15_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Profiling.snapshotDiff(
+        docs.filter(col("doc_id") % 16 =!= 7),
+        docs.filter(col("doc_id") % 16 =!= 3)
+          .withColumn("text", when(col("doc_id") % 20 === 5,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+    }),
     "p11_key_skew" -> ((s, d) => {
       val ev = Tables.events(s, d)
       Profiling.keySkew(ev, "user_id")
@@ -5087,6 +5099,28 @@ object SparkEntry {
     // expecteds and terms as the identical product-before-quotient
     // double expressions
     "p10_chisq_drift" -> chisqDriftSql,
+    // p15 — both snapshot projections replay the fnv fold (revised
+    // texts re-fold with the literal suffix); presence flags decide
+    // membership, IS NOT DISTINCT FROM compares hashes null-safely
+    "p15_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 16 <> 7),
+         |b AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 20 = 5 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 16 <> 3),
+         |pa AS (SELECT doc_id, TRUE AS in_a, ${fnv1a64Sql("text")} AS h_a,
+         |  source AS g_a, coalesce(length(text), 0) AS len_a FROM a),
+         |pb AS (SELECT doc_id, TRUE AS in_b, ${fnv1a64Sql("text")} AS h_b,
+         |  source AS g_b, coalesce(length(text), 0) AS len_b FROM b),
+         |j AS (SELECT * FROM pa FULL OUTER JOIN pb USING (doc_id)),
+         |st AS (SELECT CASE WHEN in_a IS NULL THEN 'added'
+         |    WHEN in_b IS NULL THEN 'removed'
+         |    WHEN h_a IS NOT DISTINCT FROM h_b THEN 'unchanged'
+         |    ELSE 'changed' END AS status,
+         |  coalesce(g_b, g_a) AS source,
+         |  coalesce(len_b, len_a) AS n_chars FROM j)
+         |SELECT status, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM st GROUP BY 1, 2 ORDER BY status, source""".stripMargin,
     // st18 — the streaming monitor lands on the identical contingency
     // table (staged base + Complete-mode cur counts), so p10's replay
     // is the oracle verbatim

@@ -556,4 +556,43 @@ object Profiling {
       .select(col("grp").as(groupCol), col("n_rows"), col("n_sample"),
         col("est_p25"), col("est_p50"), col("est_p75"))
       .orderBy(groupCol)
+
+  /** CORPUS SNAPSHOT DIFF (p15) — the "what changed between crawls"
+    * report run before any re-processing decision: two corpus
+    * snapshots compare by (id, content hash) and every doc classifies
+    * as `added` (in B only), `removed` (in A only), `changed` (both,
+    * content hash differs) or `unchanged`, aggregated per status ×
+    * group (source). Both snapshots project to (id, 8-byte fnv1a64,
+    * group) BEFORE the full-outer join — at 100 TB the diff shuffles
+    * 24-byte rows keyed on the id, never text; downstream pipelines
+    * re-process `added ∪ changed` only (the incremental-crawl
+    * discipline; x6/st5 handle dedup of the additions, this report
+    * sizes the work and catches silent mass-changes — a parser change
+    * that rewrites half the corpus shows here first).
+    */
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame,
+                   groupCol: String = "source",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    // presence flags, not hash nullness, decide membership — a NULL
+    // text in one snapshot must read as present-with-null-content
+    // (null-safe <=> compares the hashes), never as added/removed
+    def proj(df: DataFrame, tag: String) = df.select(
+      col(idCol),
+      lit(true).as(s"in_$tag"),
+      call_function("fnv1a64", col(textCol)).as(s"h_$tag"),
+      col(groupCol).as(s"g_$tag"),
+      coalesce(length(col(textCol)).cast("long"), lit(0L)).as(s"len_$tag"))
+    val j = proj(snapA, "a").join(proj(snapB, "b"), Seq(idCol), "full_outer")
+    val status = when(col("in_a").isNull, lit("added"))
+      .when(col("in_b").isNull, lit("removed"))
+      .when(col("h_a") <=> col("h_b"), lit("unchanged"))
+      .otherwise(lit("changed"))
+    j.select(status.as("status"),
+        coalesce(col("g_b"), col("g_a")).as(groupCol),
+        coalesce(col("len_b"), col("len_a")).as("n_chars"))
+      .groupBy(col("status"), col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("status", groupCol)
+  }
 }

@@ -355,6 +355,24 @@ class ProfilingSpec extends SparkSpec {
     assert(viaAgg.nonEmpty && viaAgg == viaRank)
   }
 
+  test("snapshotDiff: all four statuses on a hand fixture; null text present in both reads unchanged") {
+    import spark.implicits._
+    val a = Seq((1L, Option("same"), "s1"), (2L, Option("old"), "s1"),
+      (3L, Option("gone"), "s2"), (5L, Option.empty[String], "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((1L, Option("same"), "s1"), (2L, Option("new"), "s1"),
+      (4L, Option("fresh"), "s2"), (5L, Option.empty[String], "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Profiling.snapshotDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("added", "s2")) == ((1L, 5L)))      // doc 4 "fresh"
+    assert(out(("removed", "s2")) == ((1L, 4L)))    // doc 3 "gone"
+    assert(out(("changed", "s1")) == ((1L, 3L)))    // doc 2 old->new
+    assert(out(("unchanged", "s1")) == ((1L, 4L)))  // doc 1
+    assert(out(("unchanged", "s2")) == ((1L, 0L)))  // doc 5: null == null
+    assert(out.size == 5)
+  }
+
   test("sampleQuantiles: NULL rowKeys are excluded everywhere (r15 ADVICE) — window, audit, and aggregate paths agree") {
     import spark.implicits._
     // 3 null-key rows carry extreme values: if any path kept them, its
