@@ -512,6 +512,40 @@ object SparkEntry {
           .withColumn("text", when(col("doc_id") % 20 === 5,
             concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
     }),
+    // t41 — incremental profile maintenance composing with p15: the
+    // profile of snapshot B = A's stored aggregate + adjustments from
+    // ONLY the diff rows (two legs per non-unchanged doc), never a
+    // rescan of B; oracle recomputes B's profile from scratch, so the
+    // gate proves incremental == recompute to the digit
+    "t41_incremental_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Profiling.incrementalProfile(
+        docs.filter(col("doc_id") % 16 =!= 7),
+        docs.filter(col("doc_id") % 16 =!= 3)
+          .withColumn("text", when(col("doc_id") % 20 === 5,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+    }),
+    // st29 — p15's streaming face: new-crawl docs stream against the
+    // static previous snapshot's (id, hash) index; per-row
+    // added/changed/unchanged by one stateless stream-static left
+    // join ('removed' is absence and belongs to batch p15)
+    "st29_stream_snapshot_status" -> ((s, d) => {
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val idx = s.read.parquet(stage).filter(col("doc_id") % 16 =!= 7)
+        .select(col("doc_id"), lit(true).as("in_a"),
+          call_function("fnv1a64", col("text")).as("h_a"))
+      val mem = s"st29_mem_${Integer.toHexString(d.hashCode)}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.streamSnapshotStatus(
+          graft.streaming.Streams.parquetDirStream(s, stage, schema)
+            .filter(col("doc_id") % 16 =!= 3)
+            .withColumn("text", when(col("doc_id") % 20 === 5,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text"))),
+          idx),
+        mem, org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(mem).orderBy("doc_id")
+    }),
     "p11_key_skew" -> ((s, d) => {
       val ev = Tables.events(s, d)
       Profiling.keySkew(ev, "user_id")
@@ -5099,6 +5133,31 @@ object SparkEntry {
     // expecteds and terms as the identical product-before-quotient
     // double expressions
     "p10_chisq_drift" -> chisqDriftSql,
+    // t41 — the oracle RECOMPUTES snapshot B's profile from scratch;
+    // the engine maintained it incrementally from A + the diff legs
+    "t41_incremental_profile" ->
+      s"""WITH b AS (SELECT lang, source,
+         |  CASE WHEN doc_id % 20 = 5 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 16 <> 3)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+         |  ${Num.sqlRoundTo(
+             "CAST(sum(coalesce(length(text), 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS avg_chars
+         |FROM b GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    // st29 — per-doc status replay: left join on id, null-safe hash
+    // compare, the same fnv fold on both sides
+    "st29_stream_snapshot_status" ->
+      s"""WITH a AS (SELECT doc_id, ${fnv1a64Sql("text")} AS h_a
+         |  FROM documents WHERE doc_id % 16 <> 7),
+         |b AS (SELECT doc_id, source,
+         |  ${fnv1a64Sql("CASE WHEN doc_id % 20 = 5 THEN text || ' rev2' ELSE text END")} AS h_b
+         |  FROM documents WHERE doc_id % 16 <> 3)
+         |SELECT b.doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |    WHEN h_a IS NOT DISTINCT FROM h_b THEN 'unchanged'
+         |    ELSE 'changed' END AS status,
+         |  b.source
+         |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     // p15 — both snapshot projections replay the fnv fold (revised
     // texts re-fold with the literal suffix); presence flags decide
     // membership, IS NOT DISTINCT FROM compares hashes null-safely

@@ -595,4 +595,53 @@ object Profiling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("status", groupCol)
   }
+
+  /** INCREMENTAL corpus-profile maintenance (t41) — the e11 discipline
+    * on the documents domain, composing with [[snapshotDiff]]: the
+    * per-(lang, source) profile of snapshot B is the STORED profile of
+    * A plus adjustments from ONLY the diff rows — never a rescan of B.
+    * Each non-unchanged doc contributes two legs: its A-side group
+    * loses (−1 doc, −len) and its B-side group gains (+1, +len) —
+    * which also handles docs whose lang/source moved between
+    * snapshots, since each leg carries its own group. Char totals use
+    * per-row coalesce(length, 0) (a null-text doc counts, contributes
+    * zero chars — the contract both the oracle and the recompute spec
+    * share), and the 4dp average derives from the maintained exact
+    * integer sums, so incremental ≡ recompute to the digit. Scale: the
+    * base aggregate is O(groups) rows at rest; the adjustment legs are
+    * the diff's 24-byte projections.
+    */
+  def incrementalProfile(snapA: DataFrame, snapB: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.ops.Num
+    val chars = coalesce(length(col(textCol)).cast("long"), lit(0L))
+    val base = snapA.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(chars).as("total_chars"))
+    def proj(df: DataFrame, tag: String) = df.select(
+      col(idCol), lit(true).as(s"in_$tag"),
+      call_function("fnv1a64", col(textCol)).as(s"h_$tag"),
+      col("lang").as(s"lang_$tag"), col("source").as(s"src_$tag"),
+      chars.as(s"len_$tag"))
+    val j = proj(snapA, "a").join(proj(snapB, "b"), Seq(idCol), "full_outer")
+      .filter(!(col("in_a").isNotNull && col("in_b").isNotNull &&
+        (col("h_a") <=> col("h_b"))))
+    val legA = j.filter(col("in_a").isNotNull)
+      .select(col("lang_a").as("lang"), col("src_a").as("source"),
+        lit(-1L).as("dn"), (-col("len_a")).as("dc"))
+    val legB = j.filter(col("in_b").isNotNull)
+      .select(col("lang_b").as("lang"), col("src_b").as("source"),
+        lit(1L).as("dn"), col("len_b").as("dc"))
+    val adj = legA.unionByName(legB).groupBy("lang", "source")
+      .agg(sum(col("dn")).as("adj_n"), sum(col("dc")).as("adj_c"))
+    base.join(adj, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("adj_n"), lit(0L))).as("n_docs"),
+        (coalesce(col("total_chars"), lit(0L)) + coalesce(col("adj_c"), lit(0L))).as("total_chars"))
+      .filter(col("n_docs") > 0)
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        Num.roundTo(col("total_chars").cast("double") / col("n_docs").cast("double"), 4)
+          .as("avg_chars"))
+      .orderBy("lang", "source")
+  }
 }

@@ -564,6 +564,30 @@ object Streams {
     q
   }
 
+  /** Streaming SNAPSHOT STATUS (st29) — [[graft.ops.Profiling
+    * .snapshotDiff]]'s streaming face: new-crawl docs stream in and
+    * each row classifies against the STATIC previous snapshot's
+    * (id, hash) index by one stream-static LEFT join on the 8-byte id
+    * — `added` (no index row), `unchanged` (hashes agree, null-safe),
+    * `changed` otherwise. Purely per-row (stateless, append mode):
+    * `removed` is the absence of arrival and belongs to the batch p15.
+    * The index rows carry an explicit presence flag so a null-text doc
+    * in the old snapshot reads as present-with-null-content, never as
+    * `added`. Text never reaches the join — both sides project to
+    * hashes first.
+    */
+  def streamSnapshotStatus(newDocs: DataFrame, index: DataFrame,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    newDocs.select(col(idCol),
+        call_function("fnv1a64", col(textCol)).as("h_b"), col("source"))
+      .join(index, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("in_a").isNull, lit("added"))
+          .when(col("h_a") <=> col("h_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("source"))
+
   /** Streaming BM25 query serving (st28) — the retrieval analog of the
     * st4 ANN-serving path: a stream of QUERIES (one row per phrase,
     * its term bag as an array — a row is atomic, so a phrase can never

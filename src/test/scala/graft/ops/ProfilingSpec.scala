@@ -373,6 +373,32 @@ class ProfilingSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("incrementalProfile == recompute, including a doc whose group MOVED between snapshots") {
+    import spark.implicits._
+    val a = Seq((1L, Option("aaaa"), "en", "s1"), (2L, Option("bb"), "en", "s1"),
+      (3L, Option("cc"), "de", "s2"), (5L, Option.empty[String], "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    // doc 2 changes AND moves s1->s2; doc 3 removed; doc 4 added;
+    // docs 1 (non-null) and 5 (null text) unchanged
+    val b = Seq((1L, Option("aaaa"), "en", "s1"), (2L, Option("bbb"), "en", "s2"),
+      (4L, Option("dddd"), "de", "s2"), (5L, Option.empty[String], "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val inc = Profiling.incrementalProfile(a, b).collect().map(_.toSeq).toSeq
+    val recompute = b.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col("text")).cast("long"), lit(0L))).as("total_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        graft.ops.Num.roundTo(col("total_chars").cast("double") /
+          col("n_docs").cast("double"), 4).as("avg_chars"))
+      .orderBy("lang", "source").collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty && inc == recompute, s"inc=$inc vs recompute=$recompute")
+    // a group emptied by the diff (en/s1 keeps doc 1 only) never goes
+    // negative; identical snapshots are a no-op adjustment
+    val same = Profiling.incrementalProfile(a, a).collect().map(_.toSeq).toSeq
+    val aProf = Profiling.incrementalProfile(a.limit(0), a).collect().map(_.toSeq).toSeq
+    assert(same == aProf)
+  }
+
   test("sampleQuantiles: NULL rowKeys are excluded everywhere (r15 ADVICE) — window, audit, and aggregate paths agree") {
     import spark.implicits._
     // 3 null-key rows carry extreme values: if any path kept them, its

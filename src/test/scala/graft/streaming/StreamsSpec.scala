@@ -781,6 +781,34 @@ class StreamsSpec extends SparkSpec {
     assert(viaStream.nonEmpty && viaStream == viaBatch)
   }
 
+  test("streaming snapshot status == batch statuses across micro-batch boundaries; null-text old doc is not 'added'") {
+    import spark.implicits._
+    val d = tmpDir("stream_snap").resolve("b").toString
+    // old snapshot: docs 1 (kept), 2 (will change), 3 (null text, kept)
+    val a = Seq((1L, Option("same"), "s1"), (2L, Option("old"), "s1"),
+      (3L, Option.empty[String], "s2")).toDF("doc_id", "text", "source")
+    val idx = a.select(col("doc_id"), lit(true).as("in_a"),
+      call_function("fnv1a64", col("text")).as("h_a"))
+    // new crawl in two files -> two micro-batches
+    Seq((1L, Option("same"), "s1"), (2L, Option("new"), "s1"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.mode("overwrite").parquet(d)
+    Seq((3L, Option.empty[String], "s2"), (4L, Option("fresh"), "s2"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.mode("append").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    Streams.runToMemory(
+      Streams.streamSnapshotStatus(
+        Streams.parquetDirStream(spark, d, schema, maxFilesPerTrigger = 1), idx),
+      "snap_stream", OutputMode.Append())
+    val out = spark.table("snap_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"), s"got $out")
+    // batch replay of the same per-row rule agrees
+    val batch = Streams.streamSnapshotStatus(spark.read.parquet(d), idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == batch)
+  }
+
   test("streaming BM25 serving == rebuild ranks, queries split across micro-batches") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
