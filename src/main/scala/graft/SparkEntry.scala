@@ -1687,6 +1687,21 @@ object SparkEntry {
       Similarity.ivfDeleteReport(corpus,
         corpus.select(col("vec_id")).filter(col("vec_id") % 10 === 6), codebook)
     }),
+    // v31 — TOMBSTONE-MODE serving after the v30 takedown: the trained
+    // layout is untouched (codebook from the pre-delete corpus, the
+    // cheap path when the drift flag says tombstones beat a rewrite);
+    // deleted rows are filtered at serve time, so no removed id can
+    // ever surface as a neighbor (spec'd, plus nprobe=|cells| == brute
+    // force over the retained set)
+    "v31_post_delete_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val codebook = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+      Similarity.ivfTopKTrainedMultiProbe(
+          corpus.filter(col("vec_id") % 10 =!= 6),
+          Similarity.querySet(corpus, "vec_id", 20), codebook, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // v27 — the ACTION on v26's drift flag: warm-started Lloyd's from the
     // staged codebook over corpus+batch, reported as the re-assignment
     // delta (per cell before/after + arrivals/departures = exactly what
@@ -2468,6 +2483,32 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM b)
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** v31 — tombstone-serving replay: the v12 multiprobe chain with the
+    * codebook trained on the EVEN (pre-delete) corpus and the
+    * neighbor side filtered to retained rows (vec_id % 10 <> 6);
+    * queries (vec_id % 20 = 0) are all retained by construction. */
+  private def postDeleteTopKSql(nprobe: Int = 4, iters: Int = 3,
+                                k: Int = 10): String = {
+    val l2 = (v: String, c: String) => Num.sqlRoundTo(
+      s"list_dot_product($v, $v) + list_dot_product($c, $c) - 2.0 * list_dot_product($v, $c)", 9)
+    s"""WITH ${trainedIvfCtes(16, iters, where = " WHERE vec_id % 2 = 0")},
+       |ca AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c WHERE w.vec_id % 10 <> 6) WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT w.vec_id, c.cell, row_number() OVER (PARTITION BY w.vec_id ORDER BY ${l2("w.v", "c.cvd")}, c.cell) AS rn
+       |  FROM e w, cb$iters c WHERE w.vec_id % 20 = 0) WHERE rn <= $nprobe),
+       |s AS (SELECT qa.query_id, ca.neighbor_id,
+       |  ${Num.sqlRoundTo("list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))", 9)} AS sim
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.query_id <> ca.neighbor_id
+       |  JOIN e q ON q.vec_id = qa.query_id JOIN e n ON n.vec_id = ca.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** The v4 argmin cell-assignment rule as a CTE `outName(vec_id, cell
@@ -6451,6 +6492,8 @@ object SparkEntry {
     // the identical index-order fold, 9dp on output
     "v23_pca_project" -> pcaProjectSql,
     "v12_ivf_multiprobe" -> trainedIvfTopKSql(nprobe = 4),
+    // v31 — v12's chain, pre-delete codebook, retained-only neighbors
+    "v31_post_delete_topk" -> postDeleteTopKSql(nprobe = 4),
     // v25 — v12's multiprobe routing replay with the v24 hard-negative
     // band applied between scoring and the per-query rank
     "v25_hard_neg_ann" -> trainedIvfTopKSql(nprobe = 4, k = 8, band = Some((0.05, 0.42))),

@@ -474,6 +474,25 @@ class SimilaritySpec extends SparkSpec {
     assert(noop.forall(!_.getBoolean(6)))
   }
 
+  test("post-delete tombstone serving: deleted ids never surface; nprobe=|cells| == brute force over retained") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val retained = corpus.filter(col("vec_id") % 10 =!= 6)
+    val cb = Similarity.trainIvfCodebook(corpus, cells = 16, iters = 3)
+    val q = Similarity.querySet(corpus, "vec_id", 20)
+    val served = Similarity.ivfTopKTrainedMultiProbe(retained, q, cb, nprobe = 4)
+      .collect()
+    assert(served.nonEmpty)
+    assert(served.forall(_.getLong(1) % 10 != 6), "a deleted id surfaced as a neighbor")
+    // full probing over the (untouched) pre-delete layout == brute
+    // force over the retained set: tombstone filtering loses nothing
+    val full = Similarity.ivfTopKTrainedMultiProbe(retained, q, cb, nprobe = 16)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(retained, q)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full == brute)
+  }
+
   test("ivfRetrain: warm start == continued training; converged zero-batch retrain is a fixed point") {
     import spark.implicits._
     def vec(x: Float) = Array.tabulate(8)(i => if (i == 0) x else 0f)
