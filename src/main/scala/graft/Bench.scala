@@ -11,6 +11,17 @@ object Bench {
     */
   val CalibQuietMin: Double = 0.56
 
+  /** Promotion gate for the committed quiet baseline: a full run always
+    * writes BENCH_LAST.json, but BENCH_LOCAL.json — the artifact
+    * `tools/bench_tripwire.py` and `tools/protocol_mins.py` fold as the
+    * box's quiet history — is rewritten only when the run's own
+    * calibration row says the box was quiet enough to be comparable
+    * (calib_ratio at or under this). 1.5 matches the tripwire's
+    * "basically clean" band (BENCH_NOTES.md round-16 close: quiet runs
+    * land 1.0-1.4, contended ones 2-5+).
+    */
+  val PromoteMaxRatio: Double = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -102,10 +113,23 @@ object Bench {
     // per-query history survives every round (driver rounds run from the
     // repo root; fall back silently if the cwd isn't writable).
     // Subset probes must NOT clobber the committed full-suite baseline —
-    // only a full run rewrites BENCH_LOCAL.json.
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // only a full run writes anything.
+    //
+    // PROMOTION GATE (r16 verdict ask #2): every full run lands in
+    // BENCH_LAST.json unconditionally, but the committed quiet baseline
+    // BENCH_LOCAL.json is only rewritten when the run's own calibration
+    // says the box was quiet (calib_ratio <= PromoteMaxRatio). The r16
+    // driver run at calib_ratio 4.30 destroyed the committed run-5
+    // artifact exactly because this gate didn't exist — a contended run
+    // must leave the quiet baseline byte-identical. Threshold documented
+    // in BENCH_NOTES.md (round-17 "Promotion gate").
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
       catch { case _: Throwable => () }
+      if (calibRatio <= Bench.PromoteMaxRatio)
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+        catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -506,7 +506,7 @@ object SparkEntry {
     // the report that sizes incremental re-processing
     "p15_snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Profiling.snapshotDiff(
+      Profiling.snapshotDiffReport(
         docs.filter(col("doc_id") % 16 =!= 7),
         docs.filter(col("doc_id") % 16 =!= 3)
           .withColumn("text", when(col("doc_id") % 20 === 5,
@@ -1172,7 +1172,7 @@ object SparkEntry {
         graft.streaming.Streams.parquetDirStream(s, qPath, schema),
         Seq((s"$idx/tfs", s"$idx/lens"), (s"$idx/addtfs", s"$idx/addlens")),
         out)
-      s.read.parquet(out).orderBy("phrase", "rank")
+      graft.streaming.Streams.readBatchSink(s, out).orderBy("phrase", "rank")
     }),
     // t40 — index DELETE report (t37's other face, the takedown path):
     // a delete-list (doc_id % 10 = 6 — a fifth of the even at-rest
@@ -1774,24 +1774,21 @@ object SparkEntry {
         s.table(mem), codebookDf)
     }),
     // st22 — streaming MEDIA curation, c22's incremental twin: new
-    // images stream in; each row's verdict (decode gate -> aHash ->
-    // chunk-blocked Hamming probe of the staged corpus index -> c14
-    // keep-best) depends only on the STATIC curated corpus, so
-    // micro-batch boundaries cannot change it and the batch SQL replay
-    // gates the stream verbatim. No streaming state at all.
+    // images stream in; each micro-batch runs the DISTRIBUTED verdict
+    // plan (decode gate -> aHash -> stream-static chunk-key join
+    // against the AT-REST chunk-exploded curation index parquet ->
+    // exact Hamming prune -> c14 keep-best struct-max) via foreachBatch
+    // — the st23/st27/st28 pattern, no driver-collected index, no
+    // streaming state; the batch SQL replay gates the stream verbatim.
     "st22_stream_media_curation" -> ((s, d) => {
       val stage = stagedImages(s, d)
       val schema = s.read.parquet(stage).schema
-      val corpus = s.read.parquet(stage).filter(col("media_id") % 2 === 0)
-      val cIdx = Multimodal.imageCurationIndex(corpus).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      val mem = s"st22_mem_${Integer.toHexString(d.hashCode)}"
-      graft.streaming.Streams.runToMemory(
-        graft.streaming.Streams.streamMediaCuration(
-          graft.streaming.Streams.parquetDirStream(s, stage, schema)
-            .filter(col("media_id") % 2 === 1), cIdx).toDF(),
-        mem, org.apache.spark.sql.streaming.OutputMode.Append())
-      s.table(mem).orderBy("media_id")
+      val idx = stagedCurationIndex(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_st22_out").toString
+      graft.streaming.Streams.runMediaCurationBatches(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .filter(col("media_id") % 2 === 1), idx, out)
+      graft.streaming.Streams.readBatchSink(s, out).orderBy("media_id")
     }),
     // dimension-truncation recall curve (Matryoshka storage knob): re-rank
     // with the first d dims only, agreement vs the full-width top-k
@@ -1872,7 +1869,8 @@ object SparkEntry {
       graft.streaming.Streams.runIndexAddBatches(
         graft.streaming.Streams.parquetDirStream(s, stage, schema)
           .filter(col("doc_id") % 2 === 1), segDir)
-      TextStats.indexAddReport(s.read.parquet(s"$idx/tfs"), s.read.parquet(segDir))
+      TextStats.indexAddReport(s.read.parquet(s"$idx/tfs"),
+        graft.streaming.Streams.readBatchSink(s, segDir))
     }),
     // st23 — m10's streaming twin (the modality matrix's last cell):
     // new tracks stream in; each micro-batch stream-static joins the
@@ -1892,7 +1890,7 @@ object SparkEntry {
         graft.streaming.Streams.parquetDirStream(s, stage, schema)
           .filter(expr("((media_id - 2) div 3) % 2 = 1")),
         s"$idx/index", s"$idx/sizes", out)
-      s.read.parquet(out).orderBy("media_id")
+      graft.streaming.Streams.readBatchSink(s, out).orderBy("media_id")
     }),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
@@ -2057,6 +2055,25 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
         .write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** st22's AT-REST curation index: the curated (even) image half's
+    * chunk-exploded (ci, ckey, cid, chash, cq) pigeonhole rows
+    * ([[graft.ops.Multimodal.imageCurationIndexChunked]]), staged once
+    * per sfDir and repartitioned on the chunk probe key so the
+    * stream-static join co-locates — the multimodal twin of
+    * [[stagedAudioIndex]]'s wh-bucketed layout.
+    */
+  private def stagedCurationIndex(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/curidx_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS"))) {
+      val corpus = s.read.parquet(stagedImages(s, d))
+        .filter(col("media_id") % 2 === 0)
+      Multimodal.imageCurationIndexChunked(corpus)
+        .repartition(col("ci"), col("ckey"))
+        .write.mode("overwrite").parquet(stage)
+    }
     stage
   }
 

@@ -867,6 +867,61 @@ object Multimodal {
       "media_id")
       .select("media_id", "ahash", "quality")
 
+  /** [[imageCurationIndex]] in its AT-REST chunk-exploded layout —
+    * st22's static side staged like st23's wh-bucketed audio index:
+    * each (media_id, ahash, quality) row fans out to its 8 pigeonhole
+    * rows (ci, ckey, cid, chash, cq), so the streaming probe is ONE
+    * equi-join on the (ci, ckey) chunk key against the parquet at rest
+    * — by pigeonhole any pair within Hamming ≤ 7 shares a chunk, the
+    * [[nearDupImages]] guarantee. 8 rows × ~32 bytes per curated
+    * image; stage it repartitioned on the chunk key so probes
+    * co-locate.
+    */
+  def imageCurationIndexChunked(media: DataFrame): DataFrame =
+    imageCurationIndex(media)
+      .select(col("media_id").as("cid"), col("ahash").as("chash"),
+        col("quality").as("cq"),
+        explode(sequence(lit(0), lit(7))).as("ci"))
+      .withColumn("ckey", expr("(chash >> (ci * 8)) & 255"))
+
+  /** Per-row curation verdicts for NEW media against the at-rest
+    * chunk-exploded curation index — st22's DISTRIBUTED verdict core
+    * (the audio analog is [[audioMatchAgainstIndex]]). New rows pass
+    * the m1 decode gate and hash/quality extraction
+    * ([[imageCurationIndex]] — undecodable payloads drop), fan to
+    * their 8 pigeonhole probes, equi-join the chunked index on
+    * (ci, ckey), and the exact Hamming filter prunes candidates. The
+    * best corpus match per new row — highest quality, ties to the
+    * LOWER id (the c14 rule) — falls out of one struct-max aggregate:
+    * (cq, -cid) compares lexicographically, and a pair sharing several
+    * chunks just feeds the max duplicate rows, so no distinct is
+    * needed. Rows with no candidate keep unconditionally via the final
+    * left join. NOTHING reaches the driver and pixels never shuffle —
+    * only the 8 probe rows of ~24 bytes per image — which is what
+    * replaces the r15/r16-flagged O(corpus) collected-index closure.
+    */
+  def curationAgainstIndex(newMedia: DataFrame, chunkedIdx: DataFrame,
+                           maxDist: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      "8-chunk pigeonhole blocking covers Hamming <= 7")
+    val nh = imageCurationIndex(newMedia)
+    val probes = nh.select(col("media_id"), col("ahash"), col("quality"),
+        explode(sequence(lit(0), lit(7))).as("ci"))
+      .withColumn("ckey", expr("(ahash >> (ci * 8)) & 255"))
+    val best = probes.join(chunkedIdx, Seq("ci", "ckey"))
+      .filter(expr(s"bit_count(ahash ^ chash) <= $maxDist"))
+      .groupBy("media_id")
+      .agg(max(struct(col("cq"), (-col("cid")).as("nc"))).as("b"))
+      .select(col("media_id"), (-col("b.nc")).as("matched_id"),
+        col("b.cq").as("bq"))
+    nh.join(best, Seq("media_id"), "left")
+      .select(col("media_id"), col("matched_id"),
+        col("quality").as("quality_score"),
+        (col("matched_id").isNull || col("quality") > col("bq") ||
+          (col("quality") === col("bq") &&
+            col("media_id") < col("matched_id"))).as("keep"))
+  }
+
   /** End-to-end MEDIA curation composite (c22) — the c21 analog for the
     * multimodal side, every stage an existing gated operator composed
     * into one plan: decode gate (m1's [[decodeMeta]], `unknown` formats

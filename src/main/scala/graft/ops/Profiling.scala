@@ -569,11 +569,18 @@ object Profiling {
     * discipline; x6/st5 handle dedup of the additions, this report
     * sizes the work and catches silent mass-changes — a parser change
     * that rewrites half the corpus shows here first).
+    *
+    * Named `snapshotDiffReport` (not `snapshotDiff`) deliberately:
+    * [[graft.ops.TextStats.snapshotDiff]] is the PER-DOC classifier
+    * (xxhash64 identity, one row per doc); this is the per-group
+    * AGGREGATE report (fnv1a64 identity — the corpus-maintenance
+    * family's shared content hash, same as t41/st29). Distinct names
+    * keep the two semantics from masquerading as one API.
     */
-  def snapshotDiff(snapA: DataFrame, snapB: DataFrame,
-                   groupCol: String = "source",
-                   textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+  def snapshotDiffReport(snapA: DataFrame, snapB: DataFrame,
+                         groupCol: String = "source",
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
     // presence flags, not hash nullness, decide membership — a NULL
     // text in one snapshot must read as present-with-null-content
     // (null-safe <=> compares the hashes), never as added/removed
@@ -597,19 +604,27 @@ object Profiling {
   }
 
   /** INCREMENTAL corpus-profile maintenance (t41) — the e11 discipline
-    * on the documents domain, composing with [[snapshotDiff]]: the
-    * per-(lang, source) profile of snapshot B is the STORED profile of
-    * A plus adjustments from ONLY the diff rows — never a rescan of B.
-    * Each non-unchanged doc contributes two legs: its A-side group
-    * loses (−1 doc, −len) and its B-side group gains (+1, +len) —
-    * which also handles docs whose lang/source moved between
-    * snapshots, since each leg carries its own group. Char totals use
-    * per-row coalesce(length, 0) (a null-text doc counts, contributes
-    * zero chars — the contract both the oracle and the recompute spec
-    * share), and the 4dp average derives from the maintained exact
-    * integer sums, so incremental ≡ recompute to the digit. Scale: the
-    * base aggregate is O(groups) rows at rest; the adjustment legs are
-    * the diff's 24-byte projections.
+    * on the documents domain, composing with [[snapshotDiffReport]]:
+    * the per-(lang, source) profile of snapshot B is the STORED
+    * profile of A plus adjustments from ONLY the diff rows — never a
+    * rescan of B. Each adjusted doc contributes two legs: its A-side
+    * group loses (−1 doc, −len) and its B-side group gains (+1, +len)
+    * — which also handles docs whose lang/source moved between
+    * snapshots, since each leg carries its own group. A row is
+    * filtered out as truly unchanged only when content hash AND both
+    * group keys agree (null-safely) — a doc whose text is byte-stable
+    * but whose lang/source reassigned between crawls still produces
+    * its two legs, so the maintained profile tracks group moves
+    * exactly. Char totals use per-row coalesce(length, 0) (a null-text
+    * doc counts, contributes zero chars — the contract both the oracle
+    * and the recompute spec share), and the 4dp average derives from
+    * the maintained exact integer sums, so incremental ≡ recompute to
+    * the digit — the spec pins a content-unchanged group move and a
+    * NULL group key against the recompute. All group-key comparisons
+    * and the final base/adjustment merge are null-safe (`<=>`), so a
+    * NULL lang or source is one group on both sides, exactly as
+    * GROUP BY treats it. Scale: the base aggregate is O(groups) rows
+    * at rest; the adjustment legs are the diff's 24-byte projections.
     */
   def incrementalProfile(snapA: DataFrame, snapB: DataFrame,
                          textCol: String = "text",
@@ -625,7 +640,8 @@ object Profiling {
       chars.as(s"len_$tag"))
     val j = proj(snapA, "a").join(proj(snapB, "b"), Seq(idCol), "full_outer")
       .filter(!(col("in_a").isNotNull && col("in_b").isNotNull &&
-        (col("h_a") <=> col("h_b"))))
+        (col("h_a") <=> col("h_b")) &&
+        (col("lang_a") <=> col("lang_b")) && (col("src_a") <=> col("src_b"))))
     val legA = j.filter(col("in_a").isNotNull)
       .select(col("lang_a").as("lang"), col("src_a").as("source"),
         lit(-1L).as("dn"), (-col("len_a")).as("dc"))
@@ -634,8 +650,14 @@ object Profiling {
         lit(1L).as("dn"), col("len_b").as("dc"))
     val adj = legA.unionByName(legB).groupBy("lang", "source")
       .agg(sum(col("dn")).as("adj_n"), sum(col("dc")).as("adj_c"))
-    base.join(adj, Seq("lang", "source"), "full_outer")
-      .select(col("lang"), col("source"),
+      .withColumnsRenamed(Map("lang" -> "lang_j", "source" -> "src_j"))
+    // null-safe merge: a NULL lang/source group must land on ONE row,
+    // matching how the groupBy legs above (and a recompute) treat it
+    base.join(adj,
+        (col("lang") <=> col("lang_j")) && (col("source") <=> col("src_j")),
+        "full_outer")
+      .select(coalesce(col("lang"), col("lang_j")).as("lang"),
+        coalesce(col("source"), col("src_j")).as("source"),
         (coalesce(col("n_docs"), lit(0L)) + coalesce(col("adj_n"), lit(0L))).as("n_docs"),
         (coalesce(col("total_chars"), lit(0L)) + coalesce(col("adj_c"), lit(0L))).as("total_chars"))
       .filter(col("n_docs") > 0)

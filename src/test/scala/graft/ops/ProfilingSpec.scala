@@ -355,7 +355,7 @@ class ProfilingSpec extends SparkSpec {
     assert(viaAgg.nonEmpty && viaAgg == viaRank)
   }
 
-  test("snapshotDiff: all four statuses on a hand fixture; null text present in both reads unchanged") {
+  test("snapshotDiffReport: all four statuses on a hand fixture; null text present in both reads unchanged") {
     import spark.implicits._
     val a = Seq((1L, Option("same"), "s1"), (2L, Option("old"), "s1"),
       (3L, Option("gone"), "s2"), (5L, Option.empty[String], "s2"))
@@ -363,7 +363,7 @@ class ProfilingSpec extends SparkSpec {
     val b = Seq((1L, Option("same"), "s1"), (2L, Option("new"), "s1"),
       (4L, Option("fresh"), "s2"), (5L, Option.empty[String], "s2"))
       .toDF("doc_id", "text", "source")
-    val out = Profiling.snapshotDiff(a, b).collect()
+    val out = Profiling.snapshotDiffReport(a, b).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(out(("added", "s2")) == ((1L, 5L)))      // doc 4 "fresh"
     assert(out(("removed", "s2")) == ((1L, 4L)))    // doc 3 "gone"
@@ -397,6 +397,37 @@ class ProfilingSpec extends SparkSpec {
     val same = Profiling.incrementalProfile(a, a).collect().map(_.toSeq).toSeq
     val aProf = Profiling.incrementalProfile(a.limit(0), a).collect().map(_.toSeq).toSeq
     assert(same == aProf)
+  }
+
+  test("incrementalProfile: content-UNCHANGED group move and NULL group keys still equal recompute") {
+    import spark.implicits._
+    // doc 2: text byte-identical, source moves s1->s2 (the r16-advice
+    // gap: an unchanged-hash row must still produce adjustment legs);
+    // doc 6: NULL lang in both snapshots (null-safe group identity);
+    // doc 7: moves INTO the NULL-lang group with unchanged text
+    val a = Seq((1L, Option("aaaa"), Option("en"), "s1"),
+      (2L, Option("bb"), Option("en"), "s1"),
+      (6L, Option("nn"), Option.empty[String], "s3"),
+      (7L, Option("mm"), Option("de"), "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b = Seq((1L, Option("aaaa"), Option("en"), "s1"),
+      (2L, Option("bb"), Option("en"), "s2"),
+      (6L, Option("nn"), Option.empty[String], "s3"),
+      (7L, Option("mm"), Option.empty[String], "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val inc = Profiling.incrementalProfile(a, b).collect().map(_.toSeq).toSeq
+    val recompute = b.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col("text")).cast("long"), lit(0L))).as("total_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        graft.ops.Num.roundTo(col("total_chars").cast("double") /
+          col("n_docs").cast("double"), 4).as("avg_chars"))
+      .orderBy("lang", "source").collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty && inc == recompute, s"inc=$inc vs recompute=$recompute")
+    // the moved-but-unchanged doc really is attributed to its NEW group
+    val bySrc = inc.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(bySrc(("en", "s2")) == 1L)                // doc 2 landed in s2
+    assert(bySrc((null, "s3")) == 2L)                // docs 6 and 7 share the NULL-lang group
   }
 
   test("sampleQuantiles: NULL rowKeys are excluded everywhere (r15 ADVICE) — window, audit, and aggregate paths agree") {

@@ -601,13 +601,24 @@ class StreamsSpec extends SparkSpec {
     img.filter(col("media_id") >= 300).coalesce(1).write.mode("append").parquet(d)
     val all = spark.read.parquet(d)
     val corpus = all.filter(col("media_id") % 2 === 0)
-    val cIdx = Multimodal.imageCurationIndex(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    Streams.runToMemory(
-      Streams.streamMediaCuration(
-        Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
-          .filter(col("media_id") % 2 === 1), cIdx).toDF(),
-      "media_stream", OutputMode.Append())
+    // the at-rest chunk-exploded index parquet, staged like st23's
+    val idxDir = tmpDir("stream_media_idx").toString
+    Multimodal.imageCurationIndexChunked(corpus)
+      .repartition(col("ci"), col("ckey"))
+      .write.mode("overwrite").parquet(idxDir)
+    // plan pin (r16 verdict ask #1): the verdict core is a stream-static
+    // JOIN against the chunked index PARQUET — no closure-shipped index,
+    // no driver collect anywhere in the plan
+    val core = Multimodal.curationAgainstIndex(
+      all.filter(col("media_id") % 2 === 1), spark.read.parquet(idxDir))
+    val plan = core.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && plan.contains("FileScan parquet"),
+      s"st22 core must join the at-rest parquet index, got:\n$plan")
+    val outDir = tmpDir("stream_media_out").toString
+    Streams.runMediaCurationBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(col("media_id") % 2 === 1), idxDir, outDir)
+    Streams.readBatchSink(spark, outDir).createOrReplaceTempView("media_stream")
     val streamed = spark.table("media_stream").orderBy("media_id")
       .collect().map(_.toString).toSeq
     // independent batch formulation: all-pairs Hamming join + the same
@@ -716,7 +727,7 @@ class StreamsSpec extends SparkSpec {
       Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
         .filter(expr("((media_id - 2) div 3) % 2 = 1")),
       s"$idxDir/index", s"$idxDir/sizes", outDir)
-    val streamed = spark.read.parquet(outDir).orderBy("media_id").collect()
+    val streamed = Streams.readBatchSink(spark, outDir).orderBy("media_id").collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
                  r.getDouble(2), r.getBoolean(3)))
     // the planted retake: stream 71 matches corpus 74 at J = 50/64
@@ -768,7 +779,7 @@ class StreamsSpec extends SparkSpec {
         .filter(col("doc_id") % 2 === 1), segDir)
     // the appended segments union to exactly the one-shot batch segment
     val oneShot = TextStats.indexSegment(all.filter(col("doc_id") % 2 === 1))._1
-    val streamedSegs = spark.read.parquet(segDir)
+    val streamedSegs = Streams.readBatchSink(spark, segDir)
     assert(streamedSegs.count() == oneShot.count())
     assert(streamedSegs.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamedSegs).isEmpty)
     // and the t37 report over (base, accumulated segments) is
@@ -779,6 +790,19 @@ class StreamsSpec extends SparkSpec {
     val viaBatch = TextStats.indexAddReport(baseTfs, oneShot)
       .collect().map(_.toSeq).toSeq
     assert(viaStream.nonEmpty && viaStream == viaBatch)
+    // RETRY idempotence (r16 advice): replaying the whole stream into
+    // the SAME store re-delivers every micro-batch with its original
+    // batchId; the batch_id=<id> overwrite discipline means the store
+    // is the same logical table afterward — postings never double.
+    // (Last in the test: the overwrite invalidates file listings cached
+    // by the pre-retry DataFrames above.)
+    Streams.runIndexAddBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(col("doc_id") % 2 === 1), segDir)
+    val afterRetry = Streams.readBatchSink(spark, segDir)
+    assert(afterRetry.count() == oneShot.count(),
+      "a re-delivered micro-batch must overwrite, not append")
+    assert(afterRetry.exceptAll(oneShot).isEmpty)
   }
 
   test("streaming snapshot status == batch statuses across micro-batch boundaries; null-text old doc is not 'added'") {
@@ -830,7 +854,7 @@ class StreamsSpec extends SparkSpec {
       Streams.parquetDirStream(spark, qDir, spark.read.parquet(qDir).schema,
         maxFilesPerTrigger = 1),
       Seq((s"$idx/tfs", s"$idx/lens"), (s"$idx/addtfs", s"$idx/addlens")), outDir)
-    val streamed = spark.read.parquet(outDir)
+    val streamed = Streams.readBatchSink(spark, outDir)
       .orderBy("phrase", "rank").collect().map(_.toSeq).toSeq
     val rebuild = TextStats.bm25TopK(docs).collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == rebuild)
