@@ -1174,6 +1174,35 @@ object SparkEntry {
         out)
       graft.streaming.Streams.readBatchSink(s, out).orderBy("phrase", "rank")
     }),
+    // t42 — phrase search THROUGH positional segments (t38's phrase
+    // twin): the staged at-rest base postings + the odd half's O(batch)
+    // positional segment serve t33's phrase queries together, query
+    // set derived FROM the index (no corpus rescan); gated by t33's
+    // oracle over the union corpus — add-then-phrase == rebuild
+    "t42_phrase_merged" -> ((s, d) => {
+      val idx = stagedPositionalIndex(s, d)
+      TextStats.phraseSearchFromSegments(Seq(
+        s.read.parquet(idx),
+        TextStats.positionalSegment(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 1))))
+    }),
+    // t43 — BM25 serving in TOMBSTONE mode after a delete (v31's
+    // retrieval twin, the serving face of t40's report): base + add
+    // segments stay byte-identical at rest; deleted docs (%10=6) skip
+    // via one serve-time anti-join and global stats subtract their
+    // contribution — gated by the t34 oracle over the RETAINED corpus,
+    // the takedown path oracle-checked end to end
+    "t43_post_delete_bm25" -> ((s, d) => {
+      val idx = stagedTextIndex(s, d)
+      val docs = Tables.documents(s, d)
+      val (addTfs, addLens) =
+        TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+      TextStats.bm25TopKTombstone(
+        Seq((s.read.parquet(s"$idx/tfs"), s.read.parquet(s"$idx/lens")),
+          (addTfs, addLens)),
+        docs.select(col("doc_id")).filter(col("doc_id") % 10 === 6),
+        TextStats.bm25QueryToks(docs.filter(col("doc_id") % 10 =!= 6)))
+    }),
     // t40 — index DELETE report (t37's other face, the takedown path):
     // a delete-list (doc_id % 10 = 6 — a fifth of the even at-rest
     // half) against the staged base index; deleted postings by ONE
@@ -2027,6 +2056,21 @@ object SparkEntry {
       tfs.repartition(col("tok")).write.mode("overwrite").parquet(s"$stage/tfs")
       lens.write.mode("overwrite").parquet(s"$stage/lens")
     }
+    stage
+  }
+
+  /** t42's AT-REST base postings: the corpus (even) half's positional
+    * segment ([[graft.ops.TextStats.positionalSegment]]), staged once
+    * per sfDir repartitioned by tok — candidate probes lead on the
+    * token key, like [[stagedTextIndex]]'s tf layout.
+    */
+  private def stagedPositionalIndex(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/positional_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      TextStats.positionalSegment(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+        .repartition(col("tok"))
+        .write.mode("overwrite").parquet(stage)
     stage
   }
 
@@ -3565,10 +3609,15 @@ object SparkEntry {
        |  CASE WHEN scope = 'merged' THEN 4 * np_add >= np_base ELSE FALSE END AS rebuild_recommended
        |FROM per, tot, newt ORDER BY scope""".stripMargin
 
-  private lazy val bm25RankCtes: String =
+  private lazy val bm25RankCtes: String = bm25RankCtesOver("documents")
+
+  /** The t34 rank CTEs over any corpus slice — `from` is the FROM body
+    * of the tb CTE (t43 passes the retained corpus: documents minus
+    * the delete list). */
+  private def bm25RankCtesOver(from: String): String =
     s"""WITH tb AS MATERIALIZED (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
-       |  FROM documents),
+       |  FROM $from),
        |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tb WHERE len(ts) > 0),
        |post AS (SELECT doc_id, unnest(ts) AS tok FROM tb),
        |tfs AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM post GROUP BY doc_id, tok),
@@ -5575,6 +5624,29 @@ object SparkEntry {
     // the rebuild
     "st28_stream_bm25" ->
       s"""$bm25RankCtes
+         |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY phrase, rank""".stripMargin,
+    // t42 — t33's phrase-search replay VERBATIM over the union corpus:
+    // serving through (base postings + add segment) must equal the
+    // rebuild, derivation included
+    "t42_phrase_merged" ->
+      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ng AS MATERIALIZED (SELECT doc_id,
+         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+         |  WHERE len(ts) >= 3),
+         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
+         |  ORDER BY c DESC, phrase LIMIT 5)
+         |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
+         |FROM ng JOIN topq USING (phrase)
+         |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    // t43 — the t34 rank CTEs over the RETAINED corpus (delete list
+    // %10=6 removed): tombstone serving — untouched segments, anti-join
+    // skip, subtracted stats — must equal the retained-corpus rebuild
+    "t43_post_delete_bm25" ->
+      s"""${bm25RankCtesOver("documents WHERE doc_id % 10 <> 6")}
          |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
          |ORDER BY phrase, rank""".stripMargin,
     // t40 — base (even) / delete (%10=6) / after scopes through the

@@ -2064,18 +2064,79 @@ object TextStats {
   }
 
   def phraseSearch(docs: DataFrame, n: Int = 3, topQ: Int = 5,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    phraseSearchFromPostings(positionalSegment(docs, textCol, idCol),
+      topNgrams(docs, n, topQ, textCol), n, idCol)
+
+  /** The POSITIONAL index segment — the phrase-serving at-rest unit of
+    * the retrieval family, the positions-bearing sibling of
+    * [[indexSegment]]'s tf rows: `(doc_id, tokpos, tok)` with 1-based
+    * positions, one map-only posexplode over ONLY the given docs (no
+    * aggregation at all, so building a segment for a new batch is
+    * O(batch) and the at-rest corpus postings are never rescanned).
+    * Segments are doc-disjoint, so their UNION is row-identical to the
+    * one-shot rebuild's postings — which is what makes add-then-phrase
+    * ≡ rebuild-then-phrase exact ([[phraseSearchFromSegments]],
+    * spec-pinned and gated by t33's oracle over the union corpus).
+    */
+  def positionalSegment(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    docs.select(col(idCol), posexplode(toksArr).as(Seq("tp0", "tok")))
+      .select(col(idCol), (col("tp0") + 1).cast("long").as("tokpos"), col("tok"))
+  }
+
+  /** The topQ most frequent n-grams derived FROM the positional index
+    * itself — [[topNgrams]] without touching corpus text: consecutive
+    * positions chain by n−1 equi-joins on (doc, position), so a
+    * base+segments store can derive its own query set at rest. Postings
+    * are the tokenized text verbatim (1-based positions from one
+    * posexplode), so the derived set — counts, ties, ordering — is
+    * EXACTLY [[topNgrams]]'s over the same docs.
+    */
+  def topNgramsFromPostings(postings: DataFrame, n: Int = 3, topQ: Int = 5,
+                            idCol: String = "doc_id"): DataFrame = {
     require(n >= 2, "n must be >= 2")
     require(topQ >= 1, "topQ must be >= 1")
+    val base = postings.select(col(idCol), col("tokpos").as("pos"), col("tok").as("g"))
+    val grams = (1 until n).foldLeft(base) { (acc, i) =>
+      acc.join(postings.select(col(idCol), (col("tokpos") - i).as("pos"),
+          col("tok").as("nxt")), Seq(idCol, "pos"))
+        .select(col(idCol), col("pos"), concat_ws(" ", col("g"), col("nxt")).as("g"))
+    }
+    grams.select(col("g").as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(topQ)
+  }
+
+  /** Phrase search THROUGH positional segments (t42 — the phrase twin
+    * of t38's BM25-through-segments): the at-rest base postings plus
+    * any number of added segments serve phrase queries together
+    * WITHOUT a rebuild. Segments are doc-disjoint, so their union IS
+    * the rebuild's positional index row for row — both the derived
+    * query set ([[topNgramsFromPostings]], no corpus rescan) and every
+    * match count are exactly the one-shot [[phraseSearch]]'s, and the
+    * t33 oracle over the union corpus gates this plan verbatim.
+    */
+  def phraseSearchFromSegments(segments: Seq[DataFrame], n: Int = 3,
+                               topQ: Int = 5, idCol: String = "doc_id"): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    val postings = segments.reduce(_ unionByName _)
+    phraseSearchFromPostings(postings,
+      topNgramsFromPostings(postings, n, topQ, idCol), n, idCol)
+  }
+
+  /** t33's candidate/verify query plan over any postings source — the
+    * shared core of [[phraseSearch]] (postings built inline) and
+    * [[phraseSearchFromSegments]] (postings unioned from at-rest
+    * segments). Candidates come from the postings of each phrase's
+    * RAREST token only; each candidate is verified by n equi-join
+    * lookups on (doc, position).
+    */
+  private[ops] def phraseSearchFromPostings(postings: DataFrame,
+                                            topPhrases: DataFrame, n: Int,
+                                            idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val tokBase = docs.select(col(idCol), toksArr.as("ts"))
-    // the positional index: (doc, pos, token), 1-based positions
-    val postings = tokBase
-      .select(col(idCol), posexplode(col("ts")).as(Seq("tp0", "tok")))
-      .select(col(idCol), (col("tp0") + 1).cast("long").as("tokpos"), col("tok"))
-    // query derivation: the shared topQ rule
-    val topPhrases = topNgrams(docs, n, topQ, textCol)
     val phraseToks = topPhrases
       .select(col("phrase"), posexplode(split(col("phrase"), " ")).as(Seq("off0", "ptok")))
       .select(col("phrase"), col("off0").cast("long").as("off"), col("ptok"))
@@ -2181,6 +2242,54 @@ object TextStats {
         _._2.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
+    bm25ScoreTopK(tfs, dfs, lens, stats, qToks, k, idCol)
+  }
+
+  /** BM25 top-k in TOMBSTONE mode after a delete (t43 — the retrieval
+    * twin of v31's post-delete serving, and the serving face of t40's
+    * report): the at-rest segments are NOT rewritten — deleted docs are
+    * skipped at serve time by one anti-join on the delete list, and
+    * every global statistic is the base aggregate MINUS the deleted
+    * docs' own contribution (df adjusts per token from an O(deleted
+    * postings) semi-join count; N and Σdl subtract the deleted lens
+    * sums). Because the retained postings and the subtracted integer
+    * stats are EXACTLY what a rebuild over the retained corpus would
+    * produce, scores and ranks equal the rebuild's bit for bit — the
+    * t34 oracle over the retained corpus gates this plan verbatim, and
+    * a spec pins tombstone ≡ rebuild directly. Scale: the segment
+    * store stays byte-identical at rest (the cheap right-to-erasure
+    * path t40's integer rule recommends until deletes pile up);
+    * serve-time cost adds one anti-join and one O(deleted-postings)
+    * aggregation to t38's plan.
+    */
+  def bm25TopKTombstone(segments: Seq[(DataFrame, DataFrame)],
+                        deleteDocs: DataFrame, qToks: DataFrame, k: Int = 10,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    val delKeys = deleteDocs.select(col(idCol)).distinct()
+    val tfsAll = segments.map(_._1).reduce(_ unionByName _)
+    val tfs = tfsAll.join(delKeys, Seq(idCol), "left_anti")
+    // df maintenance: per-segment sums minus the deleted docs' postings
+    val dfsBase = segments.map(_._1.groupBy("tok").agg(count(lit(1)).as("df")))
+      .reduce(_ unionByName _)
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+    val dfsDel = tfsAll.join(delKeys, Seq(idCol), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("ddf"))
+    val dfs = dfsBase.join(dfsDel, Seq("tok"), "left")
+      .select(col("tok"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val lensAll = segments.map(_._2).reduce(_ unionByName _)
+    val lens = lensAll.join(delKeys, Seq(idCol), "left_anti")
+    val statsBase = segments.map(
+        _._2.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
+    val statsDel = lensAll.join(delKeys, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("dn"), coalesce(sum(col("dl")), lit(0L)).as("dtot"))
+    val stats = statsBase.crossJoin(statsDel)
+      .select((col("n_docs") - col("dn")).as("n_docs"),
+        (col("tot") - col("dtot")).as("tot"))
     bm25ScoreTopK(tfs, dfs, lens, stats, qToks, k, idCol)
   }
 

@@ -1363,6 +1363,37 @@ class TextStatsSpec extends SparkSpec {
     assert(viaSub.nonEmpty && viaSub == rebuild)
   }
 
+  test("phraseSearchFromSegments: add-then-phrase == rebuild-then-phrase; index-native derivation == topNgrams") {
+    val docs = Tables.documents(spark, sfDir)
+    val even = TextStats.positionalSegment(docs.filter(col("doc_id") % 2 === 0))
+    val odd = TextStats.positionalSegment(docs.filter(col("doc_id") % 2 === 1))
+    val viaSegs = TextStats.phraseSearchFromSegments(Seq(even, odd))
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.phraseSearch(docs).collect().map(_.toSeq).toSeq
+    assert(viaSegs.nonEmpty && viaSegs == rebuild)
+    // the query-set derivation FROM the index (position-chain joins)
+    // equals the text-scan derivation — counts, ties, ordering
+    val fromIdx = TextStats.topNgramsFromPostings(even.unionByName(odd))
+      .collect().map(_.toSeq).toSeq
+    val fromText = TextStats.topNgrams(docs).collect().map(_.toSeq).toSeq
+    assert(fromIdx == fromText)
+  }
+
+  test("bm25TopKTombstone: untouched segments + serve-time skip + subtracted stats == retained-corpus rebuild") {
+    val docs = Tables.documents(spark, sfDir)
+    val retained = docs.filter(col("doc_id") % 10 =!= 6)
+    val (bTfs, bLens) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 0))
+    val (aTfs, aLens) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+    val out = TextStats.bm25TopKTombstone(Seq((bTfs, bLens), (aTfs, aLens)),
+        docs.select("doc_id").filter(col("doc_id") % 10 === 6),
+        TextStats.bm25QueryToks(retained))
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.bm25TopK(retained).collect().map(_.toSeq).toSeq
+    assert(out.nonEmpty && out == rebuild)
+    // right-to-erasure: a deleted doc can never surface in any ranking
+    assert(out.forall(r => r(2).asInstanceOf[Long] % 10 != 6))
+  }
+
   test("mergePolicy: integer-log2 tiers, population rule fires at exactly mergeFactor") {
     import spark.implicits._
     // postings 5/6/7 share tier 2 (bit-length 3), 9 is tier 3 alone
