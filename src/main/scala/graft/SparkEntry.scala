@@ -1921,6 +1921,25 @@ object SparkEntry {
         s"$idx/index", s"$idx/sizes", out)
       graft.streaming.Streams.readBatchSink(s, out).orderBy("media_id")
     }),
+    // st30 — m9's streaming twin (the modality matrix's final cell):
+    // new videos stream in; each micro-batch frame-samples + hashes
+    // map-only, stream-static joins the corpus's AT-REST df-guarded
+    // frame-hash index parquet, and reports its best-Jaccard match +
+    // dup verdict via foreachBatch — no driver-collected index, zero
+    // streaming state; batch SQL gates the stream. The even/odd split
+    // puts every planted near-dup pair (%100 in {2,3}: even member
+    // corpus, odd member stream) ACROSS the corpus/stream boundary.
+    "st30_stream_video_match" -> ((s, d) => {
+      val stage = stagedVideos(s, d)
+      val schema = s.read.parquet(stage).schema
+      val idx = stagedVideoIndex(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_st30_out").toString
+      graft.streaming.Streams.runVideoMatchBatches(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .filter(col("media_id") % 2 === 1),
+        s"$idx/index", s"$idx/sizes", out)
+      graft.streaming.Streams.readBatchSink(s, out).orderBy("media_id")
+    }),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
     // oracle replays the fixture's integer pixel/sample rules plus each
@@ -2117,6 +2136,38 @@ object SparkEntry {
       Multimodal.imageCurationIndexChunked(corpus)
         .repartition(col("ci"), col("ckey"))
         .write.mode("overwrite").parquet(stage)
+    }
+    stage
+  }
+
+  /** st30's streamed source: the m9 video fixture staged to parquet
+    * once per sfDir (payload binary rows, the binary pair headers
+    * included) so [[graft.streaming.Streams.parquetDirStream]] can
+    * replay it as a stream. */
+  private def stagedVideos(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/videos_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      Multimodal.mediaTable(s, d).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** st30's AT-REST frame-hash index: the corpus (even) half's
+    * df-guarded (fh → cid) inverted index over sampled-frame hashes
+    * ([[graft.ops.Multimodal.audioWindowIndex]] — the (doc_id, sh)
+    * shape is modality-agnostic — over [[graft.ops.Multimodal
+    * .videoFrameSets]]), plus the full per-video set sizes; staged once
+    * per sfDir, index repartitioned on the hash probe key like
+    * [[stagedAudioIndex]]. */
+  private def stagedVideoIndex(s: SparkSession, d: String): String = {
+    val stage = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fixtures/vididx_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "sizes", "_SUCCESS"))) {
+      val corpus = s.read.parquet(stagedVideos(s, d))
+        .filter(col("media_id") % 2 === 0)
+      val cs = graft.ops.Iterate.materialize(Multimodal.videoFrameSets(corpus))
+      Multimodal.audioWindowIndex(cs).repartition(col("wh"))
+        .write.mode("overwrite").parquet(s"$stage/index")
+      cs.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
+        .write.mode("overwrite").parquet(s"$stage/sizes")
     }
     stage
   }
@@ -7012,6 +7063,11 @@ object SparkEntry {
     "m10_audio_shift_neardup" -> audioShiftNearDupSql(),
     // st23 — per-row verdicts vs the static corpus half's guarded index
     "st23_stream_audio_match" -> audioStreamMatchSql(),
+    // st30 — per-row verdicts vs the static corpus half's df-guarded
+    // frame-hash index: the m9 frame CTEs (binary pair headers via the
+    // arithmetic fold), corpus-side df guard, best match by (J desc,
+    // cid asc), 0.5 dup bar
+    "st30_stream_video_match" -> videoStreamMatchSql(),
     // st22 — per-row verdicts against the static curated half: the m4
     // aHash replay for both halves, all-pairs Hamming at the m5 bar
     // (== the engine's pigeonhole-blocked probe for maxDist 4 <= 7),
@@ -7102,6 +7158,48 @@ object SparkEntry {
        |alln AS (SELECT DISTINCT doc_id FROM nw)
        |SELECT a.doc_id AS media_id, b.cid AS matched_id,
        |  coalesce(b.j, 0.0) AS window_jaccard,
+       |  coalesce(b.j >= $threshold, FALSE) AS is_dup
+       |FROM alln a LEFT JOIN best b ON b.mid = a.doc_id
+       |ORDER BY media_id""".stripMargin
+
+  /** st30 replay: m9's frame-set CTEs verbatim (substr sampling at the
+    * m2 stride, per-frame FNV-1a, the arithmetic fold for the planted
+    * pairs' 32-byte binary headers), then the st23 verdict tail — the
+    * df guard computed over the CORPUS (even) half only, per-stream-row
+    * best match by (J desc, cid asc), left join so no-candidate rows
+    * emit (NULL, 0.0, false). */
+  private def videoStreamMatchSql(threshold: Double = 0.5): String =
+    s"""WITH ids AS (SELECT doc_id, text, length(text) AS tl,
+       |    CASE WHEN doc_id % 100 IN (2, 3) THEN 32 ELSE 0 END AS hw,
+       |    doc_id - (doc_id % 100 - 2) AS hbase
+       |  FROM documents WHERE text IS NOT NULL),
+       |frt AS (SELECT doc_id,
+       |    ${fnv1a64Sql("substr(text, CAST(i * 128 + 1 - hw AS INTEGER), 32)")} AS fh
+       |  FROM ids,
+       |    LATERAL (SELECT unnest(range(CASE WHEN hw > 0 THEN 1 ELSE 0 END,
+       |      greatest((tl + hw) // 128, 1))) AS i) ii),
+       |frh AS (SELECT doc_id,
+       |    ${fnv1a64SqlInts("list_transform(range(0, 32), j -> 128 + ((hbase * 2654435761 + j * 40503) // 128) % 64)")} AS fh
+       |  FROM ids WHERE hw > 0),
+       |fr AS (SELECT * FROM frt UNION ALL SELECT * FROM frh),
+       |fs AS (SELECT DISTINCT doc_id, fh FROM fr),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id),
+       |corp AS (SELECT * FROM fs WHERE doc_id % 2 = 0),
+       |nw AS (SELECT * FROM fs WHERE doc_id % 2 = 1),
+       |dfc AS (SELECT fh, count(*) AS df FROM corp GROUP BY fh),
+       |ce AS (SELECT corp.doc_id, corp.fh FROM corp JOIN dfc USING (fh)
+       |  WHERE dfc.df <= 64),
+       |sq AS (SELECT n.doc_id AS mid, c.doc_id AS cid, count(*) AS s
+       |  FROM nw n JOIN ce c USING (fh) GROUP BY 1, 2),
+       |jq AS (SELECT mid, cid,
+       |  ${Num.sqlRoundTo("CAST(s AS DOUBLE) / CAST(sa.n + sb.n - s AS DOUBLE)", 6)} AS j
+       |  FROM sq JOIN sz sa ON sa.doc_id = mid JOIN sz sb ON sb.doc_id = cid),
+       |best AS (SELECT mid, cid, j FROM (
+       |  SELECT mid, cid, j, row_number() OVER (PARTITION BY mid ORDER BY j DESC, cid) AS rn
+       |  FROM jq) WHERE rn = 1),
+       |alln AS (SELECT DISTINCT doc_id FROM nw)
+       |SELECT a.doc_id AS media_id, b.cid AS matched_id,
+       |  coalesce(b.j, 0.0) AS frame_jaccard,
        |  coalesce(b.j >= $threshold, FALSE) AS is_dup
        |FROM alln a LEFT JOIN best b ON b.mid = a.doc_id
        |ORDER BY media_id""".stripMargin

@@ -725,19 +725,30 @@ object Multimodal {
     * Frame sets per video are payload-bounded (len / (frameBytes ·
     * stride) entries); the blob never leaves the sampling projection.
     */
-  def nearDupVideos(media: DataFrame, frameBytes: Int = 32, stride: Int = 4,
-                    threshold: Double = 0.5, maxFrameFreq: Long = 64): DataFrame = {
-    require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
-    // fnv1a64_bin folds the RAW frame bytes: a cast through string would
-    // decode invalid UTF-8 to U+FFFD, colliding distinct binary frames
-    // into one hash (false near-dups on real video). On the ASCII text
-    // fixture bytes == code points, so the oracle's substr replay holds.
+  /** The m9 frame-hash SET stage on its own: sampled frames
+    * ([[sampleFrames]], the m2 stage) hashed per frame and collapsed
+    * to a per-video distinct set + size — (doc_id, sh, n_sh), the
+    * shape [[matchAgainstHashIndex]] and [[Dedup.sharedHashPairs]]
+    * both consume. fnv1a64_bin folds the RAW frame bytes: a cast
+    * through string would decode invalid UTF-8 to U+FFFD, colliding
+    * distinct binary frames into one hash (false near-dups on real
+    * video — the adversarial m9 headers pin this). Map-only per row,
+    * so it runs unchanged over a STREAM (st30's per-row stage).
+    */
+  def videoFrameSets(media: DataFrame, frameBytes: Int = 32,
+                     stride: Int = 4): DataFrame = {
     val fr = sampleFrames(media, frameBytes, stride)
       .select(col("media_id"),
         call_function("fnv1a64_bin", col("frame")).as("fh"))
-    val sets = fr.groupBy(col("media_id")).agg(collect_set(col("fh")).as("sh"))
+    fr.groupBy(col("media_id")).agg(collect_set(col("fh")).as("sh"))
       .select(col("media_id").as("doc_id"), col("sh"),
         size(col("sh")).cast("long").as("n_sh"))
+  }
+
+  def nearDupVideos(media: DataFrame, frameBytes: Int = 32, stride: Int = 4,
+                    threshold: Double = 0.5, maxFrameFreq: Long = 64): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
+    val sets = videoFrameSets(media, frameBytes, stride)
     Dedup.sharedHashPairs(
         sets.select(explode(col("sh")).as("shingle"), col("doc_id")),
         sets.select(col("doc_id"), col("n_sh")),
@@ -834,7 +845,26 @@ object Multimodal {
     */
   def audioMatchAgainstIndex(newSets: DataFrame, index: DataFrame,
                              sizes: DataFrame,
-                             threshold: Double = 0.5): DataFrame = {
+                             threshold: Double = 0.5): DataFrame =
+    matchAgainstHashIndex(newSets, index, sizes, threshold, "window_jaccard")
+
+  /** [[audioMatchAgainstIndex]] for VIDEO (st30's verdict core): the
+    * same hash-set probe against an at-rest df-guarded index, over
+    * frame-hash sets ([[videoFrameSets]]) instead of window-hash sets
+    * — the index is [[audioWindowIndex]] over frame sets (the (doc_id,
+    * sh) shape is modality-agnostic), similarity reported as m9's
+    * `frame_jaccard`. */
+  def videoMatchAgainstIndex(newSets: DataFrame, index: DataFrame,
+                             sizes: DataFrame,
+                             threshold: Double = 0.5): DataFrame =
+    matchAgainstHashIndex(newSets, index, sizes, threshold, "frame_jaccard")
+
+  /** The modality-agnostic hash-set match core the audio (st23) and
+    * video (st30) streaming twins share — semantics documented at
+    * [[audioMatchAgainstIndex]]. */
+  private def matchAgainstHashIndex(newSets: DataFrame, index: DataFrame,
+                                    sizes: DataFrame, threshold: Double,
+                                    simCol: String): DataFrame = {
     val probes = newSets.select(col("doc_id").as("media_id"),
       col("n_sh").as("na"), explode(col("sh")).as("wh"))
     val shared = probes.join(index, "wh")
@@ -851,7 +881,7 @@ object Multimodal {
     newSets.select(col("doc_id").as("media_id"))
       .join(best, Seq("media_id"), "left")
       .select(col("media_id"), col("matched_id"),
-        coalesce(col("j"), lit(0.0)).as("window_jaccard"),
+        coalesce(col("j"), lit(0.0)).as(simCol),
         coalesce(col("j") >= threshold, lit(false)).as("is_dup"))
   }
 

@@ -501,6 +501,38 @@ object Streams {
     q
   }
 
+  /** Streaming VIDEO near-dup matching (st30) — m9's incremental form,
+    * filling the modality × (batch, stream) matrix's last cell (text
+    * st5/st15/st26, image st22, audio st23, video here): new videos
+    * stream in, each micro-batch samples+hashes its frames map-only
+    * ([[graft.ops.Multimodal.videoFrameSets]] — pixels/payload never
+    * shuffle, 8-byte frame hashes do), stream-static joins the AT-REST
+    * df-guarded frame-hash index parquet on the hash key, and reports
+    * its best-Jaccard corpus match + `is_dup` verdict
+    * ([[graft.ops.Multimodal.videoMatchAgainstIndex]]). Zero cross-batch
+    * streaming state, nothing collected to the driver; verdicts depend
+    * only on the static index plus the row's own frames, so micro-batch
+    * boundaries provably cannot change them and the batch SQL replay
+    * gates the stream verbatim. Sink rides [[writeBatchIdempotent]].
+    */
+  def runVideoMatchBatches(newMedia: DataFrame, indexPath: String,
+                           sizesPath: String, outDir: String,
+                           threshold: Double = 0.5): StreamingQuery = {
+    val q = newMedia.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        writeBatchIdempotent(
+          graft.ops.Multimodal.videoMatchAgainstIndex(
+            graft.ops.Multimodal.videoFrameSets(batch),
+            s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
+          outDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The foreachBatch sink discipline shared by every join-then-aggregate
     * streaming twin (st22/st23/st27/st28): each micro-batch lands in its
     * own `batch_id=<id>` partition directory with OVERWRITE semantics, so

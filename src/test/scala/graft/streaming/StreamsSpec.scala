@@ -764,6 +764,77 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming video match (st30): planted pairs across the corpus/stream boundary; stream == batch SQL") {
+    import graft.ops.Multimodal
+    val d = tmpDir("stream_video").resolve("vid").toString
+    val all0 = Multimodal.mediaTable(spark, sfDir)
+    // two files -> two micro-batches: pair members land in different
+    // batches from their corpus canonicals; verdicts must not move
+    all0.filter(col("media_id") < 700).coalesce(1).write.mode("overwrite").parquet(d)
+    all0.filter(col("media_id") >= 700).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val corpus = all.filter(col("media_id") % 2 === 0)
+    val idxDir = tmpDir("stream_video_idx").toString
+    val cs = graft.ops.Iterate.materialize(Multimodal.videoFrameSets(corpus))
+    Multimodal.audioWindowIndex(cs).repartition(col("wh"))
+      .write.mode("overwrite").parquet(s"$idxDir/index")
+    cs.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
+      .write.mode("overwrite").parquet(s"$idxDir/sizes")
+    // plan pin: the verdict core is a stream-static JOIN against the
+    // at-rest parquet index — no driver-collected index anywhere
+    val core = Multimodal.videoMatchAgainstIndex(
+      Multimodal.videoFrameSets(all.filter(col("media_id") % 2 === 1)),
+      spark.read.parquet(s"$idxDir/index"), spark.read.parquet(s"$idxDir/sizes"))
+    val plan = core.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && plan.contains("FileScan parquet"),
+      s"st30 core must join the at-rest parquet index, got:\n$plan")
+    val outDir = tmpDir("stream_video_out").toString
+    Streams.runVideoMatchBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(col("media_id") % 2 === 1),
+      s"$idxDir/index", s"$idxDir/sizes", outDir)
+    val streamed = Streams.readBatchSink(spark, outDir).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+                 r.getDouble(2), r.getBoolean(3)))
+    // planted near-dups (%100==3 streams, its base %100==2 sits in the
+    // corpus): every planted row must find its base as best match, and
+    // the long ones cross the 0.5 dup bar (short docs have few frames,
+    // so some pairs legitimately score below it — same as batch m9)
+    val planted = streamed.filter(_._1 % 100 == 3)
+    assert(planted.nonEmpty, "no planted odd pair members reached the stream half")
+    planted.foreach { r =>
+      assert(r._2 == Some(r._1 - 1), s"planted pair not matched: $r")
+    }
+    assert(planted.exists(_._4), "no cross-boundary dup verdict exercised")
+    // independent batch formulation (plain SQL with the corpus-side df
+    // guard) must agree row for row
+    cs.createOrReplaceTempView("st30_corp")
+    Multimodal.videoFrameSets(all.filter(col("media_id") % 2 === 1))
+      .createOrReplaceTempView("st30_new")
+    val batch = spark.sql(
+      """WITH ce0 AS (SELECT doc_id, explode(sh) AS fh FROM st30_corp),
+        |dfc AS (SELECT fh FROM ce0 GROUP BY fh HAVING count(*) <= 64),
+        |ce AS (SELECT ce0.doc_id, ce0.fh FROM ce0 JOIN dfc USING (fh)),
+        |ne AS (SELECT doc_id, explode(sh) AS fh FROM st30_new),
+        |sq AS (SELECT ne.doc_id AS mid, ce.doc_id AS cid, count(*) AS s
+        |       FROM ne JOIN ce USING (fh) GROUP BY 1, 2),
+        |jq AS (SELECT mid, cid,
+        |  floor(CAST(s AS DOUBLE) / (sa.n_sh + sb.n_sh - s) * 1e6 + 0.5) / 1e6 AS j
+        |  FROM sq JOIN st30_new sa ON sa.doc_id = mid
+        |          JOIN st30_corp sb ON sb.doc_id = cid),
+        |best AS (SELECT mid, cid, j FROM (
+        |  SELECT mid, cid, j, row_number() OVER (PARTITION BY mid ORDER BY j DESC, cid) AS rn
+        |  FROM jq) WHERE rn = 1)
+        |SELECT n.doc_id AS media_id, b.cid AS matched_id,
+        |  coalesce(b.j, 0.0) AS frame_jaccard,
+        |  coalesce(b.j >= 0.5, FALSE) AS is_dup
+        |FROM (SELECT DISTINCT doc_id FROM st30_new) n
+        |LEFT JOIN best b ON b.mid = n.doc_id ORDER BY media_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+                           r.getDouble(2), r.getBoolean(3)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming index add: per-micro-batch segments union to the one-shot segment; t37 report row-identical") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
