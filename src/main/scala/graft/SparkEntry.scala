@@ -333,6 +333,15 @@ object SparkEntry {
     // set (v % 50 = 0) — graph-native "more data like the curated set"
     // selection; same integer walk discipline as n1
     "n9_ppr_selection" -> (Graph.partPprSelection(_, _)),
+    // n10 — n1's walk past the 200k broadcast guard: rank state as a
+    // keyed shuffle-joined table, mass arithmetic in DECIMAL(38,0)
+    // (exact subtract-remainder floor divisions); shares n1's oracle
+    // verbatim — the strategies must be row-identical. The BIGINT cast
+    // is schema parity with n1, lossless at oracle scale by the guard
+    // bound itself.
+    "n10_pagerank_shuffle" -> ((s, d) =>
+      Graph.partPageRankShuffle(s, d)
+        .withColumn("rank_scaled", col("rank_scaled").cast("long"))),
     // degree-ordered triangle count: each triangle counted once at its
     // min-(degree,id) vertex; wedge fan-out capped at O(sqrt E)
     "n2_triangles" -> (Graph.partTriangles(_, _)),
@@ -4763,6 +4772,9 @@ object SparkEntry {
          |  ${kmvEstSql(256)} AS est_distinct
          |FROM uni ORDER BY scope""".stripMargin,
     "n1_part_pagerank" -> pagerankSql(),
+    // n10 — n1's replay verbatim: the shuffle-join DECIMAL walk must
+    // produce the broadcast walk's exact integer ranks
+    "n10_pagerank_shuffle" -> pagerankSql(),
     "n9_ppr_selection" -> pprSelectionSql(),
     // n4 — association rules: pair counts from distinct (order, part)
     // baskets, min-support 3, both rule directions; support/confidence/

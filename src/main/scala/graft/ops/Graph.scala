@@ -82,7 +82,8 @@ object Graph {
     * order count once, so edge weight collapses to the unweighted
     * co-purchase relation.
     */
-  private def coPurchaseRankGraph(spark: SparkSession, dir: String)
+  private def coPurchaseRankGraph(spark: SparkSession, dir: String,
+                                  broadcastState: Boolean = true)
       : (DataFrame, DataFrame, Long) = {
     val lp = Iterate.materialize(
       Tables.lineitem(spark, dir)
@@ -98,20 +99,70 @@ object Graph {
     val nodes = Iterate.materialize(
       edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("v"), col("deg")))
-    // the integer arithmetic is overflow-safe only while total mass N·S
+    // the LONG arithmetic is overflow-safe only while total mass N·S
     // and the ×17 product fit a signed long — fail LOUDLY past the
     // documented bound instead of silently wrapping (the DuckDB oracle
     // widens to HUGEINT and would diverge, not error). nodes is already
-    // materialized, so the count is a cheap local scan.
+    // materialized, so the count is a cheap local scan. Past the bound,
+    // [[partPageRankShuffle]] (n10) is the big-graph path: rank state
+    // as a keyed table, mass arithmetic in DECIMAL(38,0).
     val n = nodes.count()
-    require(n <= 200000L,
-      s"integer ranks are overflow-safe for <= 200000 nodes; got $n")
-    // fold the out-degree INTO the edge table once at setup (map-side
-    // broadcast join — nodes is within the guarded bound) — each
-    // iteration then needs a single join instead of edges ⋈ ranks ⋈ deg
+    if (broadcastState)
+      require(n <= 200000L,
+        s"broadcast long ranks are overflow-safe for <= 200000 nodes; got $n" +
+          " — use partPageRankShuffle (n10), the shuffle-join DECIMAL(38,0) walk")
+    // fold the out-degree INTO the edge table once at setup — each
+    // iteration then needs a single join instead of edges ⋈ ranks ⋈ deg.
+    // Map-side broadcast under the guard; a plain co-partitioned shuffle
+    // join on the big-graph path.
+    val degs = nodes.select(col("v").as("src"), col("deg"))
     val edges = Iterate.materialize(
-      edges0.join(broadcast(nodes.select(col("v").as("src"), col("deg"))), "src"))
+      edges0.join(if (broadcastState) broadcast(degs) else degs, "src"))
     (nodes, edges, n)
+  }
+
+  /** [[partPageRank]] BEYOND the 200k broadcast guard (n10): the same
+    * synchronous damped walk, same floor-division discipline, same
+    * integer results — but the per-round rank state stays a KEYED TABLE
+    * joined onto edges (co-partitioned shuffle hash joins, nothing
+    * broadcast), and all mass arithmetic runs in DECIMAL(38,0), so
+    * neither the per-node rank nor the ×17 product can overflow at any
+    * realistic node count (10^9 nodes × S = 10^21 ≪ 10^38). Floor
+    * divisions stay EXACT in decimal via the subtract-remainder form
+    * `(a − a % b) / b` — the quotient is an integer, so the decimal
+    * division introduces no rounding (a bare `a DIV b` narrows to LONG
+    * in Spark, and scale-6 decimal division rounds — both would break
+    * exactness past the long range). On any graph within the guard the
+    * emitted ranks are row-identical to [[partPageRank]]'s (spec-pinned,
+    * and n10 shares n1's oracle verbatim); past the guard this is the
+    * path that still runs. Per iteration: TWO shuffles (rank join +
+    * inflow groupBy) instead of n1's one — the price of dropping the
+    * broadcast, linear in edges either way.
+    */
+  def partPageRankShuffle(spark: SparkSession, dir: String,
+                          iters: Int = 3, topN: Int = 20): DataFrame = {
+    val (nodes, edges, _) = coPurchaseRankGraph(spark, dir, broadcastState = false)
+    val dec = "DECIMAL(38,0)"
+    var ranks = nodes.select(col("v"), lit(S).cast(dec).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst"),
+          expr(s"CAST((r - (r % deg)) / deg AS $dec)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).cast(dec).as("s"))
+      ranks = Iterate.materialize(
+        nodes.join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"),
+            (lit(BaseShare).cast(dec) + expr(
+              s"""CAST((coalesce(s, CAST(0 AS $dec)) * $DampNum
+                 |  - (coalesce(s, CAST(0 AS $dec)) * $DampNum) % $DampDen)
+                 | / $DampDen AS $dec)""".stripMargin)).cast(dec).as("r")))
+    }
+    ranks.join(nodes, "v")
+      .select(col("v").as("l_partkey"), col("deg").as("n_copurchase"),
+        col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("l_partkey"))
+      .limit(topN)
   }
 
   /** PERSONALIZED PageRank selection (n9) — seed-based data curation:

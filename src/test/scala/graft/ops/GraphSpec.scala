@@ -120,6 +120,24 @@ class GraphSpec extends SparkSpec {
     assert(ranks.forall(_ >= 150000000000L), "every rank ≥ floor(0.15·S)")
   }
 
+  test("partPageRankShuffle == partPageRank (strategy switch, not a semantics switch); no broadcast of rank state") {
+    // the big-graph DECIMAL(38,0) shuffle-join walk must reproduce the
+    // guarded broadcast walk's integer ranks EXACTLY — floor divisions
+    // via subtract-remainder keep decimal arithmetic rounding-free
+    val viaShuffle = Graph.partPageRankShuffle(spark, sfDir)
+      .withColumn("rank_scaled", col("rank_scaled").cast("long"))
+      .collect().map(_.toSeq).toSeq
+    val viaBroadcast = Graph.partPageRank(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaShuffle.nonEmpty && viaShuffle == viaBroadcast)
+    // plan pin: the shuffle variant must not broadcast the rank state —
+    // a rank table bigger than the 200k guard could not ship that way
+    val plan = Graph.partPageRankShuffle(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"n10 must keep rank state as a keyed shuffle-joined table, got:\n$plan")
+  }
+
   test("partLocalClustering: per-node triangles sum to 3x the global count, cc bounded and null below degree 2") {
     val local = Graph.partLocalClustering(spark, sfDir).cache()
     try {
