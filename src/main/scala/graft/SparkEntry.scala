@@ -1195,6 +1195,24 @@ object SparkEntry {
         TextStats.positionalSegment(
           Tables.documents(s, d).filter(col("doc_id") % 2 === 1))))
     }),
+    // st31 — t42's streaming twin (st27's phrase-serving analog): new
+    // docs stream in; each micro-batch appends its own O(batch)
+    // POSITIONAL segment to the at-rest postings store (the sink IS
+    // the index, idempotent batch_id partitions); phrase search
+    // through (base, accumulated segments) shares t33/t42's oracle
+    // over the union corpus verbatim
+    "st31_stream_positional_add" -> ((s, d) => {
+      val idx = stagedPositionalIndex(s, d)
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val segDir = java.nio.file.Files.createTempDirectory("graft_st31_seg").toString
+      graft.streaming.Streams.runPositionalAddBatches(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .filter(col("doc_id") % 2 === 1), segDir)
+      TextStats.phraseSearchFromSegments(Seq(
+        s.read.parquet(idx),
+        graft.streaming.Streams.readBatchSink(s, segDir)))
+    }),
     // t43 — BM25 serving in TOMBSTONE mode after a delete (v31's
     // retrieval twin, the serving face of t40's report): base + add
     // segments stay byte-identical at rest; deleted docs (%10=6) skip
@@ -5693,6 +5711,22 @@ object SparkEntry {
     // serving through (base postings + add segment) must equal the
     // rebuild, derivation included
     "t42_phrase_merged" ->
+      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ng AS MATERIALIZED (SELECT doc_id,
+         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+         |  WHERE len(ts) >= 3),
+         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
+         |  ORDER BY c DESC, phrase LIMIT 5)
+         |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
+         |FROM ng JOIN topq USING (phrase)
+         |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    // st31 — t33/t42's replay verbatim over the union corpus:
+    // doc-disjoint positional segments make micro-batch boundaries
+    // provably invisible to phrase counts and the derived query set
+    "st31_stream_positional_add" ->
       s"""WITH tb AS MATERIALIZED (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
          |  FROM documents),

@@ -581,6 +581,32 @@ object Streams {
     q
   }
 
+  /** Streaming POSITIONAL index add (st31) — st27's phrase-serving
+    * twin: new documents stream in and each micro-batch becomes its own
+    * POSITIONAL segment ([[graft.ops.TextStats.positionalSegment]] —
+    * one map-only posexplode over the batch, O(batch), not even an
+    * aggregation), appended to the at-rest postings store. Segments are
+    * doc-disjoint, so the accumulated store unions row-identically to
+    * the one-shot batch segment regardless of micro-batch boundaries —
+    * phrase search THROUGH (base, accumulated segments)
+    * ([[graft.ops.TextStats.phraseSearchFromSegments]]) therefore
+    * shares t33/t42's oracle over the union corpus verbatim. The sink
+    * IS the index; rides [[writeBatchIdempotent]] so a retried batch
+    * can never duplicate postings (duplicated positional rows would
+    * inflate phrase match counts AND the index-derived query set).
+    */
+  def runPositionalAddBatches(newDocs: DataFrame, segmentDir: String): StreamingQuery = {
+    val q = newDocs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(
+          graft.ops.TextStats.positionalSegment(batch), segmentDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming SNAPSHOT STATUS (st29) — [[graft.ops.Profiling
     * .snapshotDiffReport]]'s streaming face: new-crawl docs stream in and
     * each row classifies against the STATIC previous snapshot's

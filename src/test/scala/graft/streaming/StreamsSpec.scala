@@ -876,6 +876,31 @@ class StreamsSpec extends SparkSpec {
     assert(afterRetry.exceptAll(oneShot).isEmpty)
   }
 
+  test("streaming positional add (st31): accumulated segments == one-shot postings; phrase serving row-identical to rebuild") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val d = tmpDir("stream_posadd").resolve("docs").toString
+    docs.filter(col("doc_id") < 100).write.mode("overwrite").parquet(d)
+    docs.filter(col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val base = TextStats.positionalSegment(all.filter(col("doc_id") % 2 === 0))
+    val segDir = tmpDir("stream_posadd_segs").toString
+    Streams.runPositionalAddBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(col("doc_id") % 2 === 1), segDir)
+    // doc-disjoint per-batch segments union to the one-shot postings
+    val streamedSegs = Streams.readBatchSink(spark, segDir)
+    val oneShot = TextStats.positionalSegment(all.filter(col("doc_id") % 2 === 1))
+    assert(streamedSegs.count() == oneShot.count())
+    assert(streamedSegs.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamedSegs).isEmpty)
+    // phrase serving through (base, accumulated segments) — derivation
+    // included — equals the whole-corpus rebuild row for row
+    val viaStream = TextStats.phraseSearchFromSegments(Seq(base, streamedSegs))
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.phraseSearch(all).collect().map(_.toSeq).toSeq
+    assert(viaStream.nonEmpty && viaStream == rebuild)
+  }
+
   test("streaming snapshot status == batch statuses across micro-batch boundaries; null-text old doc is not 'added'") {
     import spark.implicits._
     val d = tmpDir("stream_snap").resolve("b").toString
