@@ -3689,6 +3689,23 @@ object SparkEntry {
 
   private lazy val bm25RankCtes: String = bm25RankCtesOver("documents")
 
+  /** t33's phrase-search replay — shared verbatim by t42 (serving
+    * through positional segments) and st31 (streaming positional add):
+    * doc-disjoint segments make both provably equal to the rebuild. */
+  private lazy val phraseSearchSql: String =
+    s"""WITH tb AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |ng AS MATERIALIZED (SELECT doc_id,
+       |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
+       |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
+       |  WHERE len(ts) >= 3),
+       |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
+       |  ORDER BY c DESC, phrase LIMIT 5)
+       |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
+       |FROM ng JOIN topq USING (phrase)
+       |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin
+
   /** The t34 rank CTEs over any corpus slice — `from` is the FROM body
     * of the tb CTE (t43 passes the retained corpus: documents minus
     * the delete list). */
@@ -5581,19 +5598,7 @@ object SparkEntry {
     // t33 — phrase search: the oracle matches n-grams directly (tokens
     // are space-free, so space-joined-gram equality IS token-sequence
     // equality); the engine's rarest-token index plan must agree
-    "t33_phrase_search" ->
-      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
-         |  FROM documents),
-         |ng AS MATERIALIZED (SELECT doc_id,
-         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
-         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
-         |  WHERE len(ts) >= 3),
-         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
-         |  ORDER BY c DESC, phrase LIMIT 5)
-         |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
-         |FROM ng JOIN topq USING (phrase)
-         |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    "t33_phrase_search" -> phraseSearchSql,
     // t34 — BM25 replay: identical operation order in the score
     // expression (parenthesized the same as the Column tree), per-term
     // 6dp floor-round, decimal sum, rank by (score DESC, doc_id)
@@ -5710,35 +5715,11 @@ object SparkEntry {
     // t42 — t33's phrase-search replay VERBATIM over the union corpus:
     // serving through (base postings + add segment) must equal the
     // rebuild, derivation included
-    "t42_phrase_merged" ->
-      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
-         |  FROM documents),
-         |ng AS MATERIALIZED (SELECT doc_id,
-         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
-         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
-         |  WHERE len(ts) >= 3),
-         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
-         |  ORDER BY c DESC, phrase LIMIT 5)
-         |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
-         |FROM ng JOIN topq USING (phrase)
-         |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    "t42_phrase_merged" -> phraseSearchSql,
     // st31 — t33/t42's replay verbatim over the union corpus:
     // doc-disjoint positional segments make micro-batch boundaries
     // provably invisible to phrase counts and the derived query set
-    "st31_stream_positional_add" ->
-      s"""WITH tb AS MATERIALIZED (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
-         |  FROM documents),
-         |ng AS MATERIALIZED (SELECT doc_id,
-         |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
-         |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
-         |  WHERE len(ts) >= 3),
-         |topq AS (SELECT phrase FROM (SELECT phrase, count(*) AS c FROM ng GROUP BY phrase)
-         |  ORDER BY c DESC, phrase LIMIT 5)
-         |SELECT ng.phrase, ng.doc_id, count(*) AS n_matches
-         |FROM ng JOIN topq USING (phrase)
-         |GROUP BY ng.phrase, ng.doc_id ORDER BY phrase, doc_id""".stripMargin,
+    "st31_stream_positional_add" -> phraseSearchSql,
     // t43 — the t34 rank CTEs over the RETAINED corpus (delete list
     // %10=6 removed): tombstone serving — untouched segments, anti-join
     // skip, subtracted stats — must equal the retained-corpus rebuild
