@@ -113,11 +113,17 @@ object Graph {
           " — use partPageRankShuffle (n10), the shuffle-join DECIMAL(38,0) walk")
     // fold the out-degree INTO the edge table once at setup — each
     // iteration then needs a single join instead of edges ⋈ ranks ⋈ deg.
-    // Map-side broadcast under the guard; a plain co-partitioned shuffle
-    // join on the big-graph path.
+    // Map-side broadcast under the guard. On the big-graph path the
+    // deg fold is a shuffle join whose OUTPUT is hash-partitioned on
+    // src — materializePartitioned keeps that partitioning, so every
+    // iteration's rank join re-exchanges only the O(nodes) rank side,
+    // never the edges (the bucketed-edge-table discipline at 100 TB;
+    // edges are checkpointed once, outside the loop, so the stats
+    // caveat on the partitioning-preserving variant does not apply).
     val degs = nodes.select(col("v").as("src"), col("deg"))
-    val edges = Iterate.materialize(
-      edges0.join(if (broadcastState) broadcast(degs) else degs, "src"))
+    val edges =
+      if (broadcastState) Iterate.materialize(edges0.join(broadcast(degs), "src"))
+      else Iterate.materializePartitioned(edges0.join(degs, "src"))
     (nodes, edges, n)
   }
 

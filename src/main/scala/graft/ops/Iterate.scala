@@ -29,4 +29,16 @@ object Iterate {
     val cp = df.localCheckpoint(eager = true)
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
+
+  /** [[materialize]] that PRESERVES the physical partitioning (and pays
+    * the stats caveat above by NOT re-wrapping — use only OUTSIDE
+    * unbounded loops, for tables checkpointed ONCE and re-joined many
+    * times). `localCheckpoint` propagates the source plan's
+    * outputPartitioning onto the LogicalRDD, so a table shuffled onto
+    * its join key before this call joins WITHOUT re-exchange in every
+    * later iteration — the n10 edge table's shape: exchange edges once,
+    * then only the O(nodes) rank side moves per round. The createDataFrame
+    * re-wrap in [[materialize]] would erase exactly that property. */
+  def materializePartitioned(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 }
