@@ -81,7 +81,14 @@ object DumpPlans {
     // round 16
     "t37_index_add", "t38_index_search_merged", "c29_index_compact",
     "t39_merge_policy", "t40_index_delete", "c30_bin_pack",
-    "v30_ivf_delete_report", "p15_snapshot_diff")
+    "v30_ivf_delete_report", "p15_snapshot_diff",
+    // round-16 close
+    "t41_incremental_profile", "v31_post_delete_topk",
+    "st29_stream_snapshot_status",
+    // round 17
+    "t42_phrase_merged", "t43_post_delete_bm25", "n10_pagerank_shuffle",
+    "st30_stream_video_match", "st31_stream_positional_add",
+    "st22_stream_media_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
