@@ -1213,6 +1213,20 @@ object SparkEntry {
         s.read.parquet(idx),
         graft.streaming.Streams.readBatchSink(s, segDir)))
     }),
+    // t44 — phrase serving in TOMBSTONE mode after a delete (t43's
+    // positional sibling): base + add positional segments stay
+    // byte-identical at rest; the delete list (%10=6) skips via ONE
+    // serve-time anti-join, and derivation + matching see exactly the
+    // retained postings — gated by t33's oracle over the RETAINED
+    // corpus, closing the takedown story for both serving paths
+    "t44_post_delete_phrase" -> ((s, d) => {
+      val idx = stagedPositionalIndex(s, d)
+      val docs = Tables.documents(s, d)
+      TextStats.phraseSearchTombstone(
+        Seq(s.read.parquet(idx),
+          TextStats.positionalSegment(docs.filter(col("doc_id") % 2 === 1))),
+        docs.select(col("doc_id")).filter(col("doc_id") % 10 === 6))
+    }),
     // t43 — BM25 serving in TOMBSTONE mode after a delete (v31's
     // retrieval twin, the serving face of t40's report): base + add
     // segments stay byte-identical at rest; deleted docs (%10=6) skip
@@ -3692,10 +3706,14 @@ object SparkEntry {
   /** t33's phrase-search replay — shared verbatim by t42 (serving
     * through positional segments) and st31 (streaming positional add):
     * doc-disjoint segments make both provably equal to the rebuild. */
-  private lazy val phraseSearchSql: String =
+  private lazy val phraseSearchSql: String = phraseSearchSqlOver("documents")
+
+  /** The t33 replay over any corpus slice — t44 passes the retained
+    * corpus (documents minus the delete list). */
+  private def phraseSearchSqlOver(from: String): String =
     s"""WITH tb AS MATERIALIZED (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
-       |  FROM documents),
+       |  FROM $from),
        |ng AS MATERIALIZED (SELECT doc_id,
        |  array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS phrase
        |  FROM tb, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) ix
@@ -5720,6 +5738,10 @@ object SparkEntry {
     // doc-disjoint positional segments make micro-batch boundaries
     // provably invisible to phrase counts and the derived query set
     "st31_stream_positional_add" -> phraseSearchSql,
+    // t44 — the t33 replay over the RETAINED corpus: tombstone phrase
+    // serving (untouched segments, one anti-join) == retained rebuild
+    "t44_post_delete_phrase" ->
+      phraseSearchSqlOver("documents WHERE doc_id % 10 <> 6"),
     // t43 — the t34 rank CTEs over the RETAINED corpus (delete list
     // %10=6 removed): tombstone serving — untouched segments, anti-join
     // skip, subtracted stats — must equal the retained-corpus rebuild

@@ -2126,6 +2126,29 @@ object TextStats {
       topNgramsFromPostings(postings, n, topQ, idCol), n, idCol)
   }
 
+  /** Phrase search in TOMBSTONE mode after a delete (t44 — t43's
+    * positional sibling, closing the takedown story for BOTH serving
+    * paths): the at-rest positional segments are NOT rewritten —
+    * deleted docs' postings are skipped by ONE serve-time anti-join on
+    * the delete list, and everything downstream (the index-native
+    * query-set derivation included) sees exactly the retained corpus's
+    * postings, so matches AND the derived phrases equal a rebuild over
+    * the retained docs bit for bit — t33's oracle over the retained
+    * corpus gates the plan verbatim. Unlike BM25 (t43) there are no
+    * global statistics to maintain: phrase counts are per-doc, so the
+    * anti-join is the entire takedown cost.
+    */
+  def phraseSearchTombstone(segments: Seq[DataFrame], deleteDocs: DataFrame,
+                            n: Int = 3, topQ: Int = 5,
+                            idCol: String = "doc_id"): DataFrame = {
+    require(segments.nonEmpty, "segments must be non-empty")
+    val delKeys = deleteDocs.select(col(idCol)).distinct()
+    val postings = segments.reduce(_ unionByName _)
+      .join(delKeys, Seq(idCol), "left_anti")
+    phraseSearchFromPostings(postings,
+      topNgramsFromPostings(postings, n, topQ, idCol), n, idCol)
+  }
+
   /** t33's candidate/verify query plan over any postings source — the
     * shared core of [[phraseSearch]] (postings built inline) and
     * [[phraseSearchFromSegments]] (postings unioned from at-rest

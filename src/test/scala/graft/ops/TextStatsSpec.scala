@@ -1379,6 +1379,19 @@ class TextStatsSpec extends SparkSpec {
     assert(fromIdx == fromText)
   }
 
+  test("phraseSearchTombstone: untouched segments + one anti-join == retained-corpus rebuild; deleted ids never match") {
+    val docs = Tables.documents(spark, sfDir)
+    val retained = docs.filter(col("doc_id") % 10 =!= 6)
+    val out = TextStats.phraseSearchTombstone(
+        Seq(TextStats.positionalSegment(docs.filter(col("doc_id") % 2 === 0)),
+          TextStats.positionalSegment(docs.filter(col("doc_id") % 2 === 1))),
+        docs.select("doc_id").filter(col("doc_id") % 10 === 6))
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.phraseSearch(retained).collect().map(_.toSeq).toSeq
+    assert(out.nonEmpty && out == rebuild)
+    assert(out.forall(r => r(1).asInstanceOf[Long] % 10 != 6))
+  }
+
   test("bm25TopKTombstone: untouched segments + serve-time skip + subtracted stats == retained-corpus rebuild") {
     val docs = Tables.documents(spark, sfDir)
     val retained = docs.filter(col("doc_id") % 10 =!= 6)
