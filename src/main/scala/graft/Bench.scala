@@ -9,7 +9,7 @@ object Bench {
     * LOW, i.e. toward NOT normalizing, which can never mask a
     * regression.
     */
-  val CalibQuietMin: Double = 0.56
+  val CalibQuietMin: Double = 0.47
 
   /** Promotion gate for the committed quiet baseline: a full run always
     * writes BENCH_LAST.json, but BENCH_LOCAL.json — the artifact
