@@ -1962,6 +1962,17 @@ object SparkEntry {
         s"$idx/index", s"$idx/sizes", out)
       graft.streaming.Streams.readBatchSink(s, out).orderBy("media_id")
     }),
+    // c31 — curation-index ADD report (the image store's t37/v26
+    // analog): the odd half arrives as its own O(batch) chunk-exploded
+    // rows against the staged at-rest base; per-scope bucket layout +
+    // skew profile, and the add row carries the probe workload
+    // (candidate comparisons this batch costs against the incumbent)
+    "c31_curation_add" -> ((s, d) => {
+      val idx = stagedCurationIndex(s, d)
+      Multimodal.curationIndexAddReport(
+        s.read.parquet(idx),
+        s.read.parquet(stagedImages(s, d)).filter(col("media_id") % 2 === 1))
+    }),
     // st30 — m9's streaming twin (the modality matrix's final cell):
     // new videos stream in; each micro-batch frame-samples + hashes
     // map-only, stream-static joins the corpus's AT-REST df-guarded
@@ -7112,6 +7123,31 @@ object SparkEntry {
     "m10_audio_shift_neardup" -> audioShiftNearDupSql(),
     // st23 — per-row verdicts vs the static corpus half's guarded index
     "st23_stream_audio_match" -> audioStreamMatchSql(),
+    // c31 — the aHash replay (aHashCte) chunk-exploded with the same
+    // shift/mask arithmetic, per-scope bucket aggregates, and the
+    // add×base bucket-product probe volume; pure integer counts
+    "c31_curation_add" ->
+      s"""WITH imgh AS MATERIALIZED ($aHashCte SELECT media_id, ahash FROM ah),
+         |ch AS (SELECT media_id, ci, (ahash >> (ci * 8)) & 255 AS ckey
+         |  FROM imgh, LATERAL (SELECT unnest(range(0, 8)) AS ci) c),
+         |sp AS (SELECT 'base' AS scope, media_id, ci, ckey FROM ch WHERE media_id % 2 = 0
+         |  UNION ALL SELECT 'add', media_id, ci, ckey FROM ch WHERE media_id % 2 = 1
+         |  UNION ALL SELECT 'merged', media_id, ci, ckey FROM ch),
+         |bk AS (SELECT scope, ci, ckey, count(*) AS s FROM sp GROUP BY 1, 2, 3),
+         |per AS (SELECT scope,
+         |  CAST(sum(s) // 8 AS BIGINT) AS n_images,
+         |  CAST(sum(s) AS BIGINT) AS n_chunk_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(s) AS BIGINT) AS max_bucket,
+         |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS self_pair_candidates
+         |  FROM bk GROUP BY scope),
+         |probe AS (SELECT CAST(coalesce(sum(a.s * b.s), 0) AS BIGINT) AS pc
+         |  FROM (SELECT ci, ckey, s FROM bk WHERE scope = 'add') a
+         |  JOIN (SELECT ci, ckey, s FROM bk WHERE scope = 'base') b USING (ci, ckey))
+         |SELECT scope, n_images, n_chunk_rows, n_buckets, max_bucket,
+         |  self_pair_candidates,
+         |  CASE WHEN scope = 'add' THEN (SELECT pc FROM probe) ELSE CAST(0 AS BIGINT) END AS probe_candidates
+         |FROM per ORDER BY scope""".stripMargin,
     // st30 — per-row verdicts vs the static corpus half's df-guarded
     // frame-hash index: the m9 frame CTEs (binary pair headers via the
     // arithmetic fold), corpus-side df guard, best match by (J desc,

@@ -914,6 +914,48 @@ object Multimodal {
         explode(sequence(lit(0), lit(7))).as("ci"))
       .withColumn("ckey", expr("(chash >> (ci * 8)) & 255"))
 
+  /** CURATION-INDEX maintenance report (c31) — the add face of the
+    * image curation store, completing the at-rest-store symmetry (tf
+    * segments: t37, positional postings: st31, IVF cells: v26,
+    * curation chunks: here): a batch of NEW images becomes its own
+    * chunk-exploded index rows ([[imageCurationIndexChunked]] —
+    * decode + hash map-only, 8 rows per decodable image, O(batch);
+    * the at-rest base is never rescanned beyond its per-bucket
+    * counts), and the report gives per scope (base / add / merged)
+    * the integer layout and SKEW profile that governs probe cost at
+    * scale: image and chunk-row counts, occupied pigeonhole buckets,
+    * the largest bucket, the within-scope candidate-pair volume
+    * Σ s·(s−1)/2 (what a batch Hamming join over that scope would
+    * generate), and — on the add row — the PROBE workload Σ s_add·s_base
+    * over shared buckets, i.e. exactly how many candidate comparisons
+    * this batch costs against the incumbent index (the st22 per-batch
+    * join size). A ballooning max_bucket or probe volume is the signal
+    * to widen chunk keys (8→16-bit, the m5 note) BEFORE a probe melts.
+    * Everything is a count — the oracle replays hash, chunking, and
+    * every sum bit for bit.
+    */
+  def curationIndexAddReport(baseIdx: DataFrame, addMedia: DataFrame): DataFrame = {
+    val addIdx = imageCurationIndexChunked(addMedia)
+    val bBk = baseIdx.groupBy("ci", "ckey").agg(count(lit(1)).as("s"))
+    val aBk = addIdx.groupBy("ci", "ckey").agg(count(lit(1)).as("s"))
+    val mBk = baseIdx.select("ci", "ckey").unionByName(addIdx.select("ci", "ckey"))
+      .groupBy("ci", "ckey").agg(count(lit(1)).as("s"))
+    def per(bk: DataFrame, scope: String) = bk.agg(
+      expr("sum(s) DIV 8").as("n_images"),
+      sum(col("s")).cast("long").as("n_chunk_rows"),
+      count(lit(1)).as("n_buckets"),
+      max(col("s")).cast("long").as("max_bucket"),
+      expr("sum((s * (s - 1)) DIV 2)").cast("long").as("self_pair_candidates"))
+      .select(lit(scope).as("scope"), col("*"))
+    val probe = aBk.join(bBk.withColumnRenamed("s", "sb"), Seq("ci", "ckey"))
+      .agg(coalesce(sum(col("s") * col("sb")), lit(0L)).cast("long").as("pc"))
+    per(bBk, "base").withColumn("probe_candidates", lit(0L))
+      .unionByName(per(aBk, "add").crossJoin(probe)
+        .withColumn("probe_candidates", col("pc")).drop("pc"))
+      .unionByName(per(mBk, "merged").withColumn("probe_candidates", lit(0L)))
+      .orderBy("scope")
+  }
+
   /** Per-row curation verdicts for NEW media against the at-rest
     * chunk-exploded curation index — st22's DISTRIBUTED verdict core
     * (the audio analog is [[audioMatchAgainstIndex]]). New rows pass

@@ -88,7 +88,8 @@ object DumpPlans {
     // round 17
     "t42_phrase_merged", "t43_post_delete_bm25", "n10_pagerank_shuffle",
     "st30_stream_video_match", "st31_stream_positional_add",
-    "st22_stream_media_curation", "t44_post_delete_phrase")
+    "st22_stream_media_curation", "t44_post_delete_phrase",
+    "c31_curation_add")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

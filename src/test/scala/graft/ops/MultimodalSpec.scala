@@ -419,6 +419,30 @@ class MultimodalSpec extends SparkSpec {
     assert(fm == Map(0L -> "png", 1L -> "jpeg", 2L -> "wav", 30L -> "png"), s"got $fm")
   }
 
+  test("curationIndexAddReport: counts reconcile across scopes; probe volume equals the real chunk-join size") {
+    val img = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    val base = Multimodal.imageCurationIndexChunked(img.filter(col("media_id") % 2 === 0))
+    val add = img.filter(col("media_id") % 2 === 1)
+    val out = Multimodal.curationIndexAddReport(base, add).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (b, a, m) = (out("base"), out("add"), out("merged"))
+    // exactly 8 chunk rows per decodable image; merged images = base + add
+    Seq(b, a, m).foreach(r =>
+      assert(r.getAs[Long]("n_chunk_rows") == 8 * r.getAs[Long]("n_images")))
+    assert(m.getAs[Long]("n_images") == b.getAs[Long]("n_images") + a.getAs[Long]("n_images"))
+    assert(m.getAs[Long]("max_bucket") >= b.getAs[Long]("max_bucket") &&
+      m.getAs[Long]("max_bucket") >= a.getAs[Long]("max_bucket"))
+    assert(m.getAs[Long]("n_buckets") >= b.getAs[Long]("n_buckets") &&
+      m.getAs[Long]("n_buckets") <= b.getAs[Long]("n_buckets") + a.getAs[Long]("n_buckets"))
+    // the add row's probe volume IS the row count of the real add→base
+    // chunk-key join (what each st22-style batch probe would generate)
+    val addIdx = Multimodal.imageCurationIndexChunked(add)
+    val realProbe = addIdx.select("ci", "ckey")
+      .join(base.select("ci", "ckey"), Seq("ci", "ckey")).count()
+    assert(a.getAs[Long]("probe_candidates") == realProbe && realProbe > 0)
+    assert(b.getAs[Long]("probe_candidates") == 0 && m.getAs[Long]("probe_candidates") == 0)
+  }
+
   test("mediaCuration (c22) == the hand-chained m1/m4/m5/m8/m7/c14 stages") {
     import graft.ops.{Dedup, Iterate}
     val composite = Multimodal.mediaCuration(spark, sfDir).orderBy("media_id")
