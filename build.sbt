@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: one bench JVM runs ~280 queries' broadcasts, AQE stage
+  // state and streaming state stores back to back; the r17 driver bench
+  // died at 8g with an evicted broadcast block ("Block broadcast_2925
+  // does not exist"). The box has 128 GiB — headroom is cheaper than a
+  // crashed measurement run. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

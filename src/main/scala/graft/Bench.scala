@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   /** Committed quiet-box minimum of the calibration micro-bench (the
     * trimmed 8-of-12 tiny-job sum, see `calib()` below), in seconds.
@@ -16,27 +17,51 @@ object Bench {
     * `tools/bench_tripwire.py` and `tools/protocol_mins.py` fold as the
     * box's quiet history — is rewritten only when the run's own
     * calibration row says the box was quiet enough to be comparable
-    * (calib_ratio at or under this). 1.5 matches the tripwire's
-    * "basically clean" band (BENCH_NOTES.md round-16 close: quiet runs
-    * land 1.0-1.4, contended ones 2-5+).
+    * (calib_ratio at or under this). The quiet band was measured as
+    * 1.0-1.4 under CalibQuietMin=0.56 (BENCH_NOTES.md round-16 close);
+    * the floor has since ratcheted to 0.47, which re-reads the SAME
+    * quiet wall-clock ~19% higher (x 0.56/0.47), so the gate scales
+    * with it: 1.5 x 0.56/0.47 ≈ 1.8. Re-derive (and update this
+    * comment + BENCH_NOTES together) whenever CalibQuietMin ratchets.
     */
-  val PromoteMaxRatio: Double = 1.5
+  val PromoteMaxRatio: Double = 1.8
+
+  /** Recycle the SparkSession every this many timed queries (env
+    * SPARK_GRAFT_RECYCLE overrides; <= 0 disables). One JVM running
+    * ~280 queries' broadcasts, AQE stage state, and streaming
+    * state-store providers accumulates driver-heap and block-manager
+    * pressure without bound — the r17 driver bench died at query ~270
+    * with an evicted broadcast block ("Block broadcast_2925 does not
+    * exist"). A fresh session resets the broadcast manager, block
+    * manager and listener state; the codegen cache and JIT are
+    * JVM-global so per-query timings stay comparable, and the one-time
+    * session cost is re-paid OUTSIDE any timer by re-running the
+    * warmup probes after each recycle.
+    */
+  val RecycleEvery: Int = 75
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: whichever query runs first otherwise absorbs the
-    // one-time session cost (codegen/JIT compilation, shuffle manager and
-    // scheduler init, parquet footer reads) — measured at ~6 s attributed
-    // to the first query at sf0.1, swamping its real ~2.7 s cost. One
-    // tiny codegen'd job plus one parquet scan pays that once, outside
-    // any per-query timer. (See BENCH_NOTES.md, round 6.)
-    spark.range(1000000L).selectExpr("sum(id) AS s").collect()
-    graft.ops.Tables.documents(spark, sfDir).count()
+    val recycleEvery = sys.env.get("SPARK_GRAFT_RECYCLE").map(_.toInt)
+      .getOrElse(RecycleEvery)
+    def newSession(): SparkSession = {
+      val s = Sessions.configure(
+        SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Untimed warmup: whichever query runs first otherwise absorbs the
+      // one-time session cost (codegen/JIT compilation, shuffle manager and
+      // scheduler init, parquet footer reads) — measured at ~6 s attributed
+      // to the first query at sf0.1, swamping its real ~2.7 s cost. One
+      // tiny codegen'd job plus one parquet scan pays that once, outside
+      // any per-query timer. (See BENCH_NOTES.md, round 6.) Re-paid after
+      // every recycle for the same reason.
+      s.range(1000000L).selectExpr("sum(id) AS s").collect()
+      graft.ops.Tables.documents(s, sfDir).count()
+      s
+    }
+    var spark = newSession()
     // Self-attributing calibration (round-15 verdict ask #1): a fixed
     // micro-benchmark (trimmed sum of tiny sequential jobs), run before and
     // once after the timed suite. Its cost is dominated by per-job
@@ -66,6 +91,27 @@ object Bench {
     // Optional comma-separated subset for targeted scaling probes
     // (sf0.1-vs-sf1 per-query ratios); unset = the full driver protocol.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // CRASH DURABILITY (r17 verdict ask #1): the complete JSON line is
+    // only assembled at the end, so a mid-run JVM death (the r17 driver
+    // bench: exit 56 at query ~270 of 278) would otherwise lose every
+    // completed measurement. Each query's timing is therefore APPENDED
+    // to BENCH_PARTIAL.jsonl the moment it completes (one open-append-
+    // close per line — durable against kill -9), prefixed by a header
+    // row carrying the run metadata. The file restarts per run and is
+    // superseded by the final one-line JSON on success; after a crash
+    // it holds one row per completed query. Full runs only — subset
+    // probes must not clobber a crashed full run's evidence.
+    val partialPath = java.nio.file.Paths.get("BENCH_PARTIAL.jsonl")
+    val writePartial = only.isEmpty
+    def appendPartial(line: String): Unit =
+      if (writePartial)
+        try java.nio.file.Files.writeString(partialPath, line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case _: Throwable => () }
+    if (writePartial)
+      try java.nio.file.Files.deleteIfExists(partialPath)
+      catch { case _: Throwable => () }
     // SORTED execution order: HashMap iteration order reshuffles whenever
     // the query surface grows, which moves which queries run "warm"
     // (page cache, JIT, broadcast reuse) and made committed per-query
@@ -74,10 +120,21 @@ object Bench {
     // so protocol mins compare like with like from here on.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    appendPartial(s"""{"start":true,"sf":"$sfDir","n":${selected.size},""" +
+      s""""cpus":"$cpus","calib_pre":${f"$calibPre%.3f"}}""")
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (recycleEvery > 0 && i > 0 && i % recycleEvery == 0) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        appendPartial(s"""{"recycle_after":$i}""")
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      appendPartial(s"""{"$name":${f"$secs%.3f"}}""")
+      name -> secs
     }
     // The driver keeps only the tail of stdout; with ~80 queries a
     // full-precision line overflows that capture and truncates from the
@@ -107,6 +164,8 @@ object Bench {
       s""""load_avg":${f"$loadAvg%.2f"},"cpus":$procs,""" +
       s""""metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     println(line)
+    appendPartial(s"""{"done":true,"calib_post":${f"$calibPost%.3f"},""" +
+      s""""calib_ratio":${f"$calibRatio%.3f"},"total":${f"$total%.3f"}}""")
     // The stdout line above is all the driver keeps, and it keeps only the
     // TAIL of it — with 140 queries that loses ~45% of the per-query
     // numbers to front-truncation. Persist the complete JSON to a file so
@@ -122,7 +181,8 @@ object Bench {
     // driver run at calib_ratio 4.30 destroyed the committed run-5
     // artifact exactly because this gate didn't exist — a contended run
     // must leave the quiet baseline byte-identical. Threshold documented
-    // in BENCH_NOTES.md (round-17 "Promotion gate").
+    // in BENCH_NOTES.md (round-17 "Promotion gate"; re-derived for the
+    // 0.47 floor in round 18).
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
       catch { case _: Throwable => () }

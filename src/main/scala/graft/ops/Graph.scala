@@ -21,7 +21,7 @@ object Graph {
     * initial mass. All arithmetic below is overflow-safe by
     * construction: total mass is N·S ≤ 2·10^17 for N ≤ 200k nodes, and
     * the one intermediate product (sum·17) stays < 9.2·10^18. */
-  private val S = 1000000000000L          // 10^12
+  private[ops] val S = 1000000000000L     // 10^12
   private val DampNum = 17L               // 0.85 = 17/20
   private val DampDen = 20L
   private val BaseShare = S * 3L / DampDen // floor(0.15·S) — exact
@@ -82,7 +82,7 @@ object Graph {
     * order count once, so edge weight collapses to the unweighted
     * co-purchase relation.
     */
-  private def coPurchaseRankGraph(spark: SparkSession, dir: String,
+  private[ops] def coPurchaseRankGraph(spark: SparkSession, dir: String,
                                   broadcastState: Boolean = true)
       : (DataFrame, DataFrame, Long) = {
     val lp = Iterate.materialize(
@@ -150,25 +150,41 @@ object Graph {
     val (nodes, edges, _) = coPurchaseRankGraph(spark, dir, broadcastState = false)
     val dec = "DECIMAL(38,0)"
     var ranks = nodes.select(col("v"), lit(S).cast(dec).as("r"))
-    for (_ <- 1 to iters) {
-      val inflow = edges
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .select(col("dst"),
-          expr(s"CAST((r - (r % deg)) / deg AS $dec)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).cast(dec).as("s"))
-      ranks = Iterate.materialize(
-        nodes.join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
-          .select(col("v"),
-            (lit(BaseShare).cast(dec) + expr(
-              s"""CAST((coalesce(s, CAST(0 AS $dec)) * $DampNum
-                 |  - (coalesce(s, CAST(0 AS $dec)) * $DampNum) % $DampDen)
-                 | / $DampDen AS $dec)""".stripMargin)).cast(dec).as("r")))
-    }
+    for (_ <- 1 to iters)
+      ranks = Iterate.materialize(shuffleRankStep(nodes, edges, ranks))
     ranks.join(nodes, "v")
       .select(col("v").as("l_partkey"), col("deg").as("n_copurchase"),
         col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("l_partkey"))
       .limit(topN)
+  }
+
+  /** ONE synchronous rank iteration of the n10 shuffle walk — the
+    * in-loop plan [[partPageRankShuffle]] materializes per round:
+    * rank state joined onto the partition-preserving edge table
+    * (shuffle hash/merge join — NEVER a broadcast, the whole point of
+    * the big-graph path), inflow collapsed per destination, then the
+    * damped floor division in DECIMAL(38,0) via the subtract-remainder
+    * form. `private[ops]` so the spec pins "no BroadcastHashJoin" on
+    * EXACTLY this step's plan — the materialization barriers hide it
+    * from the composed query's final plan, and the setup/top-N joins
+    * outside the loop are allowed to broadcast (they are O(nodes)
+    * coordination, not per-iteration rank exchange).
+    */
+  private[ops] def shuffleRankStep(nodes: DataFrame, edges: DataFrame,
+                                   ranks: DataFrame): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val inflow = edges
+      .join(ranks.withColumnRenamed("v", "src"), "src")
+      .select(col("dst"),
+        expr(s"CAST((r - (r % deg)) / deg AS $dec)").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).cast(dec).as("s"))
+    nodes.join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+      .select(col("v"),
+        (lit(BaseShare).cast(dec) + expr(
+          s"""CAST((coalesce(s, CAST(0 AS $dec)) * $DampNum
+             |  - (coalesce(s, CAST(0 AS $dec)) * $DampNum) % $DampDen)
+             | / $DampDen AS $dec)""".stripMargin)).cast(dec).as("r"))
   }
 
   /** PERSONALIZED PageRank selection (n9) — seed-based data curation:

@@ -130,12 +130,20 @@ class GraphSpec extends SparkSpec {
     val viaBroadcast = Graph.partPageRank(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     assert(viaShuffle.nonEmpty && viaShuffle == viaBroadcast)
-    // plan pin: the shuffle variant must not broadcast the rank state —
-    // a rank table bigger than the 200k guard could not ship that way
-    val plan = Graph.partPageRankShuffle(spark, sfDir)
+    // plan pin on the IN-LOOP step specifically (not the composed
+    // query): the per-iteration rank join must never broadcast — a
+    // rank table bigger than the 200k guard could not ship that way.
+    // The setup and final top-N joins are O(nodes) coordination and MAY
+    // legitimately broadcast under a future AQE/stats change, so they
+    // are deliberately outside this assertion's blast radius.
+    val (nodes, edges, _) =
+      Graph.coPurchaseRankGraph(spark, sfDir, broadcastState = false)
+    val ranks0 = nodes.select(col("v"),
+      lit(Graph.S).cast("DECIMAL(38,0)").as("r"))
+    val stepPlan = Graph.shuffleRankStep(nodes, edges, ranks0)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"n10 must keep rank state as a keyed shuffle-joined table, got:\n$plan")
+    assert(!stepPlan.contains("BroadcastHashJoin"),
+      s"n10's in-loop step must keep rank state shuffle-joined, got:\n$stepPlan")
   }
 
   test("partLocalClustering: per-node triangles sum to 3x the global count, cc bounded and null below degree 2") {
