@@ -1213,6 +1213,41 @@ object SparkEntry {
         s.read.parquet(idx),
         graft.streaming.Streams.readBatchSink(s, segDir)))
     }),
+    // st32 — st28's takedown twin (the NRT face of t43): phrase
+    // queries stream in and each micro-batch serves them through the
+    // static segments in TOMBSTONE mode — the staged delete list is a
+    // static side re-read per batch, global stats subtracted exactly —
+    // sharing t43's oracle over the RETAINED corpus verbatim
+    "st32_stream_bm25_tombstone" -> ((s, d) => {
+      val idx = stagedTextIndexDeletes(s, d)
+      val qPath = s"$idx/delqueries"
+      val schema = s.read.parquet(qPath).schema
+      val out = java.nio.file.Files.createTempDirectory("graft_st32_out").toString
+      graft.streaming.Streams.runBm25TombstoneQueryBatches(
+        graft.streaming.Streams.parquetDirStream(s, qPath, schema),
+        Seq((s"$idx/tfs", s"$idx/lens"), (s"$idx/addtfs", s"$idx/addlens")),
+        s"$idx/deletes", out)
+      graft.streaming.Streams.readBatchSink(s, out).orderBy("phrase", "rank")
+    }),
+    // st33 — st31's takedown twin (the NRT face of t44): streamed
+    // positional segments accumulate in the at-rest store, then phrase
+    // serving applies the staged delete list via ONE anti-join —
+    // derivation and matching see exactly the retained postings,
+    // sharing t44's oracle over the retained corpus verbatim
+    "st33_stream_phrase_tombstone" -> ((s, d) => {
+      val idx = stagedPositionalIndex(s, d)
+      val del = stagedTextIndexDeletes(s, d)
+      val stage = stagedDocuments(s, d)
+      val schema = s.read.parquet(stage).schema
+      val segDir = java.nio.file.Files.createTempDirectory("graft_st33_seg").toString
+      graft.streaming.Streams.runPositionalAddBatches(
+        graft.streaming.Streams.parquetDirStream(s, stage, schema)
+          .filter(col("doc_id") % 2 === 1), segDir)
+      TextStats.phraseSearchTombstone(Seq(
+        s.read.parquet(idx),
+        graft.streaming.Streams.readBatchSink(s, segDir)),
+        s.read.parquet(s"$del/deletes"))
+    }),
     // t44 — phrase serving in TOMBSTONE mode after a delete (t43's
     // positional sibling): base + add positional segments stay
     // byte-identical at rest; the delete list (%10=6) skips via ONE
@@ -1992,6 +2027,87 @@ object SparkEntry {
         s"$idx/index", s"$idx/sizes", out)
       graft.streaming.Streams.readBatchSink(s, out).orderBy("media_id")
     }),
+    // c32 — curation-index DELETE report (the t40 rule on the image
+    // store, c31's other face): the delete list's chunk rows by ONE
+    // semi-join against the at-rest chunked index, per-scope
+    // layout/skew, vanished pigeonhole buckets, integer
+    // tombstone-vs-rewrite rule
+    "c32_curation_delete" -> ((s, d) => {
+      val idx = stagedCurationIndex(s, d)
+      Multimodal.curationIndexDeleteReport(
+        s.read.parquet(idx),
+        s.read.parquet(stagedImages(s, d))
+          .filter(col("media_id") % 2 === 0 && col("media_id") % 10 === 6)
+          .select(col("media_id")))
+    }),
+    // c33 — TOMBSTONE-MODE curation serving after the c32 takedown:
+    // the chunked index stays byte-identical at rest; deleted curated
+    // images skip via one serve-time anti-join — gated by st22's
+    // oracle over the RETAINED corpus (tombstone ≡ rebuild, spec'd)
+    "c33_post_delete_curation" -> ((s, d) => {
+      val idx = stagedCurationIndex(s, d)
+      val imgs = s.read.parquet(stagedImages(s, d))
+      Multimodal.curationAgainstIndexTombstone(
+        imgs.filter(col("media_id") % 2 === 1),
+        s.read.parquet(idx),
+        imgs.filter(col("media_id") % 10 === 6).select(col("media_id")))
+        .orderBy("media_id")
+    }),
+    // m13 — audio window-hash store DELETE report: the t40 scopes over
+    // the UNGUARDED postings store, per-hash df per scope, the
+    // guard-crossing count (why the store keeps unguarded postings),
+    // integer rewrite rule. Delete rule t%100=24 hits half the planted
+    // corpus-side retakes, so the takedown is observable end to end.
+    "m13_audio_delete_report" -> ((s, d) => {
+      val idx = stagedAudioIndexFull(s, d)
+      Multimodal.hashIndexDeleteReport(
+        s.read.parquet(s"$idx/full"),
+        s.read.parquet(stagedShiftedAudio(s, d))
+          .filter(expr("((media_id - 2) div 3) % 100 = 24"))
+          .select(col("media_id").as("cid")))
+    }),
+    // m11 — TOMBSTONE-MODE audio matching after the m13 takedown: the
+    // unguarded postings + df stats stay at rest; deleted tracks skip
+    // via one anti-join and the serving guard re-derives from
+    // SUBTRACTED dfs — gated by st23's oracle over the RETAINED corpus
+    // with the guard recomputed over it (tombstone ≡ rebuild, spec'd)
+    "m11_audio_post_delete" -> ((s, d) => {
+      val idx = stagedAudioIndexFull(s, d)
+      val aud = s.read.parquet(stagedShiftedAudio(s, d))
+      Multimodal.audioMatchTombstone(
+        Multimodal.audioWindowSets(
+          aud.filter(expr("((media_id - 2) div 3) % 2 = 1"))),
+        s.read.parquet(s"$idx/full"), s.read.parquet(s"$idx/dfs"),
+        s.read.parquet(s"$idx/sizes"),
+        aud.filter(expr("((media_id - 2) div 3) % 100 = 24"))
+          .select(col("media_id").as("cid")))
+        .orderBy("media_id")
+    }),
+    // m14 — video frame-hash store DELETE report (m13's video twin).
+    // Delete rule %200=2 removes half the planted corpus-side near-dup
+    // members, so the report and the m12 serving change observably.
+    "m14_video_delete_report" -> ((s, d) => {
+      val idx = stagedVideoIndexFull(s, d)
+      Multimodal.hashIndexDeleteReport(
+        s.read.parquet(s"$idx/full"),
+        s.read.parquet(stagedVideos(s, d))
+          .filter(col("media_id") % 200 === 2)
+          .select(col("media_id").as("cid")))
+    }),
+    // m12 — TOMBSTONE-MODE video matching after the m14 takedown
+    // (m11's video twin): same subtracted-guard serving contract,
+    // gated by st30's oracle over the retained corpus
+    "m12_video_post_delete" -> ((s, d) => {
+      val idx = stagedVideoIndexFull(s, d)
+      val vids = s.read.parquet(stagedVideos(s, d))
+      Multimodal.videoMatchTombstone(
+        Multimodal.videoFrameSets(vids.filter(col("media_id") % 2 === 1)),
+        s.read.parquet(s"$idx/full"), s.read.parquet(s"$idx/dfs"),
+        s.read.parquet(s"$idx/sizes"),
+        vids.filter(col("media_id") % 200 === 2)
+          .select(col("media_id").as("cid")))
+        .orderBy("media_id")
+    }),
     // real feature-extraction gate: Spark FULLY decodes the PNG pixels /
     // WAV PCM samples and computes grid-RGB means / windowed RMS; the
     // oracle replays the fixture's integer pixel/sample rules plus each
@@ -2220,6 +2336,64 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$stage/index")
       cs.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
         .write.mode("overwrite").parquet(s"$stage/sizes")
+    }
+    stage
+  }
+
+  /** The takedown-side extension of [[stagedAudioIndex]] (m11/m13):
+    * `full/` = the UNGUARDED (wh, cid) postings
+    * ([[graft.ops.Multimodal.hashIndexFull]] — the store layout a
+    * delete needs, since a hash can cross DOWN through the serving
+    * guard when a holder leaves) and `dfs/` = the per-hash df stats
+    * table maintained by exact subtraction at serve time. Staged
+    * beside the guarded serving view, which stays byte-identical.
+    */
+  private def stagedAudioIndexFull(s: SparkSession, d: String): String = {
+    val stage = stagedAudioIndex(s, d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "dfs", "_SUCCESS"))) {
+      val corpus = s.read.parquet(stagedShiftedAudio(s, d))
+        .filter(expr("((media_id - 2) div 3) % 2 = 0"))
+      val cs = graft.ops.Iterate.materialize(Multimodal.audioWindowSets(corpus))
+      Multimodal.hashIndexFull(cs).repartition(col("wh"))
+        .write.mode("overwrite").parquet(s"$stage/full")
+      Multimodal.hashIndexDfs(s.read.parquet(s"$stage/full"))
+        .write.mode("overwrite").parquet(s"$stage/dfs")
+    }
+    stage
+  }
+
+  /** [[stagedAudioIndexFull]] for the video frame-hash store (m12/m14). */
+  private def stagedVideoIndexFull(s: SparkSession, d: String): String = {
+    val stage = stagedVideoIndex(s, d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "dfs", "_SUCCESS"))) {
+      val corpus = s.read.parquet(stagedVideos(s, d))
+        .filter(col("media_id") % 2 === 0)
+      val cs = graft.ops.Iterate.materialize(Multimodal.videoFrameSets(corpus))
+      Multimodal.hashIndexFull(cs).repartition(col("wh"))
+        .write.mode("overwrite").parquet(s"$stage/full")
+      Multimodal.hashIndexDfs(s.read.parquet(s"$stage/full"))
+        .write.mode("overwrite").parquet(s"$stage/dfs")
+    }
+    stage
+  }
+
+  /** The text-retrieval takedown statics (st32/st33): `deletes/` = the
+    * delete list AT REST (a takedown lands by writing this artifact —
+    * the NRT path picks it up next micro-batch) and `delqueries/` =
+    * the query workload derived from the RETAINED corpus (t43's
+    * contract: derivation never sees deleted docs), one row per phrase
+    * with its term bag so a phrase never splits across micro-batches.
+    * Staged beside [[stagedTextIndexAux]]'s segments.
+    */
+  private def stagedTextIndexDeletes(s: SparkSession, d: String): String = {
+    val stage = stagedTextIndexAux(s, d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "delqueries", "_SUCCESS"))) {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id")).filter(col("doc_id") % 10 === 6)
+        .write.mode("overwrite").parquet(s"$stage/deletes")
+      TextStats.bm25QueryToks(docs.filter(col("doc_id") % 10 =!= 6))
+        .groupBy("phrase").agg(collect_set(col("tok")).as("toks"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/delqueries")
     }
     stage
   }
@@ -5753,6 +5927,21 @@ object SparkEntry {
     // serving (untouched segments, one anti-join) == retained rebuild
     "t44_post_delete_phrase" ->
       phraseSearchSqlOver("documents WHERE doc_id % 10 <> 6"),
+    // st32 — t43's oracle verbatim (the retained-corpus rank CTEs):
+    // streamed tombstone serving through the static segments + staged
+    // delete list must equal the retained rebuild, batch boundaries
+    // provably invisible (stateless per-batch serving)
+    "st32_stream_bm25_tombstone" ->
+      s"""${bm25RankCtesOver("documents WHERE doc_id % 10 <> 6")}
+         |SELECT phrase, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY phrase, rank""".stripMargin,
+    // st33 — t44's oracle verbatim: streamed positional segments +
+    // staged delete list == the retained rebuild (doc-disjoint
+    // segments make micro-batch boundaries invisible to phrase counts
+    // and the derived query set, and the anti-join applies after the
+    // union regardless of arrival order)
+    "st33_stream_phrase_tombstone" ->
+      phraseSearchSqlOver("documents WHERE doc_id % 10 <> 6"),
     // t43 — the t34 rank CTEs over the RETAINED corpus (delete list
     // %10=6 removed): tombstone serving — untouched segments, anti-join
     // skip, subtracted stats — must equal the retained-corpus rebuild
@@ -7157,25 +7346,61 @@ object SparkEntry {
     // aHash replay for both halves, all-pairs Hamming at the m5 bar
     // (== the engine's pigeonhole-blocked probe for maxDist 4 <= 7),
     // best match by (quality desc, id asc), c14 keep rule
-    "st22_stream_media_curation" ->
+    "st22_stream_media_curation" -> mediaCurationStreamSql(),
+    // c33 — st22's replay with the corpus narrowed to the RETAINED
+    // curated half (delete rule %10=6 removed): tombstone serving
+    // through the untouched chunked index == the retained rebuild
+    "c33_post_delete_curation" ->
+      mediaCurationStreamSql(" AND media_id % 10 <> 6"),
+    // c32 — the c31 chunk-explosion replay scoped base/delete/after
+    // over the curated (even) half, per-scope layout aggregates,
+    // vanished-bucket shrink and the t40 integer rewrite rule
+    "c32_curation_delete" ->
       s"""WITH imgh AS MATERIALIZED ($aHashCte SELECT media_id, ahash FROM ah),
-         |qual AS (SELECT doc_id AS media_id,
-         |    CAST((8 + doc_id % 24) * (8 + (doc_id // 24) % 24) AS BIGINT) AS quality
-         |  FROM documents WHERE doc_id % 3 = 0),
-         |h AS (SELECT i.media_id, i.ahash, q.quality FROM imgh i JOIN qual q USING (media_id)),
-         |corp AS (SELECT * FROM h WHERE media_id % 2 = 0),
-         |nw AS (SELECT * FROM h WHERE media_id % 2 = 1),
-         |cand AS (SELECT n.media_id, c.media_id AS cid, c.quality AS cq
-         |  FROM nw n JOIN corp c ON bit_count(xor(n.ahash, c.ahash)) <= 4),
-         |best AS (SELECT media_id, cid, cq FROM (
-         |  SELECT media_id, cid, cq,
-         |    row_number() OVER (PARTITION BY media_id ORDER BY cq DESC, cid) AS rn
-         |  FROM cand) WHERE rn = 1)
-         |SELECT n.media_id, b.cid AS matched_id, n.quality AS quality_score,
-         |  (b.cid IS NULL OR n.quality > b.cq
-         |    OR (n.quality = b.cq AND n.media_id < b.cid)) AS keep
-         |FROM nw n LEFT JOIN best b USING (media_id)
-         |ORDER BY n.media_id""".stripMargin
+         |ch AS (SELECT media_id, ci, (ahash >> (ci * 8)) & 255 AS ckey
+         |  FROM imgh, LATERAL (SELECT unnest(range(0, 8)) AS ci) c
+         |  WHERE media_id % 2 = 0),
+         |sp AS (SELECT 'base' AS scope, media_id, ci, ckey FROM ch
+         |  UNION ALL SELECT 'delete', media_id, ci, ckey FROM ch WHERE media_id % 10 = 6
+         |  UNION ALL SELECT 'after', media_id, ci, ckey FROM ch WHERE media_id % 10 <> 6),
+         |bk AS (SELECT scope, ci, ckey, count(*) AS s FROM sp GROUP BY 1, 2, 3),
+         |per AS (SELECT scope,
+         |  CAST(sum(s) // 8 AS BIGINT) AS n_images,
+         |  CAST(sum(s) AS BIGINT) AS n_chunk_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(s) AS BIGINT) AS max_bucket,
+         |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS self_pair_candidates
+         |  FROM bk GROUP BY scope),
+         |tot AS (SELECT
+         |  sum(CASE WHEN scope = 'base' THEN n_buckets END) AS nb_base,
+         |  sum(CASE WHEN scope = 'after' THEN n_buckets END) AS nb_after,
+         |  sum(CASE WHEN scope = 'base' THEN n_chunk_rows END) AS ncr_base,
+         |  coalesce(sum(CASE WHEN scope = 'delete' THEN n_chunk_rows END), 0) AS ncr_delete FROM per)
+         |SELECT scope, n_images, n_chunk_rows, n_buckets, max_bucket,
+         |  self_pair_candidates,
+         |  CAST(CASE WHEN scope = 'after' THEN nb_base - nb_after ELSE 0 END AS BIGINT) AS n_vanished_buckets,
+         |  CASE WHEN scope = 'after' THEN 8 * ncr_delete >= ncr_base ELSE FALSE END AS rewrite_recommended
+         |FROM per, tot ORDER BY scope""".stripMargin,
+    // m11 — st23's replay with the corpus narrowed to the RETAINED
+    // tracks (delete rule t%100=24 removed) and the df guard
+    // recomputed over it: tombstone serving from the unguarded store
+    // with subtracted stats == the retained rebuild
+    "m11_audio_post_delete" ->
+      audioStreamMatchSql(corpusExtra = " AND ((doc_id - 2) // 3) % 100 <> 24"),
+    // m12 — st30's replay over the retained corpus (delete rule
+    // %200=2 removed), same subtracted-guard contract as m11
+    "m12_video_post_delete" ->
+      videoStreamMatchSql(corpusExtra = " AND doc_id % 200 <> 2"),
+    // m13 — the audio window-hash postings scoped base/delete/after,
+    // per-hash df re-aggregated per scope, guard-crossing count and
+    // the t40 integer rewrite rule
+    "m13_audio_delete_report" ->
+      hashIndexDeleteReportSql(audioShiftSetCtes(),
+        "((doc_id - 2) // 3) % 2 = 0", "((doc_id - 2) // 3) % 100 = 24"),
+    // m14 — m13's replay over the video frame-hash postings
+    "m14_video_delete_report" ->
+      hashIndexDeleteReportSql(videoFrameSetCtes,
+        "doc_id % 2 = 0", "doc_id % 200 = 2")
   )
 
   /** m10 replay: [[graft.ops.Multimodal.ImageCodec.synthAudioShifted]]'s
@@ -7224,10 +7449,15 @@ object SparkEntry {
   /** st23 — the same set CTEs split corpus/stream on t-parity, the
     * corpus half df-guarded into the inverted index, best match per
     * stream track by (6dp Jaccard DESC, id) — the engine's strict-max
-    * over id-sorted candidates is the identical rule. */
-  private def audioStreamMatchSql(w: Int = 8, threshold: Double = 0.5): String =
+    * over id-sorted candidates is the identical rule. `corpusExtra`
+    * narrows the corpus side (m11's tombstone gate: the RETAINED
+    * corpus — delete rule removed — with the df guard recomputed over
+    * it, exactly what subtracted-stats serving must reproduce);
+    * default "" emits st23's SQL byte-identically. */
+  private def audioStreamMatchSql(w: Int = 8, threshold: Double = 0.5,
+                                  corpusExtra: String = ""): String =
     s"""WITH ${audioShiftSetCtes(w)},
-       |corp AS (SELECT * FROM fs WHERE ((doc_id - 2) // 3) % 2 = 0),
+       |corp AS (SELECT * FROM fs WHERE ((doc_id - 2) // 3) % 2 = 0$corpusExtra),
        |nw AS (SELECT * FROM fs WHERE ((doc_id - 2) // 3) % 2 = 1),
        |dfc AS (SELECT fh, count(*) AS df FROM corp GROUP BY fh),
        |ce AS (SELECT corp.doc_id, corp.fh FROM corp JOIN dfc USING (fh)
@@ -7247,14 +7477,74 @@ object SparkEntry {
        |FROM alln a LEFT JOIN best b ON b.mid = a.doc_id
        |ORDER BY media_id""".stripMargin
 
-  /** st30 replay: m9's frame-set CTEs verbatim (substr sampling at the
-    * m2 stride, per-frame FNV-1a, the arithmetic fold for the planted
-    * pairs' 32-byte binary headers), then the st23 verdict tail — the
-    * df guard computed over the CORPUS (even) half only, per-stream-row
-    * best match by (J desc, cid asc), left join so no-candidate rows
-    * emit (NULL, 0.0, false). */
-  private def videoStreamMatchSql(threshold: Double = 0.5): String =
-    s"""WITH ids AS (SELECT doc_id, text, length(text) AS tl,
+  /** st22 — per-row curation verdicts against the static curated half:
+    * the m4 aHash replay for both halves, all-pairs Hamming at the m5
+    * bar (== the engine's pigeonhole-blocked probe for maxDist 4 <= 7),
+    * best match by (quality desc, id asc), c14 keep rule. `corpusExtra`
+    * narrows the corpus side (c33's tombstone gate over the retained
+    * curated half); default "" emits st22's SQL byte-identically. */
+  private def mediaCurationStreamSql(corpusExtra: String = ""): String =
+    s"""WITH imgh AS MATERIALIZED ($aHashCte SELECT media_id, ahash FROM ah),
+       |qual AS (SELECT doc_id AS media_id,
+       |    CAST((8 + doc_id % 24) * (8 + (doc_id // 24) % 24) AS BIGINT) AS quality
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |h AS (SELECT i.media_id, i.ahash, q.quality FROM imgh i JOIN qual q USING (media_id)),
+       |corp AS (SELECT * FROM h WHERE media_id % 2 = 0$corpusExtra),
+       |nw AS (SELECT * FROM h WHERE media_id % 2 = 1),
+       |cand AS (SELECT n.media_id, c.media_id AS cid, c.quality AS cq
+       |  FROM nw n JOIN corp c ON bit_count(xor(n.ahash, c.ahash)) <= 4),
+       |best AS (SELECT media_id, cid, cq FROM (
+       |  SELECT media_id, cid, cq,
+       |    row_number() OVER (PARTITION BY media_id ORDER BY cq DESC, cid) AS rn
+       |  FROM cand) WHERE rn = 1)
+       |SELECT n.media_id, b.cid AS matched_id, n.quality AS quality_score,
+       |  (b.cid IS NULL OR n.quality > b.cq
+       |    OR (n.quality = b.cq AND n.media_id < b.cid)) AS keep
+       |FROM nw n LEFT JOIN best b USING (media_id)
+       |ORDER BY n.media_id""".stripMargin
+
+  /** m13/m14 — the hash-postings delete-report replay over any set CTE
+    * chain ending in `fs(doc_id, fh)`: scope-tagged postings
+    * (base/delete/after over `corpusWhere`/`delWhere`), per-hash df
+    * re-aggregated per scope, per-scope track/hash/posting counts +
+    * max df, dictionary shrink, the guard-crossing count (df_base >
+    * maxFreq but df_after <= maxFreq — what the unguarded store
+    * exists for) and t40's integer tombstone-vs-rewrite rule. */
+  private def hashIndexDeleteReportSql(setCtes: String, corpusWhere: String,
+                                       delWhere: String,
+                                       maxFreq: Long = 64): String =
+    s"""WITH $setCtes,
+       |b AS (SELECT fh, doc_id FROM fs WHERE $corpusWhere),
+       |sp AS (SELECT 'base' AS scope, fh, doc_id FROM b
+       |  UNION ALL SELECT 'delete', fh, doc_id FROM b WHERE $delWhere
+       |  UNION ALL SELECT 'after', fh, doc_id FROM b WHERE NOT ($delWhere)),
+       |pw AS (SELECT scope, fh, count(*) AS df FROM sp GROUP BY 1, 2),
+       |per AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_hashes,
+       |  CAST(sum(df) AS BIGINT) AS n_postings,
+       |  CAST(max(df) AS BIGINT) AS max_df FROM pw GROUP BY scope),
+       |nt AS (SELECT scope, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_tracks
+       |  FROM sp GROUP BY scope),
+       |ub AS (SELECT CAST(count(*) AS BIGINT) AS n_unblocked FROM
+       |  (SELECT fh FROM pw WHERE scope = 'base' AND df > $maxFreq) bq
+       |  JOIN (SELECT fh FROM pw WHERE scope = 'after' AND df <= $maxFreq) aq USING (fh)),
+       |tot AS (SELECT
+       |  sum(CASE WHEN scope = 'base' THEN n_hashes END) AS nh_base,
+       |  sum(CASE WHEN scope = 'after' THEN n_hashes END) AS nh_after,
+       |  sum(CASE WHEN scope = 'base' THEN n_postings END) AS np_base,
+       |  coalesce(sum(CASE WHEN scope = 'delete' THEN n_postings END), 0) AS np_delete FROM per)
+       |SELECT scope, n_tracks, n_hashes, n_postings, max_df,
+       |  CAST(CASE WHEN scope = 'after' THEN nh_base - nh_after ELSE 0 END AS BIGINT) AS n_vanished_hashes,
+       |  CAST(CASE WHEN scope = 'after' THEN (SELECT n_unblocked FROM ub) ELSE 0 END AS BIGINT) AS n_unblocked_hashes,
+       |  CASE WHEN scope = 'after' THEN 8 * np_delete >= np_base ELSE FALSE END AS rewrite_recommended
+       |FROM per JOIN nt USING (scope), tot ORDER BY scope""".stripMargin
+
+  /** m9's frame-set CTE chain (substr sampling at the m2 stride,
+    * per-frame FNV-1a, the arithmetic fold for the planted pairs'
+    * 32-byte binary headers), ending in `fs(doc_id, fh)` +
+    * `sz(doc_id, n)` — shared verbatim by st30, m12 and m14 (the
+    * [[audioShiftSetCtes]] discipline for the video store). */
+  private def videoFrameSetCtes: String =
+    s"""ids AS (SELECT doc_id, text, length(text) AS tl,
        |    CASE WHEN doc_id % 100 IN (2, 3) THEN 32 ELSE 0 END AS hw,
        |    doc_id - (doc_id % 100 - 2) AS hbase
        |  FROM documents WHERE text IS NOT NULL),
@@ -7268,8 +7558,20 @@ object SparkEntry {
        |  FROM ids WHERE hw > 0),
        |fr AS (SELECT * FROM frt UNION ALL SELECT * FROM frh),
        |fs AS (SELECT DISTINCT doc_id, fh FROM fr),
-       |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id),
-       |corp AS (SELECT * FROM fs WHERE doc_id % 2 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY doc_id)""".stripMargin
+
+  /** st30 replay: m9's frame-set CTEs verbatim (substr sampling at the
+    * m2 stride, per-frame FNV-1a, the arithmetic fold for the planted
+    * pairs' 32-byte binary headers), then the st23 verdict tail — the
+    * df guard computed over the CORPUS (even) half only, per-stream-row
+    * best match by (J desc, cid asc), left join so no-candidate rows
+    * emit (NULL, 0.0, false). `corpusExtra` narrows the corpus side
+    * (m12's tombstone gate over the retained corpus); default "" emits
+    * st30's SQL byte-identically. */
+  private def videoStreamMatchSql(threshold: Double = 0.5,
+                                  corpusExtra: String = ""): String =
+    s"""WITH $videoFrameSetCtes,
+       |corp AS (SELECT * FROM fs WHERE doc_id % 2 = 0$corpusExtra),
        |nw AS (SELECT * FROM fs WHERE doc_id % 2 = 1),
        |dfc AS (SELECT fh, count(*) AS df FROM corp GROUP BY fh),
        |ce AS (SELECT corp.doc_id, corp.fh FROM corp JOIN dfc USING (fh)

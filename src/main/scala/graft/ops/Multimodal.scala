@@ -816,6 +816,93 @@ object Multimodal {
       .filter(col("window_jaccard") >= threshold)
   }
 
+  /** The UNGUARDED at-rest hash-postings store (the takedown-capable
+    * layout of [[audioWindowIndex]]'s content, shared by the audio
+    * window-hash and video frame-hash stores): ONE (wh, cid) row per
+    * posting, no df guard applied. The guard is a SERVING accelerator,
+    * not store content — and that distinction is exactly what a delete
+    * needs: a hash whose df sat just above `maxWindowFreq` can drop
+    * BELOW the guard when a holder is deleted, and a rebuild over the
+    * retained corpus would then serve postings a guarded-only store
+    * never kept (spec-pinned). So the store keeps every posting; the
+    * guarded serving view is `full ⋈ (dfs ≤ maxFreq)` and the
+    * tombstone path re-derives it with SUBTRACTED dfs
+    * ([[matchAgainstHashIndexTombstone]]) — the t43 discipline.
+    */
+  def hashIndexFull(sets: DataFrame): DataFrame =
+    sets.select(explode(col("sh")).as("wh"), col("doc_id").as("cid"))
+
+  /** The per-hash document-frequency stats table kept BESIDE the
+    * unguarded postings ([[hashIndexFull]]) — the store's analog of
+    * the BM25 segment statistics: O(|distinct hashes|) rows, exact
+    * integer counts, maintainable under delete by pure subtraction. */
+  def hashIndexDfs(fullIndex: DataFrame): DataFrame =
+    fullIndex.groupBy("wh").agg(count(lit(1)).as("df"))
+
+  /** HASH-POSTINGS delete report (m13 audio / m14 video — the t40
+    * analog for the two hash-set modality stores): a delete-list of
+    * corpus ids against the unguarded at-rest postings. Deleted
+    * postings fall out of one semi-join (O(|delete| · avg set size)
+    * rows), the retained store out of the anti-join; one row per scope
+    * (`base`, `delete`, `after`) with track/hash/posting counts and the
+    * per-hash df skew (`max_df` — what governs probe fan-out). The
+    * after row adds the three decision quantities: `n_vanished_hashes`
+    * (dictionary shrink — hashes whose last holder left),
+    * `n_unblocked_hashes` (hashes whose df crossed DOWN through the
+    * serving guard `maxFreq` — postings a rebuild would newly serve,
+    * i.e. exactly why the store is kept unguarded), and the integer
+    * tombstone-vs-rewrite rule `rewrite_recommended = rebuildDen ·
+    * |delete postings| ≥ |base postings|` (t40's rule verbatim). Every
+    * value is an integer count over scope-tagged postings — the oracle
+    * replays hash folds, scopes, and sums bit for bit.
+    */
+  def hashIndexDeleteReport(fullIndex: DataFrame, deleteIds: DataFrame,
+                            maxFreq: Long = 64, rebuildDen: Int = 8): DataFrame = {
+    require(rebuildDen >= 1, "rebuildDen must be >= 1")
+    val b = fullIndex.select(col("wh"), col("cid"))
+    val ids = deleteIds.select(col("cid")).distinct()
+    val dl = b.join(ids, Seq("cid"), "left_semi")
+    val af = b.join(ids, Seq("cid"), "left_anti")
+    val scoped = b.withColumn("scope", lit("base"))
+      .unionByName(dl.withColumn("scope", lit("delete")))
+      .unionByName(af.withColumn("scope", lit("after")))
+    val perWh = scoped.groupBy(col("scope"), col("wh"))
+      .agg(count(lit(1)).as("df"))
+    val per = perWh.groupBy(col("scope")).agg(
+      count(lit(1)).as("n_hashes"),
+      sum(col("df")).as("n_postings"),
+      max(col("df")).as("max_df"))
+    val nTracks = scoped.groupBy(col("scope"))
+      .agg(countDistinct(col("cid")).as("n_tracks"))
+    // guard crossing: df_base > maxFreq but df_after <= maxFreq — the
+    // postings a retained-corpus rebuild would serve that the GUARDED
+    // view never kept (global agg: always exactly one row, 0 on empty)
+    val unblocked = perWh.filter(col("scope") === "base")
+      .select(col("wh"), col("df").as("bdf"))
+      .join(perWh.filter(col("scope") === "after")
+        .select(col("wh"), col("df").as("adf")), Seq("wh"))
+      .filter(col("bdf") > maxFreq && col("adf") <= maxFreq)
+      .agg(count(lit(1)).as("n_unblocked"))
+    val totals = per.agg(
+      sum(when(col("scope") === "base", col("n_hashes"))).as("nh_base"),
+      sum(when(col("scope") === "after", col("n_hashes"))).as("nh_after"),
+      sum(when(col("scope") === "base", col("n_postings"))).as("np_base"),
+      coalesce(sum(when(col("scope") === "delete", col("n_postings"))), lit(0L))
+        .as("np_delete"))
+    per.join(nTracks, "scope").crossJoin(broadcast(totals))
+      .crossJoin(broadcast(unblocked))
+      .select(col("scope"), col("n_tracks"), col("n_hashes"),
+        col("n_postings"), col("max_df"),
+        when(col("scope") === "after", col("nh_base") - col("nh_after"))
+          .otherwise(lit(0L)).as("n_vanished_hashes"),
+        when(col("scope") === "after", col("n_unblocked"))
+          .otherwise(lit(0L)).as("n_unblocked_hashes"),
+        when(col("scope") === "after",
+          lit(rebuildDen.toLong) * col("np_delete") >= col("np_base"))
+          .otherwise(lit(false)).as("rewrite_recommended"))
+      .orderBy("scope")
+  }
+
   /** The corpus's AT-REST window-hash inverted index (st23's static
     * side): one (wh, cid) row per df-guarded posting — windows shared
     * by more than `maxWindowFreq` corpus tracks drop (a looped jingle
@@ -858,6 +945,58 @@ object Multimodal {
                              sizes: DataFrame,
                              threshold: Double = 0.5): DataFrame =
     matchAgainstHashIndex(newSets, index, sizes, threshold, "frame_jaccard")
+
+  /** TOMBSTONE-MODE hash-set matching after a delete (m11 audio / m12
+    * video — the serving face of [[hashIndexDeleteReport]], the t43
+    * discipline on the modality stores): the at-rest postings
+    * ([[hashIndexFull]]) and stats ([[hashIndexDfs]]) stay
+    * byte-identical; deleted corpus ids skip via ONE serve-time
+    * anti-join, and the serving guard is re-derived from SUBTRACTED
+    * stats — per-hash df minus the deleted holders' own postings, an
+    * O(deleted postings) semi-join count. The subtraction matters in
+    * BOTH directions: a hash just under the guard stays under it, and
+    * a hash just ABOVE the guard (df = maxFreq+1, dropped from any
+    * guarded view) becomes servable when a holder leaves — which is
+    * why the store keeps the unguarded postings. Retained postings +
+    * subtracted dfs are EXACTLY a rebuild over the retained corpus, so
+    * verdicts equal the rebuild's bit for bit (spec-pinned; gated by
+    * the stream-match oracle over the retained corpus). Scale: one
+    * broadcast-sized delete list, two map-side anti/semi joins, one
+    * O(|hashes|) stats join on top of the normal probe plan.
+    */
+  def audioMatchTombstone(newSets: DataFrame, fullIndex: DataFrame,
+                          dfs: DataFrame, sizes: DataFrame,
+                          deleteIds: DataFrame, maxFreq: Long = 64,
+                          threshold: Double = 0.5): DataFrame =
+    matchAgainstHashIndexTombstone(newSets, fullIndex, dfs, sizes, deleteIds,
+      maxFreq, threshold, "window_jaccard")
+
+  /** [[audioMatchTombstone]] for the VIDEO frame-hash store (m12) —
+    * the (wh, cid) shape is modality-agnostic, similarity reported as
+    * m9's `frame_jaccard`. */
+  def videoMatchTombstone(newSets: DataFrame, fullIndex: DataFrame,
+                          dfs: DataFrame, sizes: DataFrame,
+                          deleteIds: DataFrame, maxFreq: Long = 64,
+                          threshold: Double = 0.5): DataFrame =
+    matchAgainstHashIndexTombstone(newSets, fullIndex, dfs, sizes, deleteIds,
+      maxFreq, threshold, "frame_jaccard")
+
+  private def matchAgainstHashIndexTombstone(newSets: DataFrame,
+                                             fullIndex: DataFrame,
+                                             dfs: DataFrame, sizes: DataFrame,
+                                             deleteIds: DataFrame,
+                                             maxFreq: Long, threshold: Double,
+                                             simCol: String): DataFrame = {
+    val delKeys = deleteIds.select(col("cid")).distinct()
+    val ddf = fullIndex.join(delKeys, Seq("cid"), "left_semi")
+      .groupBy(col("wh")).agg(count(lit(1)).as("ddf"))
+    val dfEff = dfs.join(ddf, Seq("wh"), "left")
+      .select(col("wh"), (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0 && col("df") <= maxFreq)
+    val retained = fullIndex.join(delKeys, Seq("cid"), "left_anti")
+      .join(dfEff.select(col("wh")), Seq("wh"), "left_semi")
+    matchAgainstHashIndex(newSets, retained, sizes, threshold, simCol)
+  }
 
   /** The modality-agnostic hash-set match core the audio (st23) and
     * video (st30) streaming twins share — semantics documented at
@@ -940,13 +1079,17 @@ object Multimodal {
     val aBk = addIdx.groupBy("ci", "ckey").agg(count(lit(1)).as("s"))
     val mBk = baseIdx.select("ci", "ckey").unionByName(addIdx.select("ci", "ckey"))
       .groupBy("ci", "ckey").agg(count(lit(1)).as("s"))
-    def per(bk: DataFrame, scope: String) = bk.agg(
-      expr("sum(s) DIV 8").as("n_images"),
-      sum(col("s")).cast("long").as("n_chunk_rows"),
-      count(lit(1)).as("n_buckets"),
-      max(col("s")).cast("long").as("max_bucket"),
-      expr("sum((s * (s - 1)) DIV 2)").cast("long").as("self_pair_candidates"))
-      .select(lit(scope).as("scope"), col("*"))
+    // Grouped on the scope LITERAL, not a global agg: an add batch with
+    // zero decodable images then emits NO 'add' row (zero groups) —
+    // exactly the oracle's GROUP BY scope semantics — instead of a row
+    // of NULL sums disagreeing with base+merged (spec'd).
+    def per(bk: DataFrame, scope: String) = bk
+      .groupBy(lit(scope).as("scope")).agg(
+        expr("sum(s) DIV 8").as("n_images"),
+        sum(col("s")).cast("long").as("n_chunk_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("s")).cast("long").as("max_bucket"),
+        expr("sum((s * (s - 1)) DIV 2)").cast("long").as("self_pair_candidates"))
     val probe = aBk.join(bBk.withColumnRenamed("s", "sb"), Seq("ci", "ckey"))
       .agg(coalesce(sum(col("s") * col("sb")), lit(0L)).cast("long").as("pc"))
     per(bBk, "base").withColumn("probe_candidates", lit(0L))
@@ -992,6 +1135,77 @@ object Multimodal {
         (col("matched_id").isNull || col("quality") > col("bq") ||
           (col("quality") === col("bq") &&
             col("media_id") < col("matched_id"))).as("keep"))
+  }
+
+  /** CURATION-INDEX delete report (c32 — the t40 analog for the image
+    * curation store, completing its lifecycle beside the add face
+    * [[curationIndexAddReport]]): a delete-list of curated media ids
+    * against the at-rest chunk-exploded index. The deleted chunk rows
+    * fall out of one semi-join on cid (exactly 8 rows per deleted
+    * image — O(|delete|)), the retained index out of the anti-join;
+    * one row per scope (`base`, `delete`, `after`) with the c31 layout
+    * + skew columns (image/chunk-row counts, occupied buckets, largest
+    * bucket, within-scope candidate-pair volume). The after row adds
+    * `n_vanished_buckets` (pigeonhole buckets whose last occupant
+    * left — probe keys that now miss instantly) and t40's integer
+    * tombstone-vs-rewrite rule over chunk rows. Unlike the hash
+    * stores there is NO df guard to maintain — the pigeonhole key is
+    * structural — so the report and one anti-join
+    * ([[curationAgainstIndexTombstone]]) are the whole takedown story.
+    */
+  def curationIndexDeleteReport(baseIdx: DataFrame, deleteMedia: DataFrame,
+                                rebuildDen: Int = 8): DataFrame = {
+    require(rebuildDen >= 1, "rebuildDen must be >= 1")
+    val ids = deleteMedia.select(col("media_id").as("cid")).distinct()
+    val b = baseIdx.select(col("ci"), col("ckey"), col("cid"))
+    val dl = b.join(ids, Seq("cid"), "left_semi")
+    val af = b.join(ids, Seq("cid"), "left_anti")
+    val scoped = b.withColumn("scope", lit("base"))
+      .unionByName(dl.withColumn("scope", lit("delete")))
+      .unionByName(af.withColumn("scope", lit("after")))
+    val bk = scoped.groupBy(col("scope"), col("ci"), col("ckey"))
+      .agg(count(lit(1)).as("s"))
+    val per = bk.groupBy(col("scope")).agg(
+      expr("sum(s) DIV 8").as("n_images"),
+      sum(col("s")).cast("long").as("n_chunk_rows"),
+      count(lit(1)).as("n_buckets"),
+      max(col("s")).cast("long").as("max_bucket"),
+      expr("sum((s * (s - 1)) DIV 2)").cast("long").as("self_pair_candidates"))
+    val totals = per.agg(
+      sum(when(col("scope") === "base", col("n_buckets"))).as("nb_base"),
+      sum(when(col("scope") === "after", col("n_buckets"))).as("nb_after"),
+      sum(when(col("scope") === "base", col("n_chunk_rows"))).as("ncr_base"),
+      coalesce(sum(when(col("scope") === "delete", col("n_chunk_rows"))), lit(0L))
+        .as("ncr_delete"))
+    per.crossJoin(broadcast(totals))
+      .select(col("scope"), col("n_images"), col("n_chunk_rows"),
+        col("n_buckets"), col("max_bucket"), col("self_pair_candidates"),
+        when(col("scope") === "after", col("nb_base") - col("nb_after"))
+          .otherwise(lit(0L)).as("n_vanished_buckets"),
+        when(col("scope") === "after",
+          lit(rebuildDen.toLong) * col("ncr_delete") >= col("ncr_base"))
+          .otherwise(lit(false)).as("rewrite_recommended"))
+      .orderBy("scope")
+  }
+
+  /** TOMBSTONE-MODE curation serving after a delete (c33 — the serving
+    * face of [[curationIndexDeleteReport]], st22/c22's takedown path):
+    * the at-rest chunk-exploded index stays byte-identical; deleted
+    * curated images skip via ONE serve-time anti-join on cid, and
+    * every downstream stage — pigeonhole probe, exact Hamming prune,
+    * c14 keep-best — sees exactly the retained index, so verdicts
+    * equal a rebuild over the retained corpus bit for bit (spec'd;
+    * gated by the st22 oracle over the retained corpus). There are no
+    * global statistics in the curation probe (unlike BM25's df or the
+    * hash stores' guard), so the anti-join IS the entire takedown
+    * cost — the cheapest of the four stores' tombstone paths.
+    */
+  def curationAgainstIndexTombstone(newMedia: DataFrame, chunkedIdx: DataFrame,
+                                    deleteMedia: DataFrame,
+                                    maxDist: Int = 4): DataFrame = {
+    val ids = deleteMedia.select(col("media_id").as("cid")).distinct()
+    curationAgainstIndex(newMedia,
+      chunkedIdx.join(ids, Seq("cid"), "left_anti"), maxDist)
   }
 
   /** End-to-end MEDIA curation composite (c22) — the c21 analog for the

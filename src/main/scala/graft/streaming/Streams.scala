@@ -644,6 +644,43 @@ object Streams {
     * gates the stream verbatim; a segment add takes effect next batch
     * without a restart.
     */
+  /** Streaming BM25 serving in TOMBSTONE mode (st32 — st28's takedown
+    * twin, the NRT face of t43): phrase queries stream in and each
+    * micro-batch serves them through the STATIC segmented index with a
+    * STATIC delete list applied — retained postings via one anti-join,
+    * every global statistic the base aggregate minus the deleted docs'
+    * own contribution ([[graft.ops.TextStats.bm25TopKTombstone]]'s
+    * exact integer subtraction, re-planned per batch like the
+    * segments themselves). The delete list is an at-rest artifact
+    * (staged parquet, re-read per batch) — a takedown lands by writing
+    * the list, takes effect next micro-batch, and the segment store
+    * stays byte-identical, so the NRT path honors right-to-erasure
+    * without a rebuild or a restart. Zero streaming state (verdicts
+    * depend only on static stores plus the query row), so micro-batch
+    * boundaries provably cannot change ranks and t43's batch oracle
+    * over the RETAINED corpus gates the stream verbatim. Sink rides
+    * [[writeBatchIdempotent]].
+    */
+  def runBm25TombstoneQueryBatches(queries: DataFrame,
+                                   segPaths: Seq[(String, String)],
+                                   deletePath: String, outDir: String,
+                                   k: Int = 10): StreamingQuery = {
+    val q = queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val segs = segPaths.map { case (tfs, lens) =>
+          (s.read.parquet(tfs), s.read.parquet(lens)) }
+        val qToks = batch.select(col("phrase"), explode(col("toks")).as("tok"))
+        writeBatchIdempotent(
+          graft.ops.TextStats.bm25TopKTombstone(segs,
+            s.read.parquet(deletePath), qToks, k), outDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   def runBm25QueryBatches(queries: DataFrame,
                           segPaths: Seq[(String, String)],
                           outDir: String, k: Int = 10): StreamingQuery = {

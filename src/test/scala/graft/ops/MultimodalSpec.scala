@@ -473,4 +473,161 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_._1 % 3 == 0) && rows.exists(_._1 % 3 == 2))
     rows.foreach { case (id, comp) => assert(id % 3 == comp % 3, s"modality mix: $id in $comp") }
   }
+
+  test("curationIndexAddReport: empty add batch emits NO add row (oracle GROUP BY parity); merged == base") {
+    val img = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    val base = Multimodal.imageCurationIndexChunked(img.filter(col("media_id") % 2 === 0))
+    val out = Multimodal.curationIndexAddReport(base, img.filter(lit(false)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the DuckDB oracle's GROUP BY scope yields no 'add' group on an
+    // empty batch — the engine must agree (a global agg would instead
+    // emit a NULL-sum row disagreeing with base+merged)
+    assert(out.keySet == Set("base", "merged"), s"got scopes ${out.keySet}")
+    val (b, m) = (out("base"), out("merged"))
+    Seq("n_images", "n_chunk_rows", "n_buckets", "max_bucket",
+      "self_pair_candidates").foreach(c =>
+      assert(b.getAs[Long](c) == m.getAs[Long](c), s"$c: base != merged"))
+  }
+
+  test("curationAgainstIndexTombstone (c33): untouched index + one anti-join == retained-corpus rebuild; deleted ids never match") {
+    val img = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    val base = Multimodal.imageCurationIndexChunked(img.filter(col("media_id") % 2 === 0))
+    val nw = img.filter(col("media_id") % 2 === 1)
+    val del = img.filter(col("media_id") % 10 === 6).select(col("media_id"))
+    val tomb = Multimodal.curationAgainstIndexTombstone(nw, base, del)
+    val rebuilt = Multimodal.curationAgainstIndex(nw,
+      Multimodal.imageCurationIndexChunked(
+        img.filter(col("media_id") % 2 === 0 && col("media_id") % 10 =!= 6)))
+    assert(tomb.count() > 0)
+    assert(tomb.exceptAll(rebuilt).count() == 0 && rebuilt.exceptAll(tomb).count() == 0)
+    assert(tomb.filter(col("matched_id") % 10 === 6).count() == 0,
+      "a deleted id surfaced as a match")
+  }
+
+  test("audio/video tombstone matching (m11/m12): unguarded store + subtracted dfs == rebuild over retained corpus") {
+    import graft.ops.Iterate
+    val aud = Multimodal.audioTableShifted(spark, sfDir)
+    val corpusSets = Iterate.materialize(Multimodal.audioWindowSets(
+      aud.filter(expr("((media_id - 2) div 3) % 2 = 0"))))
+    val newSets = Iterate.materialize(Multimodal.audioWindowSets(
+      aud.filter(expr("((media_id - 2) div 3) % 2 = 1"))))
+    val sizes = corpusSets.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
+    val full = Multimodal.hashIndexFull(corpusSets)
+    val del = aud.filter(expr("((media_id - 2) div 3) % 100 = 24"))
+      .select(col("media_id").as("cid"))
+    assert(del.count() > 0, "fixture must contain deleted corpus tracks")
+    val tomb = Multimodal.audioMatchTombstone(newSets, full,
+      Multimodal.hashIndexDfs(full), sizes, del)
+    val retainedSets = corpusSets.join(
+      del.withColumnRenamed("cid", "doc_id"), Seq("doc_id"), "left_anti")
+    val rebuilt = Multimodal.audioMatchAgainstIndex(newSets,
+      Multimodal.audioWindowIndex(retainedSets), sizes)
+    assert(tomb.count() > 0)
+    assert(tomb.exceptAll(rebuilt).count() == 0 && rebuilt.exceptAll(tomb).count() == 0)
+    // the delete is observable: a planted retake pair loses its match
+    val before = Multimodal.audioMatchAgainstIndex(newSets,
+      Multimodal.audioWindowIndex(corpusSets), sizes)
+    assert(before.exceptAll(tomb).count() > 0, "delete must change a verdict")
+    assert(tomb.filter(col("matched_id").isNotNull)
+      .join(del.withColumnRenamed("cid", "matched_id"), Seq("matched_id"),
+        "left_semi").count() == 0, "a deleted id surfaced as a match")
+  }
+
+  test("guard-crossing (why the store is unguarded): a hash with df just above maxFreq becomes servable when a holder is deleted") {
+    import spark.implicits._
+    def mkSets(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("doc_id", "sh")
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+    // four corpus tracks share hash 100 (df = 4 > maxFreq 3); each has
+    // a private filler hash so Jaccards stay fractional
+    val corpusSets = mkSets(Seq(1L -> Seq(100L, 11L), 2L -> Seq(100L, 12L),
+      3L -> Seq(100L, 13L), 4L -> Seq(100L, 14L)))
+    val newSets = mkSets(Seq(10L -> Seq(100L, 15L)))
+    val full = Multimodal.hashIndexFull(corpusSets)
+    val dfs = Multimodal.hashIndexDfs(full)
+    val sizes = corpusSets.select(col("doc_id").as("cid"), col("n_sh").as("nb"))
+    def verdict(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    // no delete: df(100) = 4 is guarded out — no candidate
+    val none = Seq.empty[Long].toDF("cid")
+    assert(verdict(Multimodal.audioMatchTombstone(newSets, full, dfs, sizes,
+      none, maxFreq = 3)) == Seq((10L, None)))
+    // delete track 4: df_eff(100) = 3 <= maxFreq — the hash crosses
+    // DOWN through the guard and track 10 now matches (tie on J=1/3
+    // across tracks 1..3 -> lowest id wins, the st23 rule)
+    val del = Seq(4L).toDF("cid")
+    assert(verdict(Multimodal.audioMatchTombstone(newSets, full, dfs, sizes,
+      del, maxFreq = 3)) == Seq((10L, Some(1L))))
+    // a GUARDED-only store cannot do this: the df-4 hash was never
+    // stored, so anti-joining the delete from it still finds nothing —
+    // the exact divergence from a retained-corpus rebuild the unguarded
+    // layout exists to prevent
+    val guarded = Multimodal.audioWindowIndex(corpusSets, maxWindowFreq = 3)
+    assert(verdict(Multimodal.audioMatchAgainstIndex(newSets,
+      guarded.join(del, Seq("cid"), "left_anti"), sizes)) == Seq((10L, None)))
+    val rebuilt = Multimodal.audioWindowIndex(
+      corpusSets.filter(col("doc_id") =!= 4L), maxWindowFreq = 3)
+    assert(verdict(Multimodal.audioMatchAgainstIndex(newSets, rebuilt, sizes))
+      == Seq((10L, Some(1L))))
+  }
+
+  test("hashIndexDeleteReport: hand-computed scopes on a tiny store; guard-crossing and vanish counts; t40 rewrite rule") {
+    import spark.implicits._
+    // postings: hash 100 held by 1..4 (df 4), hash 20 held only by 4,
+    // hash 30 held by 1 and 2 (df 2); delete track 4
+    val full = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (20L, 4L), (30L, 1L), (30L, 2L)).toDF("wh", "cid")
+    val out = Multimodal.hashIndexDeleteReport(full, Seq(4L).toDF("cid"),
+        maxFreq = 3, rebuildDen = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (b, d, a) = (out("base"), out("delete"), out("after"))
+    assert(b.getAs[Long]("n_tracks") == 4 && b.getAs[Long]("n_hashes") == 3 &&
+      b.getAs[Long]("n_postings") == 7 && b.getAs[Long]("max_df") == 4)
+    assert(d.getAs[Long]("n_tracks") == 1 && d.getAs[Long]("n_postings") == 2)
+    assert(a.getAs[Long]("n_tracks") == 3 && a.getAs[Long]("n_hashes") == 2 &&
+      a.getAs[Long]("n_postings") == 5 && a.getAs[Long]("max_df") == 3)
+    // hash 20 vanished with its only holder; hash 100 crossed DOWN
+    // through the maxFreq=3 guard (df 4 -> 3)
+    assert(a.getAs[Long]("n_vanished_hashes") == 1)
+    assert(a.getAs[Long]("n_unblocked_hashes") == 1)
+    // rewrite rule at rebuildDen=2: 2 * 2 < 7 -> tombstones suffice
+    assert(!a.getAs[Boolean]("rewrite_recommended"))
+    assert(!b.getAs[Boolean]("rewrite_recommended") &&
+      !d.getAs[Boolean]("rewrite_recommended"))
+    // empty delete: no 'delete' scope row at all (oracle GROUP BY parity)
+    val empty = Multimodal.hashIndexDeleteReport(full,
+        Seq.empty[Long].toDF("cid"), maxFreq = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(empty == Set("base", "after"))
+  }
+
+  test("curationIndexDeleteReport: scopes reconcile; vanished buckets; deleting everything forces the rewrite rule") {
+    val img = Multimodal.imageTable(spark, sfDir).filter(col("media_id") % 3 === 0)
+    val corpus = img.filter(col("media_id") % 2 === 0)
+    val base = Multimodal.imageCurationIndexChunked(corpus)
+    val del = img.filter(col("media_id") % 10 === 6).select(col("media_id"))
+    val out = Multimodal.curationIndexDeleteReport(base, del)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (b, d, a) = (out("base"), out("delete"), out("after"))
+    Seq(b, d, a).foreach(r =>
+      assert(r.getAs[Long]("n_chunk_rows") == 8 * r.getAs[Long]("n_images")))
+    assert(b.getAs[Long]("n_images") ==
+      d.getAs[Long]("n_images") + a.getAs[Long]("n_images"))
+    assert(a.getAs[Long]("n_vanished_buckets") ==
+      b.getAs[Long]("n_buckets") - a.getAs[Long]("n_buckets"))
+    assert(d.getAs[Long]("n_images") > 0 && !b.getAs[Boolean]("rewrite_recommended"))
+    // a delete reaching half the corpus trips the 1/8 rewrite rule
+    val big = Multimodal.curationIndexDeleteReport(base,
+        corpus.filter(col("media_id") % 4 === 0).select(col("media_id")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(big("after").getAs[Boolean]("rewrite_recommended"))
+    // deleting the WHOLE corpus empties the after scope entirely
+    // (oracle GROUP BY parity: no row, not a zero row)
+    val all = Multimodal.curationIndexDeleteReport(base,
+        corpus.select(col("media_id")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!all.contains("after"))
+    assert(all("delete").getAs[Long]("n_images") == b.getAs[Long]("n_images"))
+  }
 }

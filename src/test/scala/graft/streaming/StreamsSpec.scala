@@ -956,6 +956,67 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == rebuild)
   }
 
+  test("streaming tombstone BM25 (st32) == batch tombstone query, queries split across micro-batches; deleted ids never ranked") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val (bTfs, bLens) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 0))
+    val (aTfs, aLens) = TextStats.indexSegment(docs.filter(col("doc_id") % 2 === 1))
+    val idx = tmpDir("stream_bm25t_idx").toString
+    bTfs.write.mode("overwrite").parquet(s"$idx/tfs")
+    bLens.write.mode("overwrite").parquet(s"$idx/lens")
+    aTfs.write.mode("overwrite").parquet(s"$idx/addtfs")
+    aLens.write.mode("overwrite").parquet(s"$idx/addlens")
+    // the delete list is an AT-REST static side (t43's %10=6 rule)
+    val del = docs.select(col("doc_id")).filter(col("doc_id") % 10 === 6)
+    del.write.mode("overwrite").parquet(s"$idx/deletes")
+    // query workload derived from the RETAINED corpus (t43's contract)
+    val qRows = TextStats.bm25QueryToks(docs.filter(col("doc_id") % 10 =!= 6))
+      .groupBy("phrase").agg(collect_set(col("tok")).as("toks"))
+    val qDir = tmpDir("stream_bm25t_q").resolve("q").toString
+    qRows.limit(2).coalesce(1).write.mode("overwrite").parquet(qDir)
+    qRows.exceptAll(qRows.limit(2)).coalesce(1).write.mode("append").parquet(qDir)
+    val outDir = tmpDir("stream_bm25t_out").toString
+    Streams.runBm25TombstoneQueryBatches(
+      Streams.parquetDirStream(spark, qDir, spark.read.parquet(qDir).schema,
+        maxFilesPerTrigger = 1),
+      Seq((s"$idx/tfs", s"$idx/lens"), (s"$idx/addtfs", s"$idx/addlens")),
+      s"$idx/deletes", outDir)
+    val streamed = Streams.readBatchSink(spark, outDir)
+      .orderBy("phrase", "rank").collect().map(_.toSeq).toSeq
+    val batch = TextStats.bm25TopKTombstone(
+        Seq((bTfs, bLens), (aTfs, aLens)), del,
+        TextStats.bm25QueryToks(docs.filter(col("doc_id") % 10 =!= 6)))
+      .orderBy("phrase", "rank").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // no deleted doc can ever rank
+    assert(Streams.readBatchSink(spark, outDir)
+      .filter(col("doc_id") % 10 === 6).count() == 0)
+  }
+
+  test("streaming tombstone phrase serving (st33): accumulated segments + staged delete list == retained-corpus rebuild") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sfDir)
+    val d = tmpDir("stream_post").resolve("docs").toString
+    docs.filter(col("doc_id") < 100).write.mode("overwrite").parquet(d)
+    docs.filter(col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    val all = spark.read.parquet(d)
+    val base = TextStats.positionalSegment(all.filter(col("doc_id") % 2 === 0))
+    val segDir = tmpDir("stream_post_segs").toString
+    Streams.runPositionalAddBatches(
+      Streams.parquetDirStream(spark, d, all.schema, maxFilesPerTrigger = 1)
+        .filter(col("doc_id") % 2 === 1), segDir)
+    val delDir = tmpDir("stream_post_del").resolve("deletes").toString
+    all.select(col("doc_id")).filter(col("doc_id") % 10 === 6)
+      .write.mode("overwrite").parquet(delDir)
+    val viaStream = TextStats.phraseSearchTombstone(
+        Seq(base, Streams.readBatchSink(spark, segDir)),
+        spark.read.parquet(delDir))
+      .collect().map(_.toSeq).toSeq
+    val rebuild = TextStats.phraseSearch(all.filter(col("doc_id") % 10 =!= 6))
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream.nonEmpty && viaStream == rebuild)
+  }
+
   test("streaming quality gate == batch c6 gate across micro-batch boundaries") {
     import graft.ops.TextStats
     val docs = Tables.documents(spark, sfDir)
