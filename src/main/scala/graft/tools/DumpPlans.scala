@@ -89,7 +89,12 @@ object DumpPlans {
     "t42_phrase_merged", "t43_post_delete_bm25", "n10_pagerank_shuffle",
     "st30_stream_video_match", "st31_stream_positional_add",
     "st22_stream_media_curation", "t44_post_delete_phrase",
-    "c31_curation_add")
+    "c31_curation_add",
+    // round 18
+    "c32_curation_delete", "c33_post_delete_curation",
+    "m11_audio_post_delete", "m12_video_post_delete",
+    "m13_audio_delete_report", "m14_video_delete_report",
+    "st32_stream_bm25_tombstone", "st33_stream_phrase_tombstone")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
