@@ -2125,7 +2125,11 @@ object SparkEntry {
     // pigeonhole blocking (maxDist 4 <= 7), oracle = all-pairs replay
     "m5_image_neardup" -> ((s, d) => {
       val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
-      Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
+      // hash table checkpointed once: the Hamming self-join's two sides
+      // would otherwise each re-synth + re-decode every payload
+      // (mapPartitions is opaque to subtree dedup)
+      Multimodal.nearDupImages(
+          graft.ops.Iterate.materialize(Multimodal.imageHashes(media)), maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
     // image dup-cluster RESOLUTION — the end-to-end multimodal dedup
@@ -2137,16 +2141,24 @@ object SparkEntry {
     // images at sf1 — end to end
     "m7_image_dup_resolve" -> ((s, d) => {
       val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 0)
-      val pairs = Multimodal.nearDupImages(Multimodal.imageHashes(media), maxDist = 4)
+      // hashes checkpointed once (two join sides); the resolve id list is
+      // imageTable's media_id = doc_id by construction, so it reads the
+      // 8-byte id column straight from parquet instead of synthesizing
+      // (and then discarding) every payload a third time
+      val pairs = Multimodal.nearDupImages(
+          graft.ops.Iterate.materialize(Multimodal.imageHashes(media)), maxDist = 4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      Dedup.resolveDuplicates(media.select(col("media_id")), pairs, idCol = "media_id")
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id")).filter(col("media_id") % 3 === 0)
+      Dedup.resolveDuplicates(ids, pairs, idCol = "media_id")
         .orderBy("media_id")
     }),
     // audio near-dup by the PCM-energy aHash — the audio sibling of m5,
     // riding the same modality-agnostic chunk-blocked Hamming join
     "m6_audio_neardup" -> ((s, d) => {
       val media = Multimodal.imageTable(s, d).filter(col("media_id") % 3 === 2)
-      Multimodal.nearDupImages(Multimodal.audioHashes(media), maxDist = 4)
+      Multimodal.nearDupImages(
+          graft.ops.Iterate.materialize(Multimodal.audioHashes(media)), maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
     // m6 on the REALISTIC pair-density fixture (round-13 #8): white-
@@ -2157,7 +2169,8 @@ object SparkEntry {
     // the honest 1–3× band
     "m8_audio_neardup_low" -> ((s, d) => {
       val media = Multimodal.audioTableLowDup(s, d)
-      Multimodal.nearDupImages(Multimodal.audioHashes(media), maxDist = 4)
+      Multimodal.nearDupImages(
+          graft.ops.Iterate.materialize(Multimodal.audioHashes(media)), maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
     "m3_features" -> ((s, d) => {

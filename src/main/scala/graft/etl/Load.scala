@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Sinks. The reference's load is a SQLite full-replace
   * (`/root/reference/src/load.py:5-8`): drop+recreate table, schema from
@@ -126,7 +127,15 @@ object Load {
     val loc = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    df.write.mode(SaveMode.Overwrite)
+    // Align the write partitioning with the bucket function BEFORE the
+    // write: repartition(buckets, keys) is the same murmur3-pmod
+    // assignment the bucketed writer applies per row, so each write task
+    // holds exactly one bucket — `buckets`-way parallel sort+encode and
+    // one file per bucket, instead of every input task sorting the whole
+    // key range and emitting a file per (task, bucket) pair. Table
+    // content and bucket spec are unchanged.
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(quote(table))

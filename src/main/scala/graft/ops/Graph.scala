@@ -85,17 +85,27 @@ object Graph {
   private[ops] def coPurchaseRankGraph(spark: SparkSession, dir: String,
                                   broadcastState: Boolean = true)
       : (DataFrame, DataFrame, Long) = {
-    val lp = Iterate.materialize(
+    // Exchange-sharing construction (guide §2.4): hash(ok) satisfies the
+    // (ok, pk) dedup's clustering AND the self-join's key, so ONE
+    // explicit repartition replaces the dedup exchange plus both
+    // self-join exchanges; likewise hash(src) serves the edge dedup and
+    // the degree aggregation. materializePartitioned (one-shot, outside
+    // any loop) pins each partitioning so every consumer below reads it
+    // without re-exchanging — setup drops from 5 exchanges to 2.
+    val lp = Iterate.materializePartitioned(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
-    val edges0 = Iterate.materialize(
+        .repartition(col("ok"))
+        .dropDuplicates("ok", "pk"))
+    val edges0 = Iterate.materializePartitioned(
       lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") =!= col("pk2"))
         .select(col("pk").as("src"), col("pk2").as("dst"))
-        .distinct())
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"))
     // symmetric edges ⇒ nodes = distinct src; every node has deg ≥ 1 —
-    // one aggregation yields nodes AND degrees
+    // one aggregation yields nodes AND degrees (exchange-free: edges0 is
+    // already hash-partitioned on src)
     val nodes = Iterate.materialize(
       edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("v"), col("deg")))
@@ -121,8 +131,15 @@ object Graph {
     // edges are checkpointed once, outside the loop, so the stats
     // caveat on the partitioning-preserving variant does not apply).
     val degs = nodes.select(col("v").as("src"), col("deg"))
+    // Broadcast path: re-key the folded edges onto dst so the ONE
+    // per-iteration shuffle (the inflow groupBy) disappears too — each
+    // rank round is then a broadcast join + partition-local aggregate,
+    // zero exchanges. One setup exchange buys `iters` exchange-free
+    // rounds. Shuffle path (n10): edges keep hash(src) — the rank join
+    // is the per-round exchange that must stay on the rank side only.
     val edges =
-      if (broadcastState) Iterate.materialize(edges0.join(broadcast(degs), "src"))
+      if (broadcastState) Iterate.materializePartitioned(
+        edges0.join(broadcast(degs), "src").repartition(col("dst")))
       else Iterate.materializePartitioned(edges0.join(degs, "src"))
     (nodes, edges, n)
   }
@@ -246,28 +263,46 @@ object Graph {
     * per-node triangle plans.
     */
   private[ops] def orientedCoPurchase(spark: SparkSession, dir: String, maxPart: Long)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val lp = Tables.lineitem(spark, dir)
-      .filter(col("l_partkey") < maxPart)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val und = Iterate.materialize(
-      lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct())
-    val deg = Iterate.materialize(
+      : OrientedGraph = new OrientedGraph(spark, dir, maxPart)
+
+  /** Lazily-materialized pieces of the canonical co-purchase graph: each
+    * table is built (and eagerly checkpointed) on FIRST ACCESS only, so
+    * consumers that need just `und` (k-core, LPA) or just `und`+`deg`
+    * (hub BFS) no longer pay the two broadcast joins + checkpoint job of
+    * the `oriented` edge set they never read — the old eager 3-tuple
+    * charged every caller for all three. Construction itself uses the
+    * [[coPurchaseRankGraph]] exchange-sharing discipline: hash(ok)
+    * serves the (ok, pk) dedup and the self-join, hash(a) serves the
+    * edge dedup; `oriented` is re-keyed onto src so [[partTriangles]]'
+    * wedge self-join runs exchange-free on both sides.
+    */
+  private[ops] final class OrientedGraph(spark: SparkSession, dir: String, maxPart: Long) {
+    lazy val und: DataFrame = {
+      val lp = Iterate.materializePartitioned(
+        Tables.lineitem(spark, dir)
+          .filter(col("l_partkey") < maxPart)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .repartition(col("ok"))
+          .dropDuplicates("ok", "pk"))
+      Iterate.materializePartitioned(
+        lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("a"), col("pk2").as("b"))
+          .repartition(col("a"))
+          .dropDuplicates("a", "b"))
+    }
+    lazy val deg: DataFrame = Iterate.materialize(
       und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d")))
-    val oriented = Iterate.materialize(
+    lazy val oriented: DataFrame = Iterate.materializePartitioned(
       und.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
         .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
         .select(
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             struct(col("a").as("src"), col("b").as("dst")))
             .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    (und, deg, oriented)
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src")))
   }
 
   /** TRIANGLE COUNT over the part co-purchase graph via DEGREE-ORDERED
@@ -296,7 +331,8 @@ object Graph {
     */
   def partTriangles(spark: SparkSession, dir: String,
                     maxPart: Long = 20000L): DataFrame = {
-    val (und, deg, oriented) = orientedCoPurchase(spark, dir, maxPart)
+    val g = orientedCoPurchase(spark, dir, maxPart)
+    val (und, deg, oriented) = (g.und, g.deg, g.oriented)
     // wedges at the pivot (two out-edges), closed iff the endpoint pair
     // is itself an edge — each triangle counted once at its min vertex.
     // Wedge endpoints keep (dst < dst2) canonical id order, so the
@@ -332,7 +368,8 @@ object Graph {
     */
   def partLocalClustering(spark: SparkSession, dir: String,
                           maxPart: Long = 20000L): DataFrame = {
-    val (und, deg, oriented) = orientedCoPurchase(spark, dir, maxPart)
+    val g = orientedCoPurchase(spark, dir, maxPart)
+    val (und, deg, oriented) = (g.und, g.deg, g.oriented)
     val triangleNodes = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))
@@ -367,7 +404,7 @@ object Graph {
   def partKCore(spark: SparkSession, dir: String, k: Long = 80L,
                 rounds: Int = 10, maxPart: Long = 20000L): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    val (und, _, _) = orientedCoPurchase(spark, dir, maxPart)
+    val und = orientedCoPurchase(spark, dir, maxPart).und
     var edges = Iterate.materialize(
       und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
@@ -401,7 +438,7 @@ object Graph {
   private[graft] def kCoreConvergenceRound(spark: SparkSession, dir: String,
                                            k: Long = 80L, rounds: Int = 10,
                                            maxPart: Long = 20000L): Int = {
-    val (und, _, _) = orientedCoPurchase(spark, dir, maxPart)
+    val und = orientedCoPurchase(spark, dir, maxPart).und
     var edges = Iterate.materialize(
       und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
@@ -455,7 +492,7 @@ object Graph {
   def partLabelProp(spark: SparkSession, dir: String, rounds: Int = 4,
                     maxPart: Long = 20000L): DataFrame = {
     require(rounds >= 1)
-    val (und, _, _) = orientedCoPurchase(spark, dir, maxPart)
+    val und = orientedCoPurchase(spark, dir, maxPart).und
     val edges = Iterate.materialize(
       und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
@@ -500,7 +537,8 @@ object Graph {
   def partHubDistances(spark: SparkSession, dir: String, nHubs: Int = 8,
                        maxPart: Long = 20000L, maxIter: Int = 64): DataFrame = {
     require(nHubs >= 1)
-    val (und, deg, _) = orientedCoPurchase(spark, dir, maxPart)
+    val g = orientedCoPurchase(spark, dir, maxPart)
+    val (und, deg) = (g.und, g.deg)
     val edges = Iterate.materialize(
       und.select(col("a").as("v"), col("b").as("w"))
         .unionAll(und.select(col("b").as("v"), col("a").as("w"))))

@@ -805,7 +805,13 @@ object Multimodal {
                           maxWindowFreq: Long = 64): DataFrame = {
     require(w > 0, "w must be positive")
     require(threshold > 0.0, "threshold must be positive (0 would emit all guarded pairs)")
-    val sets = audioWindowSets(media, w)
+    // one synth+PCM+hash pass, not four: the window-set table is read by
+    // the shingle branch, the size branch, and both sides of the bucket
+    // join inside sharedHashPairs — mapPartitions subtrees are opaque to
+    // Catalyst, so only an eager checkpoint of the SMALL (id, hashes)
+    // rows dedupes them (batch-only operator; the streaming path calls
+    // audioWindowSets directly)
+    val sets = Iterate.materialize(audioWindowSets(media, w))
     Dedup.sharedHashPairs(
         sets.select(explode(col("sh")).as("shingle"), col("doc_id")),
         sets.select(col("doc_id"), col("n_sh")),
@@ -1231,13 +1237,22 @@ object Multimodal {
   def mediaCuration(spark: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
     val img = imageTable(spark, dir).filter(col("media_id") % 3 === 0)
     val aud = audioTableLowDup(spark, dir)
-    val meta = decodeMeta(img.unionAll(aud)).toDF()
-      .filter(col("format") =!= "unknown")
+    // Decode/hash ONCE per payload: mapPartitions is opaque to Catalyst
+    // (no subtree dedup, no column pruning through it), so every use of
+    // `meta` — the format filter, the quality scores, the id list — and
+    // both sides of each Hamming self-join would otherwise re-run the
+    // synth+decode over all payloads (measured: ~13 MapPartitions nodes
+    // in the c22 plan, ≈6 full decode passes). Eagerly checkpointing the
+    // SMALL derived tables (typed metadata rows, (id, hash) pairs —
+    // never the blobs) makes every payload decode exactly once; the
+    // composite was already action-like through the CC fixpoint rounds.
+    val meta = Iterate.materialize(decodeMeta(img.unionAll(aud)).toDF()
+      .filter(col("format") =!= "unknown"))
     val scores = meta.select(col("media_id"),
       when(col("format") === "wav", col("width"))
         .otherwise(col("width") * col("height")).cast("double").as("quality_score"))
-    val pairs = nearDupImages(imageHashes(img), maxDist)
-      .unionAll(nearDupImages(audioHashes(aud), maxDist))
+    val pairs = nearDupImages(Iterate.materialize(imageHashes(img)), maxDist)
+      .unionAll(nearDupImages(Iterate.materialize(audioHashes(aud)), maxDist))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     Dedup.resolveBestByScore(meta.select("media_id"), pairs, scores, idCol = "media_id")
   }

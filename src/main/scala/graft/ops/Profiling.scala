@@ -399,20 +399,28 @@ object Profiling {
     val within = Window.partitionBy(col("pid"), col("grp")).orderBy(col("x"))
     val cum = sorted.join(broadcast(offsets), Seq("pid", "grp"))
       .withColumn("cum", col("off") + sum(col("c")).over(within))
-    val totals = perV.groupBy("grp").agg(sum(col("c")).as("n"))
+    // totals and the clip pass both read the CHECKPOINTED per-value
+    // count table — the former derivations from `perV` / the raw rows
+    // re-scanned and re-aggregated the full input twice more. The
+    // weighted forms are exact: c · decimal(x) sums in decimal, so
+    // c repetitions of x and one c-weighted term are the same rational
+    // number, and the final decimal→double conversion is identical.
+    val totals = sorted.groupBy("grp").agg(sum(col("c")).as("n"))
     val bounds = cum.join(broadcast(totals), Seq("grp"))
       .withColumn("lo_t", expr(s"(n * $lowNum + ${den - 1}) div $den"))
       .withColumn("hi_t", expr(s"(n * $highNum + ${den - 1}) div $den"))
       .groupBy("grp", "n")
       .agg(min(when(col("cum") >= col("lo_t"), col("x"))).as("lo"),
            min(when(col("cum") >= col("hi_t"), col("x"))).as("hi"))
-    s.join(broadcast(bounds), Seq("grp"))
+    val clipped = greatest(col("lo"), least(col("hi"), col("x")))
+    sorted.join(broadcast(bounds), Seq("grp"))
       .groupBy("grp", "n", "lo", "hi")
-      .agg(sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
-           sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
-           Num.roundTo(Num.exactAvg(col("x")), 6).as("mean_before"),
-           Num.roundTo(Num.exactAvg(greatest(col("lo"), least(col("hi"), col("x")))), 6)
-             .as("mean_after"))
+      .agg(sum(when(col("x") < col("lo"), col("c")).otherwise(0L)).as("n_clipped_low"),
+           sum(when(col("x") > col("hi"), col("c")).otherwise(0L)).as("n_clipped_high"),
+           Num.roundTo((sum(col("c") * col("x").cast("decimal(18,6)")).cast("double") /
+             sum(col("c"))), 6).as("mean_before"),
+           Num.roundTo((sum(col("c") * clipped.cast("decimal(18,6)")).cast("double") /
+             sum(col("c"))), 6).as("mean_after"))
       .select(col("grp"), col("n"), col("lo").as("p_low_value"),
         col("hi").as("p_high_value"), col("n_clipped_low"), col("n_clipped_high"),
         col("mean_before"), col("mean_after"))

@@ -423,20 +423,47 @@ object Similarity {
   /** Nearest-centroid assignment — the IVF building block, oracle-gated
     * on its own: each vector gets the cell of its closest centroid
     * (squared-L2, 9dp-rounded with cell-id tie-break so float noise can't
-    * flip the oracle compare). Centroids broadcast (a codebook is
-    * k·dim ≪ corpus); the n×k scored rows never shuffle — the argmin is
-    * a partial (map-side) min(struct) aggregate, so O(n) rows move.
+    * flip the oracle compare). The codebook is O(cells·dim) floats — a
+    * bounded model artifact, the same class as the IVF centroid pulls
+    * the scale audit already allows — so it rides into the plan as a
+    * LITERAL array and the argmin is a row-local `array_min` over
+    * struct(dist, cell): identical (dist, cell) ordering to the former
+    * min(struct) aggregate, but fully MAP-ONLY — the former
+    * crossJoin + groupBy exchanged O(n) scored rows on every call (and
+    * every Lloyd round). Each distance is the same Num.roundTo(l2sq, 9)
+    * expression over bit-identical float literals, so assignments can't
+    * move.
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = broadcast(centroids.select(col("cell"), col("cv")))
-    vectors.select(col(idCol), col(vecCol).as("v"))
-      .crossJoin(c)
-      .select(col(idCol), col("cell"),
-        Num.roundTo(l2sq(col("v"), col("cv")), 9).as("dist"))
-      .groupBy(idCol)
-      .agg(min(struct(col("dist"), col("cell"))).as("m"))
-      .select(col(idCol), col("m.cell").as("cell"), col("m.dist").as("dist"))
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withNearestCell(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell"), col("dist"))
+
+  /** [[assignCells]] retaining every input column (plus cell, dist) —
+    * the Lloyd-loop form: the mean pass reads the vector straight off
+    * the assigned row instead of shuffle-joining the corpus back onto
+    * its own assignment.
+    */
+  private[ops] def withNearestCell(vectors: DataFrame, centroids: DataFrame,
+                                   idCol: String, vecCol: String): DataFrame = {
+    val cb = centroids.select(col("cell").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    if (cb.isEmpty)
+      // empty codebook assigns nothing — the crossJoin-with-empty result
+      return vectors
+        .withColumn("cell", lit(null).cast("long"))
+        .withColumn("dist", lit(null).cast("double"))
+        .filter(lit(false))
+    val cbLit = array(cb.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), typedLit(cv).as("cv")) }: _*)
+    vectors
+      .withColumn("_m", array_min(transform(cbLit, c =>
+        struct(Num.roundTo(l2sq(col(vecCol), c.getField("cv")), 9).as("dist"),
+          c.getField("cell").as("cell")))))
+      .withColumn("cell", col("_m.cell"))
+      .withColumn("dist", col("_m.dist"))
+      .drop("_m")
   }
 
   /** Trained IVF codebook — Lloyd's iterations as a DataFrame loop (the
@@ -478,9 +505,11 @@ object Similarity {
     var codebook = init
     var i = 0
     while (i < iters) {
-      val assigned = assignCells(vecs, codebook, idCol, vecCol)
-        .select(col(idCol), col("cell"))
-      val means = vecs.join(assigned, idCol)
+      // assignment keeps the vector on the row (map-only literal-codebook
+      // argmin), so the mean pass needs NO corpus self-join — each round
+      // is one partial-aggregated (cell, dim) shuffle of O(cells·dim)
+      // rows plus the tiny codebook re-collect
+      val means = withNearestCell(vecs, codebook, idCol, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(Num.exactAvg(col("x").cast("double")).as("mx"))

@@ -906,45 +906,35 @@ object TextStats {
       subsM.orderBy(col("c").desc, col("piece")).limit(seedTop)))
 
     for (_ <- 1 to emRounds) {
-      val tot = pieces.agg(sum(col("c")).as("t"))
-      val pc = broadcast(pieces.crossJoin(broadcast(tot))
-        .select(col("piece"), (col("c").cast("double") / col("t").cast("double")).as("p")))
-      // Viterbi DP, one level per consumed-prefix length j: state (w, n,
-      // i, score, seg) = best segmentation of w's first i chars. Each
-      // level gets a LAZY localCheckpoint: the logical plan truncates
-      // IMMEDIATELY (a later level references up to maxPieceLen earlier
-      // ones — with embedded lineage the plan tree grows ~4^level and
-      // OOMs the driver by level 12; a cache alone does not cut the
-      // tree), while the checkpoint itself materializes on the round's
-      // ONE action, each level computed exactly once and shared — none
-      // of the 2·maxWordLen eager per-level jobs an eager checkpoint
-      // would schedule. Only the last maxPieceLen levels stay live.
-      val init = words.repartition(col("w"))
-        .select(col("w"), col("n"), lit(0).as("i"), lit(1.0).as("score"),
-          array().cast("array<string>").as("seg"))
-        .localCheckpoint(eager = false)
-      var frontier = Vector(init)
-      val finals = Vector.newBuilder[DataFrame]
-      finals += init.filter(length(col("w")) === 0)
-      for (j <- 1 to maxWordLen) {
-        val cand = frontier.map(_
-            .filter(col("i") < j && col("i") >= j - maxPieceLen && length(col("w")) >= j))
-          .reduce(_ unionAll _)
-          .withColumn("piece", col("w").substr(col("i") + 1, lit(j) - col("i")))
-          .join(pc, "piece")
-          .select(col("w"), col("n"), (col("score") * col("p")).as("sc"),
-            col("i").as("i0"), concat(col("seg"), array(col("piece"))).as("pa"))
-        // (sc desc, i0 desc) is total: one (i0, j) names one piece, so
-        // two candidates never tie on the pair — later split point wins
-        val best = cand.groupBy("w", "n").agg(
-          max_by(struct(col("sc"), col("pa")), struct(col("sc"), col("i0"))).as("b"))
-          .select(col("w"), col("n"), lit(j).as("i"),
-            col("b.sc").as("score"), col("b.pa").as("seg"))
-          .localCheckpoint(eager = false)
-        finals += best.filter(length(col("w")) === j)
-        frontier = (frontier :+ best).takeRight(maxPieceLen)
-      }
-      val fin = Iterate.materialize(finals.result().reduce(_ unionAll _))
+      // The model is O(seedTop + |chars|) rows by construction (every EM
+      // round's counts come from segmentations that only use model
+      // pieces), so pulling it to the driver is a bounded model-artifact
+      // pull — the same class as the IVF centroid/codebook pulls — and
+      // buys the E-step a literal-map probability lookup instead of a
+      // per-level broadcast join. T and p are computed exactly as the
+      // distributed form did (integer sum, one double division each).
+      val model = pieces.select(col("piece"), col("c").cast("long")).collect()
+      val t = model.iterator.map(_.getLong(1)).sum
+      val pMap = model.iterator
+        .map(r => r.getString(0) -> (r.getLong(1).toDouble / t.toDouble)).toMap
+      // E-step: per-word Viterbi over the DISTINCT word table as PURE
+      // ROW-LOCAL EXPRESSIONS — the DP state of word w never depends on
+      // any other row, so the former per-level groupBy/shuffle pipeline
+      // (one hash exchange per consumed-prefix length) was moving rows
+      // only to compare a word with itself. One codegen'd projection
+      // chain computes all maxWordLen levels in a single pass: level j
+      // keeps struct(sc, seg) = the best of up to maxPieceLen candidates
+      // struct(score_{j-k} · p(piece), i0 = j-k, seg ++ piece), chosen by
+      // array_max over (sc, i0) — identical IEEE multiply order and
+      // identical (sc DESC, i0 DESC) tie-break as the oracle's
+      // row_number replay; array_max skips NULL candidates (unreachable
+      // states / pieces outside the model) exactly as the former inner
+      // join dropped them. Each level is its own withColumn so
+      // CollapseProject keeps the (non-cheap, multiply-referenced)
+      // level structs as distinct projections — plan depth stays linear
+      // in maxWordLen instead of the 4^level tree that forced the old
+      // per-level lazy checkpoints.
+      val fin = viterbiSegment(words, pMap, maxPieceLen, maxWordLen)
       val newCounts = fin.select(col("n"), explode(col("seg")).as("piece"))
         .groupBy("piece").agg(sum(col("n")).as("c"))
       // single chars stay in the model at zero count — segmentability
@@ -988,43 +978,96 @@ object TextStats {
     val words = docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
-    val distinctW = Iterate.materialize(words.select("w").distinct())
-    val tot = vocab.agg(sum(col("n_piece")).as("t"))
-    val pc = broadcast(vocab.crossJoin(broadcast(tot))
-      .select(col("piece"), (col("n_piece").cast("double") / col("t").cast("double")).as("p")))
-    val init = distinctW.filter(length(col("w")) <= encodeMaxLen)
-      .repartition(col("w"))
-      .select(col("w"), lit(0).as("i"), lit(1.0).as("score"), lit(0L).as("np"))
-      .localCheckpoint(eager = false)
-    var frontier = Vector(init)
-    val finals = Vector.newBuilder[DataFrame]
-    for (j <- 1 to encodeMaxLen) {
-      val cand = frontier.map(_
-          .filter(col("i") < j && col("i") >= j - maxPieceLen && length(col("w")) >= j))
-        .reduce(_ unionAll _)
-        .withColumn("piece", col("w").substr(col("i") + 1, lit(j) - col("i")))
-        .join(pc, "piece")
-        .select(col("w"), (col("score") * col("p")).as("sc"),
-          col("i").as("i0"), (col("np") + 1L).as("npa"))
-      // (sc, i0) is total per word at level j: one i0 names one piece
-      val best = cand.groupBy("w").agg(
-        max_by(struct(col("sc"), col("npa")), struct(col("sc"), col("i0"))).as("b"))
-        .select(col("w"), lit(j).as("i"), col("b.sc").as("score"), col("b.npa").as("np"))
-        .localCheckpoint(eager = false)
-      finals += best.filter(length(col("w")) === j)
-      frontier = (frontier :+ best).takeRight(maxPieceLen)
-    }
-    val seg = Iterate.materialize(finals.result().reduce(_ unionAll _))
-      .select(col("w"), col("np").as("n_pieces"))
-    val enc = distinctW.join(seg, Seq("w"), "left")
+    val distinctW = words.select("w").distinct()
+    // Bounded model pull (|vocab| ≤ keepTop + chars rows): same T and
+    // per-piece division as the former crossJoin/broadcast form, but the
+    // probabilities become a literal map so the whole Viterbi pass is
+    // one row-local projection chain over the distinct-word table (see
+    // [[viterbiSegment]]) — no per-level exchanges, no checkpoints.
+    val model = vocab.select(col("piece"), col("n_piece").cast("long")).collect()
+    val t = model.iterator.map(_.getLong(1)).sum
+    val pMap = model.iterator
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble / t.toDouble)).toMap
+    // Words longer than encodeMaxLen have no DP level to read (the seg
+    // when-chain yields NULL) and fall back to one piece per char, the
+    // same contract as before; n_pieces = |seg| replays the old DP's
+    // piece COUNT exactly (both count the chosen pieces).
+    val enc = viterbiSegment(distinctW, pMap, maxPieceLen, encodeMaxLen)
       .select(col("w"),
-        coalesce(col("n_pieces"), length(col("w")).cast("long")).as("n_pieces"))
+        coalesce(when(col("seg").isNotNull, size(col("seg")).cast("long")),
+          length(col("w")).cast("long")).as("n_pieces"))
     words.join(enc, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_unigram_tokens"))
       .withColumn("pieces_per_word",
         Num.roundTo(col("n_unigram_tokens").cast("double") / col("n_words"), 4))
       .orderBy("doc_id")
+  }
+
+  /** Shared Viterbi segmentation pass for [[unigramVocab]]'s E-step and
+    * [[unigramEncode]]: per input row (must carry a string column `w`),
+    * appends `seg` = the maximum-likelihood piece sequence of `w` under
+    * the literal probability map `pMap`, or NULL when `w` is longer than
+    * `maxLen` or has no piece path.
+    *
+    * The DP is ROW-LOCAL — word w's state never depends on another row —
+    * so the whole recurrence runs as ONE `aggregate()` fold over the
+    * level sequence 1..maxLen inside a single projection: the
+    * accumulator is the array of per-level states struct(sc, seg)
+    * (element i = level i−1), and step j appends the best of up to
+    * `maxPieceLen` candidates struct(sc = score_{j-k} · p(substr(w,
+    * j-k+1, k)), i0 = j-k, seg ++ piece), selected by `array_max` whose
+    * struct comparison is exactly the (sc DESC, i0 DESC) order of the
+    * oracle's row_number replay (i0 is unique per level, so the seg
+    * field never participates). NULL candidates (unreachable predecessor
+    * state, piece outside the model, j past the word) are skipped by
+    * array_max just as the former per-level inner join dropped them; the
+    * IEEE multiply score_{j-k} · p is the same single multiplication in
+    * the same order, so every score is bit-identical to the shuffled
+    * form this replaces. The fold keeps expression SIZE linear in
+    * maxPieceLen (a per-level column chain would be inlined by
+    * CollapseProject into a 4^maxLen tree — measured as a driver hang in
+    * the optimizer); evaluation is iterative per row. Array and map
+    * accesses are CASE-guarded / `try_element_at` so the expression is
+    * ANSI-safe at every index.
+    */
+  private[ops] def viterbiSegment(words: DataFrame, pMap: Map[String, Double],
+                                  maxPieceLen: Int, maxLen: Int): DataFrame = {
+    val pLit = typedLit(pMap)
+    // The accumulator's element type MUST stay containsNull=true: states
+    // past the word's length are NULL elements, and Concat types the
+    // fold's result from its FIRST child (the accumulator), so a
+    // non-null init element type would make the Unsafe array writer
+    // skip per-element null checks and NPE on the first unreachable
+    // state. A `when(lit(true), …)` shim is NOT enough — ConstantFolding
+    // collapses it back to a non-nullable struct — so the nullability is
+    // pinned with an explicit cast to the DDL type (nullable by
+    // construction, survives every optimizer rewrite).
+    val init = array(struct(lit(1.0).as("sc"),
+      array().cast("array<string>").as("seg")))
+      .cast("array<struct<sc:double,seg:array<string>>>")
+    val dp = aggregate(
+      sequence(lit(1), lit(maxLen)),
+      init,
+      (acc: Column, j: Column) => {
+        val cands = (1 to maxPieceLen).map { k =>
+          val prev = element_at(acc, j - lit(k) + 1)
+          val piece = col("w").substr(j - lit(k) + 1, lit(k))
+          val p = try_element_at(pLit, piece)
+          // outer guard first: element_at(acc, j-k+1) is only evaluated
+          // once j >= k bounds the index inside [1, |acc|]
+          when(j >= lit(k) && length(col("w")) >= j,
+            when(prev.isNotNull && p.isNotNull,
+              struct((prev.getField("sc") * p).as("sc"), (j - lit(k)).as("i0"),
+                concat(prev.getField("seg"), array(piece)).as("seg"))))
+        }
+        val best = array_max(array(cands: _*))
+        concat(acc, array(when(best.isNotNull,
+          struct(best.getField("sc").as("sc"), best.getField("seg").as("seg")))))
+      })
+    words.withColumn("seg",
+      when(length(col("w")) <= maxLen,
+        element_at(dp, length(col("w")) + 1).getField("seg")))
   }
 
   /** Deterministic corpus SHUFFLE-AND-SHARD — the last-mile operator of

@@ -226,7 +226,7 @@ class GraphSpec extends SparkSpec {
   test("labelPropagation (shuffle-join LPA) == partLabelProp on the catalog graph") {
     // same synchronous majority-min contract, different movement plan
     // (shuffle joins vs broadcast labels) — outputs must be identical
-    val (und, _, _) = Graph.orientedCoPurchase(spark, sfDir, 20000L)
+    val und = Graph.orientedCoPurchase(spark, sfDir, 20000L).und
     val viaShuffle = Graph.labelPropagation(und, "a", "b", rounds = 4)
       .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val viaBroadcast = Graph.partLabelProp(spark, sfDir).collect()
@@ -237,7 +237,8 @@ class GraphSpec extends SparkSpec {
   test("partHubDistances == driver-side multi-source BFS reference") {
     val out = Graph.partHubDistances(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    val (und, deg, _) = Graph.orientedCoPurchase(spark, sfDir, 20000L)
+    val g0 = Graph.orientedCoPurchase(spark, sfDir, 20000L)
+    val (und, deg) = (g0.und, g0.deg)
     val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).toSeq }
