@@ -341,6 +341,12 @@ object Graph {
     val wedges = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))
+      // re-key the (large) wedge set on dst ALONE: hash(dst) on the left
+      // and the checkpointed hash(a) on the right are position-0
+      // compatible over the (dst=a, dst2=b) keys, so the closure
+      // semi-join re-exchanges NEITHER side — the bare join would
+      // exchange wedges on (dst, dst2) AND und on (a, b)
+      .repartition(col("dst"))
     val triangles = wedges
       .join(und, col("dst") === col("a") && col("dst2") === col("b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
@@ -373,6 +379,7 @@ object Graph {
     val triangleNodes = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))
+      .repartition(col("dst")) // position-0 co-partition with und (see partTriangles)
       .join(und, col("dst") === col("a") && col("dst2") === col("b"), "left_semi")
       .select(explode(array(col("src"), col("dst"), col("dst2"))).as("v"))
     val perNode = triangleNodes.groupBy("v").agg(count(lit(1)).as("n_triangles"))
@@ -414,8 +421,12 @@ object Graph {
     var prev = edges.count()
     var r = 0
     while (r < rounds) {
-      val alive = edges.groupBy("v").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("v")
+      // alive is capped by maxPart (catalog-sized) — broadcast both
+      // semi joins explicitly: the rewrapped edge checkpoint carries
+      // DEFAULT size stats, so the planner would otherwise plan two
+      // sort-merge joins (4 exchanges + sorts) per peeling round
+      val alive = broadcast(edges.groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v"))
       edges = Iterate.materialize(
         edges.join(alive, Seq("v"), "left_semi")
           .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
@@ -446,8 +457,8 @@ object Graph {
     var r = 0
     var converged = -1
     while (r < rounds) {
-      val alive = edges.groupBy("v").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("v")
+      val alive = broadcast(edges.groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v"))
       edges = Iterate.materialize(
         edges.join(alive, Seq("v"), "left_semi")
           .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
@@ -499,8 +510,12 @@ object Graph {
     var labels = Iterate.materialize(
       edges.select(col("v")).distinct().select(col("v"), col("v").as("lbl")))
     for (_ <- 1 to rounds) {
+      // ONE exchange per round: hash(v) satisfies the (v, lbl) vote
+      // count's clustering AND the argmax groupBy(v) — the bare
+      // groupBy(v, lbl) would exchange on (v, lbl) and then AGAIN on v
       val votes = edges
         .join(broadcast(labels.withColumnRenamed("v", "w")), Seq("w"))
+        .repartition(col("v"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
       labels = Iterate.materialize(
         votes.groupBy(col("v"))
@@ -557,12 +572,17 @@ object Graph {
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
+      // both per-round joins are map-side: the distance table and the
+      // relaxed-min table are O(nodes), maxPart-capped — the same bound
+      // that lets partLabelProp broadcast its label table — and the
+      // rewrapped checkpoint's default stats would otherwise force two
+      // sort-merge joins per round
       val relaxed = edges
-        .join(dist.select(col("v").as("w"), col("dist").as("dw")), "w")
+        .join(broadcast(dist.select(col("v").as("w"), col("dist").as("dw"))), "w")
         .filter(col("dw").isNotNull)
         .groupBy("v").agg(min(col("dw") + 1L).as("nd"))
       dist = Iterate.materialize(
-        dist.join(relaxed, Seq("v"), "left")
+        dist.join(broadcast(relaxed), Seq("v"), "left")
           .select(col("v"),
             least(coalesce(col("dist"), col("nd")),
                   coalesce(col("nd"), col("dist"))).as("dist")))
@@ -626,14 +646,18 @@ object Graph {
       edges.select(col("v")).distinct().select(col("v"), col("v").as("lbl"))
         .repartition(parts, col("v")))
     for (_ <- 1 to rounds) {
+      // one graph-sized exchange per round: the explicit hash(v)
+      // repartition serves BOTH the (v, lbl) vote count and the argmax
+      // groupBy(v), and its output partitioning is already the hash(v)
+      // the next round's label table needs
       val votes = edges
         .join(labels.select(col("v").as("w"), col("lbl")), Seq("w"))
+        .repartition(parts, col("v"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
       labels = Iterate.materialize(
         votes.groupBy(col("v"))
           .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
-          .select(col("v"), (-col("m.neg")).as("lbl"))
-          .repartition(parts, col("v")))
+          .select(col("v"), (-col("m.neg")).as("lbl")))
     }
     // community sizes join WITHOUT a broadcast hint: the label table is
     // vertex-sized here (unlike partLabelProp's catalog-capped one), so

@@ -38,7 +38,28 @@ object Iterate {
     * its join key before this call joins WITHOUT re-exchange in every
     * later iteration — the n10 edge table's shape: exchange edges once,
     * then only the O(nodes) rank side moves per round. The createDataFrame
-    * re-wrap in [[materialize]] would erase exactly that property. */
-  def materializePartitioned(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    * re-wrap in [[materialize]] would erase exactly that property.
+    *
+    * AQE must be OFF while the checkpoint plans: under an
+    * AdaptiveSparkPlan the LogicalRDD records UnknownPartitioning(0)
+    * (measured on the n2/n10 plans — every "partition-preserving"
+    * checkpoint was silently re-exchanged by its consumers), because the
+    * adaptive wrapper cannot expose a concrete partitioning at the time
+    * the RDD is captured. Disabling AQE for just this plan pins the
+    * explicit repartition width (spark.sql.shuffle.partitions — already
+    * sized to the session's cores) and the downstream queries still run
+    * WITH AQE, now seeing the real hashpartitioning and planning
+    * exchange-free joins against it.
+    */
+  def materializePartitioned(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try df.localCheckpoint(eager = true)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
