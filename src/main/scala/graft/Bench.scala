@@ -134,6 +134,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
       appendPartial(s"""{"$name":${f"$secs%.3f"}}""")
+      // Measurement hygiene, OUTSIDE the timer: a query's loop
+      // checkpoints (localCheckpoint blocks) stay registered in the
+      // block manager until session death — across ~286 queries that
+      // accumulation is exactly the memory pressure that killed the r17
+      // driver bench ("Block broadcast_2925 does not exist" at query
+      // ~270) and it contaminates later queries' timings with earlier
+      // queries' eviction/GC work. The query's own result was fully
+      // consumed by the count() above, so dropping the blocks here
+      // cannot change anything a timed region computes — this REMOVES
+      // cross-query state rather than adding any.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       name -> secs
     }
     // The driver keeps only the tail of stdout; with ~80 queries a

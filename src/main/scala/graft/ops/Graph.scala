@@ -303,6 +303,21 @@ object Graph {
             .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(col("src")))
+
+    /** Bloom filter over the canonical (a, b) edge pairs (keyed by
+      * xxhash64(a, b)), for pre-filtering the triangle wedge set BEFORE
+      * it is exchanged (guide §3.2): the wedge set is the one
+      * Σ outdeg²-sized table in the family (~34× the edge count at
+      * sf0.1), and almost none of its rows close into a triangle — a
+      * ~1%-fpp bloom drops ≥ ~99% of them inside the generating stage,
+      * so the closure semi-join's exchange and sort run over the
+      * survivors only. One-sided error: false positives are removed by
+      * the exact semi-join that follows, false negatives cannot occur,
+      * so results are EXACTLY the unfiltered results. Bounded at any
+      * scale by the same maxPart cap that bounds `deg`'s broadcast.
+      */
+    lazy val undPairBloom: Array[Byte] =
+      Dedup.buildBloom(und.select(xxhash64(col("a"), col("b")).as("h")), "h")
   }
 
   /** TRIANGLE COUNT over the part co-purchase graph via DEGREE-ORDERED
@@ -341,7 +356,14 @@ object Graph {
     val wedges = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))
-      // re-key the (large) wedge set on dst ALONE: hash(dst) on the left
+      // bloom-prefilter the wedge endpoints against the edge-pair bloom
+      // INSIDE the generating stage (guide §3.2): only wedges whose
+      // (dst, dst2) might be an edge survive to the exchange — the 41M-row
+      // exchange + sort of the bare plan becomes a ~1%-of-that exchange,
+      // and the exact semi-join below removes the false positives
+      .filter(call_function("might_contain", lit(g.undPairBloom),
+        xxhash64(col("dst"), col("dst2"))))
+      // re-key the surviving wedge set on dst ALONE: hash(dst) on the left
       // and the checkpointed hash(a) on the right are position-0
       // compatible over the (dst=a, dst2=b) keys, so the closure
       // semi-join re-exchanges NEITHER side — the bare join would
@@ -379,6 +401,10 @@ object Graph {
     val triangleNodes = oriented
       .join(oriented.select(col("src"), col("dst").as("dst2")), Seq("src"))
       .filter(col("dst") < col("dst2"))
+      // same exact-superset bloom prefilter as partTriangles — the wedge
+      // exchange carries only might-close survivors
+      .filter(call_function("might_contain", lit(g.undPairBloom),
+        xxhash64(col("dst"), col("dst2"))))
       .repartition(col("dst")) // position-0 co-partition with und (see partTriangles)
       .join(und, col("dst") === col("a") && col("dst2") === col("b"), "left_semi")
       .select(explode(array(col("src"), col("dst"), col("dst2"))).as("v"))

@@ -25,10 +25,79 @@ import org.apache.spark.sql.DataFrame
   * centroid tables, orders of magnitude smaller than the corpus.
   */
 object Iterate {
+  /** Storage level for every loop checkpoint: SERIALIZED bytes, not
+    * deserialized rows. The default MEMORY_AND_DISK(deserialized) level
+    * sizes each cached block by walking the stored objects' graphs with
+    * `SizeEstimator` — measured as a top-3 task-thread hotspot across
+    * the iterative families (thread dumps: up to 17/32 executor threads
+    * inside `SizeEstimator.estimate` during a k-core round). Serialized
+    * blocks know their exact byte size, UnsafeRow payloads serialize as
+    * flat byte copies, and the loop tables are re-read at most a few
+    * times each — the cheap-to-store side of the trade is the right one.
+    */
+  private[graft] val CheckpointLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def materialize(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val cp = df.localCheckpoint(eager = true, storageLevel = CheckpointLevel)
+    val spark = cp.sparkSession
+    val rdd = cp.rdd
+    // Data-adaptive width for every loop table, with ZERO extra compute:
+    // the eager checkpoint just cached its blocks SERIALIZED, so their
+    // exact byte size is already on the driver (block-manager storage
+    // info — no job, no estimate). Narrow the wrapped RDD to ~8 MB per
+    // partition via coalesce (a narrow dependency, no shuffle): map-side
+    // task counts of every consumer stage now track the table's SIZE
+    // instead of inheriting the session's core-count width — the
+    // iterative families' per-round stages stop paying 32-64 tiny-task
+    // convoys at fixture scale (AQE's coalescing cannot fix these: a
+    // cached RDD scan or a union has no Exchange to coalesce), while a
+    // 100 TB loop table keeps (bytes / 8 MB) ≫ parallelism partitions.
+    // Never widens; clamped down only.
+    // cp.rdd is a row-conversion WRAPPER over the cached internal RDD —
+    // walk the (narrow) dependency chain to the ancestor that actually
+    // holds the blocks, then read its exact byte size off the block
+    // manager. If anything about the chain is unexpected, fall back to
+    // "don't narrow" (bytes = Long.MaxValue), never to width 1.
+    @annotation.tailrec
+    def cachedAncestor(r: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r)
+      else r.dependencies match {
+        case Seq(d) => cachedAncestor(d.rdd)
+        case _ => None
+      }
+    val bytes = cachedAncestor(rdd).flatMap(c =>
+      spark.sparkContext.getRDDStorageInfo.find(_.id == c.id)
+        .map(i => i.memSize + i.diskSize)).getOrElse(Long.MaxValue)
+    val target = math.max(1L, math.min(rdd.getNumPartitions.toLong,
+      bytes / (8L * 1024 * 1024) + 1L)).toInt
+    val narrowed = if (target < rdd.getNumPartitions) rdd.coalesce(target) else rdd
+    spark.createDataFrame(narrowed, cp.schema)
   }
+
+  /** Partition width for a checkpointed table of `bytes` estimated bytes:
+    * one partition per `targetBytes` (64 MB — the session's AQE advisory
+    * size), clamped to [1, defaultParallelism]. The iterative families
+    * pin their checkpoint partitioning explicitly (AQE is off around the
+    * checkpoint plan, see [[materializePartitioned]]), so without this
+    * the pinned width was ALWAYS spark.sql.shuffle.partitions — a
+    * core-count constant that forced every downstream loop stage to run
+    * that many tasks over kilobyte-scale data. Deriving the width from
+    * data size keeps fixture-scale loops at 1-2 tasks while a 100 TB
+    * edge table still fans out to the cluster (clamped at parallelism —
+    * at that scale AQE's own coalescing governs the non-pinned stages).
+    */
+  def widthForBytes(spark: org.apache.spark.sql.SparkSession, bytes: BigInt,
+                    targetBytes: Long = 64L * 1024 * 1024): Int = {
+    val cap = spark.sparkContext.defaultParallelism
+    val w = (bytes / targetBytes).min(BigInt(cap)).toInt
+    math.max(1, math.min(cap, math.max(w, 1)))
+  }
+
+  /** [[widthForBytes]] from a row count and estimated row width. */
+  def widthForRows(spark: org.apache.spark.sql.SparkSession, rows: Long,
+                   rowBytes: Int = 24): Int =
+    widthForBytes(spark, BigInt(rows) * rowBytes)
 
   /** [[materialize]] that PRESERVES the physical partitioning (and pays
     * the stats caveat above by NOT re-wrapping — use only OUTSIDE
@@ -56,7 +125,7 @@ object Iterate {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try df.localCheckpoint(eager = true)
+    try df.localCheckpoint(eager = true, storageLevel = CheckpointLevel)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -420,6 +420,7 @@ object Streams {
             batch.toDF(), s.read.parquet(indexPath), maxDist),
           outDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -495,6 +496,7 @@ object Streams {
             s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
           outDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -527,6 +529,7 @@ object Streams {
             s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
           outDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -575,6 +578,7 @@ object Streams {
         writeBatchIdempotent(
           graft.ops.TextStats.indexSegment(batch)._1, segmentDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -601,6 +605,7 @@ object Streams {
         writeBatchIdempotent(
           graft.ops.TextStats.positionalSegment(batch), segmentDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -675,6 +680,7 @@ object Streams {
           graft.ops.TextStats.bm25TopKTombstone(segs,
             s.read.parquet(deletePath), qToks, k), outDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -693,6 +699,7 @@ object Streams {
         writeBatchIdempotent(
           graft.ops.TextStats.bm25TopKFromSegments(segs, qToks, k), outDir, batchId)
       }
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -960,12 +967,33 @@ object Streams {
     * currently-available input is processed (test/dev harness; production
     * sinks go through [[runToParquet]] with checkpointing).
     */
+  /** Checkpoint parent for EPHEMERAL streaming queries (memory sinks,
+    * foreachBatch twins driven once with AvailableNow and discarded):
+    * the state store writes one delta file per partition per micro-batch
+    * plus commit/offset logs, and on the ext4 /tmp those tiny-file
+    * create+rename storms dominated the stateful rows of the r18 bench —
+    * thread dumps showed state-store stages at ~97% non-CPU wait (103 s
+    * task run time, 3.7 s CPU on st11's two interval-join stages).
+    * Ephemeral state belongs on the fastest local scratch (the same
+    * [[graft.Sessions.scratchDir]] ops would point at node-local NVMe on
+    * a cluster); durable checkpoints ([[runToParquet]]) keep their
+    * caller-chosen locations unchanged.
+    */
+  private[graft] def ephemeralCheckpoint(): String = {
+    val root = java.nio.file.Paths.get(
+      graft.Sessions.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")),
+      "graft-ckpt")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createTempDirectory(root, "q").toString
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Complete()): StreamingQuery = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
