@@ -57,7 +57,7 @@ object Sessions {
     // (SPARK_GRAFT_ADVISORY_PARTITION), where disk/network-bound stages
     // want the larger default back.
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "8m"))
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "4m"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

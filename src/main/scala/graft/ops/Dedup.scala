@@ -871,10 +871,10 @@ object Dedup {
     // enough to exceed it would need ridge chains past 64 edges — at
     // that point raise maxIter or switch to the large-star/small-star
     // contraction noted above.
-    val edgesAll = pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
-      .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
-      .distinct()
-      .localCheckpoint(true)
+    val (edgesAll, edgeCountRow) = Iterate.materializeObserved(
+      pairs.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("w"))
+        .union(pairs.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("w")))
+        .distinct(), count(lit(1)).as("n"))
     // NOTE every materialization below goes through Iterate.materialize,
     // not bare localCheckpoint — see Iterate's scaladoc for the
     // double-exponential stats-estimate blowup it prevents (sf1 find).
@@ -886,20 +886,27 @@ object Dedup {
     // checkpoint above already ran, so the count is free metadata.
     val parts = math.max(1, math.min(
       edgesAll.sparkSession.sparkContext.defaultParallelism,
-      (edgesAll.count() / 100000L).toInt))
+      (edgeCountRow.getLong(0) / 100000L).toInt))
+    // Tiny-graph fast path (Iterate.withTinyLoopConf): under AQE each
+    // round's query became several stage-jobs — at fixture scale the
+    // whole loop was driver job-submission latency (m7: 148 jobs of
+    // < 0.3 s stages). Big graphs (parts == parallelism) run unchanged.
+    Iterate.withTinyLoopConf(edgesAll.sparkSession, parts) {
     val edges = Iterate.materialize(edgesAll.repartition(parts, col("w")))
-    var labels = Iterate.materialize(
-      edges.select(col("v")).distinct().withColumn("comp", col("v")))
     // Convergence probe: comp is pointwise non-increasing (min over a set
     // containing itself, then jump to comp(comp) <= comp), so the labels
     // changed this round IFF sum(comp) strictly decreased — one scalar
-    // one-stage aggregate per round instead of a join+filter probe
-    // (decimal sum: 10^12 docs × 10^12 max id overflows a long).
-    def compSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s")).head()
+    // aggregate per round (decimal sum: 10^12 docs × 10^12 max id
+    // overflows a long). The probe rides each round's OWN checkpoint job
+    // (Iterate.materializeObserved): a separate probe action per round
+    // costs a full job submission, which dominated the loop's wall time
+    // once per-task work was sized to the graph.
+    val probe = sum(col("comp").cast("decimal(38,0)")).as("s")
+    def metric(r: org.apache.spark.sql.Row): java.math.BigDecimal =
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevSum = compSum(labels)
+    var (labels, row0) = Iterate.materializeObserved(
+      edges.select(col("v")).distinct().withColumn("comp", col("v")), probe)
+    var prevSum = metric(row0)
     var iter = 0
     var done = prevSum.signum() == 0 && labels.isEmpty
     while (!done && iter < maxIter) {
@@ -907,17 +914,18 @@ object Dedup {
         .groupBy("v").agg(min("comp").as("nc"))
       val tentative = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      val jumped = Iterate.materialize(tentative
+      val (jumped, r) = Iterate.materializeObserved(tentative
         .join(tentative.select(col("v").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
         .select(col("v"), coalesce(col("cc"), col("comp")).as("comp"))
-        .repartition(parts, col("v")))
-      val s = compSum(jumped)
+        .repartition(parts, col("v")), probe)
+      val s = metric(r)
       done = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped
       iter += 1
     }
     (labels, iter)
+    }
   }
 
   /** Duplicate-cluster resolution — the step after pair generation that a
@@ -985,18 +993,23 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
-    // graph-sized shuffles, the connectedComponents discipline
+    // graph-sized shuffles, the connectedComponents discipline; the
+    // count for sizing rides the entry checkpoint's own job
+    val (canonCp, canonCount) = Iterate.materializeObserved(canon, count(lit(1)).as("n"))
     val parts = math.max(1, math.min(
-      canon.sparkSession.sparkContext.defaultParallelism,
-      (canon.count() / 100000L).toInt))
-    var edges = Iterate.materialize(canon.repartition(parts, col("u")))
-    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)).as("n"),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s")).head()
+      canonCp.sparkSession.sparkContext.defaultParallelism,
+      (canonCount.getLong(0) / 100000L).toInt))
+    // the (count, hash-sum) fixpoint signature rides each round's own
+    // checkpoint job (Iterate.materializeObserved); tiny graphs run the
+    // whole loop single-job-per-round (Iterate.withTinyLoopConf)
+    Iterate.withTinyLoopConf(canonCp.sparkSession, parts) {
+    val sigExprs = Seq(count(lit(1)).as("n"),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s"))
+    def metric(r: org.apache.spark.sql.Row): (Long, java.math.BigDecimal) =
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-    var prev = sig(edges)
+    var (edges, row0) = Iterate.materializeObserved(
+      canonCp.repartition(parts, col("u")), sigExprs: _*)
+    var prev = metric(row0)
     var iter = 0
     var done = prev._1 == 0L
     while (!done && iter < maxIter) {
@@ -1019,8 +1032,10 @@ object Dedup {
         .filter(col("x") =!= col("m"))
         .select(col("m").as("u"), col("x").as("v"))
         .distinct()
-      edges = Iterate.materialize(small.repartition(parts, col("u")))
-      val s = sig(edges)
+      val (next, row) = Iterate.materializeObserved(
+        small.repartition(parts, col("u")), sigExprs: _*)
+      edges = next
+      val s = metric(row)
       // compareTo, not equals: BigDecimal.equals is scale-sensitive
       done = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
       prev = s
@@ -1035,6 +1050,7 @@ object Dedup {
     edges.select(col("v"), col("u").as("comp"))
       .unionAll(edges.select(col("u").as("v"), col("u").as("comp")))
       .distinct()
+    }
   }
 
   /** Quality-aware canonical selection — the dedup ACTION a production

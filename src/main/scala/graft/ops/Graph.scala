@@ -438,13 +438,16 @@ object Graph {
                 rounds: Int = 10, maxPart: Long = 20000L): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val und = orientedCoPurchase(spark, dir, maxPart).und
-    var edges = Iterate.materialize(
-      und.select(col("a").as("v"), col("b").as("w"))
-        .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
     // early-exit at the fixpoint is EXACT (peeling is monotone, so the
     // remaining bounded rounds are no-ops the oracle replays literally);
-    // the count probe is one cheap job over the materialized edge set
-    var prev = edges.count()
+    // the count probe rides each round's own checkpoint job
+    // (Iterate.materializeObserved — a separate count action per round
+    // costs a full job submission)
+    val probe = count(lit(1)).as("n")
+    var (edges, row0) = Iterate.materializeObserved(
+      und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w"))), probe)
+    var prev = row0.getLong(0)
     var r = 0
     while (r < rounds) {
       // alive is capped by maxPart (catalog-sized) — broadcast both
@@ -453,12 +456,13 @@ object Graph {
       // sort-merge joins (4 exchanges + sorts) per peeling round
       val alive = broadcast(edges.groupBy("v").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("v"))
-      edges = Iterate.materialize(
+      val (next, row) = Iterate.materializeObserved(
         edges.join(alive, Seq("v"), "left_semi")
           .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
-          .select("v", "w"))
+          .select("v", "w"), probe)
+      edges = next
       r += 1
-      val cur = edges.count()
+      val cur = row.getLong(0)
       if (cur == prev) r = rounds
       prev = cur
     }
@@ -585,16 +589,17 @@ object Graph {
         .unionAll(und.select(col("b").as("v"), col("a").as("w"))))
     val hubs = deg.orderBy(col("d").desc, col("v")).limit(nHubs)
       .select(col("v"), lit(0L).as("hd"))
-    var dist = Iterate.materialize(
+    // the (reached count, reached-distance sum) fixpoint probe rides
+    // each round's own checkpoint job (Iterate.materializeObserved)
+    val probeExprs = Seq(count(col("dist")).as("n"),
+      sum(col("dist").cast("decimal(38,0)")).as("s"))
+    def metric(r: org.apache.spark.sql.Row): (Long, java.math.BigDecimal) =
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    var (dist, row0) = Iterate.materializeObserved(
       edges.select(col("v")).distinct()
         .join(hubs, Seq("v"), "left")
-        .select(col("v"), col("hd").as("dist")))
-    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(col("dist")).as("n"),
-        sum(col("dist").cast("decimal(38,0)")).as("s")).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-    var prev = probe(dist)
+        .select(col("v"), col("hd").as("dist")), probeExprs: _*)
+    var prev = metric(row0)
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
@@ -607,12 +612,13 @@ object Graph {
         .join(broadcast(dist.select(col("v").as("w"), col("dist").as("dw"))), "w")
         .filter(col("dw").isNotNull)
         .groupBy("v").agg(min(col("dw") + 1L).as("nd"))
-      dist = Iterate.materialize(
+      val (next, row) = Iterate.materializeObserved(
         dist.join(broadcast(relaxed), Seq("v"), "left")
           .select(col("v"),
             least(coalesce(col("dist"), col("nd")),
-                  coalesce(col("nd"), col("dist"))).as("dist")))
-      val p = probe(dist)
+                  coalesce(col("nd"), col("dist"))).as("dist")), probeExprs: _*)
+      dist = next
+      val p = metric(row)
       done = p._1 == prev._1 && p._2.compareTo(prev._2) == 0
       prev = p
       iter += 1
@@ -661,12 +667,16 @@ object Graph {
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b")) // a self-pair would double-count its own vote
       .distinct()
-    val edgesAll = und.select(col("a").as("v"), col("b").as("w"))
-      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
-      .localCheckpoint(true)
+    val (edgesAll, edgeCountRow) = Iterate.materializeObserved(
+      und.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("w"))),
+      count(lit(1)).as("n"))
     val parts = math.max(1, math.min(
       edgesAll.sparkSession.sparkContext.defaultParallelism,
-      (edgesAll.count() / 100000L).toInt))
+      (edgeCountRow.getLong(0) / 100000L).toInt))
+    // tiny graphs run the whole loop single-job-per-round
+    // (Iterate.withTinyLoopConf); big graphs run unchanged under AQE
+    val labels = Iterate.withTinyLoopConf(edgesAll.sparkSession, parts) {
     val edges = Iterate.materialize(edgesAll.repartition(parts, col("w")))
     var labels = Iterate.materialize(
       edges.select(col("v")).distinct().select(col("v"), col("v").as("lbl"))
@@ -684,6 +694,8 @@ object Graph {
         votes.groupBy(col("v"))
           .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
           .select(col("v"), (-col("m.neg")).as("lbl")))
+    }
+    labels
     }
     // community sizes join WITHOUT a broadcast hint: the label table is
     // vertex-sized here (unlike partLabelProp's catalog-capped one), so

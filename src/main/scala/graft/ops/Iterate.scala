@@ -38,8 +38,59 @@ object Iterate {
   private[graft] val CheckpointLevel =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
-  def materialize(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true, storageLevel = CheckpointLevel)
+  def materialize(df: DataFrame): DataFrame = wrapCheckpoint(
+    df.localCheckpoint(eager = true, storageLevel = CheckpointLevel))
+
+  /** [[materialize]] that ALSO evaluates aggregate metrics over the
+    * materialized rows inside the SAME job (`Dataset.observe` — the
+    * metrics are read back from the plan's CollectMetrics node after the
+    * eager checkpoint executes, verified retrievable on Spark 4.1).
+    * Iterative loops use this for their convergence probes: a
+    * probe-per-round as a separate action costs a full job submission
+    * (~50 ms of driver latency at fixture scale — the dominant cost of
+    * the CC/k-core/BFS loops once the per-task work is sized right),
+    * and the probe aggregates here are over exactly the table the round
+    * just computed, so riding the checkpoint job is free.
+    */
+  def materializeObserved(df: DataFrame, exprs: org.apache.spark.sql.Column*)
+      : (DataFrame, org.apache.spark.sql.Row) = {
+    val obs = df.observe("graft_probe", exprs.head, exprs.tail: _*)
+    val cp = obs.localCheckpoint(eager = true, storageLevel = CheckpointLevel)
+    val row = obs.queryExecution.observedMetrics("graft_probe")
+    (wrapCheckpoint(cp), row)
+  }
+
+  /** Run `body` (an iterative loop over a SMALL graph/table) with AQE
+    * off and the shuffle width pinned to the data-derived `parts`.
+    * Rationale: AQE turns every round's query into several stage-jobs
+    * (plus broadcast jobs), and on a fixture-scale pair graph the loop's
+    * cost is pure driver job-submission latency — m7's resolve measured
+    * 148 jobs of < 0.3 s stages. With AQE off and the width pinned to
+    * the graph, each round is ONE job over `parts`-wide exchanges.
+    * GATED BY SCALE: when `parts` reaches defaultParallelism (graph ≥
+    * ~100k rows × cores), the body runs UNCHANGED under AQE — big-graph
+    * loops keep coalescing and skew-join handling; this fast path exists
+    * only where the data is too small for those to matter.
+    * Conf toggles are session-global for the duration (the documented
+    * single-threaded-driver assumption of materializePartitioned).
+    */
+  def withTinyLoopConf[T](spark: org.apache.spark.sql.SparkSession, parts: Int)
+                         (body: => T): T = {
+    if (parts >= spark.sparkContext.defaultParallelism) body
+    else {
+      val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(keys(0), "false")
+      spark.conf.set(keys(1), parts.toString)
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  private def wrapCheckpoint(cp: DataFrame): DataFrame = {
     val spark = cp.sparkSession
     val rdd = cp.rdd
     // Data-adaptive width for every loop table, with ZERO extra compute:
