@@ -198,7 +198,12 @@ object Bench {
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
       catch { case _: Throwable => () }
-      if (calibRatio <= Bench.PromoteMaxRatio)
+      // Full-width runs only: the driver ALSO benches at a LOWER core
+      // count (its scaling measurement) — in round 18 that 8-core run
+      // passed the quiet gate and silently replaced the 32-core quiet
+      // baseline, making every later tripwire compare apples to oranges.
+      if (calibRatio <= Bench.PromoteMaxRatio &&
+          scala.util.Try(cpus.toInt).getOrElse(procs) >= procs)
         try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
         catch { case _: Throwable => () }
     }

@@ -78,8 +78,15 @@ object Dedup {
     */
   def boilerplate(docs: DataFrame, minDf: Int = 5, w: Int = 3,
                   textCol: String = "text"): DataFrame = {
+    // the fixture parquet is one row group -> a 1-task scan, and both
+    // passes' per-occurrence shingle hashing is the query's CPU (pass 2
+    // measured as a single 5.9 s serial stage); widen the text stream to
+    // the session's cores before the explode (guide: repartition after
+    // an unsplittable read). At scale the corpus scans wide already.
+    val wide = docs.select(col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     // pass 1: df per hashed shingle — 8-byte shuffle keys, map-side partials
-    val dfs = docs.select(explode(shingleHashes(col(textCol), w)).as("h"))
+    val dfs = wide.select(explode(shingleHashes(col(textCol), w)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     // pass 2: recover the readable survivor strings. A string shingle is
@@ -92,7 +99,7 @@ object Dedup {
       when(col("shingle") === "", lit(0L))
         .otherwise(aggregate(split(col("shingle"), " "), lit(0L),
           (h, t) => call_function("splitmix64", h.bitwiseXOR(call_function("fnv1a64", t)))))
-    docs.select(explode(shingles(col(textCol), w)).as("shingle"))
+    wide.select(explode(shingles(col(textCol), w)).as("shingle"))
       .withColumn("h", hashOfShingle)
       .join(dfs, "h")
       .groupBy(col("h"), col("df")).agg(max(col("shingle")).as("shingle"))

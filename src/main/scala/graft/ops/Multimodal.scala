@@ -449,6 +449,8 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
+      // 1-row-group fixture scan -> widen before the per-row synth work
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Option[String], String)]
       .mapPartitions(_.map { case (id, textOpt, source) =>
         val payload = textOpt.map { text =>
@@ -472,7 +474,13 @@ object Multimodal {
     */
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // the fixture parquet is ONE row group -> a 1-task scan; the synth
+      // + codec work is CPU-dense per row, so widen the 8-byte id stream
+      // to the session's cores before the map (guide: repartition
+      // immediately after an unsplittable read). At scale a real media
+      // table scans wide already and this exchange is id-sized noise.
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map(id => (id, ImageCodec.synthPayload(id))))
       .toDF("media_id", "payload")
   }
@@ -486,7 +494,8 @@ object Multimodal {
     */
   def audioTableLowDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .filter((id: Long) => id % 3 == 2)
       .mapPartitions(_.map(id => (id, ImageCodec.synthAudioLowDup(id))))
       .toDF("media_id", "payload")
@@ -498,7 +507,8 @@ object Multimodal {
     */
   def audioTableShifted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .filter((id: Long) => id % 3 == 2)
       .mapPartitions(_.map(id => (id, ImageCodec.synthAudioShifted(id))))
       .toDF("media_id", "payload")
