@@ -44,9 +44,57 @@ object Streams {
     * unbounded first batch is an OOM, not a convenience. */
   def parquetDirStream(spark: SparkSession, dir: String, schema: StructType,
                        maxFilesPerTrigger: Int = 0): DataFrame = {
+    noteSourceWidth(spark, dir)
     val r = spark.readStream.schema(schema)
     (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger)
      else r).parquet(dir)
+  }
+
+  /** Data-derived shuffle/state width for the NEXT streaming query
+    * (consumed by [[runToMemory]]/[[runToParquet]]/the foreachBatch
+    * runners). Stateful operators pin `spark.sql.shuffle.partitions` at
+    * query start as their state-partition count, and AQE is disabled in
+    * streaming — so with the session default (= core count) every
+    * micro-batch committed one state/delta file PER CORE per stateful
+    * operator, which made the stateful rows of the r18 driver bench
+    * SLOWER at 32 cores than at 8 (st11: 97% of task run time was
+    * state-store file I/O wait). Width = input bytes / 1 MB clamped to
+    * [1, defaultParallelism]: fixture streams get a handful of state
+    * partitions, a 100 TB backlog fans out to the cluster. Driver-side
+    * stash, single-threaded builder assumption (the documented
+    * materializePartitioned discipline); cleared when consumed, so
+    * directly-constructed streams (tests) run unchanged.
+    */
+  @volatile private var pendingSourceWidth: Option[Int] = None
+  private def noteSourceWidth(spark: SparkSession, dir: String): Unit = {
+    val bytes = try {
+      val d = new java.io.File(dir)
+      if (d.isDirectory) d.listFiles().map(_.length()).sum else 0L
+    } catch { case _: Throwable => 0L }
+    if (bytes > 0L) {
+      val cap = spark.sparkContext.defaultParallelism.toLong
+      pendingSourceWidth =
+        Some(math.max(1L, math.min(cap, bytes / (1L << 20) + 1L)).toInt)
+    }
+  }
+
+  /** Run `body` (a streaming query start+drain) with the shuffle width
+    * pinned to the last [[noteSourceWidth]] stash, restoring after. */
+  private def withSourceWidth[T](spark: SparkSession)(body: => T): T = {
+    val w = pendingSourceWidth
+    pendingSourceWidth = None
+    w match {
+      case None => body
+      case Some(width) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, width.toString)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
   }
 
   /** Tumbling 1-hour windows per event_type with a watermark. Output shape
@@ -412,19 +460,21 @@ object Streams {
     */
   def runMediaCurationBatches(newMedia: DataFrame, indexPath: String,
                               outDir: String, maxDist: Int = 4): StreamingQuery = {
-    val q = newMedia.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        writeBatchIdempotent(
-          graft.ops.Multimodal.curationAgainstIndex(
-            batch.toDF(), s.read.parquet(indexPath), maxDist),
-          outDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(newMedia.sparkSession) {
+      val q = newMedia.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val s = batch.sparkSession
+          writeBatchIdempotent(
+            graft.ops.Multimodal.curationAgainstIndex(
+              batch.toDF(), s.read.parquet(indexPath), maxDist),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** Streaming phrase matching (st24) — t33's incremental form, the
@@ -487,20 +537,22 @@ object Streams {
   def runAudioMatchBatches(newMedia: DataFrame, indexPath: String,
                            sizesPath: String, outDir: String,
                            threshold: Double = 0.5): StreamingQuery = {
-    val q = newMedia.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        writeBatchIdempotent(
-          graft.ops.Multimodal.audioMatchAgainstIndex(
-            graft.ops.Multimodal.audioWindowSets(batch),
-            s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
-          outDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(newMedia.sparkSession) {
+      val q = newMedia.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val s = batch.sparkSession
+          writeBatchIdempotent(
+            graft.ops.Multimodal.audioMatchAgainstIndex(
+              graft.ops.Multimodal.audioWindowSets(batch),
+              s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** Streaming VIDEO near-dup matching (st30) — m9's incremental form,
@@ -520,20 +572,22 @@ object Streams {
   def runVideoMatchBatches(newMedia: DataFrame, indexPath: String,
                            sizesPath: String, outDir: String,
                            threshold: Double = 0.5): StreamingQuery = {
-    val q = newMedia.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        writeBatchIdempotent(
-          graft.ops.Multimodal.videoMatchAgainstIndex(
-            graft.ops.Multimodal.videoFrameSets(batch),
-            s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
-          outDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(newMedia.sparkSession) {
+      val q = newMedia.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val s = batch.sparkSession
+          writeBatchIdempotent(
+            graft.ops.Multimodal.videoMatchAgainstIndex(
+              graft.ops.Multimodal.videoFrameSets(batch),
+              s.read.parquet(indexPath), s.read.parquet(sizesPath), threshold),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** The foreachBatch sink discipline shared by every join-then-aggregate
@@ -573,16 +627,18 @@ object Streams {
     * replaying the whole stream into the same store).
     */
   def runIndexAddBatches(newDocs: DataFrame, segmentDir: String): StreamingQuery = {
-    val q = newDocs.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        writeBatchIdempotent(
-          graft.ops.TextStats.indexSegment(batch)._1, segmentDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(newDocs.sparkSession) {
+      val q = newDocs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.ops.TextStats.indexSegment(batch)._1, segmentDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** Streaming POSITIONAL index add (st31) — st27's phrase-serving
@@ -600,16 +656,18 @@ object Streams {
     * inflate phrase match counts AND the index-derived query set).
     */
   def runPositionalAddBatches(newDocs: DataFrame, segmentDir: String): StreamingQuery = {
-    val q = newDocs.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        writeBatchIdempotent(
-          graft.ops.TextStats.positionalSegment(batch), segmentDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(newDocs.sparkSession) {
+      val q = newDocs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.ops.TextStats.positionalSegment(batch), segmentDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** Streaming SNAPSHOT STATUS (st29) — [[graft.ops.Profiling
@@ -670,40 +728,44 @@ object Streams {
                                    segPaths: Seq[(String, String)],
                                    deletePath: String, outDir: String,
                                    k: Int = 10): StreamingQuery = {
-    val q = queries.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val segs = segPaths.map { case (tfs, lens) =>
-          (s.read.parquet(tfs), s.read.parquet(lens)) }
-        val qToks = batch.select(col("phrase"), explode(col("toks")).as("tok"))
-        writeBatchIdempotent(
-          graft.ops.TextStats.bm25TopKTombstone(segs,
-            s.read.parquet(deletePath), qToks, k), outDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(queries.sparkSession) {
+      val q = queries.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val s = batch.sparkSession
+          val segs = segPaths.map { case (tfs, lens) =>
+            (s.read.parquet(tfs), s.read.parquet(lens)) }
+          val qToks = batch.select(col("phrase"), explode(col("toks")).as("tok"))
+          writeBatchIdempotent(
+            graft.ops.TextStats.bm25TopKTombstone(segs,
+              s.read.parquet(deletePath), qToks, k), outDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   def runBm25QueryBatches(queries: DataFrame,
                           segPaths: Seq[(String, String)],
                           outDir: String, k: Int = 10): StreamingQuery = {
-    val q = queries.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val segs = segPaths.map { case (tfs, lens) =>
-          (s.read.parquet(tfs), s.read.parquet(lens)) }
-        val qToks = batch.select(col("phrase"), explode(col("toks")).as("tok"))
-        writeBatchIdempotent(
-          graft.ops.TextStats.bm25TopKFromSegments(segs, qToks, k), outDir, batchId)
-      }
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(queries.sparkSession) {
+      val q = queries.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val s = batch.sparkSession
+          val segs = segPaths.map { case (tfs, lens) =>
+            (s.read.parquet(tfs), s.read.parquet(lens)) }
+          val qToks = batch.select(col("phrase"), explode(col("toks")).as("tok"))
+          writeBatchIdempotent(
+            graft.ops.TextStats.bm25TopKFromSegments(segs, qToks, k), outDir, batchId)
+        }
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** Streaming similarity serving: a stream of query vectors scored
@@ -989,15 +1051,17 @@ object Streams {
 
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Complete()): StreamingQuery = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ephemeralCheckpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(df.sparkSession) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ephemeralCheckpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 
   /** The DURABLE path: drive a streaming frame to a parquet file sink
@@ -1012,14 +1076,16 @@ object Streams {
     * is precisely the contract that makes re-emission impossible.
     */
   def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    withSourceWidth(df.sparkSession) {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
   }
 }
