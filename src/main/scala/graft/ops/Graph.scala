@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pinned-exchange width for the co-purchase graph construction,
+    * derived from the source table's size (~50k lineitem rows per
+    * partition, clamped to [1, cores]). The materializePartitioned
+    * checkpoints run with AQE off, so their explicit repartitions would
+    * otherwise pin the session's core-count width — 32 tiny tasks per
+    * setup stage and per loop round at fixture scale. Clamps to full
+    * parallelism as the data grows (sf1 already saturates it).
+    */
+  private def graphWidth(spark: SparkSession, dir: String): Int = {
+    val rows = Tables.rowsOf(spark, dir, "lineitem")
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, rows / 50000L)).toInt
+  }
+
   /** Rank scale: ranks are integers in units of 10^-12 of one node's
     * initial mass. All arithmetic below is overflow-safe by
     * construction: total mass is N·S ≤ 2·10^17 for N ≤ 200k nodes, and
@@ -92,16 +106,17 @@ object Graph {
     // the degree aggregation. materializePartitioned (one-shot, outside
     // any loop) pins each partitioning so every consumer below reads it
     // without re-exchanging — setup drops from 5 exchanges to 2.
+    val gw = graphWidth(spark, dir)
     val lp = Iterate.materializePartitioned(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .repartition(col("ok"))
+        .repartition(gw, col("ok"))
         .dropDuplicates("ok", "pk"))
     val edges0 = Iterate.materializePartitioned(
       lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") =!= col("pk2"))
         .select(col("pk").as("src"), col("pk2").as("dst"))
-        .repartition(col("src"))
+        .repartition(gw, col("src"))
         .dropDuplicates("src", "dst"))
     // symmetric edges ⇒ nodes = distinct src; every node has deg ≥ 1 —
     // one aggregation yields nodes AND degrees (exchange-free: edges0 is
@@ -139,7 +154,7 @@ object Graph {
     // is the per-round exchange that must stay on the rank side only.
     val edges =
       if (broadcastState) Iterate.materializePartitioned(
-        edges0.join(broadcast(degs), "src").repartition(col("dst")))
+        edges0.join(broadcast(degs), "src").repartition(gw, col("dst")))
       else Iterate.materializePartitioned(edges0.join(degs, "src"))
     (nodes, edges, n)
   }
@@ -277,18 +292,19 @@ object Graph {
     * wedge self-join runs exchange-free on both sides.
     */
   private[ops] final class OrientedGraph(spark: SparkSession, dir: String, maxPart: Long) {
+    private lazy val gw = graphWidth(spark, dir)
     lazy val und: DataFrame = {
       val lp = Iterate.materializePartitioned(
         Tables.lineitem(spark, dir)
           .filter(col("l_partkey") < maxPart)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .repartition(col("ok"))
+          .repartition(gw, col("ok"))
           .dropDuplicates("ok", "pk"))
       Iterate.materializePartitioned(
         lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("a"), col("pk2").as("b"))
-          .repartition(col("a"))
+          .repartition(gw, col("a"))
           .dropDuplicates("a", "b"))
     }
     lazy val deg: DataFrame = Iterate.materialize(
@@ -302,7 +318,7 @@ object Graph {
             struct(col("a").as("src"), col("b").as("dst")))
             .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .repartition(col("src")))
+        .repartition(gw, col("src")))
 
     /** Bloom filter over the canonical (a, b) edge pairs (keyed by
       * xxhash64(a, b)), for pre-filtering the triangle wedge set BEFORE

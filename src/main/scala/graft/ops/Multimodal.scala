@@ -1245,24 +1245,44 @@ object Multimodal {
     * PCM never leave the decode stage.
     */
   def mediaCuration(spark: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
+    import spark.implicits._
     val img = imageTable(spark, dir).filter(col("media_id") % 3 === 0)
     val aud = audioTableLowDup(spark, dir)
-    // Decode/hash ONCE per payload: mapPartitions is opaque to Catalyst
-    // (no subtree dedup, no column pruning through it), so every use of
-    // `meta` — the format filter, the quality scores, the id list — and
-    // both sides of each Hamming self-join would otherwise re-run the
-    // synth+decode over all payloads (measured: ~13 MapPartitions nodes
-    // in the c22 plan, ≈6 full decode passes). Eagerly checkpointing the
-    // SMALL derived tables (typed metadata rows, (id, hash) pairs —
-    // never the blobs) makes every payload decode exactly once; the
-    // composite was already action-like through the CC fixpoint rounds.
-    val meta = Iterate.materialize(decodeMeta(img.unionAll(aud)).toDF()
-      .filter(col("format") =!= "unknown"))
+    // Decode/hash ONCE per payload — and SYNTHESIZE once too:
+    // mapPartitions is opaque to Catalyst (no subtree dedup, no column
+    // pruning through it), so separate meta and hash passes each re-ran
+    // the payload synthesis (a PNG/WAV ENCODE, as costly as the decode).
+    // ONE combined pass produces the typed metadata AND the modality's
+    // perceptual hash per payload; provenance is tagged BEFORE the union
+    // so each slice keeps exactly its original hash function (a wav
+    // payload inside the image slice must still drop from the Hamming
+    // pairs, as imageHashes' aHash64 made it). The checkpointed table is
+    // small typed rows — blobs never leave the stage.
+    val tagged = img.withColumn("side", lit("i"))
+      .unionAll(aud.withColumn("side", lit("a")))
+    val metaAll = Iterate.materialize(tagged
+      .select(col("media_id"), col("payload"), col("side"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, side) =>
+        val m = ImageCodec.decode(id, bytes)
+        val h = if (side == "i") ImageCodec.aHash64(bytes)
+                else ImageCodec.audioHash64(bytes)
+        (m.media_id, m.byte_len, m.format, m.width, m.height, m.checksum,
+          h.getOrElse(0L), h.isDefined, side)
+      })
+      .toDF("media_id", "byte_len", "format", "width", "height", "checksum",
+        "ahash", "has_hash", "side"))
+    val meta = metaAll.filter(col("format") =!= "unknown")
     val scores = meta.select(col("media_id"),
       when(col("format") === "wav", col("width"))
         .otherwise(col("width") * col("height")).cast("double").as("quality_score"))
-    val pairs = nearDupImages(Iterate.materialize(imageHashes(img)), maxDist)
-      .unionAll(nearDupImages(Iterate.materialize(audioHashes(aud)), maxDist))
+    // per-modality Hamming joins, exactly as before — one union'd join
+    // would let an image aHash pair with an audio energy hash
+    def hashesOf(side: String) = metaAll
+      .filter(col("has_hash") && col("side") === side)
+      .select(col("media_id"), col("ahash"))
+    val pairs = nearDupImages(hashesOf("i"), maxDist)
+      .unionAll(nearDupImages(hashesOf("a"), maxDist))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     Dedup.resolveBestByScore(meta.select("media_id"), pairs, scores, idCol = "media_id")
   }

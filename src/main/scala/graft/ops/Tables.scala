@@ -72,7 +72,7 @@ object Tables {
     */
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def rowsOf(spark: SparkSession, dir: String, name: String): Long = {
+  private[ops] def rowsOf(spark: SparkSession, dir: String, name: String): Long = {
     val p = java.nio.file.Paths.get(dir, s"$name.parquet")
     val fp = try {
       val a = java.nio.file.Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
