@@ -441,6 +441,13 @@ object Graph {
     * at least k other heavily-co-sold parts"), with their within-core
     * degree.
     *
+    * `maxPart` also BOUNDS the per-round broadcast: the alive set is
+    * ≤ maxPart rows by construction, which is what licenses the explicit
+    * broadcast() on both semi joins below (the partLabelProp label-table
+    * bound) — a caller-supplied corpus-scale maxPart would broadcast
+    * per-vertex state and should drop the hint (mirror the 200k
+    * partPageRank guard).
+    *
     * Runs a FIXED `rounds` count on both engines — peeling is monotone,
     * so once the fixpoint is reached every further round is a no-op and
     * a fixed bound ≥ the convergence round count is exact (the n1

@@ -160,6 +160,17 @@ object Iterate {
     * then only the O(nodes) rank side moves per round. The createDataFrame
     * re-wrap in [[materialize]] would erase exactly that property.
     *
+    * SINGLE-THREADED DRIVER ASSUMPTION: the AQE toggle below is a
+    * session-global conf flipped around the checkpoint plan — a query
+    * planned concurrently on the same session during that window would
+    * silently lose AQE, and two concurrent callers could race the
+    * restore. Every entry point in this engine (Bench, Verify, the
+    * HTTP runs registry) builds queries from one driver thread; a
+    * future concurrent planner must isolate the toggle (plan on
+    * spark.newSession() sharing state, or serialize callers).
+    * [[withTinyLoopConf]] and the streaming width scope share the same
+    * assumption.
+    *
     * AQE must be OFF while the checkpoint plans: under an
     * AdaptiveSparkPlan the LogicalRDD records UnknownPartitioning(0)
     * (measured on the n2/n10 plans — every "partition-preserving"

@@ -446,7 +446,11 @@ object Similarity {
     */
   private[ops] def withNearestCell(vectors: DataFrame, centroids: DataFrame,
                                    idCol: String, vecCol: String): DataFrame = {
-    val cb = centroids.select(col("cell").cast("long"), col("cv")).collect()
+    // cast cv explicitly: a caller-supplied array<double> codebook must
+    // keep working through the public assignCells (the old broadcast
+    // crossJoin form was element-type tolerant; getSeq[Float] alone is not)
+    val cb = centroids.select(col("cell").cast("long"),
+        col("cv").cast("array<float>").as("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     if (cb.isEmpty)

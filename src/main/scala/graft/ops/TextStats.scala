@@ -874,10 +874,12 @@ object TextStats {
     *
     * Scale shape: the model fits on the DISTINCT word-count table (the
     * [[bpeMerges]] discipline — induction cost scales with |vocab|,
-    * never corpus tokens). One hash exchange per DP level on that
-    * table, pieces ride a broadcast; words longer than `maxWordLen`
-    * are excluded from INDUCTION (documented, replayed by the oracle) —
-    * they would only stretch the DP tail for vanishing count mass.
+    * never corpus tokens). The whole per-level recurrence runs as ONE
+    * row-local aggregate() fold inside a single projection — zero
+    * per-level exchanges — with the bounded piece model riding in as a
+    * literal map; words longer than `maxWordLen` are excluded from
+    * INDUCTION (documented, replayed by the oracle) — they would only
+    * stretch the DP tail for vanishing count mass.
     */
   def unigramVocab(df: DataFrame, seedTop: Int = 64, keepTop: Int = 48,
                    maxPieceLen: Int = 4, maxWordLen: Int = 12, emRounds: Int = 2,
@@ -969,8 +971,9 @@ object TextStats {
     * encode state is a fixed-width row per (word, level). Same scale
     * shape as induction: cost scales with |distinct words| × levels,
     * never corpus tokens; the corpus pays one tokenize-explode and one
-    * join against the vocab-sized encode table. Same lazy-localCheckpoint
-    * level discipline (plan tree stays linear in levels).
+    * join against the vocab-sized encode table. The level recurrence is
+    * the same row-local aggregate() fold as [[unigramVocab]] — a single
+    * projection, no per-level checkpoints.
     */
   def unigramEncode(docs: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
                     encodeMaxLen: Int = 16, textCol: String = "text"): DataFrame = {

@@ -22,6 +22,10 @@ object DumpPlanFiles {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+        // bloom-filter literals print as megabytes of hex — squash runs,
+        // keeping a recognizable prefix (the plan SHAPE is the evidence)
+        .replaceAll("0x[0-9A-Fa-f]{64}[0-9A-Fa-f]*",
+          "0x<bloom-literal-squashed>")
       Files.writeString(outDir.resolve(s"$name$suf.txt"),
         s"## $name\n\n```\n$plan```\n")
       println(s"PLAN $name -> $outDir/$name$suf.txt")
