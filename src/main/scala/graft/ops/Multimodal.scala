@@ -450,7 +450,7 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
       // 1-row-group fixture scan -> widen before the per-row synth work
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(synthWidth(spark, dir))
       .as[(Long, Option[String], String)]
       .mapPartitions(_.map { case (id, textOpt, source) =>
         val payload = textOpt.map { text =>
@@ -472,15 +472,29 @@ object Multimodal {
     * metadata they decode to follows arithmetic rules the DuckDB oracle
     * replays in SQL. Generation is map-only (one tiny encode per row).
     */
+
+  /** Width for the synth+codec map over the fixture id stream: the
+    * per-row codec work is ~0.1-1 ms, so ~256 rows/task saturates the
+    * useful parallelism without paying 32 task launches for half a
+    * second of total work (measured: the full-cores first cut left the
+    * m-family ~0.2-0.3 s slower at 32c than 8c). Clamped to cores;
+    * grows with the corpus.
+    */
+  private def synthWidth(spark: SparkSession, dir: String): Int = {
+    val rows = Tables.rowsOf(spark, dir, "documents")
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, rows / 256L)).toInt
+  }
+
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"))
       // the fixture parquet is ONE row group -> a 1-task scan; the synth
       // + codec work is CPU-dense per row, so widen the 8-byte id stream
-      // to the session's cores before the map (guide: repartition
-      // immediately after an unsplittable read). At scale a real media
+      // before the map (guide: repartition immediately after an
+      // unsplittable read), sized ~256 rows/task. At scale a real media
       // table scans wide already and this exchange is id-sized noise.
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+      .repartition(synthWidth(spark, dir)).as[Long]
       .mapPartitions(_.map(id => (id, ImageCodec.synthPayload(id))))
       .toDF("media_id", "payload")
   }
@@ -495,7 +509,7 @@ object Multimodal {
   def audioTableLowDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+      .repartition(synthWidth(spark, dir)).as[Long]
       .filter((id: Long) => id % 3 == 2)
       .mapPartitions(_.map(id => (id, ImageCodec.synthAudioLowDup(id))))
       .toDF("media_id", "payload")
@@ -508,7 +522,7 @@ object Multimodal {
   def audioTableShifted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+      .repartition(synthWidth(spark, dir)).as[Long]
       .filter((id: Long) => id % 3 == 2)
       .mapPartitions(_.map(id => (id, ImageCodec.synthAudioShifted(id))))
       .toDF("media_id", "payload")
